@@ -1,0 +1,89 @@
+"""Simulate the external verify driver against __spark_entry__.py.
+
+Mirrors the driver's t1/t2: builds a VANILLA SparkSession (none of our
+session.py configs — the real driver owns its session), smoke-runs
+entry(), then runs every queries()[name] at sf0.01 and compares with
+oracle_sql()[name] via DuckDB: row count + sorted schema +
+order-insensitive canonical value multiset.
+
+Usage: python scripts/driver_sim.py [sf_dir] [op ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from slowlog2clickhouse_spark.io import TABLES  # noqa: E402
+from tests.parity import canon_rows, duck_result, spark_result  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    # vanilla session, exactly what an external driver would build
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("== t1 smoke: entry(spark) ==")
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    print(f"entry -> {len(rows)} rows, schema ok: {len(df.schema) > 0}")
+    assert len(rows) > 0
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    print(f"== t2: {len(q)} queries, {len(o)} oracles, sf_dir={sf_dir} ==")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = 0
+    for name in sorted(q):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q[name](spark, sf_dir)
+            scols, srows = spark_result(sdf)
+            if name in o:
+                dcols, drows = duck_result(con, o[name])
+                ok = (
+                    sorted(scols) == sorted(dcols)
+                    and len(srows) == len(drows)
+                    and canon_rows(scols, srows) == canon_rows(dcols, drows)
+                )
+                kind = "oracle"
+            else:
+                ok = len(srows) >= 0
+                kind = "rows-only"
+        except Exception as exc:  # driver records failures, not crashes
+            ok, kind = False, f"ERROR {type(exc).__name__}: {exc}"
+            srows = []
+        dt = time.time() - t0
+        n_pass += ok
+        n_fail += not ok
+        print(f"{'PASS' if ok else 'FAIL'} {name:32s} {kind:10s} rows={len(srows):6d} {dt:5.1f}s")
+
+    print(f"== result: {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

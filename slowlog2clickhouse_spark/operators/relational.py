@@ -1,0 +1,1038 @@
+"""Relational operator surface — SURVEY.md §2 B/C/D/E/F/G.
+
+These are the QAN-style "consumer" queries the reference's ClickHouse
+table exists to serve (top-N digests, per-period time series, dimension
+filters — SURVEY.md §3.3), generalized to the driver's star schema.
+Everything is plain DataFrame API: Catalyst handles pushdown, pruning,
+join selection and partial aggregation; no custom physical machinery.
+
+Scale notes are per-op docstrings. The recurring ones:
+  * groupBy on low-cardinality keys => map-side partial agg shrinks the
+    shuffle to |groups| × partitions rows — safe at 100 TB;
+  * dimension joins broadcast (customer/nation/region are small by
+    design in a star schema); fact-fact joins shuffle on the join key
+    and AQE handles skew;
+  * every window partitions by a bounded key (digest/user/custkey), so
+    per-partition state stays small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.registry import op
+
+
+def exact_avg(col: str, scale: int = 100):
+    """Cross-engine-exact mean of a fixed-decimal column.
+
+    ``avg(x)`` of exact-decimal data frequently lands on a decimal half
+    (e.g. 51.19875) where Spark's round (decimal-string HALF_UP) and
+    DuckDB's round (float multiply) disagree; and the unrounded float
+    sum differs in low bits across engines because accumulation order
+    differs. Summing integer cents (exact) and dividing once keeps the
+    result bit-identical with the DuckDB expression
+    ``sum(cast(round(x*100,0) AS BIGINT)) / 100.0 / count(x)``.
+    """
+    cents = F.round(F.col(col) * scale, 0).cast("long")
+    return F.sum(cents) / float(scale) / F.count(col)
+
+
+def EXACT_AVG_SQL(col: str, scale: int = 100) -> str:
+    return f"sum(cast(round({col} * {scale}, 0) AS BIGINT)) / {scale}.0 / count({col})"
+
+# ---------------------------------------------------------------------------
+# B. Projection / filter
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "project_select",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           upper(l_returnflag) AS flag
+    FROM lineitem
+    """,
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column selection / aliasing / computed columns.
+
+    Reference analog: row-struct construction, main.go:~150-200 [R:M].
+    Scalar float math is IEEE-deterministic => no rounding needed.
+    Scale: pure map-side; column pruning reaches the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.upper("l_returnflag").alias("flag"),
+    )
+
+
+@op(
+    "project_case",
+    oracle="""
+    SELECT CASE WHEN value < 50 THEN 'low'
+                WHEN value < 200 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*) AS n,
+           sum(cast(round(value * 100, 0) AS BIGINT)) / 100.0 / count(value) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def project_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing (latency bands — QAN dashboard style)."""
+    ev = load_table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+        .alias("band")
+    )
+    return ev.groupBy(band).agg(
+        F.count("*").alias("n"), exact_avg("value").alias("avg_value")
+    )
+
+
+@op(
+    "filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_totalprice BETWEEN 1000 AND 50000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND NOT (o_custkey < 10)
+      AND o_orderpriority LIKE '%H%'
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate surface: =, BETWEEN, IN, LIKE, AND/OR/NOT.
+
+    Reference analog: admin-command skip (event.Admin), main.go:~140.
+    Scale: all predicates push down to the parquet scan (verified via
+    .explain → PushedFilters).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        (F.col("o_orderstatus") == "F")
+        & F.col("o_totalprice").between(1000, 50000)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & ~(F.col("o_custkey") < 10)
+        & F.col("o_orderpriority").like("%H%")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@op(
+    "filter_null",
+    oracle="""
+    SELECT count(*) AS n_total,
+           count(CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 1 END) AS n_null,
+           count(nullif(c_mktsegment, 'BUILDING')) AS n_not_null,
+           count(CASE WHEN nullif(c_mktsegment, 'BUILDING')
+                      IS NOT DISTINCT FROM 'AUTOMOBILE' THEN 1 END) AS n_nullsafe_eq
+    FROM customer
+    """,
+)
+def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: IS NULL / IS NOT NULL / null-safe equality (<=>).
+
+    Reference analog: absent metric lines → missing map keys [R:H];
+    here nulls are synthesized via nullif since testdata is dense.
+    """
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "seg", F.expr("nullif(c_mktsegment, 'BUILDING')")
+    )
+    return c.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("seg").isNull(), 1)).alias("n_null"),
+        F.count("seg").alias("n_not_null"),
+        F.count(F.when(F.col("seg").eqNullSafe("AUTOMOBILE"), 1)).alias("n_nullsafe_eq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C. Joins
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "join_broadcast_inner",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation, count(*) AS n_cust,
+           round(sum(c_acctbal), 4) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def join_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension equi-join chain, broadcast strategy.
+
+    Scale: nation/region are O(10^2) rows at any SF — broadcast them so
+    the fact side never shuffles for the join; the only shuffle is the
+    final low-cardinality groupBy (partial-agg'd map-side).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+        )
+    )
+
+
+@op(
+    "join_shuffle_inner",
+    oracle="""
+    SELECT o_orderpriority AS priority, count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def join_shuffle_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi-join (sort-merge / shuffled-hash via AQE).
+
+    Scale: both sides shuffle on orderkey; at 100 TB this is the
+    canonical co-partitioned fact-fact join — bucketing both tables by
+    orderkey at write time removes the shuffle entirely (see
+    sinks/parquet.py bucketed writer).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@op(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER: customers kept at 0 orders (count(col) skips nulls)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@op(
+    "join_full_outer",
+    oracle="""
+    WITH l AS (SELECT DISTINCT o_custkey AS lk FROM orders WHERE o_orderstatus = 'F'),
+         r AS (SELECT DISTINCT o_custkey AS rk FROM orders WHERE o_orderstatus = 'O')
+    SELECT count(*) AS n_rows,
+           count(CASE WHEN lk IS NULL THEN 1 END) AS only_right,
+           count(CASE WHEN rk IS NULL THEN 1 END) AS only_left,
+           count(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 1 END) AS in_both
+    FROM l FULL OUTER JOIN r ON lk = rk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER over two key spaces (custkeys by order status)."""
+    o = load_table(spark, sf_dir, "orders")
+    left = (
+        o.where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("lk"))
+        .distinct()
+    )
+    right = (
+        o.where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("rk"))
+        .distinct()
+    )
+    j = left.join(right, left.lk == right.rk, "full")
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("lk").isNull(), 1)).alias("only_right"),
+        F.count(F.when(F.col("rk").isNull(), 1)).alias("only_left"),
+        F.count(F.when(F.col("lk").isNotNull() & F.col("rk").isNotNull(), 1)).alias(
+            "in_both"
+        ),
+    )
+
+
+@op(
+    "join_semi",
+    oracle="""
+    SELECT count(*) AS n, round(sum(c_acctbal), 4) AS bal
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS-style filter; right side only probes."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 4).alias("bal"))
+    )
+
+
+@op(
+    "join_anti",
+    oracle="""
+    SELECT count(*) AS n, round(sum(c_acctbal), 4) AS bal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join = NOT EXISTS (customers with no orders)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 4).alias("bal"))
+    )
+
+
+@op(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (small × small only; guarded at scale)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@op(
+    "join_theta_range",
+    oracle="""
+    SELECT p_brand AS brand, count(*) AS n,
+           round(sum(l_extendedprice), 4) AS total
+    FROM lineitem JOIN part
+      ON l_partkey = p_partkey AND l_quantity > p_size
+    GROUP BY 1
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + range residual (theta join).
+
+    Scale: the equi key carries the shuffle; the range predicate is a
+    post-probe residual filter, so no nested-loop blowup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(p, (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 4).alias("total"))
+    )
+
+
+@op(
+    "join_asof",
+    oracle="""
+    SELECT event_id, user_id, ts, last_view_ts FROM (
+      SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+      FROM events
+    ) t WHERE event_type = 'click'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest strictly-prior 'view' per 'click', per user.
+
+    Spark has no native ASOF JOIN; the scalable formulation is a single
+    window over the unioned stream (one shuffle on user_id, no range
+    join blowup) — identical semantics to DuckDB's ASOF JOIN for the
+    strictly-before case, expressed here as the same window on both
+    engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn(
+            "last_view_ts",
+            F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "last_view_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D. Aggregation
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS n, round(sum(l_quantity), 4) AS sum_qty,
+           sum(cast(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+             / count(l_extendedprice) AS avg_price,
+           min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-input stats (reference Result.Global, event/global.go)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        exact_avg("l_extendedprice").alias("avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@op(
+    "agg_groupby_stats",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           count(*) AS cnt,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_price,
+           sum(cast(round(l_discount * 100, 0) AS BIGINT)) / 100.0
+             / count(l_discount) AS avg_disc,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def agg_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: per-group cnt/sum/min/max/avg — the reference's
+    per-digest metric stats (event/class.go AddEvent/Finalize,
+    event/metrics.go [R:H]) on the star schema.
+
+    Scale: hash aggregation with map-side partial agg; shuffle volume
+    is |groups| × partitions regardless of input rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        exact_avg("l_discount").alias("avg_disc"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@op(
+    "agg_time_bucket",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS period_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value,
+           sum(cast(round(value * 100, 0) AS BIGINT)) / 100.0 / count(value) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-bucket aggregation — the reference's period_start
+    truncation (main.go:~120-150 ts.Truncate(time.Minute); hourly here
+    so sf0.01 output stays bounded).
+
+    Scale: this is THE pre-aggregation pattern of the whole pipeline —
+    output cardinality = |digests| × |periods|, not |events|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("period_start"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        exact_avg("value").alias("avg_value"),
+    )
+
+
+@op(
+    "agg_percentile",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY 1
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact P50/P95/P99 per class (reference sorts buffered values at
+    Finalize — event/metrics.go:~150-200). Spark exact `percentile`
+    uses the same linear interpolation as DuckDB quantile_cont.
+
+    Scale: exact percentile buffers per-group values; at 100 TB use the
+    approx_percentile variant (agg_percentile_approx op) — the exact
+    form is kept for oracle parity.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@op(
+    "agg_count_distinct",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS du, count(DISTINCT event_type) AS de,
+           count(*) AS n
+    FROM events
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (reference Class.UniqueQueries)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("du"),
+        F.countDistinct("event_type").alias("de"),
+        F.count("*").alias("n"),
+    )
+
+
+@op("agg_approx_count_distinct")  # rows-only: HLL sketches are engine-specific
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB path for distinct dims.
+
+    rows-only: sketch estimates differ across engines by construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_du"),
+        F.approx_count_distinct("event_type").alias("approx_de"),
+    )
+
+
+@op(
+    "agg_having",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1 HAVING count(*) > 50
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .where(F.col("n") > 50)
+    )
+
+
+@op(
+    "agg_conditional",
+    oracle="""
+    SELECT l_linestatus AS linestatus,
+           count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+           count(*) AS n,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 4)
+             AS returned_value,
+           count(CASE WHEN l_returnflag = 'R' THEN 1 END) / count(*) AS returned_ratio
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bool-metric ratios — the reference's BoolStats{Sum,Cnt}
+    (event/metrics.go:~100-130): sum(CASE WHEN b)/count(*)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = F.col("l_returnflag") == "R"
+    return li.groupBy(F.col("l_linestatus").alias("linestatus")).agg(
+        F.count(F.when(returned, 1)).alias("n_returned"),
+        F.count("*").alias("n"),
+        F.round(F.sum(F.when(returned, F.col("l_extendedprice")).otherwise(0.0)), 4).alias(
+            "returned_value"
+        ),
+        (F.count(F.when(returned, 1)) / F.count("*")).alias("returned_ratio"),
+    )
+
+
+@op(
+    "agg_argmax_example",
+    oracle="""
+    SELECT event_type, event_id AS worst_event_id, value AS worst_value FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def agg_argmax_example(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax — keep the example row of the worst execution per class
+    (reference keeps the max-Query_time query text, event/class.go
+    example logic:~120-160). max_by with a struct key makes ties
+    deterministic (value, then event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("max_by(event_id, struct(value, event_id))").alias("worst_event_id"),
+        F.max("value").alias("worst_value"),
+    )
+
+
+@op(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotal hierarchy (QAN drill-down: db → digest)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup(
+        F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+
+
+@op(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all dimension combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube(
+        F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+
+
+@op(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@op(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_orderpriority AS priority, string_agg(s, ',' ORDER BY s) AS statuses
+    FROM (SELECT DISTINCT o_orderpriority, o_orderstatus AS s FROM orders) t
+    GROUP BY 1
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group value list, deterministically ordered (labels agg).
+
+    collect_set → array_sort → array_join; never an unsorted
+    collect_list in an oracle-checked query (SURVEY.md §7 G7).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E. Window functions
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "win_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K rows per group (top queries per schema — QAN staple).
+
+    Scale: single shuffle on the partition key; AQE handles skewed
+    groups. Tiebreak on o_orderkey for determinism.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@op(
+    "win_rank_dense_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority AS priority,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile quartiles per priority class."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@op(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_type, h, n,
+           lag(n, 1)  OVER (PARTITION BY event_type ORDER BY h ASC) AS prev_n,
+           lead(n, 1) OVER (PARTITION BY event_type ORDER BY h ASC) AS next_n
+    FROM (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+          FROM events GROUP BY 1, 2) t
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta vs previous period — the QAN sparkline slope."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy(F.col("h").asc())
+    return hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.lag("n", 1).over(w).alias("prev_n"),
+        F.lead("n", 1).over(w).alias("next_n"),
+    )
+
+
+@op(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative load over time per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+    )
+
+
+@op(
+    "win_moving_avg_time",
+    oracle="""
+    SELECT event_id,
+           sum(cast(round(value * 100, 0) AS BIGINT)) OVER w / 100.0
+             / count(value) OVER w AS mavg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts) ASC
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding mean: 1-hour RANGE window ending at each row
+    (ordered by epoch microseconds so both engines bound identically).
+
+    The windowed sum runs over integer cents: Spark maintains sliding
+    sums incrementally while DuckDB uses a segment tree, so a float sum
+    differs in the low bits and can land on a rounding boundary
+    (observed at sf0.01) — an exact integer sum + one double division
+    is bit-identical on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("us").asc())
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.select(
+        "event_id",
+        (F.sum(cents).over(w) / 100.0 / F.count("value").over(w)).alias("mavg_1h"),
+    )
+
+
+@op(
+    "win_first_last_value",
+    oracle="""
+    SELECT DISTINCT event_type,
+           first_value(event_id) OVER w AS cheapest_event,
+           last_value(event_id)  OVER w AS priciest_event
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value with an explicit full frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("value").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return ev.select(
+        "event_type",
+        F.first("event_id").over(w).alias("cheapest_event"),
+        F.last("event_id").over(w).alias("priciest_event"),
+    ).distinct()
+
+
+@op(
+    "win_percent_cume",
+    oracle="""
+    SELECT o_orderkey,
+           percent_rank() OVER w AS pr,
+           cume_dist()    OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist (exact rational of int ranks — no
+    rounding needed, both engines divide the same integers)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F. Sort / limit / sample
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "sort_multikey_nulls",
+    oracle="""
+    SELECT c_custkey, seg, c_acctbal FROM (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+      FROM customer
+    ) t
+    ORDER BY seg ASC NULLS FIRST, c_acctbal DESC NULLS LAST, c_custkey ASC
+    LIMIT 50
+    """,
+)
+def sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key ORDER BY with explicit NULLS FIRST/LAST (defaults
+    differ: Spark ASC=NULLS FIRST, DuckDB ASC=NULLS LAST — G4). The
+    LIMIT makes the sort observable under an order-insensitive hash."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("nullif(c_mktsegment, 'BUILDING')").alias("seg"),
+        "c_acctbal",
+    )
+    return c.orderBy(
+        F.col("seg").asc_nulls_first(),
+        F.col("c_acctbal").desc_nulls_last(),
+        F.col("c_custkey").asc(),
+    ).limit(50)
+
+
+@op(
+    "limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K (TakeOrderedAndProject — no full sort materialized).
+
+    Scale: per-partition top-K then a K-row merge at the driver; never
+    a global sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@op("sample_fraction")  # rows-only: seeded sampling is engine-specific
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row sampling (reference analog: Log_slow_rate_limit rate-limited
+    logging; counts upscaled by 1/fraction like RateType/RateLimit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    frac = 0.1
+    return (
+        li.sample(fraction=frac, seed=42)
+        .agg(F.count("*").alias("n_sampled"))
+        .select(
+            "n_sampled",
+            F.round(F.col("n_sampled") / frac, 0).alias("n_estimated_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G. Set ops / dedup
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "set_union_all",
+    oracle="""
+    SELECT user_id, event_type FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, event_type FROM events WHERE value > 400
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (merge two log sources)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id", "event_type")
+    b = ev.where(F.col("value") > 400).select("user_id", "event_type")
+    return a.unionByName(b)
+
+
+@op(
+    "set_union_distinct",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union (distinct)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "error").select("user_id")
+    return a.unionByName(b).distinct()
+
+
+@op(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (custkeys active in both order states)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+@op(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (digests new this period — QAN analog)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.subtract(b)
+
+
+@op(
+    "dedup_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag AS returnflag, l_linestatus AS linestatus,
+                    l_shipdate AS shipdate
+    FROM lineitem
+    """,
+)
+def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+        F.col("l_shipdate").alias("shipdate"),
+    ).distinct()
