@@ -1,0 +1,169 @@
+"""Query fingerprinting & digest — the reference's core normalization.
+
+Reference semantics ([go-mysql] query/query.go:Fingerprint:~40-400,
+Id:~20-30 [R:H], reconstructed — see SURVEY.md §0): lowercase the
+statement, strip comments, replace quoted strings and numeric literals
+with ``?``, collapse ``IN (...)`` value lists to ``in(?+)`` and
+multi-row ``VALUES`` to ``values(?+)``, collapse whitespace; the class
+id ("digest") is ``upper(substr(md5(fingerprint), 17, 16))``.
+
+Three implementations, fastest-first (SURVEY.md §2 H/K):
+
+* :func:`fingerprint_col` — a chain of built-in ``regexp_replace``
+  Columns. JVM-side, whole-stage-codegen'd; THE 100 TB path (no Python
+  boundary). Covers the common grammar; documented edge cases (escaped
+  quotes, nested comments) differ from the UDF.
+* :func:`fingerprint_duckdb` — the same chain rendered as DuckDB SQL,
+  used as the correctness oracle for the Spark chain.
+* :func:`fingerprint_py` — a character state machine with the full
+  semantics (escape handling, ``#``/``--``/block comments, hex/float
+  literals); exposed as a pandas UDF in operators/udfs.py. Source of
+  truth in golden tests.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (pattern, replacement) — applied in order, then lower(), then
+# POST_LOWER_STEPS, then trim. Patterns stick to the regex subset that
+# behaves identically in Java (Spark) and RE2 (DuckDB): no backrefs,
+# no lookaround.
+PRE_LOWER_STEPS: list[tuple[str, str]] = [
+    (r"'[^']*'", "?"),  # single-quoted strings (before comments, so '--' in strings survives)
+    (r'"[^"]*"', "?"),  # double-quoted strings
+    (r"/\*[^!].*?\*/", " "),  # block comments (not /*! version hints */)
+    (r"--[^\n]*", " "),  # line comments
+    (r"\b0x[0-9a-fA-F]+\b", "?"),  # hex literals
+    (r"\b\d+\.\d+\b", "?"),  # floats before ints
+    (r"\b\d+\b", "?"),  # integer literals
+]
+POST_LOWER_STEPS: list[tuple[str, str]] = [
+    (r"\bin\s*\(\s*\?\s*(?:,\s*\?\s*)*\)", "in(?+)"),
+    (
+        r"\bvalues\s*\(\s*\?\s*(?:,\s*\?\s*)*\)(?:\s*,\s*\(\s*\?\s*(?:,\s*\?\s*)*\))*",
+        "values(?+)",
+    ),
+    (r"\s+", " "),
+]
+
+
+def fingerprint_col(col: Column | str) -> Column:
+    """Spark-native fingerprint: regexp_replace chain, codegen'd."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in PRE_LOWER_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    c = F.lower(c)
+    for pat, rep in POST_LOWER_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
+
+
+def fingerprint_duckdb(expr: str) -> str:
+    """Render the identical chain as DuckDB SQL (global-flag replaces)."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    c = expr
+    for pat, rep in PRE_LOWER_STEPS:
+        c = f"regexp_replace({c}, '{q(pat)}', '{q(rep)}', 'g')"
+    c = f"lower({c})"
+    for pat, rep in POST_LOWER_STEPS:
+        c = f"regexp_replace({c}, '{q(pat)}', '{q(rep)}', 'g')"
+    return f"trim({c})"
+
+
+def digest_col(fp: Column | str) -> Column:
+    """Class id: upper(substr(md5(fingerprint), 17, 16)) — byte-for-byte
+    the reference's Id() ([go-mysql] query/query.go:~25 [R:H]); md5 is
+    cross-engine stable so this is oracle-checkable."""
+    c = F.col(fp) if isinstance(fp, str) else fp
+    return F.upper(F.substring(F.md5(c), 17, 16))
+
+
+def digest_duckdb(expr: str) -> str:
+    return f"upper(substring(md5({expr}), 17, 16))"
+
+
+# ---------------------------------------------------------------------------
+# Full-fidelity Python implementation (UDF path / golden source of truth)
+# ---------------------------------------------------------------------------
+
+_HEX_RE = re.compile(r"^0x[0-9a-fA-F]+$")
+_NUM_RE = re.compile(r"^\d+(\.\d+)?([eE][+-]?\d+)?$")
+_IN_RE = re.compile(r"\bin\s*\(\s*\?\s*(,\s*\?\s*)*\)")
+_VALUES_RE = re.compile(r"\bvalues\s*\(\s*\?\s*(,\s*\?\s*)*\)(\s*,\s*\(\s*\?\s*(,\s*\?\s*)*\))*")
+
+
+def fingerprint_py(query: str) -> str:
+    """Character state machine with full escape/comment semantics.
+
+    Handles what the regex chain can't: backslash-escaped and doubled
+    quotes inside strings, ``#`` line comments, multi-line block
+    comments, and numbers adjacent to operators.
+    """
+    out: list[str] = []
+    i, n = 0, len(query)
+    while i < n:
+        ch = query[i]
+        if ch in ("'", '"'):
+            quote = ch
+            i += 1
+            while i < n:
+                if query[i] == "\\" and i + 1 < n:
+                    i += 2
+                    continue
+                if query[i] == quote:
+                    # doubled quote = escaped quote inside the string
+                    if i + 1 < n and query[i + 1] == quote:
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            out.append("?")
+            continue
+        if ch == "#" or (ch == "-" and query[i : i + 2] == "--"):
+            while i < n and query[i] != "\n":
+                i += 1
+            out.append(" ")
+            continue
+        if ch == "/" and query[i : i + 2] == "/*" and query[i : i + 3] != "/*!":
+            end = query.find("*/", i + 2)
+            i = n if end < 0 else end + 2
+            out.append(" ")
+            continue
+        if ch.isdigit():
+            j = i
+            while j < n and (query[j].isalnum() or query[j] == "."):
+                j += 1
+            tok = query[i:j]
+            prev = out[-1] if out else ""
+            # not part of an identifier like t1 / col2
+            if (not prev or not (prev.isalnum() or prev == "_")) and (
+                _NUM_RE.match(tok) or _HEX_RE.match(tok)
+            ):
+                out.append("?")
+                i = j
+                continue
+            out.append(ch)
+            i += 1
+            continue
+        out.append(ch.lower())
+        i += 1
+
+    s = "".join(out)
+    s = _IN_RE.sub("in(?+)", s)
+    s = _VALUES_RE.sub("values(?+)", s)
+    s = re.sub(r"\s+", " ", s).strip()
+    return s
+
+
+def digest_py(fingerprint: str) -> str:
+    import hashlib
+
+    return hashlib.md5(fingerprint.encode("utf-8")).hexdigest()[16:32].upper()

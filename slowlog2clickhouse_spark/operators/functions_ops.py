@@ -1,0 +1,414 @@
+"""Scalar function surface — SURVEY.md §2 H.
+
+String, regex, fingerprint/digest, date/time, math, JSON, array,
+higher-order and NULL functions — every op is a thin declarative
+projection so the whole row stays inside whole-stage codegen (no
+Python in any hot path; the UDF variants live in udfs.py and exist
+for parity with the reference's exact semantics, not for speed).
+
+Cross-engine type notes baked in below (SURVEY.md §7 G):
+  * Spark length/size/year/... return INT, DuckDB BIGINT → cast long;
+  * Spark floor/ceil(double) return BIGINT, DuckDB DOUBLE → cast both;
+  * DuckDB date_trunc('day'|'month', ts) returns DATE → cast TIMESTAMP;
+  * Spark dayofweek is 1=Sunday; use weekday()+1 == DuckDB isodow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.functions.fingerprint import (
+    digest_col,
+    digest_duckdb,
+    fingerprint_col,
+    fingerprint_duckdb,
+)
+from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.registry import op
+
+# ---------------------------------------------------------------------------
+# Strings & regex
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "str_basic",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS lname,
+           upper(c_mktsegment) AS useg,
+           trim(concat('  ', c_name, '  ')) AS trimmed,
+           substring(c_name, 1, 8) AS prefix,
+           cast(length(c_name) AS BIGINT) AS name_len,
+           lpad(string_split(c_name, '#')[2], 12, '0') AS padded_id,
+           concat_ws('-', c_mktsegment, c_name) AS joined
+    FROM customer
+    """,
+)
+def str_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower/upper/trim/substring/concat/length/lpad/split (the
+    building blocks of fingerprint normalization, [go-mysql]
+    query/query.go [R:H])."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lname"),
+        F.upper("c_mktsegment").alias("useg"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.lpad(F.element_at(F.split("c_name", "#"), 2), 12, "0").alias("padded_id"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("joined"),
+    )
+
+
+@op(
+    "str_regex_extract",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '^(\w+)', 1) AS first_word,
+           regexp_extract(text, '(\d+)', 1) AS first_number,
+           regexp_matches(text, 'table') AS mentions_table
+    FROM documents
+    """,
+)
+def str_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture — the slow-log header-field extraction pattern
+    ([go-mysql] log/slow/parser.go:~30-60 compiled header regexes)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract("text", r"(\d+)", 1).alias("first_number"),
+        F.col("text").rlike("table").alias("mentions_table"),
+    )
+
+
+_SYNTH_SQL_SPARK = [
+    # two statement shapes whose literals vary per row but whose
+    # fingerprints collapse: a predicate query and an IN-list query
+    lambda o: F.concat(
+        F.lit("SELECT * FROM orders WHERE o_orderkey = "),
+        o.o_orderkey.cast("string"),
+        F.lit(" AND o_orderstatus = '"),
+        o.o_orderstatus,
+        F.lit("' AND o_totalprice > "),
+        o.o_totalprice.cast("string"),
+        F.lit(" -- plan note"),
+    ),
+    lambda o: F.concat(
+        F.lit("SELECT c FROM t WHERE id IN ("),
+        o.o_orderkey.cast("string"),
+        F.lit(", "),
+        o.o_custkey.cast("string"),
+        F.lit(", 3)"),
+    ),
+]
+
+_SYNTH_SQL_DUCK = [
+    "'SELECT * FROM orders WHERE o_orderkey = ' || cast(o_orderkey AS VARCHAR)"
+    " || ' AND o_orderstatus = ''' || o_orderstatus || ''' AND o_totalprice > '"
+    " || cast(o_totalprice AS VARCHAR) || ' -- plan note'",
+    "'SELECT c FROM t WHERE id IN (' || cast(o_orderkey AS VARCHAR) || ', '"
+    " || cast(o_custkey AS VARCHAR) || ', 3)'",
+]
+
+
+@op(
+    "fn_fingerprint_sql",
+    oracle=f"""
+    WITH raw AS (
+      SELECT {_SYNTH_SQL_DUCK[0]} AS q FROM orders
+      UNION ALL
+      SELECT {_SYNTH_SQL_DUCK[1]} AS q FROM orders
+    ),
+    fp AS (SELECT {fingerprint_duckdb("q")} AS fingerprint FROM raw)
+    SELECT fingerprint, {digest_duckdb("fingerprint")} AS digest, count(*) AS n
+    FROM fp GROUP BY 1, 2
+    """,
+)
+def fn_fingerprint_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query normalization as a regexp_replace chain ([go-mysql]
+    query/query.go:Fingerprint:~40-400 [R:H]): literals → ?, comments
+    stripped, IN-lists collapsed — every distinct literal binding maps
+    to one (fingerprint, digest) class.
+
+    Scale: pure codegen'd string expressions; this is the 100 TB
+    ingest path (the pandas-UDF variant exists only for the edge-case
+    grammar — see udf_fingerprint ops).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    raw = _SYNTH_SQL_SPARK[0](o).alias("q")
+    raw2 = _SYNTH_SQL_SPARK[1](o).alias("q")
+    both = o.select(raw).unionByName(o.select(raw2))
+    fp = both.select(fingerprint_col(F.col("q")).alias("fingerprint"))
+    return fp.groupBy("fingerprint").agg(F.count("*").alias("n")).select(
+        "fingerprint", digest_col("fingerprint").alias("digest"), "n"
+    )
+
+
+@op(
+    "fn_digest_md5",
+    oracle=f"""
+    SELECT doc_id, {digest_duckdb("text")} AS digest
+    FROM documents
+    """,
+)
+def fn_digest_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class id = upper(substr(md5(x),17,16)) — byte-identical across
+    engines ([go-mysql] query/query.go:Id:~20-30 [R:H])."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", digest_col("text").alias("digest"))
+
+
+@op("fn_hash64")  # rows-only: xxhash64 is engine-specific (G8)
+def fn_hash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit hashing for shuffle/dedup keys — xxhash64 stays JVM-side
+    and is the scale path for MinHash/SimHash (operators/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("h64"),
+        F.hash("text").alias("h32"),
+        F.crc32(F.col("text").cast("binary")).alias("crc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dates & times
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "date_parse",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS formatted,
+           strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                    '%Y-%m-%d %H:%M:%S') AS reparsed,
+           make_timestamp(epoch_us(o_orderdate)) AS via_epoch
+    FROM orders
+    """,
+)
+def date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp formatting + parsing round-trip + epoch conversion —
+    the slow-log `# Time:` / `SET timestamp=` parse surface
+    ([go-mysql] log/slow/parser.go:~200-260 [R:H]; the actual slow-log
+    formats are exercised in sources/slowlog.py golden tests)."""
+    o = load_table(spark, sf_dir, "orders")
+    # parquet ms-timestamps surface as TIMESTAMP_NTZ in Spark 4; cast to
+    # session-TZ timestamp (UTC via ensure_compat) for epoch functions
+    ts = F.col("o_orderdate").cast("timestamp")
+    fmt = F.date_format(ts, "yyyy-MM-dd HH:mm:ss")
+    return o.select(
+        "o_orderkey",
+        fmt.alias("formatted"),
+        F.to_timestamp(fmt, "yyyy-MM-dd HH:mm:ss").alias("reparsed"),
+        F.timestamp_micros(F.unix_micros(ts)).alias("via_epoch"),
+    )
+
+
+@op(
+    "date_parts",
+    oracle="""
+    SELECT event_id,
+           cast(year(ts) AS BIGINT) AS y, cast(month(ts) AS BIGINT) AS mo,
+           cast(day(ts) AS BIGINT) AS d, cast(hour(ts) AS BIGINT) AS h,
+           cast(minute(ts) AS BIGINT) AS mi, cast(quarter(ts) AS BIGINT) AS q,
+           cast(dayofyear(ts) AS BIGINT) AS doy,
+           cast(isodow(ts) AS BIGINT) AS iso_dow,
+           cast(datediff('day', DATE '2024-01-01', ts::DATE) AS BIGINT) AS days_since,
+           ts + INTERVAL 7 DAY AS ts_plus_week
+    FROM events
+    """,
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction & arithmetic. dow convention differs
+    across engines (Spark dayofweek 1=Sunday, DuckDB dow 0=Sunday —
+    G9); ISO dow (1=Monday) via weekday()+1 is portable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("mi"),
+        F.quarter("ts").cast("long").alias("q"),
+        F.dayofyear("ts").cast("long").alias("doy"),
+        (F.weekday("ts") + 1).cast("long").alias("iso_dow"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+        F.expr("ts + INTERVAL 7 DAY").alias("ts_plus_week"),
+    )
+
+
+@op(
+    "date_trunc_bucket",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS minute_start,
+           date_trunc('day', ts)::TIMESTAMP AS day_start,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def date_trunc_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """period_start truncation (main.go:~125 ts.Truncate(time.Minute)
+    [R:M]) at minute and day granularity."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute_start"),
+        F.date_trunc("day", "ts").alias("day_start"),
+    ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Math / JSON / arrays / higher-order / NULL
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           round(p_retailprice) AS rounded,
+           cast(floor(p_retailprice) AS BIGINT) AS floored,
+           cast(ceil(p_retailprice) AS BIGINT) AS ceiled,
+           abs(p_retailprice - 1000.0) AS dist_1000,
+           round(ln(p_retailprice), 8) AS ln_price,
+           round(log10(p_retailprice), 8) AS log10_price,
+           sqrt(p_retailprice) AS sqrt_price,
+           pow(p_size, 2) AS size_sq,
+           mod(p_partkey, 7) AS m7,
+           p_retailprice / 60.0 AS per_sec_rate
+    FROM part
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/floor/ceil/abs/ln/log10/sqrt/pow/mod + rate derivation
+    (per-second = value/period_length — the QAN load metric).
+
+    sqrt is IEEE-correctly-rounded (cross-engine exact); ln/log10 are
+    not guaranteed to the last ulp → rounded to 8 decimals.
+    """
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice").alias("rounded"),
+        F.floor("p_retailprice").cast("long").alias("floored"),
+        F.ceil("p_retailprice").cast("long").alias("ceiled"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("dist_1000"),
+        F.round(F.log("p_retailprice"), 8).alias("ln_price"),
+        F.round(F.log10("p_retailprice"), 8).alias("log10_price"),
+        F.sqrt("p_retailprice").alias("sqrt_price"),
+        F.pow("p_size", F.lit(2)).alias("size_sq"),
+        (F.col("p_partkey") % 7).alias("m7"),
+        (F.col("p_retailprice") / 60.0).alias("per_sec_rate"),
+    )
+
+
+@op(
+    "json_funcs",
+    oracle="""
+    SELECT event_id,
+           cast(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.missing') AS missing_val
+    FROM events
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the props column (the reference's
+    labels / extra k-v escape hatch, main.go:~100 [R:L])."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    )
+
+
+@op(
+    "array_funcs",
+    oracle="""
+    SELECT doc_id,
+           cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           string_split(text, ' ')[2] AS second_token,
+           array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+           list_sort(string_split(text, ' '))[1] AS min_token
+    FROM documents
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split/size/contains/element_at/slice/sort_array/array_join."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_tokens"),
+        F.array_contains(arr, "spark").alias("has_spark"),
+        F.element_at(arr, 2).alias("second_token"),
+        F.array_join(F.slice(arr, 1, 3), " ").alias("first3"),
+        F.element_at(F.sort_array(arr), 1).alias("min_token"),
+    )
+
+
+@op(
+    "higher_order_fns",
+    oracle="""
+    SELECT vec_id,
+           round(list_sum(list_filter(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)), x -> x > 0)), 4) AS pos_sum,
+           cast(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm_sq
+    FROM embeddings
+    """,
+)
+def higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform/filter/aggregate/zip_with lambdas over array columns —
+    the JVM-side vector path (no Python serialization at 100 TB;
+    SURVEY.md §7 G11)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    add = lambda a, x: a + x  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(F.filter(emb_d, lambda x: x > 0), F.lit(0.0), add), 4
+        ).alias("pos_sum"),
+        F.size(F.filter(emb_d, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(
+            F.aggregate(F.zip_with(emb_d, emb_d, lambda x, y: x * y), F.lit(0.0), add),
+            4,
+        ).alias("norm_sq"),
+    )
+
+
+@op(
+    "null_funcs",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'none') AS seg_or_none,
+           nullif(c_mktsegment, 'BUILDING') AS seg,
+           least(c_acctbal, 1000.0) AS bal_capped,
+           greatest(c_acctbal, 0.0) AS bal_floor,
+           nullif(c_mktsegment, 'BUILDING') IS NULL AS is_building
+    FROM customer
+    """,
+)
+def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce/nullif/least/greatest — the missing-metric defaulting
+    path (main.go:~160 [R:M])."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.expr("nullif(c_mktsegment, 'BUILDING')")
+    return c.select(
+        "c_custkey",
+        F.coalesce(seg, F.lit("none")).alias("seg_or_none"),
+        seg.alias("seg"),
+        F.least("c_acctbal", F.lit(1000.0)).alias("bal_capped"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor"),
+        seg.isNull().alias("is_building"),
+    )
