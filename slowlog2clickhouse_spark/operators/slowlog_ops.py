@@ -1,0 +1,159 @@
+"""Slow-log domain + source/sink operators — SURVEY.md §2 A & K (core).
+
+These run on the committed fixture log (tests/fixtures/), not the
+testdata star schema, so they are rows-only at the driver; their
+correctness gate is the golden-file test suite (tests/test_slowlog.py)
+mirroring the go-mysql fixture-corpus style (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.plans.pipeline import (
+    ingest_slowlog,
+    sink_classes_parquet,
+    top_digests,
+)
+from slowlog2clickhouse_spark.registry import op
+from slowlog2clickhouse_spark.sources.slowlog import (
+    EVENT_SCHEMA,
+    parse_record,
+    parse_slowlog,
+    read_slowlog_records,
+)
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+FIXTURE_LOG = os.path.join(_REPO_ROOT, "tests", "fixtures", "slowlog_small.log")
+_TMP = "/tmp/slowlog2clickhouse_spark"
+
+
+@op(
+    "scan_parquet",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with projection pushdown (ReadSchema pruned)."""
+    return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@op("scan_text_multiline")  # rows-only: input is the repo fixture log
+def scan_text_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line record assembly via lineSep='\\n# Time: ' — the
+    reference parser's record boundary ([go-mysql] log/slow/parser.go
+    state machine [R:H]) pushed down into the text source, so splits
+    align with records and the scan parallelizes at 100 TB."""
+    rec = read_slowlog_records(spark, FIXTURE_LOG)
+    return rec.select(
+        F.length("value").alias("record_len"),
+        F.substring("value", 1, 40).alias("head"),
+    )
+
+
+@op("map_in_pandas_chunker")  # rows-only: golden-tested
+def map_in_pandas_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched record parser (mapInPandas) — the reference's
+    state machine as a partition-streaming transform."""
+    return parse_slowlog(spark, FIXTURE_LOG)
+
+
+@op("udtf_parse_slowlog")  # rows-only: golden-tested
+def udtf_parse_slowlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF: one text record → N typed event rows
+    (the table-function formulation of the parser)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=EVENT_SCHEMA)
+    class ParseSlowlog:
+        def eval(self, rec: str):
+            if rec and rec.strip():
+                d = parse_record(rec)
+                yield tuple(d[f.name] for f in EVENT_SCHEMA.fields)
+
+    spark.udtf.register("parse_slowlog_udtf", ParseSlowlog)
+    records = read_slowlog_records(spark, FIXTURE_LOG)
+    records.createOrReplaceTempView("slowlog_records")
+    return spark.sql(
+        "SELECT t.* FROM slowlog_records r, LATERAL parse_slowlog_udtf(r.value) t"
+    )
+
+
+@op("slowlog_classes")  # rows-only: pipeline output, golden-tested
+def slowlog_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END reference pipeline: parse → fingerprint/digest →
+    1-minute class aggregation with full stat battery (cnt/sum/min/
+    max/avg/med/p95/p99 + bool sums + worst-execution example)."""
+    return ingest_slowlog(spark, FIXTURE_LOG)
+
+
+@op("slowlog_top_digests")  # rows-only
+def slowlog_top_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M2 slice: top-10 digests by total query time — what QAN
+    renders on its landing page."""
+    return top_digests(ingest_slowlog(spark, FIXTURE_LOG), k=10)
+
+
+@op("sink_parquet")  # rows-only: write + read-back verify
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink with read-back (the INSERT-batching analog,
+    main.go:~200-320 [R:M])."""
+    out = f"{_TMP}/sink_parquet"
+    df = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count("*").alias("n")
+    )
+    df.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@op("sink_parquet_partitioned")  # rows-only: write + read-back verify
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned, digest-sorted sink mirroring the reference's
+    MergeTree layout (PARTITION BY toDate(period_start) ORDER BY
+    (digest, period_start) — README DDL [R:M]); read-back counts per
+    partition prove pruning-compatible layout."""
+    out = f"{_TMP}/sink_classes"
+    classes = ingest_slowlog(spark, FIXTURE_LOG)
+    sink_classes_parquet(classes, out)
+    back = spark.read.parquet(out)
+    return back.groupBy("period_date").agg(F.count("*").alias("n_classes"))
+
+
+@op("scan_csv")  # rows-only: csv round-trip with explicit schema
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited text scan with declared schema (never inferSchema in
+    production — schema inference is a full extra pass at 100 TB)."""
+    out = f"{_TMP}/events_csv"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    ).option("header", True).csv(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+@op(
+    "scan_json_props",
+    oracle="""
+    SELECT event_id,
+           cast(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+    FROM events
+    """,
+)
+def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed struct extraction from JSON strings via from_json (the
+    labels / extra-kv capture analog, main.go:~100 [R:L])."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k BIGINT").getField("k").alias("k_typed"),
+    )

@@ -1,0 +1,223 @@
+"""MySQL / Percona-Server slow-query-log source.
+
+Spark-first rebuild of the reference's streaming state-machine parser
+([go-mysql] log/slow/parser.go:~120-450 [R:H], reconstructed — see
+SURVEY.md §0): where the reference walks lines char-by-char in a
+goroutine and emits events over a channel, we
+
+1. assemble records at the SOURCE by splitting the text on the
+   record-header delimiter ``\\n# Time: `` (``spark.read.text`` with a
+   custom ``lineSep`` — stays DataFrame-native, and file splits land on
+   record boundaries so the scan parallelizes cleanly at 100 TB), then
+2. parse each record to a typed row inside an Arrow-batched
+   ``mapInPandas`` (regex-bound Python, ~one pass per record; no
+   driver-side loops, no RDDs).
+
+Output schema follows FIXTURES.md §2 (the reference's ``log.Event``
+widened to typed nullable columns, with unrecognized ``# Key: value``
+pairs captured in an ``extra_metrics`` map — the same dynamic escape
+hatch as the reference's metric maps).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RECORD_DELIM = "\n# Time: "
+
+TIME_METRICS = (
+    "query_time",
+    "lock_time",
+    "innodb_io_r_wait",
+    "innodb_rec_lock_wait",
+    "innodb_queue_wait",
+)
+NUMBER_METRICS = (
+    "rows_sent",
+    "rows_examined",
+    "rows_affected",
+    "rows_read",
+    "bytes_sent",
+    "tmp_tables",
+    "tmp_disk_tables",
+    "tmp_table_sizes",
+    "merge_passes",
+    "innodb_io_r_ops",
+    "innodb_io_r_bytes",
+    "innodb_pages_distinct",
+    "thread_id",
+    "killed",
+    "last_errno",
+)
+BOOL_METRICS = (
+    "qc_hit",
+    "full_scan",
+    "full_join",
+    "tmp_table",
+    "tmp_table_on_disk",
+    "filesort",
+    "filesort_on_disk",
+    "select_full_range_join",
+    "select_range",
+    "select_range_check",
+    "sort_range",
+    "sort_rows",
+    "sort_scan",
+    "no_index_used",
+    "no_good_index_used",
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("record_no", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("db", T.StringType()),
+        T.StructField("admin", T.BooleanType()),
+        T.StructField("query", T.StringType()),
+    ]
+    + [T.StructField(m, T.DoubleType()) for m in TIME_METRICS]
+    + [T.StructField(m, T.LongType()) for m in NUMBER_METRICS]
+    + [T.StructField(m, T.BooleanType()) for m in BOOL_METRICS]
+    + [T.StructField("extra_metrics", T.MapType(T.StringType(), T.StringType()))]
+)
+
+_USER_HOST_RE = re.compile(r"^(\S+?)\[(\S*?)\]\s*@\s*(\S*)\s*\[(\S*)\]")
+_KV_RE = re.compile(r"(\w+):\s+(\S+)")
+_SET_TS_RE = re.compile(r"^SET\s+timestamp\s*=\s*(\d+)", re.IGNORECASE)
+_USE_RE = re.compile(r"^use\s+(\S+?);?\s*$", re.IGNORECASE)
+_ADMIN_RE = re.compile(r"^#\s*administrator command:")
+_ISO_TIME = re.compile(r"^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2}):(\d{2})(?:\.(\d+))?Z?")
+_COMPACT_TIME = re.compile(r"^(\d{2})(\d{2})(\d{2})\s+(\d{1,2}):(\d{2}):(\d{2})")
+
+_KNOWN = {m: "time" for m in TIME_METRICS}
+_KNOWN.update({m: "number" for m in NUMBER_METRICS})
+_KNOWN.update({m: "bool" for m in BOOL_METRICS})
+_SKIP_KEYS = {"id", "schema"}  # parsed separately / dimension keys
+
+
+def _parse_time_header(s: str) -> datetime | None:
+    m = _ISO_TIME.match(s)
+    if m:
+        y, mo, d, h, mi, sec, frac = m.groups()
+        us = int((frac or "0").ljust(6, "0")[:6])
+        return datetime(int(y), int(mo), int(d), int(h), int(mi), int(sec), us)
+    m = _COMPACT_TIME.match(s)
+    if m:
+        yy, mo, d, h, mi, sec = m.groups()
+        return datetime(2000 + int(yy), int(mo), int(d), int(h), int(mi), int(sec))
+    return None
+
+
+def parse_record(rec: str, record_no: int = 0) -> dict:
+    """One slow-log record (starting at its `# Time:` value) → event dict.
+
+    Mirrors the reference's header state machine: `# Time:` sets ts;
+    `# User@Host:` extracts user/host; `# Key: val` pairs dispatch into
+    time/number/bool metrics by declared family (unknown keys → extra);
+    `SET timestamp=` overrides ts; `use db` sets db; `# administrator
+    command:` marks admin; remaining lines accumulate as the statement.
+    """
+    if rec.startswith("# Time: "):
+        rec = rec[len("# Time: ") :]
+    ev: dict = {f.name: None for f in EVENT_SCHEMA.fields}
+    ev["record_no"] = record_no
+    ev["admin"] = False
+    extra: dict[str, str] = {}
+    query_lines: list[str] = []
+
+    lines = rec.split("\n")
+    ev["ts"] = _parse_time_header(lines[0]) if lines else None
+    for line in lines[1:]:
+        if line.startswith("#"):
+            if _ADMIN_RE.match(line):
+                ev["admin"] = True
+                ev["query"] = line.split(":", 1)[1].strip().rstrip(";")
+                continue
+            body = line.lstrip("#").strip()
+            if body.lower().startswith("user@host:"):
+                m = _USER_HOST_RE.match(body.split(":", 1)[1].strip())
+                if m:
+                    ev["user"] = m.group(1)
+                    ev["host"] = m.group(3) or m.group(4)
+                continue
+            for key, val in _KV_RE.findall(body):
+                k = key.lower()
+                if k == "schema":
+                    ev["db"] = val
+                    continue
+                if k in _SKIP_KEYS:
+                    continue
+                fam = _KNOWN.get(k)
+                try:
+                    if fam == "time":
+                        ev[k] = float(val)
+                    elif fam == "number":
+                        ev[k] = int(val)
+                    elif fam == "bool":
+                        ev[k] = val.lower() == "yes"
+                    else:
+                        extra[key] = val
+                except ValueError:
+                    extra[key] = val
+            continue
+        m = _SET_TS_RE.match(line)
+        if m:
+            ev["ts"] = datetime.fromtimestamp(int(m.group(1)), tz=timezone.utc).replace(
+                tzinfo=None
+            )
+            continue
+        m = _USE_RE.match(line)
+        if m:
+            ev["db"] = m.group(1)
+            continue
+        if line.strip():
+            query_lines.append(line)
+    if query_lines:
+        ev["query"] = "\n".join(query_lines).strip().rstrip(";")
+    ev["extra_metrics"] = extra or None
+    return ev
+
+
+def read_slowlog_records(spark: SparkSession, path: str) -> DataFrame:
+    """Raw multi-line records, one row each (op: scan_text_multiline).
+
+    ``lineSep='\\n# Time: '`` makes the text source split the file at
+    record headers — each input split starts at a record boundary, so
+    the scan is parallel and needs no cross-partition stitching.
+    """
+    return spark.read.option("lineSep", RECORD_DELIM).text(path)
+
+
+def parse_slowlog(spark: SparkSession, path: str) -> DataFrame:
+    """path → typed event DataFrame (ops: scan_text_multiline +
+    map_in_pandas_chunker). Arrow-batched; no driver involvement."""
+    raw = read_slowlog_records(spark, path)
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_record(r, i) for i, r in enumerate(pdf["value"]) if r.strip()]
+            out = pd.DataFrame(rows, columns=[f.name for f in EVENT_SCHEMA.fields])
+            out["ts"] = pd.to_datetime(out["ts"])
+            yield out
+
+    return raw.mapInPandas(chunk, EVENT_SCHEMA)
+
+
+def with_fingerprint(events: DataFrame) -> DataFrame:
+    """Attach fingerprint + digest via the codegen'd SQL chain (the
+    100 TB path; the pandas-UDF variant is op udf_fingerprint_py)."""
+    from slowlog2clickhouse_spark.functions.fingerprint import digest_col, fingerprint_col
+
+    fp = fingerprint_col(F.col("query"))
+    return events.withColumn("fingerprint", fp).withColumn(
+        "digest", digest_col(F.col("fingerprint"))
+    )
