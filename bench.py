@@ -1,0 +1,118 @@
+"""Benchmark harness — run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set = the 8 BASELINE.md queries verbatim (the 2× gate is judged
+against BASELINE.md's PySpark column, warm medians) + engine-specific
+headliners (slow-log ingest pipeline, minhash dedup, knn) reported in
+the same map. Protocol matches BASELINE.md: median of 3 warm runs,
+collect() timed, boot excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from slowlog2clickhouse_spark.io import register_views  # noqa: E402
+from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG  # noqa: E402
+from slowlog2clickhouse_spark.plans.pipeline import ingest_slowlog  # noqa: E402
+from slowlog2clickhouse_spark.registry import all_ops  # noqa: E402
+from slowlog2clickhouse_spark.session import get_session  # noqa: E402
+
+# BASELINE.md §script queries, verbatim (Spark SQL flavor)
+BASELINE_QUERIES = {
+    "q_agg_groupby": (
+        "SELECT l_returnflag, l_linestatus, count(*) n, sum(l_quantity) sq, "
+        "sum(l_extendedprice) sp, avg(l_discount) ad, min(l_shipdate) mn, "
+        "max(l_shipdate) mx FROM lineitem GROUP BY 1,2"
+    ),
+    "q_time_bucket_agg": (
+        "SELECT date_trunc('hour', ts) h, event_type, count(*) n, sum(value) sv, "
+        "min(value) mn, max(value) mx, avg(value) av FROM events GROUP BY 1,2"
+    ),
+    "q_join3_topn": (
+        "SELECT n_name, count(*) n, sum(o_totalprice) s FROM orders "
+        "JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey "
+        "GROUP BY 1 ORDER BY s DESC LIMIT 10"
+    ),
+    "q_window_rank": (
+        "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, "
+        "o_orderkey) rn FROM orders) WHERE rn<=3"
+    ),
+    "q_percentile": (
+        "SELECT event_type, count(*) n, percentile(value, 0.95) p95 "
+        "FROM events GROUP BY 1"
+    ),
+    "q_distinct": (
+        "SELECT count(DISTINCT user_id) du, count(DISTINCT event_type) de FROM events"
+    ),
+    "q_string_regex": (
+        "SELECT lang, count(*) n, avg(length(text)) al FROM documents "
+        "WHERE text rlike '[0-9]+' GROUP BY 1"
+    ),
+    "q_semi_anti": (
+        "SELECT count(*) FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders) OR c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)"
+    ),
+}
+
+# engine headliners (not part of the 2× gate; tracked for regressions)
+EXTRA_OPS = ("slowlog_pipeline", "dedup_minhash", "vec_knn_topk", "text_tfidf")
+
+
+def time_df(build, runs: int = 3) -> float:
+    build().collect()  # warmup (plans cached, files known)
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        build().collect()
+        times.append(time.time() - t0)
+    return statistics.median(times)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session(app_name="bench")
+    register_views(spark, sf_dir)
+    ops = all_ops()
+
+    results: dict[str, float] = {}
+    for name, sql in BASELINE_QUERIES.items():
+        results[name] = round(time_df(lambda: spark.sql(sql)), 4)
+
+    extra_builders = {
+        "slowlog_pipeline": lambda: ingest_slowlog(spark, FIXTURE_LOG),
+        "dedup_minhash": lambda: ops["dedup_minhash"].fn(spark, sf_dir),
+        "vec_knn_topk": lambda: ops["vec_knn_topk"].fn(spark, sf_dir),
+        "text_tfidf": lambda: ops["text_tfidf"].fn(spark, sf_dir),
+    }
+    for name in EXTRA_OPS:
+        results[name] = round(time_df(extra_builders[name]), 4)
+
+    gate_total = round(sum(results[q] for q in BASELINE_QUERIES), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "baseline8_warm_median_total",
+                "value": gate_total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

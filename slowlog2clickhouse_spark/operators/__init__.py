@@ -1,7 +1,14 @@
 """Operator modules — importing this package registers every op."""
 
 from slowlog2clickhouse_spark.operators import (  # noqa: F401
+    dedup,
     functions_ops,
+    multimodal,
     relational,
+    sinks_ops,
     slowlog_ops,
+    text,
+    udfs,
+    vector,
 )
+from slowlog2clickhouse_spark.streaming import ops as streaming_ops  # noqa: F401

@@ -1,0 +1,163 @@
+"""Multimodal column operators — SURVEY.md §2 I (north star).
+
+Pattern for image/audio/video at 100 TB: the payload is an opaque
+``binary`` column with a typed metadata struct beside it; decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages so bytes move JVM→Python once per batch, never
+per row, and the pipeline schema stays fully declared.
+
+The actual codec step is STUBBED (no PIL/ffmpeg in this container):
+``decode_image_stub`` raises NotImplementedError when a real codec is
+requested and otherwise produces a deterministic fake (byte-histogram
+features), so the Spark-side plumbing — schema, partitioning, UDF
+signature, batch shape — is real and tested while the codec is a
+drop-in replacement.
+
+All ops are rows-only at the driver (binary payloads have no SQL
+oracle); tests/test_multimodal.py asserts shapes and determinism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.registry import op
+
+N_FEATURES = 16
+FRAME_BYTES = 256
+
+
+def attach_binary(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary, meta struct).
+
+    Stands in for a real object-store fetch: payload = utf-8 bytes of
+    the text; metadata is typed (the part that IS real at scale:
+    width/height/codec ride next to the blob so filters prune without
+    touching bytes).
+    """
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.length("text").alias("n_bytes"),
+            (F.length("text") % 640 + 1).alias("width"),
+            (F.length("text") % 480 + 1).alias("height"),
+            F.lit("fake/v1").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_stub(payload: bytes, codec: str = "fake/v1") -> np.ndarray:
+    """Deterministic fake decoder: 16-bin byte histogram, L1-normalized.
+
+    A real deployment swaps this for PIL/torchvision decode; the
+    surrounding mapInPandas plumbing is unchanged.
+    """
+    if codec != "fake/v1":
+        raise NotImplementedError(
+            f"real codec {codec!r} unavailable in this environment; "
+            "swap decode_image_stub for a PIL/ffmpeg decoder"
+        )
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr % N_FEATURES, minlength=N_FEATURES).astype("float64")
+    total = hist.sum()
+    return hist / total if total else hist
+
+
+_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+@op("mm_decode_features")  # rows-only: binary plumbing, golden-tested
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary payload → feature vector via Arrow-batched mapInPandas
+    (the decode/feature-extract stage of an image pipeline)."""
+    with_bin = attach_binary(load_table(spark, sf_dir, "documents"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image_stub(p).tolist() for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return with_bin.select("doc_id", "payload").mapInPandas(extract, _FEAT_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+@op("mm_frame_sample")  # rows-only
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling: every 2nd fixed-size block of the
+    payload becomes a frame row (1→N fan-out inside mapInPandas —
+    the UDTF-shaped stage of a video pipeline)."""
+    import hashlib
+
+    with_bin = attach_binary(load_table(spark, sf_dir, "documents"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "frame": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [
+                    payload[i : i + FRAME_BYTES]
+                    for i in range(0, len(payload), FRAME_BYTES)
+                ]
+                for fn, fr in enumerate(frames[::2]):  # sample every 2nd
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(fn)
+                    out["frame"].append(fr)
+                    out["frame_md5"].append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(out)
+
+    return with_bin.select("doc_id", "payload").mapInPandas(sample, _FRAME_SCHEMA)
+
+
+@op(
+    "mm_metadata_filter",
+    oracle="""
+    SELECT length(text) % 640 + 1 AS width, count(*) AS n,
+           sum(cast(length(text) AS BIGINT)) AS total_bytes
+    FROM documents
+    WHERE length(text) % 480 + 1 > 100
+    GROUP BY 1
+    """,
+)
+def mm_metadata_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan: filter/aggregate on the typed meta struct
+    WITHOUT touching payload bytes — at 100 TB this is the pruning
+    step that makes multimodal pipelines affordable (column pruning
+    drops the binary column from the scan entirely)."""
+    with_bin = attach_binary(load_table(spark, sf_dir, "documents"))
+    return (
+        with_bin.where(F.col("meta.height") > 100)
+        .groupBy(F.col("meta.width").alias("width"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("meta.n_bytes").cast("long")).alias("total_bytes"),
+        )
+    )

@@ -1,0 +1,190 @@
+"""Text-analysis operators — SURVEY.md §2 I (north-star extensions).
+
+Training-data-pipeline text ops over the `documents` table: word
+counts, TF-IDF, language-ID heuristic, quality scoring, token
+counting, rolling-hash fingerprints. Everything stays in built-in
+expressions (explode/split/regexp/ln) — no Python in the hot path, so
+the plans scale to 100 TB document corpora (shuffles only on token or
+doc_id, both partial-agg'd).
+
+Cross-engine float discipline: int/int division is IEEE-identical and
+left unrounded; only transcendentals (ln) are rounded (they differ in
+the last ulp across libm implementations but never land on decimal
+halves).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.registry import op
+
+
+def _tokens(col="text"):
+    """lowercased whitespace tokens, empties dropped."""
+    return F.filter(F.split(F.lower(col), " "), lambda t: t != "")
+
+
+_TOKENS_DUCK = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+@op(
+    "text_wordcount",
+    oracle=f"""
+    SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest({_TOKENS_DUCK}) AS token FROM documents) t
+    GROUP BY 1
+    """,
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + corpus term frequencies (the hello-world of text
+    pipelines; one shuffle on token, partial-agg'd)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs")
+    )
+
+
+@op(
+    "text_tfidf",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term): two aggregations + a broadcast join on
+    the term dictionary (df table is |vocab|-sized — tiny next to the
+    corpus, so it broadcasts at any scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "in")
+_HITS_SQL = " + ".join(
+    f"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END)"
+    for w in _STOPWORDS
+)
+
+
+@op(
+    "text_langid",
+    oracle=f"""
+    SELECT lang, predicted, count(*) AS n FROM (
+      SELECT lang,
+             CASE WHEN ({_HITS_SQL}) >= 2 THEN 'en' ELSE 'other' END AS predicted
+      FROM documents) t
+    GROUP BY 1, 2
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English stopword presence votes (an
+    n-gram/stopword classifier in pure expressions). Confusion matrix
+    against the labeled lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    hits = sum(
+        F.when(padded.like(f"% {w} %"), 1).otherwise(0) for w in _STOPWORDS
+    )
+    pred = F.when(hits >= 2, "en").otherwise("other").alias("predicted")
+    return d.groupBy("lang", pred).agg(F.count("*").alias("n"))
+
+
+@op(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           cast(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens,
+           length(text) * 1.0 / len({_TOKENS_DUCK}) AS avg_token_span,
+           length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
+             / length(text) AS punct_ratio,
+           ({_HITS_SQL}) * 1.0 / 5 AS stopword_hit_ratio
+    FROM documents
+    WHERE length(text) > 0
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals (length / punctuation / stopword ratios
+    — the standard pre-training filter features). Ratios are int/int
+    divisions → bit-identical cross-engine, no rounding."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    hits = sum(
+        F.when(padded.like(f"% {w} %"), 1).otherwise(0) for w in _STOPWORDS
+    )
+    n_tokens = F.size(_tokens())
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (F.length("text") * 1.0 / n_tokens).alias("avg_token_span"),
+        (
+            F.length(F.regexp_replace("text", "[a-z0-9 ]", "")) * 1.0
+            / F.length("text")
+        ).alias("punct_ratio"),
+        (hits * 1.0 / 5).alias("stopword_hit_ratio"),
+    )
+
+
+@op(
+    "text_token_count",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS token FROM documents)
+    SELECT doc_id,
+           count(*) AS ws_tokens,
+           cast(sum(cast(ceil(length(token) / 4.0) AS BIGINT)) AS BIGINT) AS bpe_ish_tokens
+    FROM tok GROUP BY 1
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish estimate (4 chars
+    per subword piece) — the budget metric of every LLM data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    return tok.groupBy("doc_id").agg(
+        F.count("*").alias("ws_tokens"),
+        F.sum(F.ceil(F.length("token") / 4.0).cast("long"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@op("text_fingerprint_rolling")  # rows-only: engine-specific hash (G8)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: polynomial rolling hash over token hashes
+    (left fold, mod 1e9+7 to stay in ANSI-safe long range) — entirely
+    in higher-order functions, JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    token_hashes = F.transform(_tokens(), lambda t: F.hash(t).cast("long"))
+    rolling = F.aggregate(
+        token_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % 1000000007,
+    )
+    return d.select("doc_id", rolling.alias("rolling_fp"))

@@ -1,0 +1,108 @@
+"""UDF / UDAF / grouped-map surface — SURVEY.md §2 K.
+
+The Python escape hatches, each used ONLY where built-ins genuinely
+can't express the semantics (the reference's exact byte-level
+fingerprint grammar, custom per-group numpy aggregation):
+
+  udf_fingerprint_py     row-at-a-time UDF — exists for parity; the
+                         pandas variant below is the one to use
+  pandas_udf_fingerprint Arrow-vectorized series→series (~10-100×
+                         the row UDF; still ~10× slower than the
+                         codegen'd regex chain in fn_fingerprint_sql)
+  pandas_grouped_agg     GROUPED_AGG pandas UDF: exact p99 via numpy
+                         (matches DuckDB quantile_cont interpolation)
+  grouped_map_normalize  applyInPandas z-score per group (oracle =
+                         the window formulation)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.functions.fingerprint import digest_py, fingerprint_py
+from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG
+from slowlog2clickhouse_spark.registry import op
+from slowlog2clickhouse_spark.sources.slowlog import parse_slowlog
+
+
+@op("udf_fingerprint_py")  # rows-only: golden-tested vs CASES table
+def udf_fingerprint_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact reference fingerprint semantics as a row UDF ([go-mysql]
+    query/query.go [R:H]) over parsed fixture statements — handles the
+    grammar the regex chain can't (escaped quotes, nested constructs)."""
+    fp_udf = F.udf(fingerprint_py, "string")
+    dg_udf = F.udf(digest_py, "string")
+    ev = parse_slowlog(spark, FIXTURE_LOG).where(F.col("query").isNotNull())
+    fps = ev.select(fp_udf("query").alias("fingerprint"))
+    return fps.groupBy("fingerprint").agg(F.count("*").alias("n")).select(
+        "fingerprint", dg_udf("fingerprint").alias("digest"), "n"
+    )
+
+
+@op("pandas_udf_fingerprint")  # rows-only: must equal the row UDF
+def pandas_udf_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics, Arrow-vectorized (series→series pandas UDF) —
+    the Python path you'd actually run at scale."""
+
+    @F.pandas_udf("string")
+    def fp_vec(s: pd.Series) -> pd.Series:
+        return s.map(fingerprint_py)
+
+    ev = parse_slowlog(spark, FIXTURE_LOG).where(F.col("query").isNotNull())
+    return (
+        ev.select(fp_vec("query").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@op(
+    "pandas_grouped_agg",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.99), 6) AS p99_numpy
+    FROM events GROUP BY 1
+    """,
+)
+def pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF: exact p99 via numpy per group (GROUPED_AGG pandas
+    UDF). numpy's linear interpolation == Spark `percentile` ==
+    DuckDB quantile_cont, so this is oracle-checkable — the pattern
+    for any custom numeric aggregator the engine lacks."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def p99(v: pd.Series) -> float:
+        return float(np.percentile(v.to_numpy(), 99, method="linear"))
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.round(p99("value"), 6).alias("p99_numpy"))
+
+
+@op(
+    "grouped_map_normalize",
+    oracle="""
+    SELECT event_id,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS zscore
+    FROM events
+    """,
+)
+def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group transform via applyInPandas: z-score per event_type.
+    pandas' ddof=1 std == stddev_samp, so the window formulation is
+    the oracle. At scale the window version is preferred (no Python);
+    this op exists to cover the grouped-map API surface."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        z = (v - v.mean()) / v.std(ddof=1)
+        return pd.DataFrame({"event_id": pdf["event_id"], "zscore": z.round(6)})
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        normalize, "event_id bigint, zscore double"
+    )

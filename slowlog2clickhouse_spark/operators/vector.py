@@ -1,0 +1,184 @@
+"""Vector similarity-search operators — SURVEY.md §2 I (north star).
+
+Embedding ops over `embeddings(vec_id, embedding float[64], label)`:
+pairwise cosine, brute-force k-NN (the correctness baseline), label
+centroids, and an LSH-bucketed ANN variant (the scale path).
+
+All vector math is higher-order functions (zip_with/aggregate/
+transform) on array<double> — JVM-side, codegen'd, zero Python
+serialization (SURVEY.md §7 G11). At 100 TB the brute-force k-NN's
+probe×corpus cross join is replaced by vec_knn_lsh's bucket equi-join;
+both are here so the trade is explicit and benchmarkable.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.registry import op
+
+_add = lambda a, x: a + x  # noqa: E731
+
+
+def _emb_double(col="embedding"):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine(ea, eb):
+    """cos(a,b) as pure higher-order fns (dot / (|a|*|b|))."""
+    dot = F.aggregate(F.zip_with(ea, eb, lambda x, y: x * y), F.lit(0.0), _add)
+    na = F.sqrt(F.aggregate(F.transform(ea, lambda x: x * x), F.lit(0.0), _add))
+    nb = F.sqrt(F.aggregate(F.transform(eb, lambda x: x * x), F.lit(0.0), _add))
+    return dot / (na * nb)
+
+
+@op(
+    "vec_cosine_pairs",
+    oracle="""
+    SELECT a.vec_id, round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_next
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def vec_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity between consecutive embedding pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select("vec_id", _emb_double().alias("ea"))
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"), _emb_double().alias("eb"))
+    return a.join(b, "vec_id").select(
+        "vec_id", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_next")
+    )
+
+
+@op(
+    "vec_knn_topk",
+    oracle="""
+    SELECT probe_id, cand_id, cos_sim, rn FROM (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             round(list_cosine_similarity(list_transform(p.embedding, x -> CAST(x AS DOUBLE)), list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY round(list_cosine_similarity(list_transform(p.embedding, x -> CAST(x AS DOUBLE)), list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
+                        c.vec_id ASC) AS rn
+      FROM embeddings p JOIN embeddings c ON p.vec_id < 5 AND c.vec_id >= 5
+    ) t WHERE rn <= 5
+    """,
+)
+def vec_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine k-NN: probes × corpus, top-k per probe.
+
+    The correctness baseline for ANN. Ranking runs on the ROUNDED
+    similarity with vec_id tiebreak so order is engine-independent.
+    Scale: probes broadcast (small side); the corpus never shuffles —
+    per-partition top-k then a k-row merge. For big probe sets use
+    vec_knn_lsh.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), _emb_double().alias("pe")
+    )
+    cands = e.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cand_id"), _emb_double().alias("ce")
+    )
+    scored = cands.join(F.broadcast(probes)).select(
+        "probe_id",
+        "cand_id",
+        F.round(cosine(F.col("pe"), F.col("ce")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+
+
+@op(
+    "vec_centroid",
+    oracle="""
+    SELECT label, list(comp ORDER BY pos) AS centroid FROM (
+      SELECT label, pos, round(avg(v), 6) AS comp FROM (
+        SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings) t
+      GROUP BY 1, 2) g
+    GROUP BY 1
+    """,
+)
+def vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector: posexplode → (label,pos) avg →
+    order-preserving reassembly via sort_array(collect_list(struct)).
+
+    Scale: shuffle cardinality is |labels| × dim (tiny); the explode
+    is map-side. This is the pattern for any elementwise vector agg.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode(_emb_double())
+    ).select("label", F.col("pos"), F.col("col").alias("v"))
+    avgs = comp.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("comp"))
+    return (
+        avgs.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "comp"))),
+                lambda s: s.comp,
+            ).alias("centroid")
+        )
+    )
+
+
+N_PLANES = 8
+_rng = random.Random(42)
+PLANES = [
+    [_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(N_PLANES)
+]
+
+
+@op("vec_knn_lsh")  # rows-only: bucket membership is implementation-defined
+def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 8 fixed Gaussian planes → sign
+    bits → bucket id; probes only join candidates in their own bucket.
+
+    THE 100 TB path: the probe×corpus cross join becomes a bucket
+    equi-join (expected bucket size = n/2^8); recall is tunable via
+    plane count / multi-probe. Planes are seeded constants so results
+    are deterministic run-to-run.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_double()
+
+    def bucket(col):
+        bits = []
+        for p, plane in enumerate(PLANES):
+            plane_arr = F.array(*[F.lit(x) for x in plane])
+            dot = F.aggregate(
+                F.zip_with(col, plane_arr, lambda x, y: x * y), F.lit(0.0), _add
+            )
+            bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        return sum(bits)
+
+    with_bucket = e.select("vec_id", emb.alias("ed"), bucket(emb).alias("bucket"))
+    probes = with_bucket.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("ed").alias("pe"),
+        F.col("bucket").alias("pb"),
+    )
+    cands = with_bucket.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("ed").alias("ce"),
+        F.col("bucket").alias("cb"),
+    )
+    scored = cands.join(
+        F.broadcast(probes), F.col("pb") == F.col("cb")
+    ).select(
+        "probe_id",
+        "cand_id",
+        F.round(cosine(F.col("pe"), F.col("ce")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)

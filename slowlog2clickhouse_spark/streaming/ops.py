@@ -1,0 +1,236 @@
+"""Streaming operators — SURVEY.md §2 J.
+
+Reference analog: continuous slow-log tailing with periodic flush of
+the per-minute aggregation map (main.go period loop [R:M]). Spark-
+native: the SAME DataFrame transformations under ``readStream`` with
+watermarks bounding state — batch/stream parity is by construction
+(one query definition, two execution modes), and the tests assert it
+(SURVEY.md §5.2 item 5).
+
+Driver-contract note: these queries() entries run a real streaming
+query to completion against the static testdata (memory sink,
+availableNow/processAllAvailable) and return the materialized result —
+rows-only at the driver; equivalence to batch is pytest-checked.
+
+100 TB notes: watermark delay bounds state size (|open windows| ×
+|keys|); file-source streams partition per input file; complete-mode
+memory sinks here are test scaffolding — production sinks are
+foreachBatch → parquet/JDBC (sink_stream_foreachbatch).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from slowlog2clickhouse_spark.registry import op
+
+_counter = itertools.count()
+_TMP = "/tmp/slowlog2clickhouse_spark/streaming"
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # parquet ns → long (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (op
+    stream_file_source): declared schema (streams never infer), ns→µs
+    repair identical to the batch loader — same downstream code."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # streaming file sources take a directory; select just events.parquet
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion into a memory sink;
+    returns the materialized result as a batch DataFrame."""
+    name = f"stream_result_{next(_counter)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+@op("stream_file_source")  # rows-only; batch-eq tested
+def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitor a directory/file for new data; project + filter on the
+    stream (stateless — proves the source + schema path)."""
+    s = read_events_stream(spark, sf_dir).where(F.col("value") > 100).select(
+        "event_id", "event_type", "value"
+    )
+    return run_to_memory(s, "append")
+
+
+def tumbling_agg(events: DataFrame, window: str = "1 minute") -> DataFrame:
+    """THE reference aggregation as a stream: tumbling window per
+    type/digest with watermark-bounded state ([go-mysql] aggregator
+    period flush analog). Shared by batch-eq tests."""
+    return (
+        events.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("period_start"),
+            "event_type",
+            "n",
+            "sum_value",
+            "max_value",
+        )
+    )
+
+
+@op("stream_tumbling_agg")  # rows-only; batch-eq tested
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = tumbling_agg(read_events_stream(spark, sf_dir))
+    return run_to_memory(s, "complete")
+
+
+@op("stream_sliding_agg")  # rows-only; batch-eq tested
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 5-minute window, 1-minute slide (each event lands in 5
+    windows — state is 5× tumbling, still watermark-bounded)."""
+    ev = read_events_stream(spark, sf_dir)
+    s = (
+        ev.withWatermark("ts", "5 minutes")
+        .groupBy(
+            F.window("ts", "5 minutes", "1 minute").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+    return run_to_memory(s, "complete")
+
+
+@op("stream_session_window")  # rows-only; batch-eq tested
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-ized activity per user (30-minute gap closes a session)
+    — the genuinely stateful op; session merge is handled by the
+    engine's session-window state store."""
+    ev = read_events_stream(spark, sf_dir)
+    s = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total",
+        )
+    )
+    return run_to_memory(s, "complete")
+
+
+@op("stream_dedup_watermark")  # rows-only; batch-eq tested
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop duplicate event ids within the watermark horizon —
+    exactly-once-ish ingestion dedup with bounded state."""
+    ev = read_events_stream(spark, sf_dir)
+    dup = ev.unionByName(ev)  # inject duplicates to make the op observable
+    s = (
+        dup.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "event_type", "value")
+    )
+    return run_to_memory(s, "append")
+
+
+@op("stream_late_data")  # rows-only; semantics tested in pytest
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late/on-time split: two micro-batches — batch 2
+    carries rows older than the advanced watermark; append-mode output
+    contains only windows the watermark finalized, late rows beyond it
+    are dropped. Deterministic: explicit two-phase processAllAvailable."""
+    base = _TMP + f"/late_{next(_counter)}"
+    shutil.rmtree(base, ignore_errors=True)
+    src, out = f"{base}/src", f"{base}/sink"
+    os.makedirs(src, exist_ok=True)
+
+    on_time = spark.createDataFrame(
+        [(i, f"2024-01-01 10:{m:02d}:00", "click", 1.0) for i, m in enumerate([0, 1, 2, 30])],
+        "event_id long, ts_s string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    late = spark.createDataFrame(
+        [(100, "2024-01-01 10:01:30", "click", 1.0),  # < watermark → dropped
+         (101, "2024-01-01 10:29:00", "click", 1.0)],  # within delay → kept
+        "event_id long, ts_s string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+
+    on_time.select("event_id", "ts", "event_type", "value").coalesce(1).write.parquet(
+        f"{src}/batch=1"
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(f"{src}/batch=*")
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()  # watermark now at 10:25 (10:30 - 5m)
+    late.select("event_id", "ts", "event_type", "value").coalesce(1).write.parquet(
+        f"{src}/batch=2"
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out)
+
+
+@op("sink_stream_foreachbatch")  # rows-only
+def sink_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingest → per-micro-batch parquet append via
+    foreachBatch (the production sink shape: the same callback does
+    JDBC/ClickHouse batched INSERTs — sinks/jdbc.py)."""
+    base = _TMP + f"/feb_{next(_counter)}"
+    shutil.rmtree(base, ignore_errors=True)
+    out = f"{base}/out"
+    agg = tumbling_agg(read_events_stream(spark, sf_dir), window="1 hour")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)

@@ -1,0 +1,96 @@
+"""Streaming batch-equivalence tests (SURVEY.md §5.2 item 5): every
+§2 J op run as a stream over static data must equal the same
+transformation run in batch; late-data semantics checked against a
+hand-built timeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.registry import all_ops
+from slowlog2clickhouse_spark.streaming.ops import read_events_stream, run_to_memory, tumbling_agg
+
+OPS = all_ops()
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_agg_batch_equivalence(spark, sf_dir):
+    streamed = OPS["stream_tumbling_agg"].fn(spark, sf_dir)
+    batch = tumbling_agg(load_table(spark, sf_dir, "events"))
+    cols = ["period_start", "event_type", "n", "sum_value", "max_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_sliding_agg_batch_equivalence(spark, sf_dir):
+    streamed = OPS["stream_sliding_agg"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+    cols = ["w_start", "event_type", "n", "sum_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_session_window_batch_equivalence(spark, sf_dir):
+    streamed = OPS["stream_session_window"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total",
+        )
+    )
+    cols = ["session_start", "session_end", "user_id", "n_events", "total"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_dedup_watermark_removes_injected_dupes(spark, sf_dir):
+    streamed = OPS["stream_dedup_watermark"].fn(spark, sf_dir)
+    n_src = load_table(spark, sf_dir, "events").count()
+    # input was events ∪ events; dedup must return each id exactly once
+    assert streamed.count() == n_src
+    assert streamed.groupBy("event_id").count().where("count > 1").count() == 0
+
+
+def test_file_source_batch_equivalence(spark, sf_dir):
+    streamed = OPS["stream_file_source"].fn(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "events").where(F.col("value") > 100).select(
+        "event_id", "event_type", "value"
+    )
+    cols = ["event_id", "event_type", "value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_late_data_semantics(spark, sf_dir):
+    """Append-mode windowed agg: batch-2 row older than the advanced
+    watermark is dropped; the kept windows reflect only on-time + the
+    within-delay late row."""
+    out = OPS["stream_late_data"].fn(spark, sf_dir)
+    got = {(str(r["w_start"]), r["n"]) for r in out.collect()}
+    # watermark after batch 1 = 10:30 - 5min = 10:25 → windows 10:00-10:02
+    # finalized with their on-time single rows; the 10:01:30 late row
+    # (event 100) arrived after finalization and must NOT appear; the
+    # 10:29 late row (event 101) is within delay and lands in a
+    # non-finalized window, absent from append output until closed.
+    assert ("2024-01-01 10:00:00", 1) in got
+    assert ("2024-01-01 10:01:00", 1) in got
+    assert ("2024-01-01 10:02:00", 1) in got
+    assert ("2024-01-01 10:01:00", 2) not in got
+
+
+def test_foreachbatch_sink_equivalence(spark, sf_dir):
+    streamed = OPS["sink_stream_foreachbatch"].fn(spark, sf_dir)
+    batch = tumbling_agg(load_table(spark, sf_dir, "events"), window="1 hour")
+    cols = ["period_start", "event_type", "n", "sum_value", "max_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
