@@ -1,0 +1,94 @@
+"""Physical-plan assertions — the 100 TB design contract (SURVEY.md
+§4.2). A correct result with a bad plan is a latent scale bug; these
+tests pin the plan properties each op's docstring promises."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from slowlog2clickhouse_spark.registry import all_ops
+
+OPS = all_ops()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = OPS[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "filter_pred")
+    assert "PushedFilters: [" in p
+    # the scan itself must carry real predicates, not just IsNotNull
+    assert "GreaterThan" in p or "In(o_orderpriority" in p or "EqualTo" in p
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "project_select")
+    read = [line for line in p.splitlines() if "ReadSchema" in line][0]
+    # 5 of lineitem's 11 columns; pruned scan must not read shipdate
+    assert "l_shipdate" not in read
+    assert "l_extendedprice" in read
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "join_broadcast_inner")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # dims must never shuffle the fact side
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "limit_topk")
+    assert "TakeOrderedAndProject" in p  # per-partition top-k + k-row merge
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    # Spark's rank-pushdown: per-partition top-k before the shuffle
+    p = plan_of(spark, sf_dir, "win_topk_per_group")
+    assert "WindowGroupLimit" in p
+
+
+def test_groupby_stats_partial_aggregation(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "agg_groupby_stats")
+    # map-side partial agg: HashAggregate appears below AND above the
+    # exchange; shuffle volume is |groups|, not |rows|
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_semi_anti_stay_hash_joins(spark, sf_dir):
+    for op_name in ("join_semi", "join_anti"):
+        p = plan_of(spark, sf_dir, op_name)
+        assert "HashJoin" in p, f"{op_name} fell off the hash-join path"
+        assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_knn_probes_broadcast(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "vec_knn_topk")
+    # probes broadcast, corpus streams — never a shuffle-based cartesian
+    assert "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # only the top-k window may shuffle (on probe_id), nothing else
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "dedup_minhash")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p  # band join is an equi-join
+
+
+@pytest.mark.parametrize(
+    "name", ["text_wordcount", "agg_time_bucket", "dedup_exact"]
+)
+def test_single_shuffle_aggregations(spark, sf_dir, name):
+    """One logical aggregation → at most one shuffle round (plus AQE
+    bookkeeping); anything more means a lost partial-agg."""
+    p = plan_of(spark, sf_dir, name)
+    assert p.count("Exchange hashpartitioning") <= 2
