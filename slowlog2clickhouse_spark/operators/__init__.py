@@ -5,6 +5,7 @@ from slowlog2clickhouse_spark.operators import (  # noqa: F401
     functions_ops,
     multimodal,
     relational,
+    reshape,
     sinks_ops,
     slowlog_ops,
     text,

@@ -1,0 +1,146 @@
+"""Reshape & physical-layout operators: pivot/unpivot, approximate
+percentiles, bucketed co-located joins — SURVEY.md §2 D/F extensions
+and the §4.1 storage-side strategies.
+
+pivot/unpivot round out the QAN dashboard surface (metrics as columns
+↔ metrics as rows); the bucketed join demonstrates the §2 C scale
+strategy the docstrings promise (pre-bucketed tables join with ZERO
+exchange — the distributed analog of ClickHouse's co-located
+MergeTree parts).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.registry import op
+
+_counter = itertools.count()
+
+
+@op(
+    "pivot_wide",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 4) AS total_f,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 4) AS total_o,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 4) AS total_p
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per order status (explicit value list — never
+    let pivot scan for distinct values at scale; that's an extra job).
+    Semantically = conditional aggregation, which is the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 4).alias("total"),
+        )
+    )
+    # pivot emits NULL for empty cells where the CASE oracle emits 0
+    return piv.select(
+        "priority",
+        *[
+            F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"n_{s.lower()}")
+            for s in ["F", "O", "P"]
+        ],
+        *[
+            F.coalesce(F.col(f"{s}_total"), F.lit(0.0)).alias(f"total_{s.lower()}")
+            for s in ["F", "O", "P"]
+        ],
+    )
+
+
+@op(
+    "unpivot_long",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric, cast(c_nationkey AS DOUBLE) AS val FROM customer
+    ) t
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack(): wide metric columns → (key, metric, value)
+    rows — how the wide m_* class table feeds per-metric time series."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', cast(c_nationkey AS DOUBLE))"
+        ).alias("metric", "val"),
+    ).select("c_custkey", "metric", "val")
+
+
+@op("agg_percentile_approx")  # rows-only: sketch differs from exact oracle
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the 100 TB percentile path (bounded-memory
+    sketch vs exact's per-group value buffer; accuracy 1/10000).
+    tests/test_approx.py bounds its error against the exact op."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("p99_approx"),
+    )
+
+
+@op("join_bucketed_colocated")  # rows-only: layout demo, plan-tested
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketed tables: both sides
+    written bucketBy(8, orderkey) + sortBy, then joined — the plan has
+    NO Exchange on either side (asserted in tests/test_plans.py).
+
+    At 100 TB this is THE strategy for repeated joins on one key:
+    bucket once at write time, join forever without shuffles.
+    """
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    run = f"{os.getpid()}_{next(_counter)}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lt, ot = f"bkt_lineitem_{run}", f"bkt_orders_{run}"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for df, tbl, key, sort in (
+        (li, lt, "l_orderkey", "l_orderkey"),
+        (o, ot, "o_orderkey", "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # a stale location from another session blocks saveAsTable
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(sort)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    lb, ob = spark.table(lt), spark.table(ot)
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+    )
