@@ -7,9 +7,11 @@ from slowlog2clickhouse_spark.operators import (  # noqa: F401
     relational,
     reshape,
     sinks_ops,
+    skew,
     slowlog_ops,
     text,
     udfs,
     vector,
 )
 from slowlog2clickhouse_spark.streaming import ops as streaming_ops  # noqa: F401
+from slowlog2clickhouse_spark.streaming import slowlog_stream  # noqa: F401

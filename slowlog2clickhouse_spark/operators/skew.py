@@ -1,0 +1,58 @@
+"""Skew-handling aggregation — the §7 G11 salting pattern, made
+concrete and oracle-checked.
+
+A hot grouping key (one digest dominating the log — the classic QAN
+skew) stalls the single reducer that owns it. Two-stage salted
+aggregation splits the hot key across N_SALT reducers, then merges:
+
+    stage 1: groupBy(key, salt) — partial results, skew spread
+    stage 2: groupBy(key)       — N_SALT-row merge per key
+
+Results are EXACTLY the plain aggregation (sums/counts/min/max are
+associative), so the oracle is the unsalted query — proving the
+rewrite is semantics-preserving is the whole point of checking it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.registry import op
+
+N_SALT = 8
+
+
+@op(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 4) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY 1
+    """,
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation == plain aggregation (the oracle is
+    the unsalted SQL — the equality IS the correctness claim).
+
+    Note on floats: the salted sum's addition order differs from the
+    plain sum's, which is exactly the partition-order variance the
+    round(4) convention absorbs (SURVEY.md §7 G5).
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT))
+    )
+    partial = ev.groupBy("event_type", "salt").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("s"), 4).alias("sum_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+    )

@@ -1,0 +1,127 @@
+"""Streaming slow-log ingest — the reference's tailing mode.
+
+The PMM-agent behavior (continuous slow-log tail → periodic class
+flush, SURVEY.md §2 A8/J [R:L]) as Structured Streaming: the SAME
+parse + fingerprint + class-agg code as plans/pipeline.py, fed by
+``readStream.text`` with the record delimiter — one pipeline
+definition, batch and streaming execution.
+
+Scale: each new log file becomes input splits at record boundaries;
+watermark bounds the per-(digest, minute) state; the production sink
+is foreachBatch → partitioned parquet / ClickHouse JDBC.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.registry import op
+from slowlog2clickhouse_spark.sources.slowlog import (
+    EVENT_SCHEMA,
+    RECORD_DELIM,
+    parse_record,
+)
+
+_counter = itertools.count()
+
+
+def read_slowlog_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming variant of sources.slowlog.read_slowlog_records.
+
+    Streaming file sources require a DIRECTORY; a single-file path is
+    split into (dir, pathGlobFilter)."""
+    import os
+
+    import pandas as pd
+
+    directory, glob = (path, "*") if os.path.isdir(path) else os.path.split(path)
+    raw = (
+        spark.readStream.option("lineSep", RECORD_DELIM)
+        .option("pathGlobFilter", glob)
+        .text(directory)
+    )
+
+    def chunk(batches):
+        for pdf in batches:
+            rows = [parse_record(r, i) for i, r in enumerate(pdf["value"]) if r.strip()]
+            out = pd.DataFrame(rows, columns=[f.name for f in EVENT_SCHEMA.fields])
+            out["ts"] = pd.to_datetime(out["ts"])
+            yield out
+
+    return raw.mapInPandas(chunk, EVENT_SCHEMA)
+
+
+def stream_classes(events: DataFrame) -> DataFrame:
+    """Watermarked 1-minute class aggregation on the parsed stream
+    (compact stat set; the full battery is the batch pipeline's)."""
+    from slowlog2clickhouse_spark.functions.fingerprint import digest_col, fingerprint_col
+
+    ev = events.where(~F.col("admin") & F.col("query").isNotNull())
+    ev = ev.withColumn("fingerprint", fingerprint_col(F.col("query"))).withColumn(
+        "digest", digest_col(F.col("fingerprint"))
+    )
+    return (
+        ev.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), F.col("digest"))
+        .agg(
+            F.count("*").alias("num_queries"),
+            F.round(F.sum("query_time"), 6).alias("m_query_time_sum"),
+            F.max("query_time").alias("m_query_time_max"),
+            F.min("fingerprint").alias("fingerprint"),
+        )
+        .select(
+            F.col("w.start").alias("period_start"),
+            "digest",
+            "num_queries",
+            "m_query_time_sum",
+            "m_query_time_max",
+            "fingerprint",
+        )
+    )
+
+
+@op("stream_slowlog_classes")  # rows-only; batch-eq tested
+def stream_slowlog_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming reference pipeline: tail log dir → parse →
+    fingerprint → watermarked 1-minute classes."""
+    from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG
+    from slowlog2clickhouse_spark.streaming.ops import run_to_memory
+
+    s = stream_classes(read_slowlog_stream(spark, FIXTURE_LOG))
+    return run_to_memory(s, "complete")
+
+
+@op("stream_stateful_counter")  # rows-only; invariants tested
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + running max value across micro-batches (the
+    arbitrary-state API the engine exposes where built-in windows don't
+    fit — [go-mysql] aggregator's in-memory map is exactly this shape)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from slowlog2clickhouse_spark.streaming.ops import read_events_stream, run_to_memory
+
+    def update(key, pdfs, state: GroupState):
+        total, vmax = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            total += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((total, vmax))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [total], "max_value": [vmax]}
+        )
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    s = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, max_value double",
+        stateStructType="n bigint, vmax double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(s, "update")

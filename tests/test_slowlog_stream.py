@@ -1,0 +1,46 @@
+"""Batch-equivalence for the streaming slow-log pipeline + the
+stateful counter (SURVEY.md §5.2 item 5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG
+from slowlog2clickhouse_spark.plans.pipeline import ingest_slowlog
+from slowlog2clickhouse_spark.registry import all_ops
+
+OPS = all_ops()
+
+
+def test_stream_slowlog_classes_equals_batch_pipeline(spark, sf_dir):
+    streamed = OPS["stream_slowlog_classes"].fn(spark, sf_dir)
+    batch = ingest_slowlog(spark, FIXTURE_LOG)
+    s = {
+        (str(r["period_start"]), r["digest"], r["num_queries"])
+        for r in streamed.collect()
+    }
+    b = {
+        (str(r["period_start"]), r["digest"], r["num_queries"])
+        for r in batch.collect()
+    }
+    assert s == b
+
+
+def test_stateful_counter_final_state_equals_batch(spark, sf_dir):
+    streamed = OPS["stream_stateful_counter"].fn(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.max("value").alias("max_value"))
+    )
+    # update-mode memory sink may hold one row per state update; the
+    # LAST row per user is the final state
+    final = {
+        r["user_id"]: (r["n_events"], r["max_value"])
+        for r in streamed.orderBy("n_events").collect()
+    }
+    expect = {
+        r["user_id"]: (r["n_events"], r["max_value"]) for r in batch.collect()
+    }
+    assert final == expect
