@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5.2 item 4.
+
+Pure-Python properties of the fingerprint state machine and the record
+parser; no SparkSession involved, so these run in milliseconds and
+explore far more of the input space than the golden tables."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from slowlog2clickhouse_spark.functions.fingerprint import digest_py, fingerprint_py
+from slowlog2clickhouse_spark.sources.slowlog import parse_record
+
+# SQL-ish text: identifiers, numbers, quoted strings, operators
+sql_atom = st.one_of(
+    st.text(alphabet=string.ascii_letters + "_", min_size=1, max_size=8),
+    st.integers(0, 10**9).map(str),
+    st.floats(0, 1e6, allow_nan=False).map(lambda f: f"{f:.3f}"),
+    st.text(alphabet=string.ascii_lowercase + " ", max_size=10).map(
+        lambda s: "'" + s + "'"
+    ),
+    st.sampled_from([",", "=", "<", ">", "(", ")", "*", "SELECT", "FROM", "WHERE",
+                     "AND", "OR", "IN", "VALUES", "--c", "/*x*/"]),
+)
+sql_text = st.lists(sql_atom, min_size=1, max_size=30).map(" ".join)
+
+
+@given(sql_text)
+@settings(max_examples=300, deadline=None)
+def test_fingerprint_idempotent(q):
+    fp = fingerprint_py(q)
+    assert fingerprint_py(fp) == fp
+
+
+@given(sql_text)
+@settings(max_examples=300, deadline=None)
+def test_fingerprint_never_crashes_and_digest_shape(q):
+    fp = fingerprint_py(q)
+    assert isinstance(fp, str)
+    d = digest_py(fp)
+    assert len(d) == 16
+    assert set(d) <= set("0123456789ABCDEF")
+
+
+# literals must be VALID quoted strings (no embedded quote): an
+# unescaped quote inside a literal is malformed SQL where engines
+# legitimately diverge (hypothesis found exactly this case)
+@given(st.integers(0, 10**9), st.integers(0, 10**9), st.sampled_from(["abc", "x y", 'a_b']))
+@settings(max_examples=200, deadline=None)
+def test_fingerprint_literal_invariance(a, b, s):
+    """Different literal bindings of one template → one fingerprint
+    (the property the whole digest pipeline rests on)."""
+    t1 = f"SELECT c FROM t WHERE id = {a} AND name = '{s}'"
+    t2 = f"SELECT c FROM t WHERE id = {b} AND name = 'zz'"
+    assert fingerprint_py(t1) == fingerprint_py(t2)
+
+
+@given(
+    st.floats(0, 100, allow_nan=False),
+    st.integers(0, 10**6),
+    st.booleans(),
+    st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=10),
+)
+@settings(max_examples=200, deadline=None)
+def test_parser_metric_roundtrip(qt, rows, flag, db):
+    """Arbitrary metric values survive the parse: floats exact via
+    repr, ints exact, Yes/No mapped, db propagated."""
+    rec = (
+        "# Time: 2024-01-01T00:00:01Z\n"
+        f"# Schema: {db}  Last_errno: 0  Killed: 0\n"
+        f"# Query_time: {qt!r}  Lock_time: 0.0  Rows_sent: {rows}  Rows_examined: 1\n"
+        f"# Full_scan: {'Yes' if flag else 'No'}\n"
+        "SET timestamp=1704067201;\n"
+        "SELECT 1;"
+    )
+    ev = parse_record(rec)
+    assert ev["query_time"] == qt
+    assert ev["rows_sent"] == rows
+    assert ev["full_scan"] is flag
+    assert ev["db"] == db
+    assert ev["query"] == "SELECT 1"
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_parser_never_crashes(garbage):
+    """Any input yields a well-formed event dict (nulls, not errors)."""
+    ev = parse_record(garbage)
+    assert set(ev) >= {"ts", "query", "admin", "user", "host", "db"}
+    assert isinstance(ev["admin"], bool)
