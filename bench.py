@@ -59,6 +59,9 @@ BASELINE_QUERIES = {
         "SELECT lang, count(*) n, avg(length(text)) al FROM documents "
         "WHERE text rlike '[0-9]+' GROUP BY 1"
     ),
+    # slowest of the set by design: the disjunctive NOT IN forces a
+    # BroadcastNestedLoopJoin ExistenceJoin (BASELINE.md's run pays the
+    # same plan at 4.1s; we run it verbatim for comparability)
     "q_semi_anti": (
         "SELECT count(*) FROM customer WHERE c_custkey IN "
         "(SELECT o_custkey FROM orders) OR c_custkey NOT IN "

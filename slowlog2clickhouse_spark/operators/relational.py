@@ -886,6 +886,55 @@ def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "win_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, event_id, us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(us) AS session_start_us, max(us) AS session_end_us
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap marking + running sum of session
+    starts (the stateless formulation of stream_session_window — 30-min
+    gap). One shuffle on user_id shared by both windows and the final
+    groupBy; Catalyst reuses the partitioning across all three."""
+    ev = load_table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(w).isNull() | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sess = marked.withColumn("session_id", F.sum("new_session").over(w2))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+    )
+
+
+@op(
     "sort_multikey_nulls",
     oracle="""
     SELECT c_custkey, seg, c_acctbal FROM (

@@ -44,3 +44,20 @@ def test_stateful_counter_final_state_equals_batch(spark, sf_dir):
         r["user_id"]: (r["n_events"], r["max_value"]) for r in batch.collect()
     }
     assert final == expect
+
+
+def test_batch_sessionize_agrees_with_session_window(spark, sf_dir):
+    """Two independent sessionization formulations (lag+cumsum batch op
+    vs engine session_window) must produce the same sessions (same
+    per-user counts and start times; ends differ by definition)."""
+    batch = OPS["win_sessionize"].fn(spark, sf_dir)
+    sw = OPS["stream_session_window"].fn(spark, sf_dir)
+    b = sorted(
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in batch.collect()
+    )
+    s = sorted(
+        (r["user_id"], int(r["session_start"].timestamp() * 1_000_000), r["n_events"])
+        for r in sw.collect()
+    )
+    assert b == s
