@@ -140,7 +140,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "mm_metadata_filter",
     oracle="""
-    SELECT length(text) % 640 + 1 AS width, count(*) AS n,
+    SELECT cast(length(text) % 640 + 1 AS BIGINT) AS width, count(*) AS n,
            sum(cast(length(text) AS BIGINT)) AS total_bytes
     FROM documents
     WHERE length(text) % 480 + 1 > 100
@@ -155,7 +155,7 @@ def mm_metadata_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_bin = attach_binary(load_table(spark, sf_dir, "documents"))
     return (
         with_bin.where(F.col("meta.height") > 100)
-        .groupBy(F.col("meta.width").alias("width"))
+        .groupBy(F.col("meta.width").cast("long").alias("width"))
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("meta.n_bytes").cast("long")).alias("total_bytes"),

@@ -693,7 +693,7 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "win_topk_per_group",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice, cast(rn AS BIGINT) AS rn FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -712,7 +712,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
@@ -722,9 +722,9 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_rank_dense_ntile",
     oracle="""
     SELECT o_orderkey, o_orderpriority AS priority,
-           rank()       OVER w AS rnk,
-           dense_rank() OVER w AS drnk,
-           ntile(4)     OVER w AS quartile
+           cast(rank()       OVER w AS BIGINT) AS rnk,
+           cast(dense_rank() OVER w AS BIGINT) AS drnk,
+           cast(ntile(4)     OVER w AS BIGINT) AS quartile
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority
                  ORDER BY o_totalprice DESC, o_orderkey ASC)
@@ -739,9 +739,9 @@ def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.col("o_orderpriority").alias("priority"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 
@@ -898,9 +898,9 @@ def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, event_id, us,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+             cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+               AS BIGINT) AS session_id
       FROM marked)
     SELECT user_id, session_id, count(*) AS n_events,
            min(us) AS session_start_us, max(us) AS session_end_us

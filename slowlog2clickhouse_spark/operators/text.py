@@ -119,7 +119,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality",
     oracle=f"""
     SELECT doc_id,
-           length(text) AS n_chars,
+           cast(length(text) AS BIGINT) AS n_chars,
            cast(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens,
            length(text) * 1.0 / len({_TOKENS_DUCK}) AS avg_token_span,
            length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
@@ -141,7 +141,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(_tokens())
     return d.select(
         "doc_id",
-        F.length("text").alias("n_chars"),
+        F.length("text").cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         (F.length("text") * 1.0 / n_tokens).alias("avg_token_span"),
         (

@@ -57,7 +57,7 @@ def vec_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "vec_knn_topk",
     oracle="""
-    SELECT probe_id, cand_id, cos_sim, rn FROM (
+    SELECT probe_id, cand_id, cos_sim, cast(rn AS BIGINT) AS rn FROM (
       SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
              round(list_cosine_similarity(list_transform(p.embedding, x -> CAST(x AS DOUBLE)), list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim,
              row_number() OVER (
@@ -92,7 +92,9 @@ def vec_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id").asc()
     )
-    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(
+        F.col("rn") <= 5
+    )
 
 
 @op(
