@@ -886,6 +886,50 @@ def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "qan_sparkline",
+    oracle="""
+    WITH totals AS (
+      SELECT event_type, round(sum(value), 4) AS total_value,
+             row_number() OVER (ORDER BY round(sum(value), 4) DESC NULLS LAST,
+                                event_type ASC) AS rnk
+      FROM events GROUP BY 1
+    ),
+    top3 AS (SELECT event_type, total_value, rnk FROM totals WHERE rnk <= 3)
+    SELECT t.event_type, cast(t.rnk AS BIGINT) AS rnk, t.total_value,
+           date_trunc('hour', e.ts) AS h,
+           count(*) AS n, round(sum(e.value), 4) AS hourly_value
+    FROM events e JOIN top3 t USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def qan_sparkline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE QAN dashboard query (SURVEY.md §3.3, PMM QAN [R:M]): top-N
+    classes by total load, each with its per-period time series (the
+    sparkline). Composite of limit_topk + agg_time_bucket + a broadcast
+    semi-join back onto the facts — top3 is N rows, so the second pass
+    over events is shuffle-free on the join."""
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type").agg(
+        F.round(F.sum("value"), 4).alias("total_value")
+    )
+    w = W.orderBy(F.col("total_value").desc_nulls_last(), F.col("event_type").asc())
+    top3 = (
+        totals.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
+    return (
+        ev.join(F.broadcast(top3), "event_type")
+        .groupBy(
+            "event_type",
+            "rnk",
+            "total_value",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("hourly_value"))
+    )
+
+
+@op(
     "win_sessionize",
     oracle="""
     WITH marked AS (

@@ -103,6 +103,27 @@ _KNOWN.update({m: "number" for m in NUMBER_METRICS})
 _KNOWN.update({m: "bool" for m in BOOL_METRICS})
 _SKIP_KEYS = {"id", "schema"}  # parsed separately / dimension keys
 
+# hot-path dispatch: slow-log keys arrive in canonical case
+# ('Query_time'), so map the exact spelling straight to
+# (family, column) and fall back to .lower() only for odd casings
+_KNOWN_EXACT: dict[str, tuple[str, str]] = {}
+for _col, _fam in _KNOWN.items():
+    _KNOWN_EXACT[_col] = (_fam, _col)
+    _canonical = "_".join(
+        p.upper() if p in ("qc", "innodb", "io") else p.capitalize()
+        for p in _col.split("_")
+    )
+    _KNOWN_EXACT[_canonical] = (_fam, _col)
+_KNOWN_EXACT["InnoDB_IO_r_ops"] = ("number", "innodb_io_r_ops")
+_KNOWN_EXACT["InnoDB_IO_r_bytes"] = ("number", "innodb_io_r_bytes")
+_KNOWN_EXACT["InnoDB_IO_r_wait"] = ("time", "innodb_io_r_wait")
+_KNOWN_EXACT["InnoDB_rec_lock_wait"] = ("time", "innodb_rec_lock_wait")
+_KNOWN_EXACT["InnoDB_queue_wait"] = ("time", "innodb_queue_wait")
+_KNOWN_EXACT["InnoDB_pages_distinct"] = ("number", "innodb_pages_distinct")
+_KNOWN_EXACT["QC_Hit"] = ("bool", "qc_hit")
+
+_TEMPLATE = {f.name: None for f in EVENT_SCHEMA.fields}
+
 
 def _parse_time_header(s: str) -> datetime | None:
     m = _ISO_TIME.match(s)
@@ -128,7 +149,7 @@ def parse_record(rec: str, record_no: int = 0) -> dict:
     """
     if rec.startswith("# Time: "):
         rec = rec[len("# Time: ") :]
-    ev: dict = {f.name: None for f in EVENT_SCHEMA.fields}
+    ev: dict = dict(_TEMPLATE)
     ev["record_no"] = record_no
     ev["admin"] = False
     extra: dict[str, str] = {}
@@ -143,29 +164,35 @@ def parse_record(rec: str, record_no: int = 0) -> dict:
                 ev["query"] = line.split(":", 1)[1].strip().rstrip(";")
                 continue
             body = line.lstrip("#").strip()
-            if body.lower().startswith("user@host:"):
+            if body.startswith(("User@Host:", "user@host:")) or body.lower().startswith(
+                "user@host:"
+            ):
                 m = _USER_HOST_RE.match(body.split(":", 1)[1].strip())
                 if m:
                     ev["user"] = m.group(1)
                     ev["host"] = m.group(3) or m.group(4)
                 continue
             for key, val in _KV_RE.findall(body):
-                k = key.lower()
-                if k == "schema":
-                    ev["db"] = val
-                    continue
-                if k in _SKIP_KEYS:
-                    continue
-                fam = _KNOWN.get(k)
+                hit = _KNOWN_EXACT.get(key)
+                if hit is None:
+                    k = key.lower()
+                    if k == "schema":
+                        ev["db"] = val
+                        continue
+                    if k in _SKIP_KEYS:
+                        continue
+                    hit = _KNOWN_EXACT.get(k)
+                    if hit is None:
+                        extra[key] = val
+                        continue
+                fam, col = hit
                 try:
                     if fam == "time":
-                        ev[k] = float(val)
+                        ev[col] = float(val)
                     elif fam == "number":
-                        ev[k] = int(val)
-                    elif fam == "bool":
-                        ev[k] = val.lower() == "yes"
+                        ev[col] = int(val)
                     else:
-                        extra[key] = val
+                        ev[col] = val == "Yes" or val.lower() == "yes"
                 except ValueError:
                     extra[key] = val
             continue
