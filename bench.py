@@ -70,7 +70,15 @@ BASELINE_QUERIES = {
 }
 
 # engine headliners (not part of the 2× gate; tracked for regressions)
-EXTRA_OPS = ("slowlog_pipeline", "dedup_minhash", "vec_knn_topk", "text_tfidf")
+EXTRA_OPS = (
+    "slowlog_pipeline",
+    "dedup_minhash",
+    "vec_knn_topk",
+    "text_tfidf",
+    # scale-safe rewrite of q_semi_anti (same result, hash joins instead
+    # of the BNLJ ExistenceJoin) — reported beside the verbatim gate row
+    "q_semi_anti_rewrite",
+)
 
 
 def time_df(build, runs: int = 3) -> float:
@@ -98,6 +106,7 @@ def main() -> None:
         "dedup_minhash": lambda: ops["dedup_minhash"].fn(spark, sf_dir),
         "vec_knn_topk": lambda: ops["vec_knn_topk"].fn(spark, sf_dir),
         "text_tfidf": lambda: ops["text_tfidf"].fn(spark, sf_dir),
+        "q_semi_anti_rewrite": lambda: ops["join_semi_anti_rewrite"].fn(spark, sf_dir),
     }
     for name in EXTRA_OPS:
         results[name] = round(time_df(extra_builders[name]), 4)

@@ -80,10 +80,10 @@ _FEAT_SCHEMA = T.StructType(
 )
 
 
-@op("mm_decode_features")  # rows-only: binary plumbing, golden-tested
-def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """binary payload → feature vector via Arrow-batched mapInPandas
-    (the decode/feature-extract stage of an image pipeline)."""
+def decode_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary payload → feature vector (array<double>) via Arrow-batched
+    mapInPandas — the decode/feature-extract stage of an image pipeline.
+    Internal consumers (ANN indexing, dedup) use this array form."""
     with_bin = attach_binary(load_table(spark, sf_dir, "documents"))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -98,6 +98,22 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return with_bin.select("doc_id", "payload").mapInPandas(extract, _FEAT_SCHEMA)
+
+
+@op("mm_decode_features")  # rows-only: binary plumbing, golden-tested
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing decode op: same plan as ``decode_features_df`` but
+    the feature array is JSON-encoded (rounded to 6 decimals) so every
+    result column is scalar — array cells are unsortable/unhashable in
+    a pandas-based canonicalizer."""
+    feats = decode_features_df(spark, sf_dir)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.to_json(F.transform("features", lambda x: F.round(x, 6))).alias(
+            "features_json"
+        ),
+    )
 
 
 _FRAME_SCHEMA = T.StructType(
@@ -141,7 +157,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_metadata_filter",
     oracle="""
     SELECT cast(length(text) % 640 + 1 AS BIGINT) AS width, count(*) AS n,
-           sum(cast(length(text) AS BIGINT)) AS total_bytes
+           cast(sum(cast(length(text) AS BIGINT)) AS BIGINT) AS total_bytes
     FROM documents
     WHERE length(text) % 480 + 1 > 100
     GROUP BY 1

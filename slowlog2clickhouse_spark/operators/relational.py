@@ -316,6 +316,44 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "join_semi_anti_rewrite",
+    oracle="""
+    SELECT count(*) AS n FROM customer WHERE c_custkey IN
+    (SELECT o_custkey FROM orders) OR c_custkey NOT IN
+    (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+)
+def join_semi_anti_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe rewrite of bench.py's ``q_semi_anti``.
+
+    The disjunctive ``IN (...) OR NOT IN (...)`` forces Spark into a
+    BroadcastNestedLoopJoin ExistenceJoin — O(|customer| x |distinct
+    o_custkey|) per partition, a 100-TB killer. Because the second
+    subquery filters ``o_custkey IS NOT NULL``, ``NOT IN`` degenerates
+    to "no match AND c_custkey IS NOT NULL", so the whole predicate is
+    decidable from ONE left outer join against the deduped key set:
+
+        matched OR (c_custkey IS NOT NULL AND NOT matched)
+
+    Plan: distinct(o_custkey) partial-aggregates map-side, then a single
+    hash join on the key — both sides shuffle once on c_custkey; AQE
+    broadcasts the deduped side when it fits. No nested loop anywhere
+    (pinned by tests/test_plans.py).
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    okeys = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("ok"))
+        .where(F.col("ok").isNotNull())
+        .distinct()
+    )
+    joined = c.join(okeys, c.c_custkey == okeys.ok, "left_outer")
+    matched = F.col("ok").isNotNull()
+    keep = matched | (F.col("c_custkey").isNotNull() & ~matched)
+    return joined.where(keep).agg(F.count("*").alias("n"))
+
+
+@op(
     "join_cross",
     oracle="""
     SELECT r_name, n_name FROM region CROSS JOIN nation

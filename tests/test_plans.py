@@ -69,6 +69,15 @@ def test_semi_anti_stay_hash_joins(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_semi_anti_rewrite_has_no_nested_loop(spark, sf_dir):
+    """The q_semi_anti rewrite's whole point: the disjunctive IN/NOT IN
+    becomes one hash join — BNLJ ExistenceJoin must not reappear."""
+    p = plan_of(spark, sf_dir, "join_semi_anti_rewrite")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
 def test_knn_probes_broadcast(spark, sf_dir):
     p = plan_of(spark, sf_dir, "vec_knn_topk")
     # probes broadcast, corpus streams — never a shuffle-based cartesian
