@@ -74,7 +74,8 @@ def udtf_parse_slowlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, rec: str):
             if rec and rec.strip():
                 d = parse_record(rec)
-                yield tuple(d[f.name] for f in EVENT_SCHEMA.fields)
+                if d is not None:  # pure-preamble chunk → no event
+                    yield tuple(d[f.name] for f in EVENT_SCHEMA.fields)
 
     spark.udtf.register("parse_slowlog_udtf", ParseSlowlog)
     records = read_slowlog_records(spark, FIXTURE_LOG)
@@ -90,6 +91,18 @@ def slowlog_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-minute class aggregation with full stat battery (cnt/sum/min/
     max/avg/med/p95/p99 + bool sums + worst-execution example)."""
     return ingest_slowlog(spark, FIXTURE_LOG)
+
+
+@op("slowlog_global")  # rows-only: pipeline output, golden-tested
+def slowlog_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Result.Global analog ([go-mysql] event/global.go [R:H]):
+    whole-period stat battery beside the per-class rows — one GLOBAL
+    row per minute over the fixture log."""
+    from slowlog2clickhouse_spark.plans.pipeline import aggregate_global
+    from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
+
+    events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG))
+    return aggregate_global(events)
 
 
 @op("slowlog_top_digests")  # rows-only

@@ -62,6 +62,19 @@ def class_agg_exprs(
         # example = query text of the worst execution (max query_time,
         # record_no tiebreak) — event/class.go example logic [R:H]
         F.expr("max_by(query, struct(query_time, record_no))").alias("example"),
+        # labels: the qan-api2 D5 nested k/v column — the unrecognized
+        # `# Key: value` pairs of the class's worst execution ride along
+        # to the sink as map<string,string>
+        F.expr("max_by(extra_metrics, struct(query_time, record_no))").alias("labels"),
+        # Percona Log_slow_rate_limit upscaling: with rate_type='query'
+        # only 1/N sessions are logged, so each logged event stands for
+        # rate_limit executions ([go-mysql] log/log.go RateType/RateLimit)
+        F.sum(
+            F.when(
+                (F.col("rate_type") == "query") & (F.col("rate_limit") > 1),
+                F.col("rate_limit"),
+            ).otherwise(F.lit(1))
+        ).alias("num_queries_scaled"),
     ]
     for m in metrics:
         col = F.col(m)
@@ -106,6 +119,33 @@ def aggregate_classes(
             F.date_trunc(period, F.col("ts")).alias("period_start"),
         )
         .agg(*class_agg_exprs(metrics=metrics, percentiles=percentiles))
+        .withColumn("period_length", F.lit(period_len).cast("long"))
+    )
+
+
+def aggregate_global(
+    events: DataFrame,
+    period: str = "minute",
+    metrics=DEFAULT_STAT_METRICS,
+    percentiles: str = "exact",
+) -> DataFrame:
+    """Whole-period rollup beside the per-class rows — the reference's
+    ``Result.Global`` ([go-mysql] event/global.go [R:H]): same stat
+    battery, grouped by period only, digest/fingerprint pinned to the
+    GLOBAL sentinel. Partial aggregation makes this a second cheap pass
+    over the same shuffle keyspace (|periods| rows out)."""
+    period_len = {"minute": 60, "hour": 3600, "day": 86400}[period]
+    exprs = [
+        e
+        for e in class_agg_exprs(metrics=metrics, percentiles=percentiles)
+        # fingerprint/db/user/host are per-class dims; meaningless globally
+    ]
+    return (
+        events.where(~F.col("admin") & F.col("query").isNotNull())
+        .groupBy(F.date_trunc(period, F.col("ts")).alias("period_start"))
+        .agg(*exprs)
+        .withColumn("digest", F.lit("GLOBAL"))
+        .withColumn("fingerprint", F.lit("GLOBAL"))
         .withColumn("period_length", F.lit(period_len).cast("long"))
     )
 

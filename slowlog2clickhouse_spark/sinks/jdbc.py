@@ -40,6 +40,9 @@ _LOW_CARDINALITY = {"db", "user", "host", "event_type", "digest"}
 
 
 def clickhouse_type(field: T.StructField) -> str:
+    if isinstance(field.dataType, T.MapType):
+        # labels-style k/v; ClickHouse Map cannot be wrapped in Nullable
+        return "Map(String, String)"
     base = _CH_TYPES.get(field.dataType)
     if base is None:
         if isinstance(field.dataType, T.TimestampNTZType):
@@ -47,8 +50,10 @@ def clickhouse_type(field: T.StructField) -> str:
         else:
             base = "String"  # safe fallback: serialize as text
     if field.name in _LOW_CARDINALITY and base == "String":
-        base = "LowCardinality(String)"
-    if field.nullable and not base.startswith("LowCardinality"):
+        # ClickHouse rejects NULL into plain LowCardinality(String); the
+        # nullable form must keep the Nullable wrapper INSIDE
+        return "LowCardinality(Nullable(String))" if field.nullable else "LowCardinality(String)"
+    if field.nullable:
         base = f"Nullable({base})"
     return base
 
@@ -74,7 +79,12 @@ def clickhouse_ddl(
 
 
 def jdbc_options(
-    url: str, table: str, batchsize: int = 100_000, **extra: str
+    url: str,
+    table: str,
+    batchsize: int = 100_000,
+    driver: str = "com.clickhouse.jdbc.ClickHouseDriver",
+    num_partitions: int = 32,
+    **extra: str,
 ) -> dict[str, str]:
     """Writer options tuned for ClickHouse bulk load: large batches
     (mirrors the reference's batched-INSERT design), rewrite to
@@ -84,8 +94,8 @@ def jdbc_options(
         "dbtable": table,
         "batchsize": str(batchsize),
         "isolationLevel": "NONE",
-        "numPartitions": "32",
-        "driver": "com.clickhouse.jdbc.ClickHouseDriver",
+        "numPartitions": str(num_partitions),
+        "driver": driver,
         **extra,
     }
 
@@ -96,17 +106,21 @@ def write_jdbc(
     table: str,
     mode: str = "append",
     batchsize: int = 100_000,
+    driver: str = "com.clickhouse.jdbc.ClickHouseDriver",
+    dialect: str | None = "clickhouse",
+    num_partitions: int = 32,
 ) -> None:
-    """The production write path (needs the ClickHouse JDBC jar on the
-    classpath and a reachable server; integration-deferred in the
-    sandbox — see module docstring)."""
-    (
-        df.write.format("jdbc")
-        .options(**jdbc_options(url, table, batchsize))
-        .option(
+    """The production write path. ``dialect='clickhouse'`` attaches the
+    explicit MergeTree-friendly ``createTableColumnTypes`` mapping;
+    ``dialect=None`` lets Spark's stock JDBC dialect type the table
+    (how the integration test runs it against the embedded Derby that
+    ships on Spark's classpath — proving the writer executes)."""
+    w = df.write.format("jdbc").options(
+        **jdbc_options(url, table, batchsize, driver=driver, num_partitions=num_partitions)
+    )
+    if dialect == "clickhouse":
+        w = w.option(
             "createTableColumnTypes",
             ", ".join(f"{f.name} {clickhouse_type(f)}" for f in df.schema.fields),
         )
-        .mode(mode)
-        .save()
-    )
+    w.mode(mode).save()

@@ -83,6 +83,11 @@ EVENT_SCHEMA = T.StructType(
         T.StructField("db", T.StringType()),
         T.StructField("admin", T.BooleanType()),
         T.StructField("query", T.StringType()),
+        # Percona Log_slow_rate_limit sampling headers ([go-mysql]
+        # log/log.go RateType/RateLimit): when rate_type='query' only
+        # 1/rate_limit sessions are logged — aggregation upscales by it
+        T.StructField("rate_type", T.StringType()),
+        T.StructField("rate_limit", T.LongType()),
     ]
     + [T.StructField(m, T.DoubleType()) for m in TIME_METRICS]
     + [T.StructField(m, T.LongType()) for m in NUMBER_METRICS]
@@ -124,6 +129,19 @@ _KNOWN_EXACT["QC_Hit"] = ("bool", "qc_hit")
 
 _TEMPLATE = {f.name: None for f in EVENT_SCHEMA.fields}
 
+# server preamble lines — written at startup and again after FLUSH
+# LOGS / rotation, they are NOT events and must never reach the query
+# accumulator (the reference parser skips them in its line loop)
+_PREAMBLE_RES = (
+    re.compile(r", Version: .*started with:"),  # '/usr/sbin/mysqld, Version: ...'
+    re.compile(r"^Tcp port:\s"),
+    re.compile(r"^Time\s+Id\s+Command\s+Argument\s*$"),
+)
+
+
+def _is_preamble(line: str) -> bool:
+    return any(rx.search(line) for rx in _PREAMBLE_RES)
+
 
 def _parse_time_header(s: str) -> datetime | None:
     m = _ISO_TIME.match(s)
@@ -138,7 +156,7 @@ def _parse_time_header(s: str) -> datetime | None:
     return None
 
 
-def parse_record(rec: str, record_no: int = 0) -> dict:
+def parse_record(rec: str, record_no: int = 0) -> dict | None:
     """One slow-log record (starting at its `# Time:` value) → event dict.
 
     Mirrors the reference's header state machine: `# Time:` sets ts;
@@ -146,6 +164,12 @@ def parse_record(rec: str, record_no: int = 0) -> dict:
     time/number/bool metrics by declared family (unknown keys → extra);
     `SET timestamp=` overrides ts; `use db` sets db; `# administrator
     command:` marks admin; remaining lines accumulate as the statement.
+
+    Server preamble lines (version banner / `Tcp port:` / column
+    header) are skipped wherever they appear — at file start AND after
+    a mid-file FLUSH LOGS rotation. Returns ``None`` (no event) when
+    the chunk carried no timestamp and no recognized header at all —
+    i.e. it was pure preamble, not a query record.
     """
     if rec.startswith("# Time: "):
         rec = rec[len("# Time: ") :]
@@ -154,14 +178,18 @@ def parse_record(rec: str, record_no: int = 0) -> dict:
     ev["admin"] = False
     extra: dict[str, str] = {}
     query_lines: list[str] = []
+    saw_header = False
 
     lines = rec.split("\n")
     ev["ts"] = _parse_time_header(lines[0]) if lines else None
+    if ev["ts"] is not None:
+        saw_header = True
     for line in lines[1:]:
         if line.startswith("#"):
             if _ADMIN_RE.match(line):
                 ev["admin"] = True
                 ev["query"] = line.split(":", 1)[1].strip().rstrip(";")
+                saw_header = True
                 continue
             body = line.lstrip("#").strip()
             if body.startswith(("User@Host:", "user@host:")) or body.lower().startswith(
@@ -171,6 +199,7 @@ def parse_record(rec: str, record_no: int = 0) -> dict:
                 if m:
                     ev["user"] = m.group(1)
                     ev["host"] = m.group(3) or m.group(4)
+                saw_header = True
                 continue
             for key, val in _KV_RE.findall(body):
                 hit = _KNOWN_EXACT.get(key)
@@ -181,11 +210,23 @@ def parse_record(rec: str, record_no: int = 0) -> dict:
                         continue
                     if k in _SKIP_KEYS:
                         continue
+                    if k == "log_slow_rate_type":
+                        ev["rate_type"] = val
+                        saw_header = True
+                        continue
+                    if k == "log_slow_rate_limit":
+                        try:
+                            ev["rate_limit"] = int(val)
+                        except ValueError:
+                            extra[key] = val
+                        saw_header = True
+                        continue
                     hit = _KNOWN_EXACT.get(k)
                     if hit is None:
                         extra[key] = val
                         continue
                 fam, col = hit
+                saw_header = True
                 try:
                     if fam == "time":
                         ev[col] = float(val)
@@ -196,11 +237,14 @@ def parse_record(rec: str, record_no: int = 0) -> dict:
                 except ValueError:
                     extra[key] = val
             continue
+        if _is_preamble(line):
+            continue  # rotation banner inside a record: never query text
         m = _SET_TS_RE.match(line)
         if m:
             ev["ts"] = datetime.fromtimestamp(int(m.group(1)), tz=timezone.utc).replace(
                 tzinfo=None
             )
+            saw_header = True
             continue
         m = _USE_RE.match(line)
         if m:
@@ -208,6 +252,8 @@ def parse_record(rec: str, record_no: int = 0) -> dict:
             continue
         if line.strip():
             query_lines.append(line)
+    if not saw_header and ev["ts"] is None:
+        return None  # pure preamble chunk (file head / rotation) — no event
     if query_lines:
         ev["query"] = "\n".join(query_lines).strip().rstrip(";")
     ev["extra_metrics"] = extra or None
@@ -226,12 +272,26 @@ def read_slowlog_records(spark: SparkSession, path: str) -> DataFrame:
 
 def parse_slowlog(spark: SparkSession, path: str) -> DataFrame:
     """path → typed event DataFrame (ops: scan_text_multiline +
-    map_in_pandas_chunker). Arrow-batched; no driver involvement."""
-    raw = read_slowlog_records(spark, path)
+    map_in_pandas_chunker). Arrow-batched; no driver involvement.
+
+    ``record_no`` is ``monotonically_increasing_id()`` stamped on the
+    record DataFrame BEFORE the parse stage: globally unique and stable
+    for a given file layout (partition_id << 33 | offset), so
+    ``max_by(..., struct(query_time, record_no))`` tiebreaks are
+    deterministic — a per-batch ``enumerate`` restarts at 0 in every
+    Arrow batch and is neither.
+    """
+    raw = read_slowlog_records(spark, path).withColumn(
+        "record_no", F.monotonically_increasing_id()
+    )
 
     def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [parse_record(r, i) for i, r in enumerate(pdf["value"]) if r.strip()]
+            rows = [
+                ev
+                for rec, rno in zip(pdf["value"], pdf["record_no"])
+                if rec.strip() and (ev := parse_record(rec, int(rno))) is not None
+            ]
             out = pd.DataFrame(rows, columns=[f.name for f in EVENT_SCHEMA.fields])
             out["ts"] = pd.to_datetime(out["ts"])
             yield out

@@ -46,9 +46,18 @@ def read_slowlog_stream(spark: SparkSession, path: str) -> DataFrame:
 
     def chunk(batches):
         for pdf in batches:
-            rows = [parse_record(r, i) for i, r in enumerate(pdf["value"]) if r.strip()]
+            # record_no stays NULL on the streaming path: a per-batch
+            # enumerate collides across micro-batches, and there is no
+            # stable global ordinal for an unbounded tail — downstream
+            # streaming aggs never key or tiebreak on it
+            rows = [
+                ev
+                for r in pdf["value"]
+                if r.strip() and (ev := parse_record(r)) is not None
+            ]
             out = pd.DataFrame(rows, columns=[f.name for f in EVENT_SCHEMA.fields])
             out["ts"] = pd.to_datetime(out["ts"])
+            out["record_no"] = None
             yield out
 
     return raw.mapInPandas(chunk, EVENT_SCHEMA)

@@ -99,6 +99,76 @@ class TestParseRecord:
         assert ev["query"] == "SELECT a\nFROM b\nWHERE c = 1"
 
 
+FIXTURE_DIR = os.path.dirname(FIXTURE_LOG)
+
+
+class TestFixtureCorpus:
+    """Golden corpus beyond the generated log — the fixture-breadth the
+    reference's parser is validated against (SURVEY.md §5.1): server
+    preambles/rotation, MySQL 5.1 header format, Percona rate-limit
+    headers, and a statement containing the record delimiter."""
+
+    def test_preamble_and_rotation_skipped(self, spark):
+        ev = parse_slowlog(spark, os.path.join(FIXTURE_DIR, "slowlog_rotation.log"))
+        rows = ev.orderBy("ts").collect()
+        # 3 real events; neither the file-head preamble nor the mid-file
+        # rotation banner becomes an event or pollutes a query
+        assert [r["query"] for r in rows] == [
+            "SELECT a FROM t WHERE id = 1",
+            "SELECT b FROM t WHERE id = 2",
+            "SELECT c FROM t WHERE id = 3",
+        ]
+        assert all(r["ts"] is not None for r in rows)
+
+    def test_mysql51_compact_format(self, spark):
+        ev = parse_slowlog(spark, os.path.join(FIXTURE_DIR, "slowlog_51.log"))
+        rows = {r["query"]: r for r in ev.collect()}
+        assert rows["SELECT SLEEP(1)"]["ts"].isoformat() == "2011-01-07T13:26:19"
+        assert rows["SELECT SLEEP(1)"]["query_time"] == pytest.approx(1.123456)
+        big = rows["SELECT * FROM big_table"]
+        assert big["db"] == "mydb"
+        assert big["host"] == "10.2.0.5"
+        assert big["rows_examined"] == 100000
+
+    def test_rate_limit_fields_and_upscaling(self, spark):
+        ev = parse_slowlog(spark, os.path.join(FIXTURE_DIR, "slowlog_ratelimit.log"))
+        rows = ev.collect()
+        assert all(r["rate_type"] == "query" for r in rows)
+        assert all(r["rate_limit"] == 100 for r in rows)
+        # rate fields are typed columns, not extra_metrics leftovers
+        assert all(
+            not r["extra_metrics"] or "Log_slow_rate_limit" not in r["extra_metrics"]
+            for r in rows
+        )
+        classes = aggregate_classes(with_fingerprint(ev), period="hour")
+        r = classes.collect()[0]
+        assert r["num_queries"] == 2
+        assert r["num_queries_scaled"] == 200  # each logged row stands for 100
+
+    def test_delimiter_inside_string_literal_shears_cleanly(self, spark):
+        """KNOWN LIMITATION (pinned): a statement containing the literal
+        record delimiter '\\n# Time: ' is sheared by the lineSep split —
+        the reference's char-level state machine keeps it whole. The
+        contract here: the statement is truncated at the literal, and
+        the sheared tail produces NO event (no garbage class) because
+        it has neither a timestamp nor any recognized header."""
+        ev = parse_slowlog(spark, os.path.join(FIXTURE_DIR, "slowlog_sheared.log"))
+        rows = ev.orderBy("ts").collect()
+        assert len(rows) == 2  # not 3: the tail chunk is suppressed
+        assert rows[0]["query"].endswith("body = 'line1")
+        assert rows[1]["query"] == "SELECT 2"
+
+    def test_preamble_only_record_returns_none(self):
+        assert (
+            parse_record(
+                "/usr/sbin/mysqld, Version: 8.0.36 (MySQL). started with:\n"
+                "Tcp port: 3306  Unix socket: /tmp/mysql.sock\n"
+                "Time                 Id Command    Argument"
+            )
+            is None
+        )
+
+
 class TestParseFixture:
     @pytest.fixture(scope="class")
     def events(self, spark):
@@ -186,3 +256,48 @@ class TestClassAggregation:
         back = spark.read.parquet(out)
         assert back.count() == classes.count()
         assert "period_date" in back.columns
+
+    def test_labels_survive_to_sink_schema(self, classes, tmp_path, spark):
+        """The qan-api2 D5 labels column: extra `# Key: value` pairs
+        reach the class table AND the sink, typed map<string,string>."""
+        from slowlog2clickhouse_spark.plans.pipeline import sink_classes_parquet
+
+        assert dict(classes.dtypes)["labels"] == "map<string,string>"
+        with_labels = classes.where(
+            F.map_contains_key("labels", "Custom_metric")
+        ).count()
+        assert with_labels > 0
+        out = os.path.join(str(tmp_path), "classes_labels")
+        sink_classes_parquet(classes, out)
+        back = spark.read.parquet(out)
+        assert dict(back.dtypes)["labels"] == "map<string,string>"
+        assert (
+            back.where(F.map_contains_key("labels", "Custom_metric")).count()
+            == with_labels
+        )
+
+    def test_global_rollup_conserves_counts(self, classes, spark):
+        """Result.Global analog: per-period global rows carry the same
+        event totals as the sum of the per-class rows."""
+        from slowlog2clickhouse_spark.plans.pipeline import aggregate_global
+
+        events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG))
+        g = aggregate_global(events).cache()
+        assert g.select("digest").distinct().collect()[0][0] == "GLOBAL"
+        per_class = {
+            r["period_start"]: r["n"]
+            for r in classes.groupBy("period_start")
+            .agg(F.sum("num_queries").alias("n"))
+            .collect()
+        }
+        per_global = {r["period_start"]: r["num_queries"] for r in g.collect()}
+        assert per_global == per_class
+        # global max is the max of class maxes per period
+        gmax = {r["period_start"]: r["m_query_time_max"] for r in g.collect()}
+        cmax = {
+            r["period_start"]: r["mx"]
+            for r in classes.groupBy("period_start")
+            .agg(F.max("m_query_time_max").alias("mx"))
+            .collect()
+        }
+        assert gmax == cmax
