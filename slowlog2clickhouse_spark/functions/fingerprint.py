@@ -33,10 +33,15 @@ from pyspark.sql import functions as F
 # behaves identically in Java (Spark) and RE2 (DuckDB): no backrefs,
 # no lookaround.
 PRE_LOWER_STEPS: list[tuple[str, str]] = [
-    (r"'[^']*'", "?"),  # single-quoted strings (before comments, so '--' in strings survives)
+    # Strings are masked BEFORE comments so '--' or '#' inside a string
+    # survives. KNOWN DIVERGENCE from fingerprint_py: an apostrophe
+    # inside a comment (-- don't) opens a phantom string that swallows
+    # text up to the next apostrophe; the state machine handles it.
+    (r"'[^']*'", "?"),  # single-quoted strings
     (r'"[^"]*"', "?"),  # double-quoted strings
     (r"/\*[^!].*?\*/", " "),  # block comments (not /*! version hints */)
     (r"--[^\n]*", " "),  # line comments
+    (r"#[^\n]*", " "),  # MySQL '#' line comments (Java+RE2 portable)
     (r"\b0x[0-9a-fA-F]+\b", "?"),  # hex literals
     (r"\b\d+\.\d+\b", "?"),  # floats before ints
     (r"\b\d+\b", "?"),  # integer literals

@@ -127,7 +127,10 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a stale location from another session blocks saveAsTable
         shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
         (
-            df.write.bucketBy(8, key)
+            # pre-repartition on the bucket key: exactly one file per
+            # bucket instead of (input tasks × 8) small files
+            df.repartition(8, key)
+            .write.bucketBy(8, key)
             .sortBy(sort)
             .mode("overwrite")
             .format("parquet")

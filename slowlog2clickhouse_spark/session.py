@@ -58,4 +58,13 @@ def ensure_compat(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # performance (all runtime-mutable): a foreign session arrives with
+    # the 200-partition default — at our test SFs that is 200 near-empty
+    # tasks (and 200 Python workers for every applyInPandas); size to
+    # local cores and let AQE coalesce upward jobs re-split
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark

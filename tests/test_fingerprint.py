@@ -33,6 +33,9 @@ CASES = [
     ("SELECT 0xDEADBEEF", "select ?"),
     ("SELECT c FROM t1 WHERE col2 = 3", "select c from t1 where col2 = ?"),
     ("UPDATE t SET a = 5 WHERE b = 'x -- not a comment'", "update t set a = ? where b = ?"),
+    # MySQL '#' line comments strip on BOTH the chain and the UDF
+    ("SELECT c FROM t # trailing note\nWHERE id = 7", "select c from t where id = ?"),
+    ("SELECT c FROM t WHERE tag = '#42' AND id = 7", "select c from t where tag = ? and id = ?"),
 ]
 
 # subset where the regexp_replace chain matches full UDF semantics
