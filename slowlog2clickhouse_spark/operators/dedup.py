@@ -312,6 +312,79 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Candidate graph → duplicate clusters (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 10
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list
+    ``(doc_a, doc_b)`` → ``(doc_id, cluster_id)`` where cluster_id is
+    the smallest doc_id reachable. The iterative step a dedup pipeline
+    needs to turn pairwise candidates into KEEP/DROP decisions.
+
+    Each iteration is one groupBy-min join round (label[v] :=
+    min(label[v], min over neighbors)); converges in O(diameter)
+    rounds — near-dup clusters are shallow, so this stops early via a
+    changed-row count. ``localCheckpoint`` cuts the lineage so plans
+    don't grow exponentially across iterations (the standard Spark
+    iteration pattern; GraphX/GraphFrames do the same internally).
+    """
+    both = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    nodes = both.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            both.join(labels, both.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+                (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id")).alias(
+                    "changed"
+                ),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.where("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+@op("dedup_cluster")  # rows-only: iterative fixpoint, no SQL oracle
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup RESOLUTION: minhash band candidates →
+    connected components → one row per involved doc with its cluster
+    id and the keep/drop verdict (survivor = smallest doc_id in the
+    cluster — deterministic, matching dedup_exact's convention).
+
+    This is the op a training-data pipeline actually runs: candidates
+    alone aren't actionable until transitive groups are resolved
+    (a~b, b~c ⟹ {a,b,c} is ONE cluster with ONE survivor)."""
+    cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(cand)
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup (oracle-checked)
 # ---------------------------------------------------------------------------
 

@@ -132,6 +132,95 @@ def vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 16  # coarse cells (≈√n at test SF; ~4096 at corpus scale)
+IVF_NPROBE = 4  # search the 4 nearest cells per probe
+
+
+@op("vec_knn_ivf")  # rows-only: cell membership is implementation-defined
+def vec_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via an IVF (inverted-file) coarse index, the FAISS-style
+    alternative to vec_knn_lsh:
+
+      1. centroids = a deterministic hash-ranked sample of K corpus
+         vectors (a seeded uniform draw — no RNG state, rerun-stable);
+      2. every corpus vector is assigned to its nearest centroid via a
+         broadcast of the K-row centroid table + map-side partial
+         ``max_by`` (the shuffle carries ONE row per vector, not K);
+      3. probes search only their IVF_NPROBE nearest cells — the
+         probe×corpus cross join becomes a cell equi-join with
+         expected cell size n/K.
+
+    Recall vs the brute-force baseline is pinned in tests/test_vector.py.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_double()
+    with_e = e.select("vec_id", emb.alias("ed"))
+
+    cents = (
+        with_e.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(IVF_K)
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.xxhash64("vec_id"), "vec_id"))
+            .alias("cent_id"),
+            F.col("ed").alias("cent"),
+        )
+    )
+
+    def nearest_cells(side: DataFrame, id_col: str, n_cells: int) -> DataFrame:
+        scored = side.join(F.broadcast(cents)).select(
+            id_col,
+            "ed",
+            "cent_id",
+            cosine(F.col("ed"), F.col("cent")).alias("cos_c"),
+        )
+        w = W.partitionBy(id_col).orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("rnc", F.row_number().over(w))
+            .where(F.col("rnc") <= n_cells)
+            .select(id_col, "ed", F.col("cent_id").alias("cell"))
+        )
+
+    cands = with_e.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"), "ed"
+    )
+    # corpus side: exactly ONE cell per vector — partial max_by keeps the
+    # shuffle at |corpus| rows even though the broadcast fans out ×K
+    cand_scored = cands.join(F.broadcast(cents)).select(
+        "cand_id",
+        "ed",
+        "cent_id",
+        cosine(F.col("ed"), F.col("cent")).alias("cos_c"),
+    )
+    cand_cells = (
+        cand_scored.groupBy("cand_id")
+        .agg(
+            F.expr(
+                "max_by(named_struct('cell', cent_id, 'ce', ed),"
+                " named_struct('c', cos_c, 'i', -cent_id))"
+            ).alias("m")
+        )
+        .select("cand_id", F.col("m.cell").alias("cell"), F.col("m.ce").alias("ce"))
+    )
+
+    probes = with_e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), "ed"
+    )
+    probe_cells = nearest_cells(probes, "probe_id", IVF_NPROBE).select(
+        "probe_id", F.col("ed").alias("pe"), "cell"
+    )
+
+    scored = cand_cells.join(F.broadcast(probe_cells), "cell").select(
+        "probe_id",
+        "cand_id",
+        F.round(cosine(F.col("pe"), F.col("ce")), 6).alias("cos_sim"),
+    )
+    # each candidate lives in exactly one cell, so (probe, cand) pairs
+    # are already unique — no dedup shuffle needed
+    w = W.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+
+
 N_PLANES = 8
 _rng = random.Random(42)
 PLANES = [

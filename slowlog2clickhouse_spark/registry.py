@@ -64,6 +64,8 @@ _PRIORITY: tuple[str, ...] = (
     "join_semi_anti_rewrite",
     "dedup_simhash",
     "slowlog_global",
+    "vec_knn_ivf",
+    "dedup_cluster",
     # SURVEY §2 + extension ops with no round-1 driver row: oracle-checked
     "win_running_sum",
     "win_moving_avg_time",

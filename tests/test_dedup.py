@@ -88,6 +88,39 @@ def test_minhash_signature_stage_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in buf2.getvalue()
 
 
+def test_connected_components_small_graph(spark):
+    """a-b, b-c, d-e ⟹ {a,b,c} labeled a and {d,e} labeled d."""
+    from slowlog2clickhouse_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_cluster_transitive_and_deterministic_survivor(spark, sf_dir):
+    """Every candidate pair ends up in ONE cluster; the survivor is the
+    cluster's smallest doc_id; exactly one keeper per cluster."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in OPS["dedup_minhash"].fn(spark, sf_dir).collect()
+    ]
+    res = {r["doc_id"]: r for r in OPS["dedup_cluster"].fn(spark, sf_dir).collect()}
+    for a, b in pairs:
+        assert res[a]["cluster_id"] == res[b]["cluster_id"], (a, b)
+    clusters: dict[int, list[int]] = {}
+    for doc_id, r in res.items():
+        clusters.setdefault(r["cluster_id"], []).append(doc_id)
+    for cid, members in clusters.items():
+        assert cid == min(members)
+        keepers = [d for d in members if res[d]["keep"]]
+        assert keepers == [cid]
+
+
 def test_simhash_plan_no_cartesian(spark, sf_dir):
     import contextlib
     import io

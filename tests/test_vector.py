@@ -1,0 +1,82 @@
+"""Vector ANN semantics: IVF recall vs the brute-force baseline and
+scale-shape plan pins (SURVEY.md §2 I)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.operators.vector import _emb_double, cosine
+from slowlog2clickhouse_spark.registry import all_ops
+
+OPS = all_ops()
+
+
+def brute_force_topk(spark, sf_dir, k=3):
+    """Exact top-k with the SAME probe/cand split as vec_knn_ivf."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), _emb_double().alias("pe")
+    )
+    cands = e.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"), _emb_double().alias("ce")
+    )
+    scored = cands.join(F.broadcast(probes)).select(
+        "probe_id",
+        "cand_id",
+        F.round(cosine(F.col("pe"), F.col("ce")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe=4 of 16 cells must recover a healthy share of
+    the true top-3 — the accuracy/cost dial every ANN index exposes."""
+    truth: dict[int, set[int]] = {}
+    for r in brute_force_topk(spark, sf_dir).collect():
+        truth.setdefault(r["probe_id"], set()).add(r["cand_id"])
+    got: dict[int, set[int]] = {}
+    for r in OPS["vec_knn_ivf"].fn(spark, sf_dir).collect():
+        got.setdefault(r["probe_id"], set()).add(r["cand_id"])
+    assert set(got) == set(truth)  # every probe answered
+    recalls = [
+        len(truth[p] & got.get(p, set())) / len(truth[p]) for p in truth
+    ]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.4, f"IVF recall collapsed: {avg:.2f} ({recalls})"
+
+
+def test_ivf_results_are_true_neighbors(spark, sf_dir):
+    """Every IVF hit must carry the genuine cosine (no fabricated
+    scores): re-scoring a sample against the raw table matches."""
+    rows = OPS["vec_knn_ivf"].fn(spark, sf_dir).limit(10).collect()
+    e = load_table(spark, sf_dir, "embeddings")
+    for r in rows:
+        pair = (
+            e.where(F.col("vec_id") == r["probe_id"])
+            .select(_emb_double().alias("pe"))
+            .crossJoin(
+                e.where(F.col("vec_id") == r["cand_id"]).select(
+                    _emb_double().alias("ce")
+                )
+            )
+            .select(F.round(cosine(F.col("pe"), F.col("ce")), 6).alias("c"))
+            .collect()[0]["c"]
+        )
+        assert pair == r["cos_sim"]
+
+
+def test_ivf_plan_no_cartesian(spark, sf_dir):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        OPS["vec_knn_ivf"].fn(spark, sf_dir).explain("formatted")
+    p = buf.getvalue()
+    # the only nested-loop allowed is the K-row centroid broadcast;
+    # probe-candidate matching must be the cell equi-join
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
