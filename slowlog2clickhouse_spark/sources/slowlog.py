@@ -186,15 +186,15 @@ def parse_record(rec: str, record_no: int = 0) -> dict | None:
         saw_header = True
     for line in lines[1:]:
         if line.startswith("#"):
-            if _ADMIN_RE.match(line):
+            # cheap substring guards before any regex: the common '#'
+            # line is a metric kv line, not admin/user@host
+            if "administrator command" in line and _ADMIN_RE.match(line):
                 ev["admin"] = True
                 ev["query"] = line.split(":", 1)[1].strip().rstrip(";")
                 saw_header = True
                 continue
             body = line.lstrip("#").strip()
-            if body.startswith(("User@Host:", "user@host:")) or body.lower().startswith(
-                "user@host:"
-            ):
+            if "ser@" in body[:6] and body.lower().startswith("user@host:"):
                 m = _USER_HOST_RE.match(body.split(":", 1)[1].strip())
                 if m:
                     ev["user"] = m.group(1)
@@ -237,19 +237,22 @@ def parse_record(rec: str, record_no: int = 0) -> dict | None:
                 except ValueError:
                     extra[key] = val
             continue
-        if _is_preamble(line):
+        c0 = line[:1]
+        if c0 in "/T" and _is_preamble(line):
             continue  # rotation banner inside a record: never query text
-        m = _SET_TS_RE.match(line)
-        if m:
-            ev["ts"] = datetime.fromtimestamp(int(m.group(1)), tz=timezone.utc).replace(
-                tzinfo=None
-            )
-            saw_header = True
-            continue
-        m = _USE_RE.match(line)
-        if m:
-            ev["db"] = m.group(1)
-            continue
+        if c0 in "Ss" and line[:3].lower() == "set":
+            m = _SET_TS_RE.match(line)
+            if m:
+                ev["ts"] = datetime.fromtimestamp(
+                    int(m.group(1)), tz=timezone.utc
+                ).replace(tzinfo=None)
+                saw_header = True
+                continue
+        elif c0 in "Uu" and line[:3].lower() == "use":
+            m = _USE_RE.match(line)
+            if m:
+                ev["db"] = m.group(1)
+                continue
         if line.strip():
             query_lines.append(line)
     if not saw_header and ev["ts"] is None:
@@ -284,6 +287,12 @@ def parse_slowlog(spark: SparkSession, path: str) -> DataFrame:
     raw = read_slowlog_records(spark, path).withColumn(
         "record_no", F.monotonically_increasing_id()
     )
+    # real logs carry binary garbage inside statements (blob inserts,
+    # truncated multibyte chars); Spark's text source passes the raw
+    # bytes through, but the Arrow boundary into mapInPandas REQUIRES
+    # valid UTF-8 — the encode/decode round-trip substitutes U+FFFD
+    # JVM-side (documented divergence: the reference reads raw bytes)
+    raw = raw.withColumn("value", F.decode(F.encode("value", "UTF-8"), "UTF-8"))
 
     def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

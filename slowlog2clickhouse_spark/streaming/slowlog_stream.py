@@ -43,6 +43,8 @@ def read_slowlog_stream(spark: SparkSession, path: str) -> DataFrame:
         .option("pathGlobFilter", glob)
         .text(directory)
     )
+    # UTF-8 sanitize before the Arrow boundary (see sources/slowlog.py)
+    raw = raw.withColumn("value", F.decode(F.encode("value", "UTF-8"), "UTF-8"))
 
     def chunk(batches):
         for pdf in batches:

@@ -158,6 +158,24 @@ class TestFixtureCorpus:
         assert rows[0]["query"].endswith("body = 'line1")
         assert rows[1]["query"] == "SELECT 2"
 
+    def test_binary_and_truncated_statements(self, spark):
+        """Binary bytes inside a statement and an EOF-truncated record
+        must both yield events, never crash the parse stage. Invalid
+        UTF-8 arrives as U+FFFD replacement chars (spark.read.text is
+        UTF-8; the reference reads raw bytes — documented divergence),
+        and a truncated trailing statement parses as-is."""
+        ev = parse_slowlog(spark, os.path.join(FIXTURE_DIR, "slowlog_truncated.log"))
+        rows = ev.orderBy("ts").collect()
+        assert len(rows) == 2
+        assert rows[0]["query"].startswith("INSERT INTO blobs VALUES")
+        assert "binary-payload" in rows[0]["query"]
+        assert rows[0]["query_time"] == pytest.approx(0.03)
+        # truncated mid-IN-list: statement text survives to the comma
+        assert rows[1]["query"] == "SELECT c FROM t WHERE id IN (1, 2,"
+        # fingerprinting a truncated/binary statement still yields a digest
+        fp = with_fingerprint(ev)
+        assert fp.where(F.col("digest").isNull()).count() == 0
+
     def test_preamble_only_record_returns_none(self):
         assert (
             parse_record(
