@@ -175,6 +175,78 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_DUCK = (
+    f"cast(list_aggregate(list_transform({_TOKENS_DUCK}, "
+    "t -> cast(ceil(length(t) / 4.0) AS BIGINT)), 'sum') AS BIGINT)"
+)
+
+
+@op(
+    "corpus_curation",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, lang, text,
+             length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
+               / length(text) AS punct_ratio,
+             ({_HITS_SQL}) AS hits
+      FROM documents WHERE length(text) > 50),
+    kept AS (
+      SELECT * FROM quality WHERE punct_ratio < 0.2 AND hits >= 1),
+    survivors AS (
+      SELECT min(doc_id) AS doc_id
+      FROM kept GROUP BY md5(lower(trim(text))))
+    SELECT k.lang,
+           count(*) AS n_docs,
+           cast(sum({_BPE_DUCK.replace('text', 'k.text')}) AS BIGINT) AS total_bpe_tokens,
+           round(avg(length(k.text)), 4) AS avg_chars
+    FROM kept k JOIN survivors s ON k.doc_id = s.doc_id
+    GROUP BY 1
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data curation slice — the composite query an
+    LLM data pipeline actually runs, as ONE declarative plan:
+
+      1. quality gate (length > 50, punct_ratio < 0.2, ≥1 stopword hit)
+         — pure row filters, pushed to the scan;
+      2. exact dedup — group by content hash, survivor = min doc_id,
+         semi-joined back (shuffles carry the 32-byte hash + doc_id,
+         never text);
+      3. token budget — per-language doc counts, BPE-ish token totals,
+         avg length (the "what did curation keep" report).
+
+    At 100 TB each stage keeps its scale shape: filters prune before
+    the dedup shuffle, the survivor set is ids only, and the final agg
+    is |langs| rows. Swap stage 2's content hash for dedup_cluster's
+    verdict to go near-dup instead of exact."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 50)
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    hits = sum(
+        F.when(padded.like(f"% {w} %"), 1).otherwise(0) for w in _STOPWORDS
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")) * 1.0 / F.length("text")
+    )
+    kept = d.where((punct_ratio < 0.2) & (hits >= 1))
+    survivors = kept.groupBy(
+        F.md5(F.lower(F.trim("text"))).alias("content_hash")
+    ).agg(F.min("doc_id").alias("doc_id"))
+    bpe = F.aggregate(
+        F.transform(_tokens(), lambda t: F.ceil(F.length(t) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        kept.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(bpe).cast("long").alias("total_bpe_tokens"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        )
+    )
+
+
 @op("text_fingerprint_rolling")  # rows-only: engine-specific hash (G8)
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: polynomial rolling hash over token hashes

@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "slowlog_global",
     "vec_knn_ivf",
     "dedup_cluster",
+    "corpus_curation",
     # SURVEY §2 + extension ops with no round-1 driver row: oracle-checked
     "win_running_sum",
     "win_moving_avg_time",
