@@ -176,6 +176,20 @@ class TestFixtureCorpus:
         fp = with_fingerprint(ev)
         assert fp.where(F.col("digest").isNull()).count() == 0
 
+    def test_directory_scan_multiple_files(self, spark, tmp_path):
+        """A directory of log files (the 100 TB layout: one file per
+        host/rotation) parses as one DataFrame with globally unique
+        record_no and per-file record integrity."""
+        import shutil
+
+        for name in ("slowlog_rotation.log", "slowlog_ratelimit.log"):
+            shutil.copy(os.path.join(FIXTURE_DIR, name), tmp_path / name)
+        ev = parse_slowlog(spark, str(tmp_path)).cache()
+        assert ev.count() == 5  # 3 rotation + 2 rate-limit events
+        rn = [r["record_no"] for r in ev.select("record_no").collect()]
+        assert len(set(rn)) == 5  # monotonic ids never collide across files
+        assert ev.where(F.col("rate_limit") == 100).count() == 2
+
     def test_preamble_only_record_returns_none(self):
         assert (
             parse_record(
