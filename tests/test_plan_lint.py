@@ -1,0 +1,98 @@
+"""Sweeping physical-plan lint over EVERY registered operator — the
+scale contract as a test: no silent cartesian products, nested-loop
+joins only where a broadcast probe/dim is the intended design, no
+row-at-a-time Python UDFs outside the two ops that exist to cover that
+API surface. A new op that violates these fails CI the day it lands."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from slowlog2clickhouse_spark.registry import all_ops
+
+OPS = all_ops()
+
+# ops whose builder executes work eagerly (stream start, table writes)
+# or reads the fixture log — explain() would run jobs, lint separately
+EAGER = {
+    "join_bucketed_colocated",
+    "sink_parquet",
+    "sink_parquet_partitioned",
+    "sink_jdbc_clickhouse",
+    "scan_csv",
+    "stream_file_source",
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_late_data",
+    "sink_stream_foreachbatch",
+    "stream_slowlog_classes",
+    "stream_stateful_counter",
+    "dedup_cluster",  # iterative: builder runs label-propagation jobs
+}
+
+# intended nested-loop/cartesian designs: K-row broadcast probes/dims
+# (the nested loop IS the plan: tiny side × streamed corpus)
+ALLOW_NESTED_LOOP = {
+    "join_cross",  # small×small cartesian by definition
+    "vec_knn_topk",  # broadcast probe set (brute-force baseline)
+    "vec_knn_ivf",  # broadcast 16-row centroid table
+    "dedup_embedding_cosine",  # bounded-window range join (oracle op)
+    "text_tfidf",  # broadcast 1-row corpus-size factor
+}
+
+LAZY_OPS = sorted(set(OPS) - EAGER)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name in LAZY_OPS:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            OPS[name].fn(spark, sf_dir).explain("formatted")
+        out[name] = buf.getvalue()
+    return out
+
+
+def test_no_unexpected_cartesian_product(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if "CartesianProduct" in p and n not in ALLOW_NESTED_LOOP
+    ]
+    assert not bad, f"cartesian product leaked into: {bad}"
+
+
+def test_nested_loop_joins_only_where_designed(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in ALLOW_NESTED_LOOP
+    ]
+    assert not bad, f"unexpected BroadcastNestedLoopJoin in: {bad}"
+
+
+def test_no_row_python_udf_outside_api_surface_ops(plans):
+    # BatchEvalPython = row-at-a-time Python UDF; only the op that
+    # exists to cover that API may use it
+    bad = [
+        n
+        for n, p in plans.items()
+        if "BatchEvalPython" in p
+        and n not in ("udf_fingerprint_py", "udtf_parse_slowlog")
+    ]
+    assert not bad, f"row-at-a-time Python UDF in hot path: {bad}"
+
+
+def test_parquet_scans_prune_columns(plans):
+    """Every lazy op that scans lineitem must NOT read all 11 columns
+    unless it genuinely projects them (spot-check: ops over lineitem
+    whose result uses ≤3 lineitem columns)."""
+    p = plans["project_select"]
+    read = [line for line in p.splitlines() if "ReadSchema" in line]
+    assert read and "l_comment" not in read[0]
