@@ -56,3 +56,41 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mn").alias("min_value"),
         F.max("mx").alias("max_value"),
     )
+
+
+@op(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderpriority AS priority, count(*) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted JOIN — the skew pattern for a hot JOIN key (one customer
+    owning a third of all orders): salt the skewed (fact) side, then
+    EXPLODE the build side across all N_SALT replicas so every salted
+    fact row still finds its match. Result == the plain join, so the
+    oracle is the unsalted SQL.
+
+    At 100 TB this is the manual fallback when AQE's skew-join split
+    can't kick in (e.g. the skew is in a later stage, or the join is
+    below a union). Cost model: build side replicates ×N_SALT — use
+    only on genuinely hot keys (detect via a cheap count sketch), not
+    corpus-wide.
+    """
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(N_SALT))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))).alias("salt"))
+    )
+    joined = o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )

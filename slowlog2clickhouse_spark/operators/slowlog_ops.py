@@ -105,6 +105,37 @@ def slowlog_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregate_global(events)
 
 
+@op("slowlog_classes_approx")  # rows-only: sketch percentiles (G8)
+def slowlog_classes_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB default for the class pipeline:
+    ``percentiles='approx'`` swaps exact per-group value buffers for
+    approx_percentile sketches (bounded memory per group regardless of
+    class size). tests/test_slowlog.py bounds its drift vs the exact
+    pipeline."""
+    return ingest_slowlog(spark, FIXTURE_LOG, percentiles="approx")
+
+
+@op("slowlog_parse_stats")  # rows-only: observability, golden-tested
+def slowlog_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse-quality accounting — the reference logs skipped/partial
+    events; here it is a one-row DataFrame a monitoring job can sink:
+    totals of events, admin commands, unparseable (no ts), rate-limited
+    sessions, and records carrying unknown `# Key:` pairs."""
+    ev = parse_slowlog(spark, FIXTURE_LOG)
+
+    def tally(cond):  # count_if with NULL-as-false (sum of all-NULL is NULL)
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0))
+
+    return ev.agg(
+        F.count("*").alias("n_events"),
+        tally(F.col("admin")).alias("n_admin"),
+        tally(F.col("ts").isNull()).alias("n_no_ts"),
+        tally(F.col("query").isNull()).alias("n_no_query"),
+        tally(F.col("rate_limit") > 1).alias("n_rate_limited"),
+        tally(F.size("extra_metrics") > 0).alias("n_extra_kv"),
+    )
+
+
 @op("slowlog_top_digests")  # rows-only
 def slowlog_top_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The M2 slice: top-10 digests by total query time — what QAN

@@ -67,6 +67,9 @@ _PRIORITY: tuple[str, ...] = (
     "vec_knn_ivf",
     "dedup_cluster",
     "corpus_curation",
+    "join_salted_skew",
+    "slowlog_classes_approx",
+    "slowlog_parse_stats",
     # SURVEY §2 + extension ops with no round-1 driver row: oracle-checked
     "win_running_sum",
     "win_moving_avg_time",

@@ -308,6 +308,40 @@ class TestClassAggregation:
             == with_labels
         )
 
+    def test_approx_classes_bounded_drift(self, classes, spark):
+        """percentiles='approx' (the 100 TB default) must track the
+        exact pipeline: identical non-percentile columns, med/p95
+        within the sketch's accuracy on every class."""
+        approx = ingest_slowlog(spark, FIXTURE_LOG, percentiles="approx")
+        key = ["digest", "period_start"]
+        a = {tuple(r[k] for k in key): r for r in approx.collect()}
+        e = {tuple(r[k] for k in key): r for r in classes.collect()}
+        assert a.keys() == e.keys()
+        for k in e:
+            assert a[k]["num_queries"] == e[k]["num_queries"]
+            assert a[k]["m_query_time_sum"] == e[k]["m_query_time_sum"]
+            lo, hi = e[k]["m_query_time_min"], e[k]["m_query_time_max"]
+            for col in ("m_query_time_med", "m_query_time_p95"):
+                ex, ap = e[k][col], a[k][col]
+                # approx returns an actual sample; exact interpolates —
+                # for tiny classes they legitimately differ by up to the
+                # class spread, so the hard bound is [min, max], and the
+                # tight 25% bound applies once there are enough values
+                assert lo <= ap <= hi, (k, col, ex, ap)
+                if e[k]["num_queries"] >= 10:
+                    assert abs(ap - ex) <= max(0.25 * abs(ex), 0.05), (k, col, ex, ap)
+
+    def test_parse_stats_golden(self, spark):
+        from slowlog2clickhouse_spark.registry import all_ops
+
+        stats = all_ops()["slowlog_parse_stats"].fn(spark, "").collect()[0]
+        assert stats["n_events"] == 1000
+        assert stats["n_no_ts"] == 0
+        assert stats["n_admin"] > 0
+        assert stats["n_extra_kv"] > 0
+        # generated fixture has no rate-limit headers
+        assert stats["n_rate_limited"] == 0
+
     def test_global_rollup_conserves_counts(self, classes, spark):
         """Result.Global analog: per-period global rows carry the same
         event totals as the sum of the per-class rows."""
