@@ -78,6 +78,9 @@ EXTRA_OPS = (
     # scale-safe rewrite of q_semi_anti (same result, hash joins instead
     # of the BNLJ ExistenceJoin) — reported beside the verbatim gate row
     "q_semi_anti_rewrite",
+    # round-2 LLM-pipeline headliners
+    "corpus_curation",
+    "dedup_cluster",
 )
 
 
@@ -107,6 +110,8 @@ def main() -> None:
         "vec_knn_topk": lambda: ops["vec_knn_topk"].fn(spark, sf_dir),
         "text_tfidf": lambda: ops["text_tfidf"].fn(spark, sf_dir),
         "q_semi_anti_rewrite": lambda: ops["join_semi_anti_rewrite"].fn(spark, sf_dir),
+        "corpus_curation": lambda: ops["corpus_curation"].fn(spark, sf_dir),
+        "dedup_cluster": lambda: ops["dedup_cluster"].fn(spark, sf_dir),
     }
     for name in EXTRA_OPS:
         results[name] = round(time_df(extra_builders[name]), 4)

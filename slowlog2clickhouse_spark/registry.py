@@ -126,6 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     "sink_stream_foreachbatch",
     "stream_slowlog_classes",
     "stream_stateful_counter",
+    "stream_slowlog_to_jdbc",
 )
 
 

@@ -105,6 +105,55 @@ def stream_slowlog_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(s, "complete")
 
 
+@op("stream_slowlog_to_jdbc")  # rows-only; end-to-end integration
+def stream_slowlog_to_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE full reference deployment shape, end to end: tail the slow
+    log → parse → fingerprint → watermarked 1-minute classes →
+    foreachBatch JDBC batched INSERT — executed here against the
+    embedded Derby on Spark's classpath (production swaps the URL and
+    driver for ClickHouse; sinks/jdbc.py generates that DDL). Returns
+    the JDBC read-back so the driver row-checks actual sunk rows."""
+    import os
+    import shutil
+
+    from slowlog2clickhouse_spark.operators.slowlog_ops import _TMP, FIXTURE_LOG
+    from slowlog2clickhouse_spark.sinks.jdbc import write_jdbc
+
+    base = f"{_TMP}/slowlog_jdbc_{os.getpid()}_{next(_counter)}"
+    shutil.rmtree(base, ignore_errors=True)
+    url = f"jdbc:derby:{base}/db;create=true"
+    derby = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    classes = stream_classes(read_slowlog_stream(spark, FIXTURE_LOG))
+
+    def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        write_jdbc(
+            batch_df.withColumn("epoch", F.lit(epoch_id)),
+            url,
+            "CLASSES",
+            mode="overwrite",  # complete mode re-emits the full state
+            driver=derby,
+            dialect=None,
+            num_partitions=4,
+        )
+
+    q = (
+        classes.writeStream.foreachBatch(sink_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "CLASSES")
+        .option("driver", derby)
+        .load()
+    )
+
+
 @op("stream_stateful_counter")  # rows-only; invariants tested
 def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running

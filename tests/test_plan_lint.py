@@ -32,6 +32,7 @@ EAGER = {
     "sink_stream_foreachbatch",
     "stream_slowlog_classes",
     "stream_stateful_counter",
+    "stream_slowlog_to_jdbc",
     "dedup_cluster",  # iterative: builder runs label-propagation jobs
 }
 

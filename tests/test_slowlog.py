@@ -289,6 +289,27 @@ class TestClassAggregation:
         assert back.count() == classes.count()
         assert "period_date" in back.columns
 
+    def test_sink_partition_pruning(self, classes, tmp_path, spark):
+        """The MergeTree-mirror layout must actually prune: a
+        period_date filter on the read-back shows PartitionFilters and
+        scans a subset of partition directories."""
+        import contextlib
+        import io
+
+        from slowlog2clickhouse_spark.plans.pipeline import sink_classes_parquet
+
+        out = os.path.join(str(tmp_path), "classes_prune")
+        sink_classes_parquet(classes, out)
+        back = spark.read.parquet(out)
+        one_day = back.where(F.col("period_date") == "2024-01-01")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            one_day.explain("formatted")
+        p = buf.getvalue()
+        assert "PartitionFilters" in p
+        assert "period_date" in p.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+        assert one_day.count() > 0
+
     def test_labels_survive_to_sink_schema(self, classes, tmp_path, spark):
         """The qan-api2 D5 labels column: extra `# Key: value` pairs
         reach the class table AND the sink, typed map<string,string>."""
