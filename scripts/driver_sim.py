@@ -71,6 +71,14 @@ def main() -> int:
                 )
                 kind = "oracle"
             else:
+                # mimic the real driver: its pandas canonicalizer runs
+                # on EVERY result (rows-only included) and crashes on
+                # unhashable cells — r01 lost mm_decode_features to
+                # exactly this, so reproduce the sort here
+                if srows:
+                    import pandas as pd
+
+                    pd.DataFrame(srows, columns=scols).sort_values(by=scols)
                 ok = len(srows) >= 0
                 kind = "rows-only"
         except Exception as exc:  # driver records failures, not crashes

@@ -56,11 +56,19 @@ def scan_text_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _driver_safe(events: DataFrame) -> DataFrame:
+    """JSON-encode map columns for driver-facing results: the driver's
+    pandas canonicalizer cannot sort/hash dict cells (same failure
+    class as round-1's mm_decode_features array crash). Internal
+    consumers keep the typed map."""
+    return events.withColumn("extra_metrics", F.to_json("extra_metrics"))
+
+
 @op("map_in_pandas_chunker")  # rows-only: golden-tested
 def map_in_pandas_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched record parser (mapInPandas) — the reference's
     state machine as a partition-streaming transform."""
-    return parse_slowlog(spark, FIXTURE_LOG)
+    return _driver_safe(parse_slowlog(spark, FIXTURE_LOG))
 
 
 @op("udtf_parse_slowlog")  # rows-only: golden-tested
@@ -80,8 +88,10 @@ def udtf_parse_slowlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register("parse_slowlog_udtf", ParseSlowlog)
     records = read_slowlog_records(spark, FIXTURE_LOG)
     records.createOrReplaceTempView("slowlog_records")
-    return spark.sql(
-        "SELECT t.* FROM slowlog_records r, LATERAL parse_slowlog_udtf(r.value) t"
+    return _driver_safe(
+        spark.sql(
+            "SELECT t.* FROM slowlog_records r, LATERAL parse_slowlog_udtf(r.value) t"
+        )
     )
 
 
@@ -90,7 +100,8 @@ def slowlog_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END reference pipeline: parse → fingerprint/digest →
     1-minute class aggregation with full stat battery (cnt/sum/min/
     max/avg/med/p95/p99 + bool sums + worst-execution example)."""
-    return ingest_slowlog(spark, FIXTURE_LOG)
+    classes = ingest_slowlog(spark, FIXTURE_LOG)
+    return classes.withColumn("labels", F.to_json("labels"))
 
 
 @op("slowlog_global")  # rows-only: pipeline output, golden-tested
@@ -102,7 +113,7 @@ def slowlog_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
 
     events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG))
-    return aggregate_global(events)
+    return aggregate_global(events).withColumn("labels", F.to_json("labels"))
 
 
 @op("slowlog_classes_approx")  # rows-only: sketch percentiles (G8)
@@ -112,7 +123,8 @@ def slowlog_classes_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile sketches (bounded memory per group regardless of
     class size). tests/test_slowlog.py bounds its drift vs the exact
     pipeline."""
-    return ingest_slowlog(spark, FIXTURE_LOG, percentiles="approx")
+    classes = ingest_slowlog(spark, FIXTURE_LOG, percentiles="approx")
+    return classes.withColumn("labels", F.to_json("labels"))
 
 
 @op("slowlog_parse_stats")  # rows-only: observability, golden-tested

@@ -97,39 +97,46 @@ def vec_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroids(e: DataFrame) -> DataFrame:
+    """Per-label mean vector as (label, centroid array<double>) —
+    order-preserving reassembly via sort_array(collect_list(struct)).
+    INTERNAL form: array columns crash the driver's pandas
+    canonicalizer, so the registered op below emits the long form."""
+    comp = e.select("label", F.posexplode(_emb_double())).select(
+        "label", F.col("pos"), F.col("col").alias("v")
+    )
+    avgs = comp.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("comp"))
+    return avgs.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "comp"))),
+            lambda s: s.comp,
+        ).alias("centroid")
+    )
+
+
 @op(
     "vec_centroid",
     oracle="""
-    SELECT label, list(comp ORDER BY pos) AS centroid FROM (
-      SELECT label, pos, round(avg(v), 6) AS comp FROM (
-        SELECT label, unnest(embedding) AS v,
-               generate_subscripts(embedding, 1) AS pos
-        FROM embeddings) t
-      GROUP BY 1, 2) g
-    GROUP BY 1
+    SELECT label, cast(pos AS BIGINT) AS pos, round(avg(v), 6) AS comp FROM (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings) t
+    GROUP BY 1, 2
     """,
 )
 def vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label mean vector: posexplode → (label,pos) avg →
-    order-preserving reassembly via sort_array(collect_list(struct)).
+    """Per-label mean vector, emitted LONG (label, pos, comp) — one
+    row per vector component, every column scalar (driver-hashable;
+    ``label_centroids`` reassembles the array form for consumers).
 
     Scale: shuffle cardinality is |labels| × dim (tiny); the explode
     is map-side. This is the pattern for any elementwise vector agg.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    comp = e.select(
-        "label", F.posexplode(_emb_double())
-    ).select("label", F.col("pos"), F.col("col").alias("v"))
-    avgs = comp.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("comp"))
-    return (
-        avgs.groupBy("label")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "comp"))),
-                lambda s: s.comp,
-            ).alias("centroid")
-        )
+    comp = e.select("label", F.posexplode(_emb_double())).select(
+        "label", (F.col("pos") + 1).cast("long").alias("pos"), F.col("col").alias("v")
     )
+    return comp.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("comp"))
 
 
 IVF_K = 16  # coarse cells (≈√n at test SF; ~4096 at corpus scale)

@@ -1,0 +1,47 @@
+"""Driver-compat guard: the external driver canonicalizes EVERY result
+(including rows-only ops) with pandas sort/factorize, which crashes on
+unhashable cells — so no registered op may emit array/map/struct
+columns. Round 1 lost two ops to exactly this; this test makes the
+class of bug unrepresentable."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from slowlog2clickhouse_spark.registry import all_ops
+
+OPS = all_ops()
+
+# builders that execute real work (streams, table/JDBC writes,
+# iterative jobs) — schema-checked in the full driver_sim runs instead
+# of per-test here, to keep this guard fast
+HEAVY = {
+    "stream_slowlog_to_jdbc",
+    "sink_jdbc_clickhouse",
+    "join_bucketed_colocated",
+    "dedup_cluster",
+    "stream_file_source",
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_late_data",
+    "sink_stream_foreachbatch",
+    "stream_slowlog_classes",
+    "stream_stateful_counter",
+}
+
+
+@pytest.mark.parametrize("name", sorted(set(OPS) - HEAVY))
+def test_no_complex_typed_output_columns(spark, name):
+    df = OPS[name].fn(spark, "/root/testdata/sf0.001")
+    bad = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name} emits driver-unhashable columns {bad}; JSON-encode or "
+        "explode them in the registered op (keep the typed form internal)"
+    )
