@@ -10,6 +10,7 @@ from slowlog2clickhouse_spark.operators import (  # noqa: F401
     skew,
     slowlog_ops,
     text,
+    timeseries,
     udfs,
     vector,
 )

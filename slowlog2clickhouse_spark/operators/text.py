@@ -247,6 +247,100 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns — restricted to the Java-regex ∩ RE2 portable subset
+# (\d, \b, bounded repeats; no lookaround) so Spark and DuckDB see the
+# same language. Order matters: emails first (they contain digit runs),
+# then IPs, then bare long digit runs.
+_PII = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("longnum", r"\b\d{6,}\b", "<NUM>"),
+)
+
+
+def scrub_pii(col):
+    """Chained redaction of the _PII patterns over a lowercased column
+    (the reusable transform; the registered op below adds counts)."""
+    out = F.lower(col)
+    for _, pat, repl in _PII:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def _pii_oracle() -> str:
+    scrub = "lower(text)"
+    for _, pat, repl in _PII:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"cast(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in _PII
+    )
+    return f"""
+    SELECT doc_id, md5({scrub}) AS scrubbed_md5, {counts}
+    FROM documents
+    """
+
+
+@op("text_pii_scrub", oracle=_pii_oracle())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails / IPv4s / long digit runs replaced by
+    typed placeholders, plus per-doc match counts — the scrub every
+    pre-training pipeline runs before tokenization. Pure regexp
+    expressions (codegen'd, no Python); emitted as md5 of the scrubbed
+    text so the result is driver-hashable and diff-able."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = [
+        F.regexp_count(F.lower("text"), F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in _PII
+    ]
+    return d.select("doc_id", F.md5(scrub_pii(F.col("text"))).alias("scrubbed_md5"), *counts)
+
+
+@op(
+    "text_repetition",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS token FROM documents),
+    wc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT doc_id,
+           cast(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           cast(max(c) AS BIGINT) AS top_count,
+           count(*) * 1.0 / cast(sum(c) AS BIGINT) AS distinct_ratio,
+           cast(max(c) AS BIGINT) * 1.0 / cast(sum(c) AS BIGINT) AS top_word_fraction,
+           cast(count(*) * 1.0 / cast(sum(c) AS BIGINT) > 0.3
+                AND cast(max(c) AS BIGINT) * 1.0 / cast(sum(c) AS BIGINT) < 0.2
+                AS BIGINT) AS keep
+    FROM wc GROUP BY 1
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher-rule style): distinct
+    token ratio and most-frequent-token fraction per document, plus the
+    keep/drop verdict (distinct_ratio > 0.3 AND top_word_fraction <
+    0.2). Two partial-agg'd shuffles — (doc_id, token) then doc_id —
+    carrying only ids and counts; ratios are int/int divisions, so
+    bit-identical cross-engine with no rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    wc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    distinct_ratio = F.col("n_distinct") * 1.0 / F.col("n_tokens")
+    top_frac = F.col("top_count") * 1.0 / F.col("n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_count",
+        distinct_ratio.alias("distinct_ratio"),
+        top_frac.alias("top_word_fraction"),
+        ((distinct_ratio > 0.3) & (top_frac < 0.2)).cast("long").alias("keep"),
+    )
+
+
 @op("text_fingerprint_rolling")  # rows-only: engine-specific hash (G8)
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: polynomial rolling hash over token hashes

@@ -1,0 +1,142 @@
+"""Time-series operators — QAN-style dashboard queries over `events`.
+
+The reference's front-end charts sparse per-class counters on a dense
+time axis and compares adjacent periods (qan-api2 metrics endpoints,
+SURVEY §1.2 [R:M]). These ops are the engine-side building blocks:
+dense spine + last-observation-carried-forward gap fill, week-over-week
+deltas, and mergeable-sketch distinct counting (daily HLL sketches that
+union to any coarser grain without rescanning — the 100-TB pattern for
+"unique users this month" panels).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.registry import op
+
+
+@op(
+    "time_gapfill_locf",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, cast(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             min(value) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, generate_series(min(h), max(h), INTERVAL 1 HOUR) AS hs
+      FROM obs GROUP BY 1),
+    spine AS (SELECT user_id, unnest(hs) AS h FROM spans)
+    SELECT s.user_id, s.h,
+           last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf,
+           cast(o.v IS NOT NULL AS BIGINT) AS observed
+    FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.h = o.h
+    """,
+)
+def time_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly spine per user + last-observation-carried-forward.
+
+    Sparse observations (min value per present hour) are joined onto a
+    generated per-user `sequence(min_h, max_h, 1 hour)` spine, then
+    gaps fill with `last(v, ignorenulls)` over an ordered window — the
+    standard gap-fill/interpolate operator of time-series engines,
+    composed from sequence/explode/window (no UDF).
+
+    Scale: the spine explode is map-side from a |users|-row agg; the
+    join and window both partition on user_id, so one shuffle services
+    both (AQE coalesces). Per-user span is bounded by the retention
+    window, so no partition can blow up.
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    obs = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.min("value").alias("v"))
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    return spine.join(obs, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        F.last("v", ignorenulls=True).over(w).alias("v_locf"),
+        F.col("v").isNotNull().cast("long").alias("observed"),
+    )
+
+
+@op(
+    "qan_compare_periods",
+    oracle="""
+    WITH wk AS (
+      SELECT event_type, cast(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             count(*) AS cnt, round(sum(value), 4) AS total
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, week, cnt, total,
+           lag(cnt) OVER w AS prev_cnt,
+           cnt - lag(cnt) OVER w AS cnt_delta,
+           round((cnt - lag(cnt) OVER w) * 100.0 / lag(cnt) OVER w, 4)
+             AS cnt_pct_change
+    FROM wk WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    """,
+)
+def qan_compare_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period comparison: weekly rollup per class, then
+    lag() deltas and percent change — the reference UI's "compare with
+    previous period" view as one plan (agg shuffle on the class key,
+    window over |classes|×|weeks| rows, which is tiny post-agg)."""
+    e = load_table(spark, sf_dir, "events")
+    wk = e.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week")
+    ).agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total"))
+    w = W.partitionBy("event_type").orderBy("week")
+    prev = F.lag("cnt").over(w)
+    return wk.select(
+        "event_type",
+        "week",
+        "cnt",
+        "total",
+        prev.alias("prev_cnt"),
+        (F.col("cnt") - prev).alias("cnt_delta"),
+        F.round((F.col("cnt") - prev) * 100.0 / prev, 4).alias("cnt_pct_change"),
+    )
+
+
+@op("agg_hll_daily_merge")  # rows-only: sketch estimates are engine-specific (G8)
+def agg_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: one Datasketches HLL per day
+    (`hll_sketch_agg`), unioned to the whole-period estimate with
+    `hll_union_agg` — no second scan of the raw events.
+
+    This is THE 100-TB distinct-counting pattern: daily sketches are a
+    few KB each, so any rollup grain (week/month/all) is a merge over
+    |days| rows instead of a count-distinct shuffle over the corpus.
+    tests/test_approx.py bounds the estimate error against the exact
+    count. Output is day-grain rows plus one total row (day NULL).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    per_day = daily.select(
+        "day",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    ).crossJoin(
+        e.agg(F.count_distinct("user_id").alias("exact_users"))
+    ).select(F.lit(None).cast("timestamp").alias("day"), "est_users", "exact_users")
+    return per_day.unionByName(total)

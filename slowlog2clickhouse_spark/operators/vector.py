@@ -280,3 +280,73 @@ def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").desc(), F.col("cand_id").asc()
     )
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+
+
+@op("vec_quantize_int8")  # rows-only: libm-dependent cosine (G8)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization fidelity: per-dimension corpus min/max
+    → 8-bit codes → dequantize → cosine(original, reconstruction).
+
+    The memory/bandwidth lever for ANN at scale — int8 codes cut the
+    corpus footprint 4× (float32) before any index structure, which is
+    what makes 100-TB embedding sets shuffle-able at all. Everything is
+    higher-order functions: the dim-stats table is ONE row of two
+    arrays (posexplode → per-pos min/max → ordered reassembly) and is
+    broadcast; quantize/dequantize are `transform` lambdas using the
+    element index; no Python, no collect. tests/test_vector.py pins
+    reconstruction fidelity > 0.995 and code range ⊆ [0, 255].
+
+    Output per vector: the cosine between original and reconstruction
+    (rounded 6) plus the max absolute per-component error.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    with_e = e.select("vec_id", _emb_double().alias("ed"))
+    comp = with_e.select("vec_id", F.posexplode("ed")).select(
+        "pos", F.col("col").alias("v")
+    )
+    stats = (
+        comp.groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mn"))), lambda s: s.mn
+            ).alias("mins"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mx"))), lambda s: s.mx
+            ).alias("maxs"),
+        )
+        .select(
+            "mins",
+            F.zip_with(
+                "maxs", "mins", lambda hi, lo: F.greatest(hi - lo, F.lit(1e-9))
+            ).alias("rng"),
+        )
+    )
+    # 2-param transform lambda receives (element, index) — used here to
+    # index the broadcast per-dimension stats arrays
+    quant = F.transform(
+        "ed",
+        lambda x, i: F.round(
+            (x - F.element_at("mins", i + 1)) / F.element_at("rng", i + 1) * 255
+        ).cast("int"),
+    )
+    deq = F.transform(
+        "codes",
+        lambda q, i: F.element_at("mins", i + 1)
+        + q.cast("double") / 255 * F.element_at("rng", i + 1),
+    )
+    coded = with_e.join(F.broadcast(stats)).select(
+        "vec_id", "ed", "mins", "rng", quant.alias("codes")
+    )
+    recon = coded.select("vec_id", "ed", "codes", deq.alias("dq"))
+    max_err = F.array_max(
+        F.zip_with("ed", "dq", lambda a, b: F.abs(a - b))
+    )
+    return recon.select(
+        "vec_id",
+        F.round(cosine(F.col("ed"), F.col("dq")), 6).alias("cos_fidelity"),
+        F.round(max_err, 6).alias("max_abs_err"),
+        F.array_min("codes").cast("long").alias("code_min"),
+        F.array_max("codes").cast("long").alias("code_max"),
+    )

@@ -70,6 +70,14 @@ _PRIORITY: tuple[str, ...] = (
     "join_salted_skew",
     "slowlog_classes_approx",
     "slowlog_parse_stats",
+    # new since round 2 scoring — need fresh driver rows
+    "time_gapfill_locf",
+    "qan_compare_periods",
+    "text_pii_scrub",
+    "text_repetition",
+    "agg_hll_daily_merge",
+    "vec_quantize_int8",
+    "scan_jdbc",
     # SURVEY §2 + extension ops with no round-1 driver row: oracle-checked
     "win_running_sum",
     "win_moving_avg_time",

@@ -19,6 +19,7 @@ OPS = all_ops()
 HEAVY = {
     "stream_slowlog_to_jdbc",
     "sink_jdbc_clickhouse",
+    "scan_jdbc",
     "join_bucketed_colocated",
     "dedup_cluster",
     "stream_file_source",

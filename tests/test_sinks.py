@@ -82,3 +82,21 @@ class TestJdbcRoundtrip:
         got = {(r["k"], r["v"], r["tag"]) for r in back.collect()}
         want = {(i, i * 2.5, f"row{i}") for i in range(100)}
         assert got == want
+
+
+def test_scan_jdbc_roundtrip_matches_parquet(spark, sf_dir):
+    """The registered scan_jdbc op (Derby write + JDBC read-back) must
+    return exactly the parquet nation rows with lowercase columns."""
+    from slowlog2clickhouse_spark.io import load_table
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    back = all_ops()["scan_jdbc"].fn(spark, sf_dir)
+    assert back.columns == ["n_nationkey", "n_name", "n_regionkey"]
+    got = {tuple(r) for r in back.collect()}
+    want = {
+        tuple(r)
+        for r in load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    }
+    assert got == want

@@ -1,0 +1,82 @@
+"""PII scrub and repetition-signal semantics on crafted rows plus
+invariants over the real documents table (SURVEY.md §2 L)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from slowlog2clickhouse_spark.operators.text import _PII, scrub_pii
+from slowlog2clickhouse_spark.registry import all_ops
+
+OPS = all_ops()
+
+
+def test_scrub_pii_crafted(spark):
+    df = spark.createDataFrame(
+        [
+            ("Contact John.Doe+x@Example.COM now", "contact <EMAIL> now"),
+            ("src 10.0.0.1 dst 192.168.255.254", "src <IP> dst <IP>"),
+            ("card 1234567890 pin 12345", "card <NUM> pin 12345"),
+            ("mixed a@b.io at 8.8.8.8 id 999999", "mixed <EMAIL> at <IP> id <NUM>"),
+            ("clean text stays clean", "clean text stays clean"),
+        ],
+        "text string, want string",
+    )
+    got = df.select("want", scrub_pii(F.col("text")).alias("got")).collect()
+    for r in got:
+        assert r["got"] == r["want"]
+
+
+def test_scrub_pii_counts_match_patterns(spark):
+    df = spark.createDataFrame(
+        [("a@b.io and c@d.net via 1.2.3.4 ref 77777777",)], "text string"
+    )
+    counts = df.select(
+        *[
+            F.regexp_count(F.lower("text"), F.lit(pat)).alias(name)
+            for name, pat, _ in _PII
+        ]
+    ).collect()[0]
+    assert counts["email"] == 2 and counts["ip"] == 1 and counts["longnum"] == 1
+
+
+def test_pii_scrub_op_is_total(spark, sf_dir):
+    """Every document gets a row; md5 output is 32 hex chars."""
+    rows = OPS["text_pii_scrub"].fn(spark, sf_dir).collect()
+    from slowlog2clickhouse_spark.io import load_table
+
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    assert all(len(r["scrubbed_md5"]) == 32 for r in rows)
+
+
+def test_repetition_invariants_and_keep_rule(spark, sf_dir):
+    rows = OPS["text_repetition"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_distinct"] <= r["n_tokens"]
+        assert 1 <= r["top_count"] <= r["n_tokens"]
+        assert abs(r["distinct_ratio"] - r["n_distinct"] / r["n_tokens"]) < 1e-12
+        assert abs(r["top_word_fraction"] - r["top_count"] / r["n_tokens"]) < 1e-12
+        want_keep = int(r["distinct_ratio"] > 0.3 and r["top_word_fraction"] < 0.2)
+        assert r["keep"] == want_keep
+
+
+def test_repetition_flags_degenerate_doc(spark):
+    """A one-token-repeated doc must be dropped, a diverse one kept —
+    run the same expressions the op uses over crafted docs."""
+    from slowlog2clickhouse_spark.operators.text import _tokens
+
+    df = spark.createDataFrame(
+        [(1, "spam " * 50), (2, "the quick brown fox jumps over lazy dogs daily")],
+        "doc_id long, text string",
+    )
+    tok = df.select("doc_id", F.explode(_tokens()).alias("token"))
+    wc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("d"), F.max("c").alias("m")
+    )
+    got = {
+        r["doc_id"]: (r["d"] / r["n"] > 0.3 and r["m"] / r["n"] < 0.2)
+        for r in agg.collect()
+    }
+    assert got == {1: False, 2: True}

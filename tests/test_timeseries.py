@@ -1,0 +1,85 @@
+"""Time-series op semantics: dense LOCF spine, period deltas, and
+mergeable-HLL accuracy bounds (SURVEY.md §2 L)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from slowlog2clickhouse_spark.registry import all_ops
+
+OPS = all_ops()
+
+HOUR = 3600
+
+
+def test_gapfill_spine_is_dense_and_locf_total(spark, sf_dir):
+    rows = OPS["time_gapfill_locf"].fn(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    assert by_user, "gapfill produced no rows"
+    for user, urows in by_user.items():
+        hours = sorted(r["h"].timestamp() for r in urows)
+        # spine is dense: every hour between min and max present exactly once
+        assert len(hours) == int((hours[-1] - hours[0]) / HOUR) + 1, user
+        assert len(set(hours)) == len(hours), user
+        # first spine hour comes from an observation, so LOCF never has
+        # a leading NULL — and carrying forward means none at all
+        assert all(r["v_locf"] is not None for r in urows), user
+        # filled rows must carry the value of the latest observed hour
+        urows.sort(key=lambda r: r["h"])
+        carried = None
+        for r in urows:
+            if r["observed"] == 1:
+                carried = r["v_locf"]
+            else:
+                assert r["v_locf"] == carried, (user, r["h"])
+
+
+def test_gapfill_observed_matches_raw_buckets(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from slowlog2clickhouse_spark.io import load_table
+
+    rows = OPS["time_gapfill_locf"].fn(spark, sf_dir).collect()
+    observed = sum(r["observed"] for r in rows)
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert observed == raw
+
+
+def test_compare_periods_delta_consistency(spark, sf_dir):
+    rows = OPS["qan_compare_periods"].fn(spark, sf_dir).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    for et, trows in by_type.items():
+        trows.sort(key=lambda r: r["week"])
+        assert trows[0]["prev_cnt"] is None and trows[0]["cnt_delta"] is None
+        for prev, cur in zip(trows, trows[1:]):
+            assert cur["prev_cnt"] == prev["cnt"], et
+            assert cur["cnt_delta"] == cur["cnt"] - prev["cnt"], et
+            expect_pct = round((cur["cnt"] - prev["cnt"]) * 100.0 / prev["cnt"], 4)
+            assert abs(cur["cnt_pct_change"] - expect_pct) < 1e-9, et
+
+
+def test_hll_daily_merge_error_bound(spark, sf_dir):
+    """Datasketches HLL at the default lgk is ~2% relative error; bound
+    at 5% (floor of 2 absolute for tiny groups) per day AND for the
+    merged whole-period row."""
+    rows = OPS["agg_hll_daily_merge"].fn(spark, sf_dir).collect()
+    total_rows = [r for r in rows if r["day"] is None]
+    assert len(total_rows) == 1
+    for r in rows:
+        assert abs(r["est_users"] - r["exact_users"]) <= max(
+            0.05 * r["exact_users"], 2
+        ), (r["day"], r["est_users"], r["exact_users"])
+    # the merged estimate must cover at least the biggest single day
+    # (unions never shrink a sketch)
+    day_max = max(r["est_users"] for r in rows if r["day"] is not None)
+    assert total_rows[0]["est_users"] >= day_max

@@ -80,3 +80,17 @@ def test_ivf_plan_no_cartesian(spark, sf_dir):
     # probe-candidate matching must be the cell equi-join
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_int8_quantization_fidelity(spark, sf_dir):
+    """int8 codes must stay in [0, 255] and reconstruct vectors at
+    cosine fidelity > 0.995 (the threshold below which int8 ANN recall
+    visibly degrades); max per-component error is bounded by one code
+    step over the observed dimension range."""
+    rows = OPS["vec_quantize_int8"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["code_min"] <= r["code_max"] <= 255, r["vec_id"]
+        assert r["cos_fidelity"] > 0.995, (r["vec_id"], r["cos_fidelity"])
+        # one quantization step of a unit-ish embedding range; generous lid
+        assert r["max_abs_err"] < 0.05, (r["vec_id"], r["max_abs_err"])
