@@ -336,6 +336,11 @@ def connected_components(
     ).unionByName(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    # materialize the edge list ONCE — every iteration joins against it,
+    # and without this each round would re-run the whole candidate
+    # generation upstream (minhash banding is ~40% of dedup_cluster's
+    # wall time per round when left lazy)
+    both = both.localCheckpoint(eager=True)
     nodes = both.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     labels = labels.localCheckpoint(eager=True)

@@ -247,6 +247,69 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# training-mix fractions per language stratum (en-heavy, the usual shape)
+_MIX = {"en": 0.5, "de": 0.3}
+_MIX_DEFAULT = 0.2
+_MIX_DUCK = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX.items())
+    + f" ELSE {_MIX_DEFAULT} END"
+)
+
+
+@op(
+    "sample_stratified",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS stratum_n
+      FROM documents)
+    SELECT doc_id, lang, cast(rn AS BIGINT) AS rn,
+           cast(stratum_n AS BIGINT) AS stratum_n
+    FROM ranked
+    WHERE rn <= ceil(({_MIX_DUCK}) * stratum_n)
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-mix operator:
+    each language stratum contributes exactly ceil(frac × |stratum|)
+    documents, selected by md5-of-id rank so the draw is uniform,
+    seedless, and rerun-stable (same corpus ⟹ same sample, the
+    property a reproducible data pipeline needs).
+
+    Scale: one shuffle on lang; both windows share the partitioning
+    (one Exchange). A 100-TB stratum makes the rank window sort-heavy —
+    the scale path keeps the same semantics via a hash threshold
+    (keep when md5(id) < quantile cutoff from an approx_percentile
+    pass), trading exact quota for O(1) memory; the rank form here is
+    the oracle-checkable contract both must satisfy.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    frac = None
+    for k, v in _MIX.items():
+        frac = F.when(F.col("lang") == k, v) if frac is None else frac.when(
+            F.col("lang") == k, v
+        )
+    frac = frac.otherwise(_MIX_DEFAULT)
+    w_ord = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    w_all = W.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w_ord).cast("long").alias("rn"),
+        F.count("*").over(w_all).alias("stratum_n"),
+        frac.alias("frac"),
+    )
+    return ranked.where(
+        F.col("rn") <= F.ceil(F.col("frac") * F.col("stratum_n"))
+    ).select("doc_id", "lang", "rn", "stratum_n")
+
+
 # PII patterns — restricted to the Java-regex ∩ RE2 portable subset
 # (\d, \b, bounded repeats; no lookaround) so Spark and DuckDB see the
 # same language. Order matters: emails first (they contain digit runs),

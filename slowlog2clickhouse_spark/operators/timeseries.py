@@ -47,9 +47,12 @@ def time_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard gap-fill/interpolate operator of time-series engines,
     composed from sequence/explode/window (no UDF).
 
-    Scale: the spine explode is map-side from a |users|-row agg; the
-    join and window both partition on user_id, so one shuffle services
-    both (AQE coalesces). Per-user span is bounded by the retention
+    Scale: both inputs are post-agg (grain = user×present-hour), so the
+    heavy lifting is the partial-agg'd bucket groupBy over raw events.
+    The spine side keeps its user_id hash partitioning through the
+    explode, and the window reuses it (verified: no Exchange between
+    join and Window; the obs side broadcasts at test SF, sort-merges on
+    (user_id, h) at scale). Per-user span is bounded by the retention
     window, so no partition can blow up.
     """
     e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")

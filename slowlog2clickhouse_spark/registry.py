@@ -77,6 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_repetition",
     "agg_hll_daily_merge",
     "vec_quantize_int8",
+    "sample_stratified",
     "scan_jdbc",
     # SURVEY §2 + extension ops with no round-1 driver row: oracle-checked
     "win_running_sum",

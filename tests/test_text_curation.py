@@ -80,3 +80,34 @@ def test_repetition_flags_degenerate_doc(spark):
         for r in agg.collect()
     }
     assert got == {1: False, 2: True}
+
+
+def test_stratified_sample_quotas_exact_and_stable(spark, sf_dir):
+    """Each lang contributes exactly ceil(frac × stratum) docs, and two
+    runs select the SAME doc ids (seedless determinism)."""
+    import math
+
+    from slowlog2clickhouse_spark.io import load_table
+    from slowlog2clickhouse_spark.operators.text import _MIX, _MIX_DEFAULT
+
+    rows = OPS["sample_stratified"].fn(spark, sf_dir).collect()
+    strata = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    got = {}
+    for r in rows:
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert r["stratum_n"] == strata[r["lang"]]
+    for lang, ids in got.items():
+        want = math.ceil(_MIX.get(lang, _MIX_DEFAULT) * strata[lang])
+        assert len(ids) == want, (lang, len(ids), want)
+    rerun = {
+        (r["lang"], r["doc_id"])
+        for r in OPS["sample_stratified"].fn(spark, sf_dir).collect()
+    }
+    assert rerun == {(lang, i) for lang, ids in got.items() for i in ids}
