@@ -417,3 +417,123 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * 31 + h) % 1000000007,
     )
     return d.select("doc_id", rolling.alias("rolling_fp"))
+
+
+# decontamination n-gram width. Production runs on real corpora use
+# 8-13 token n-grams (the published train/test-overlap convention); the
+# synthetic corpus has a ~40-word vocabulary, so 4 keeps enough overlap
+# for the oracle to exercise the join path.
+_DECON_N = 4
+
+
+@op(
+    "text_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i:i+{_DECON_N - 1}], ' ') AS gram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {_DECON_N - 2})) AS i) s
+      WHERE len(t) >= {_DECON_N}),
+    eval_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 100 < 2)
+    SELECT g.doc_id, cast(count(DISTINCT g.gram) AS BIGINT) AS n_hit
+    FROM grams g JOIN eval_grams e USING (gram)
+    WHERE g.doc_id % 100 >= 2
+    GROUP BY g.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training documents sharing any
+    token n-gram with the held-out benchmark slice (docs with
+    doc_id % 100 < 2 stand in for the eval suites). Output is one row
+    per contaminated training doc with its distinct overlapping-gram
+    count — the standard pre-training overlap filter.
+
+    Scale: n-gram explode is map-side (fan-out ×|doc|, no shuffle);
+    the eval-gram set is DISTINCT over the tiny benchmark slice and is
+    explicitly broadcast, so the 100-TB training side never shuffles
+    until the final partial-agg'd groupBy on doc_id. At real scale the
+    gram string would be replaced by xxhash64(gram) to shrink the
+    broadcast and the shuffle keys — same plan shape.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    g = d.where(F.size("t") >= _DECON_N).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_DECON_N - 1}),"
+                f" i -> concat_ws(' ', slice(t, i, {_DECON_N})))"
+            )
+        ).alias("gram"),
+    )
+    ev = g.where(F.col("doc_id") % 100 < 2).select("gram").distinct()
+    return (
+        g.where(F.col("doc_id") % 100 >= 2)
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hit"))
+    )
+
+
+_PACK_BUDGET = 512  # tokens per training sequence (context window)
+_PACK_SHARDS = 16
+
+
+@op("pack_sequences")  # rows-only: bin ids are implementation-defined
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign every document to a fixed-token-budget
+    training sequence (bin) — the step that turns a curated corpus into
+    dense context-window examples. First-fit-decreasing within hash
+    shards; output is the doc→(shard, bin) assignment map plus the
+    doc's token count, so downstream writers can group-concatenate.
+
+    Scale: packing is embarrassingly parallel across shards — one
+    shuffle on pmod(xxhash64(doc_id), 16), then a pure
+    Arrow-batched applyInPandas per shard; no global coordination, and
+    shard count scales with the cluster (set it to ~2× executors at
+    100 TB; bin utilization loss vs global packing is <1% for doc
+    length ≪ budget). Deterministic: xxhash64 is seed-stable and the
+    per-shard sort is (tokens desc, doc_id), so reruns produce
+    identical bins. tests/test_text_curation.py pins the invariants:
+    exact partition of the corpus, no bin over budget (unless a single
+    oversize doc), rerun-stable assignment.
+    """
+    import pandas as pd
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(_tokens()).cast("long").alias("n_tokens"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(_PACK_SHARDS))
+            .cast("long")
+            .alias("shard"),
+        )
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        remaining: list[int] = []
+        assigned: list[int] = []
+        for tc in pdf["n_tokens"]:
+            # first-fit over open bins; production swaps the linear scan
+            # for a capacity-bucketed index, same assignment semantics
+            for bi, cap in enumerate(remaining):
+                if cap >= tc:
+                    remaining[bi] = cap - tc
+                    assigned.append(bi)
+                    break
+            else:
+                remaining.append(max(_PACK_BUDGET - tc, 0))
+                assigned.append(len(remaining) - 1)
+        pdf["bin_id"] = pd.Series(assigned, dtype="int64")
+        return pdf[["doc_id", "shard", "bin_id", "n_tokens"]]
+
+    return d.groupBy("shard").applyInPandas(
+        _pack, "doc_id long, shard long, bin_id long, n_tokens long"
+    )

@@ -350,3 +350,85 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("codes").cast("long").alias("code_min"),
         F.array_max("codes").cast("long").alias("code_max"),
     )
+
+
+def _lloyd(emb: DataFrame, k: int, iters: int):
+    """Lloyd's k-means over `emb(vec_id, e array<double>)`.
+
+    Returns (assigned DataFrame with cluster + sq_dist, inertia history).
+    The centroid table is the MODEL, k×dim doubles — it lives on the
+    driver and is re-broadcast each iteration (exactly MLlib's
+    treeAggregate shape); the DATA never leaves the cluster. Per
+    iteration: one map-side assignment pass (argmin over k codegen'd
+    L2 expressions, array_sort tiebreak on cluster index so ties are
+    deterministic) and one partial-agg'd shuffle on (cluster, pos) to
+    re-average, collecting only k×dim numbers. Init is seedless: the
+    k lowest vec_ids, so reruns converge identically.
+    """
+    init = emb.orderBy("vec_id").limit(k).select("e").collect()
+    centroids = [list(r["e"]) for r in init]
+    history = []
+    assigned = None
+    for _ in range(iters):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    "e",
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                _add,
+            )
+            for c in centroids
+        ]
+        best = F.array_sort(
+            F.array(
+                *[
+                    F.struct(d.alias("d"), F.lit(i).alias("i"))
+                    for i, d in enumerate(dists)
+                ]
+            )
+        )[0]
+        assigned = emb.select(
+            "vec_id", "e", best["i"].alias("cluster"), best["d"].alias("sq_dist")
+        )
+        history.append(assigned.agg(F.sum("sq_dist")).collect()[0][0])
+        new_c = (
+            assigned.select("cluster", F.posexplode("e"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+                ).alias("c")
+            )
+            .collect()
+        )
+        got = {r["cluster"]: list(r["c"]) for r in new_c}
+        centroids = [got.get(i, centroids[i]) for i in range(k)]
+    return assigned, history
+
+
+@op("vec_kmeans")  # rows-only: iterative float refinement (G8)
+def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=8, 3 Lloyd iterations) over the embedding
+    corpus — the iterative-algorithm representative: per-cluster sizes
+    and inertia after refinement. See _lloyd for the scale contract
+    (data-parallel assignment, k×dim driver-side model, deterministic
+    seedless init). tests/test_vector.py pins monotone non-increasing
+    inertia and exact partition of the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double().alias("e")
+    )
+    assigned, _ = _lloyd(emb, k=8, iters=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("sq_dist"), 4).alias("inertia"),
+        )
+        .withColumn("cluster", F.col("cluster").cast("long"))
+    )

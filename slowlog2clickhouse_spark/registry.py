@@ -78,6 +78,9 @@ _PRIORITY: tuple[str, ...] = (
     "agg_hll_daily_merge",
     "vec_quantize_int8",
     "sample_stratified",
+    "text_decontaminate",
+    "pack_sequences",
+    "vec_kmeans",
     "scan_jdbc",
     # SURVEY §2 + extension ops with no round-1 driver row: oracle-checked
     "win_running_sum",

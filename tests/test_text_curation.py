@@ -111,3 +111,26 @@ def test_stratified_sample_quotas_exact_and_stable(spark, sf_dir):
         for r in OPS["sample_stratified"].fn(spark, sf_dir).collect()
     }
     assert rerun == {(lang, i) for lang, ids in got.items() for i in ids}
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Every doc assigned exactly once; no bin over budget unless it
+    holds a single oversize doc; rerun gives identical assignment."""
+    from slowlog2clickhouse_spark.io import load_table
+    from slowlog2clickhouse_spark.operators.text import _PACK_BUDGET
+
+    rows = OPS["pack_sequences"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    bins = {}
+    for r in rows:
+        bins.setdefault((r["shard"], r["bin_id"]), []).append(r["n_tokens"])
+    for (shard, bin_id), toks in bins.items():
+        if sum(toks) > _PACK_BUDGET:
+            assert len(toks) == 1, (shard, bin_id, toks)
+    rerun = {
+        (r["doc_id"], r["shard"], r["bin_id"])
+        for r in OPS["pack_sequences"].fn(spark, sf_dir).collect()
+    }
+    assert rerun == {(r["doc_id"], r["shard"], r["bin_id"]) for r in rows}

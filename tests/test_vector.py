@@ -94,3 +94,18 @@ def test_int8_quantization_fidelity(spark, sf_dir):
         assert r["cos_fidelity"] > 0.995, (r["vec_id"], r["cos_fidelity"])
         # one quantization step of a unit-ish embedding range; generous lid
         assert r["max_abs_err"] < 0.05, (r["vec_id"], r["max_abs_err"])
+
+
+def test_kmeans_partitions_corpus_and_inertia_decreases(spark, sf_dir):
+    from slowlog2clickhouse_spark.io import load_table
+    from slowlog2clickhouse_spark.operators.vector import _emb_double, _lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double().alias("e")
+    )
+    assigned, history = _lloyd(emb, k=8, iters=3)
+    assert assigned.count() == emb.count()
+    assert all(a >= b - 1e-9 for a, b in zip(history, history[1:])), history
+    sizes = OPS["vec_kmeans"].fn(spark, sf_dir).collect()
+    assert sum(r["n"] for r in sizes) == emb.count()
+    assert all(0 <= r["cluster"] < 8 for r in sizes)
