@@ -1,6 +1,7 @@
 """Operator modules — importing this package registers every op."""
 
 from slowlog2clickhouse_spark.operators import (  # noqa: F401
+    analytics,
     dedup,
     functions_ops,
     multimodal,

@@ -1,0 +1,186 @@
+"""Incremental-ingest and product-analytics operators.
+
+The reference's pipeline is an incremental loader (tail slow log →
+append/merge into ClickHouse); ``merge_upsert`` is the engine-side
+MERGE INTO analog: apply an insert/update/delete change batch to a
+base table in one full-outer join. ``cohort_retention`` and
+``funnel_events`` are the canonical event-analytics rollups a QAN-style
+dashboard layers on the events table (weekly cohort triangles, ordered
+conversion funnels).
+
+All three are pure DataFrame compositions — shuffles only on the
+natural keys (c_custkey / user_id), partial-agg'd, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.registry import op
+
+
+@op(
+    "merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey AS k, c_acctbal + 100 AS new_bal, 'U' AS op
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, CAST(NULL AS DOUBLE), 'D'
+      FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey + 1000000, CAST(0.0 AS DOUBLE), 'I'
+      FROM customer WHERE c_custkey % 10 = 2)
+    SELECT coalesce(b.c_custkey, c.k) AS c_custkey,
+           coalesce(c.new_bal, b.c_acctbal) AS acctbal,
+           coalesce(c.op, '=') AS src
+    FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.k
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as one full-outer join: a change batch of
+    updates (+100 balance, keys %10=0), deletes (%10=1), and inserts
+    (key+1e6, %10=2) applied to the customer base — the incremental
+    ingest primitive behind slowly-changing tables.
+
+    Scale: both sides shuffle once on the merge key; a real change
+    batch is ≪ base, so AQE broadcasts it and the base never shuffles
+    at all. The change batch here is derived deterministically from the
+    base itself so the oracle sees identical inputs. Delete rows are
+    filtered post-join (the MERGE WHEN MATCHED THEN DELETE arm);
+    balance math is float add on exact inputs — IEEE-identical
+    cross-engine, no rounding needed.
+    """
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    k = F.col("c_custkey")
+    upd = base.where(k % 10 == 0).select(
+        k.alias("k"),
+        (F.col("c_acctbal") + 100).alias("new_bal"),
+        F.lit("U").alias("op"),
+    )
+    dele = base.where(k % 10 == 1).select(
+        k.alias("k"),
+        F.lit(None).cast("double").alias("new_bal"),
+        F.lit("D").alias("op"),
+    )
+    ins = base.where(k % 10 == 2).select(
+        (k + 1000000).alias("k"),
+        F.lit(0.0).alias("new_bal"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    joined = base.join(changes, base["c_custkey"] == changes["k"], "full_outer")
+    return joined.where(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce(base["c_custkey"], changes["k"]).alias("c_custkey"),
+        F.coalesce("new_bal", "c_acctbal").alias("acctbal"),
+        F.coalesce("op", F.lit("=")).alias("src"),
+    )
+
+
+@op(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, cast(min(date_trunc('week', ts)) AS TIMESTAMP) AS cohort
+      FROM events GROUP BY 1),
+    active AS (
+      SELECT DISTINCT user_id, cast(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      FROM events)
+    SELECT f.cohort,
+           cast((epoch(a.wk) - epoch(f.cohort)) / 604800 AS BIGINT)
+             AS week_offset,
+           cast(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users bucketed by first-seen
+    week, counted in every later week they were active — the standard
+    retention rollup of any events warehouse.
+
+    Scale: two partial-agg'd shuffles on user_id (first-seen min and
+    the DISTINCT active grid share the partitioning), then a user_id
+    equi-join and a final small groupBy on (cohort, offset) whose
+    cardinality is weeks². Week offsets are exact integer arithmetic on
+    week-truncated epochs (both engines truncate to Monday 00:00), so
+    the division is remainder-free.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    active = e.distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            (
+                (F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@op(
+    "funnel_events",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+    SELECT cast((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+           cast((SELECT count(*) FROM s2) AS BIGINT) AS n_click_after,
+           cast((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_after
+    """,
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts
+    at each stage only if the stage event happens strictly AFTER their
+    entry into the previous stage (min-timestamp chaining, the standard
+    funnel semantics).
+
+    Scale: three user_id-keyed aggregations, each stage joining the
+    (shrinking) previous stage's user set — every shuffle is on
+    user_id, so the exchanges line up, and stage outputs are one row
+    per surviving user. The final single-row count is a trivial global
+    agg of three tiny tables.
+    """
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_view"))
+        .crossJoin(s2.agg(F.count("*").alias("n_click_after")))
+        .crossJoin(s3.agg(F.count("*").alias("n_purchase_after")))
+    )

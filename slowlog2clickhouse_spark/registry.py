@@ -81,6 +81,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_decontaminate",
     "pack_sequences",
     "vec_kmeans",
+    "merge_upsert",
+    "cohort_retention",
+    "funnel_events",
     "scan_jdbc",
     # SURVEY §2 + extension ops with no round-1 driver row: oracle-checked
     "win_running_sum",

@@ -34,6 +34,7 @@ EAGER = {
     "stream_stateful_counter",
     "stream_slowlog_to_jdbc",
     "dedup_cluster",  # iterative: builder runs label-propagation jobs
+    "vec_kmeans",  # iterative: builder runs Lloyd assignment jobs
 }
 
 # intended nested-loop/cartesian designs: K-row broadcast probes/dims
@@ -46,6 +47,7 @@ ALLOW_NESTED_LOOP = {
     "text_tfidf",  # broadcast 1-row corpus-size factor
     "agg_hll_daily_merge",  # broadcast 1-row exact-total factor
     "vec_quantize_int8",  # broadcast 1-row dim-stats arrays
+    "funnel_events",  # 1-row × 1-row × 1-row stage-count join
 }
 
 LAZY_OPS = sorted(set(OPS) - EAGER)
