@@ -71,3 +71,73 @@ def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         *[F.col(c).alias(c.lower()) for c in back.columns]
     )
+
+
+@op(
+    "scan_orc",
+    oracle="""
+    SELECT lang, cast(count(*) AS BIGINT) AS n,
+           cast(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a second columnar source/sink format: round-trip the
+    documents table through ORC (write → read) and aggregate the
+    read-back; the oracle runs the same aggregate over the parquet
+    original, so any loss in the format hop fails the hash.
+
+    ORC keeps the same Catalyst pushdown/pruning surface as parquet
+    (predicate pushdown, column pruning, zlib/zstd blocks) — at 100 TB
+    the choice between them is an ecosystem call, not a plan change;
+    this op pins that the engine is not parquet-locked.
+    """
+    out = os.path.join(tempfile.mkdtemp(prefix="scan_orc_"), "documents_orc")
+    load_table(spark, sf_dir, "documents").write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@op("sink_compact")  # rows-only: file counts are the contract, pytest-pinned
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance op every long-running
+    ingest needs: a fragmented table (simulated by writing events at 48
+    partitions) is rewritten to a handful of right-sized files, rows
+    preserved. Returns the before/after accounting.
+
+    Scale: compaction is a pure repartition-write — at 100 TB you
+    compact per partition-directory (date), choosing the target file
+    count as ceil(bytes / 512 MB); here the fragmented write and the
+    4-file rewrite demonstrate the pattern end-to-end. The read-back
+    count proves no row loss.
+    """
+    base = tempfile.mkdtemp(prefix="sink_compact_")
+    frag_dir, compact_dir = f"{base}/frag", f"{base}/compact"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    ev.repartition(48).write.mode("overwrite").parquet(frag_dir)
+
+    def parts(d):
+        return sorted(
+            f for f in os.listdir(d) if f.startswith("part-") and f.endswith(".parquet")
+        )
+
+    frag = spark.read.parquet(frag_dir)
+    frag.repartition(4).write.mode("overwrite").parquet(compact_dir)
+    compacted = spark.read.parquet(compact_dir)
+    return spark.createDataFrame(
+        [
+            (
+                len(parts(frag_dir)),
+                len(parts(compact_dir)),
+                frag.count(),
+                compacted.count(),
+            )
+        ],
+        "files_before long, files_after long, rows_before long, rows_after long",
+    )

@@ -58,34 +58,11 @@ def op(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # demos, and finally the round-1-green ops (re-confirmed if budget
 # allows). tests/test_coverage.py asserts the list stays ⊆ registry.
 _PRIORITY: tuple[str, ...] = (
-    # fixed or new since round 1 — need fresh driver rows
+    # round-1 driver FAILs, fixed — need fresh rows first
     "mm_metadata_filter",
     "mm_decode_features",
-    "join_semi_anti_rewrite",
-    "dedup_simhash",
-    "slowlog_global",
-    "vec_knn_ivf",
-    "dedup_cluster",
-    "corpus_curation",
-    "join_salted_skew",
-    "slowlog_classes_approx",
-    "slowlog_parse_stats",
-    # new since round 2 scoring — need fresh driver rows
-    "time_gapfill_locf",
-    "qan_compare_periods",
-    "text_pii_scrub",
-    "text_repetition",
-    "agg_hll_daily_merge",
-    "vec_quantize_int8",
-    "sample_stratified",
-    "text_decontaminate",
-    "pack_sequences",
-    "vec_kmeans",
-    "merge_upsert",
-    "cohort_retention",
-    "funnel_events",
-    "scan_jdbc",
-    # SURVEY §2 + extension ops with no round-1 driver row: oracle-checked
+    # SURVEY §2 ops with no round-1 driver row (the coverage contract):
+    # oracle-checked, cheap — these MUST land inside the driver budget
     "win_running_sum",
     "win_moving_avg_time",
     "win_first_last_value",
@@ -114,7 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "vec_cosine_pairs",
     "vec_knn_topk",
     "vec_centroid",
-    # no round-1 driver row: rows-only, fast
+    # SURVEY §2 rows-only with no round-1 driver row: fast
     "sample_fraction",
     "agg_percentile_approx",
     "scan_text_multiline",
@@ -130,7 +107,34 @@ _PRIORITY: tuple[str, ...] = (
     "udf_fingerprint_py",
     "pandas_udf_fingerprint",
     "vec_knn_lsh",
-    # no round-1 driver row: slower demos last within the window
+    # new extension ops since round-1 scoring: oracle-checked
+    "join_semi_anti_rewrite",
+    "slowlog_global",
+    "corpus_curation",
+    "join_salted_skew",
+    "time_gapfill_locf",
+    "qan_compare_periods",
+    "text_pii_scrub",
+    "text_repetition",
+    "sample_stratified",
+    "text_decontaminate",
+    "merge_upsert",
+    "cohort_retention",
+    "funnel_events",
+    "scan_orc",
+    "scan_jdbc",
+    # new extension ops: rows-only
+    "dedup_simhash",
+    "vec_knn_ivf",
+    "dedup_cluster",
+    "slowlog_classes_approx",
+    "slowlog_parse_stats",
+    "agg_hll_daily_merge",
+    "vec_quantize_int8",
+    "pack_sequences",
+    "vec_kmeans",
+    "sink_compact",
+    # slower demos last within the window
     "join_bucketed_colocated",
     "stream_file_source",
     "stream_tumbling_agg",
@@ -142,6 +146,8 @@ _PRIORITY: tuple[str, ...] = (
     "stream_slowlog_classes",
     "stream_stateful_counter",
     "stream_slowlog_to_jdbc",
+    "stream_static_join",
+    "stream_stream_join",
 )
 
 

@@ -234,3 +234,69 @@ def sink_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+def static_join_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Shared batch/stream definition: enrich events with the customer
+    dimension (user_id = c_custkey) and count per (event_type,
+    mktsegment). One definition, two execution modes — parity by
+    construction."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("event_type", "segment")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+
+
+@op("stream_static_join")  # rows-only; batch-eq tested
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming events source enriched against
+    the static customer dim, then aggregated — the standard streaming
+    enrichment shape (dim broadcast per micro-batch; at 100 TB the dim
+    re-reads each trigger, so production snapshots it or uses a
+    state-store-backed lookup; the plan here is the broadcast case)."""
+    from slowlog2clickhouse_spark.io import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer")
+    return run_to_memory(static_join_enrich(ev, dim), "complete")
+
+
+@op("stream_stream_join")  # rows-only; batch-eq tested
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range predicate: for
+    each view, purchases by the same user within 1 hour after it.
+    Both sides carry watermarks, so the join state store evicts rows
+    older than (max event time − delay) — the bounded-state contract
+    that makes stream-stream joins runnable forever. availableNow over
+    the static file makes the result deterministic and batch-equal
+    (pytest-pinned)."""
+    src = read_events_stream(spark, sf_dir)
+    views = (
+        src.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        src.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts > v_ts AND p_ts <= v_ts + interval 1 hour"
+        ),
+    ).select("v_user", "v_id", "p_id", "v_ts", "p_ts")
+    return run_to_memory(joined, "append")

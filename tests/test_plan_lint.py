@@ -33,6 +33,10 @@ EAGER = {
     "stream_slowlog_classes",
     "stream_stateful_counter",
     "stream_slowlog_to_jdbc",
+    "stream_static_join",
+    "stream_stream_join",
+    "scan_orc",
+    "sink_compact",
     "dedup_cluster",  # iterative: builder runs label-propagation jobs
     "vec_kmeans",  # iterative: builder runs Lloyd assignment jobs
 }

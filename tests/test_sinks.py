@@ -100,3 +100,12 @@ def test_scan_jdbc_roundtrip_matches_parquet(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_sink_compact_preserves_rows_and_shrinks_files(spark, sf_dir):
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    row = all_ops()["sink_compact"].fn(spark, sf_dir).collect()[0]
+    assert row["rows_before"] == row["rows_after"]
+    assert row["files_before"] > row["files_after"]
+    assert row["files_after"] <= 4

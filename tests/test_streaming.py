@@ -137,3 +137,36 @@ def test_checkpoint_restart_no_loss_no_dup(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == ev.count()  # no loss
     assert back.select("event_id").distinct().count() == ev.count()  # no dup
+
+
+def test_stream_static_join_batch_equivalence(spark, sf_dir):
+    from slowlog2clickhouse_spark.streaming.ops import static_join_enrich
+
+    streamed = OPS["stream_static_join"].fn(spark, sf_dir)
+    batch = static_join_enrich(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+    cols = ["event_type", "segment", "n", "sv"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_stream_join_batch_equivalence(spark, sf_dir):
+    streamed = OPS["stream_stream_join"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    batch = v.join(
+        p,
+        F.expr("v_user = p_user AND p_ts > v_ts AND p_ts <= v_ts + interval 1 hour"),
+    ).select("v_user", "v_id", "p_id", "v_ts", "p_ts")
+    assert streamed.count() > 0
+    cols = ["v_user", "v_id", "p_id", "v_ts", "p_ts"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
