@@ -412,3 +412,39 @@ def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor"),
         seg.isNull().alias("is_building"),
     )
+
+
+@op(
+    "map_funcs",
+    oracle="""
+    SELECT doc_id,
+           cast(cardinality(m) AS BIGINT) AS m_size,
+           m['lang'][1] AS m_lang,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+           cast(len(list_filter(map_values(m), x -> x IS NOT NULL))
+                AS BIGINT) AS n_nonnull
+    FROM (SELECT doc_id, map(['lang', 'src'], [lang, source]) AS m
+          FROM documents) t
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: create_map / size / element access /
+    map_keys / map_values + lambda filter — the k-v escape hatch the
+    class table's `labels` column uses (qan-api2 labels lineage,
+    SURVEY §1.1 [R:H]). Output is scalarized (the driver canonicalizer
+    hashes plain columns), but the map operations themselves are the
+    ones under test. All JVM-side codegen — no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("src"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        F.size(m).cast("long").alias("m_size"),
+        m.getItem("lang").alias("m_lang"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.size(F.filter(F.map_values(m), lambda v: v.isNotNull()))
+        .cast("long")
+        .alias("n_nonnull"),
+    )

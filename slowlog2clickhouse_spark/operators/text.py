@@ -537,3 +537,40 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("shard").applyInPandas(
         _pack, "doc_id long, shard long, bin_id long, n_tokens long"
     )
+
+
+@op(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm,
+           cast(length(text) AS BIGINT) AS chars_before,
+           cast(length(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+             AS chars_after
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — lowercase, strip non-alnum,
+    collapse runs of spaces, trim — the first stage of every curation
+    pipeline (exact-dedup keys are computed on THIS form, not raw
+    text). Patterns stay in the Java-regex ∩ RE2 portable subset so
+    both engines see the same language. Pure map-side codegen: zero
+    shuffles, scales linearly with corpus bytes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm"),
+        F.length("text").cast("long").alias("chars_before"),
+        F.length(norm).cast("long").alias("chars_after"),
+    )

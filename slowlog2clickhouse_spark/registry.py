@@ -121,6 +121,8 @@ _PRIORITY: tuple[str, ...] = (
     "merge_upsert",
     "cohort_retention",
     "funnel_events",
+    "map_funcs",
+    "text_normalize",
     "scan_orc",
     "scan_jdbc",
     # new extension ops: rows-only
