@@ -81,6 +81,7 @@ EXTRA_OPS = (
     # round-2 LLM-pipeline headliners
     "corpus_curation",
     "dedup_cluster",
+    "text_decontaminate",
 )
 
 
@@ -112,6 +113,7 @@ def main() -> None:
         "q_semi_anti_rewrite": lambda: ops["join_semi_anti_rewrite"].fn(spark, sf_dir),
         "corpus_curation": lambda: ops["corpus_curation"].fn(spark, sf_dir),
         "dedup_cluster": lambda: ops["dedup_cluster"].fn(spark, sf_dir),
+        "text_decontaminate": lambda: ops["text_decontaminate"].fn(spark, sf_dir),
     }
     for name in EXTRA_OPS:
         results[name] = round(time_df(extra_builders[name]), 4)

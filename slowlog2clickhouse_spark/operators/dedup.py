@@ -76,17 +76,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens_col()).alias("token")).distinct()
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = tok.alias("a")
-    b = tok.alias("b")
+    # The ≤3 window joins on (token, block) — block = floor(doc_id/4),
+    # probe side exploded to its two adjacent blocks — so the self-join
+    # key includes the window and per-key groups stay tiny even when a
+    # token is corpus-frequent. Joining on token alone makes hot tokens
+    # quadratic (the tiny synthetic vocab turned that into 560M
+    # candidate pairs at sf0.1).
+    blk = 4
+    a = tok.select(
+        F.col("doc_id").alias("a_doc"),
+        F.col("token").alias("a_tok"),
+        F.explode(
+            F.array(
+                F.floor(F.col("doc_id") / blk),
+                F.floor(F.col("doc_id") / blk) + 1,
+            )
+        ).alias("jblk"),
+    )
+    b = tok.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("token").alias("b_tok"),
+        F.floor(F.col("doc_id") / blk).alias("jblk"),
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.doc_id") - F.col("a.doc_id") <= 3),
+        a.join(b, (F.col("a_tok") == F.col("b_tok")) & (a["jblk"] == b["jblk"]))
+        .where(
+            (F.col("a_doc") < F.col("b_doc"))
+            & (F.col("b_doc") - F.col("a_doc") <= 3)
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a_doc").alias("doc_a"), F.col("b_doc").alias("doc_b")
         )
         .agg(F.count("*").alias("common"))
     )
@@ -407,11 +426,33 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup on a bounded candidate window (the
     ANN-bucketed variant is vec_knn_lsh). Cosine in pure higher-order
-    fns — zip_with dot product, aggregate norms — all JVM-side."""
+    fns — zip_with dot product, aggregate norms — all JVM-side.
+
+    The |b−a| ≤ 5 window is realized as a BLOCK EQUI-JOIN, not a theta
+    join: both sides key on floor(vec_id/5) and the probe side explodes
+    to its two adjacent blocks, so every candidate pair meets inside an
+    equi-key group of ~10 rows. Same result set, but the plan is a
+    hash/sort-merge join that stays linear in |corpus| — the theta form
+    was a BroadcastNestedLoopJoin doing O(n²) 64-dim cosines (90 s at
+    sf0.1, unusable at 100 TB)."""
+    blk = 5
     e = load_table(spark, sf_dir, "embeddings")
     emb_d = F.transform("embedding", lambda x: x.cast("double"))
-    a = e.select(F.col("vec_id").alias("vec_a"), emb_d.alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), emb_d.alias("eb"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        emb_d.alias("ea"),
+        F.explode(
+            F.array(
+                F.floor(F.col("vec_id") / blk),
+                F.floor(F.col("vec_id") / blk) + 1,
+            )
+        ).alias("jblk"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        emb_d.alias("eb"),
+        F.floor(F.col("vec_id") / blk).alias("jblk"),
+    )
     add = lambda acc, x: acc + x  # noqa: E731
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), add
@@ -419,6 +460,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = F.sqrt(F.aggregate(F.transform("ea", lambda x: x * x), F.lit(0.0), add))
     nb = F.sqrt(F.aggregate(F.transform("eb", lambda x: x * x), F.lit(0.0), add))
     pairs = a.join(
-        b, (F.col("vec_b") - F.col("vec_a")).between(1, 5)
-    ).select("vec_a", "vec_b", F.round(dot / (na * nb), 6).alias("cos_sim"))
+        b, ["jblk"]
+    ).where((F.col("vec_b") - F.col("vec_a")).between(1, 5)).select(
+        "vec_a", "vec_b", F.round(dot / (na * nb), 6).alias("cos_sim")
+    )
     return pairs.where(F.col("cos_sim") > 0.15)

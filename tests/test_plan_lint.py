@@ -47,7 +47,6 @@ ALLOW_NESTED_LOOP = {
     "join_cross",  # small×small cartesian by definition
     "vec_knn_topk",  # broadcast probe set (brute-force baseline)
     "vec_knn_ivf",  # broadcast 16-row centroid table
-    "dedup_embedding_cosine",  # bounded-window range join (oracle op)
     "text_tfidf",  # broadcast 1-row corpus-size factor
     "agg_hll_daily_merge",  # broadcast 1-row exact-total factor
     "vec_quantize_int8",  # broadcast 1-row dim-stats arrays
