@@ -1167,3 +1167,95 @@ def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linestatus").alias("linestatus"),
         F.col("l_shipdate").alias("shipdate"),
     ).distinct()
+
+
+@op(
+    "join_lateral",
+    oracle="""
+    SELECT n_name, c.c_custkey, c.c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated join: top-2 customers per nation via a
+    per-row correlated subquery — the SQL surface for dependent joins
+    (Catalyst plans it as a window/partial-sort under the hood, so
+    unlike a naive per-row re-scan it is one pass over customer).
+    Unique tiebreak (c_custkey) keeps the LIMIT deterministic."""
+    from slowlog2clickhouse_spark.io import load_table as _lt
+
+    _lt(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n_name, c.c_custkey, c.c_acctbal
+        FROM nation JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        """
+    )
+
+
+@op(
+    "filter_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 5
+    """,
+)
+def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery in a predicate — Catalyst decorrelates
+    it into an aggregate + join (one shuffle on the correlation key),
+    not a per-row re-scan; the count aggregate keeps the predicate
+    exact cross-engine."""
+    from slowlog2clickhouse_spark.io import load_table as _lt
+
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 5
+        """
+    )
+
+
+@op(
+    "agg_histogram",
+    oracle="""
+    WITH stats AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+    SELECT cast(least(floor((value - mn) / ((mx - mn) / 20)), 19) AS BIGINT)
+             AS bucket,
+           mn + cast(least(floor((value - mn) / ((mx - mn) / 20)), 19)
+                     AS BIGINT) * ((mx - mn) / 20) AS bucket_lo,
+           cast(count(*) AS BIGINT) AS n
+    FROM events, stats
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 buckets over the observed [min, max])
+    — the profiling/quality-dashboard staple. One global-stats agg
+    (broadcast single row) + one map-side bucket computation + one
+    partial-agg'd groupBy on the bucket id. All bucket arithmetic is
+    the same double-op sequence in both engines, so boundaries are
+    bit-identical (no rounding anywhere). Assumes mx > mn (true for
+    any non-degenerate metric column)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    step = (F.col("mx") - F.col("mn")) / 20
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("mn")) / step), F.lit(19)
+    ).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .groupBy(
+            bucket.alias("bucket"),
+            (F.col("mn") + bucket * step).alias("bucket_lo"),
+        )
+        .agg(F.count("*").alias("n"))
+    )

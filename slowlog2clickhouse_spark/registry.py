@@ -123,6 +123,9 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_events",
     "map_funcs",
     "text_normalize",
+    "join_lateral",
+    "filter_scalar_subquery",
+    "agg_histogram",
     "scan_orc",
     "scan_jdbc",
     # new extension ops: rows-only

@@ -51,6 +51,7 @@ ALLOW_NESTED_LOOP = {
     "agg_hll_daily_merge",  # broadcast 1-row exact-total factor
     "vec_quantize_int8",  # broadcast 1-row dim-stats arrays
     "funnel_events",  # 1-row × 1-row × 1-row stage-count join
+    "agg_histogram",  # broadcast 1-row min/max stats
 }
 
 LAZY_OPS = sorted(set(OPS) - EAGER)
