@@ -40,6 +40,12 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # embedded Derby (JDBC tests) writes derby.log into user.dir by
+        # default — keep the repo clean
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.stream.error.file=/tmp/derby.log",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
