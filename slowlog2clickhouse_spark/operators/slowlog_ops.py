@@ -213,3 +213,30 @@ def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.from_json("props", "k BIGINT").getField("k").alias("k_typed"),
     )
+
+
+@op("scan_slowlog_pyds")  # rows-only; golden-equal to the lineSep source
+def scan_slowlog_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The slow-log format as a REGISTERED Spark data source
+    (`spark.read.format("slowlog")`) via the Spark 4 Python Data
+    Source API — same parse_record state machine as the mapInPandas
+    reader, one partition per log file. tests/test_slowlog.py pins
+    event-for-event equality between both integration surfaces over
+    the whole fixture corpus. Returned aggregated per-file so the
+    driver row is stable: per-db event counts + total query time."""
+    from slowlog2clickhouse_spark.sources import slowlog_datasource
+
+    slowlog_datasource.register(spark)
+    ev = (
+        spark.read.format("slowlog")
+        .option("path", os.path.dirname(FIXTURE_LOG))
+        .load()
+    )
+    return (
+        ev.groupBy("db")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("query_time"), 6).alias("total_qt"),
+        )
+        .orderBy(F.col("db").asc_nulls_first())
+    )

@@ -139,6 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "pack_sequences",
     "vec_kmeans",
     "sink_compact",
+    "scan_slowlog_pyds",
     # slower demos last within the window
     "join_bucketed_colocated",
     "stream_file_source",

@@ -388,3 +388,46 @@ class TestClassAggregation:
             .collect()
         }
         assert gmax == cmax
+
+
+class TestPythonDataSource:
+    def test_pyds_equals_linesep_source_over_fixture_corpus(self, spark):
+        """The Python Data Source surface and the lineSep/mapInPandas
+        reader must produce the SAME event multiset for every fixture
+        log (record_no excluded: the two surfaces number records
+        differently by design)."""
+        import os
+
+        from slowlog2clickhouse_spark.sources import slowlog_datasource
+        from slowlog2clickhouse_spark.sources.slowlog import (
+            EVENT_SCHEMA,
+            parse_slowlog,
+        )
+
+        fixture_dir = os.path.dirname(FIXTURE_LOG)
+        slowlog_datasource.register(spark)
+        pyds = (
+            spark.read.format("slowlog").option("path", fixture_dir).load()
+        )
+        linesep = parse_slowlog(spark, fixture_dir)
+        cols = sorted(
+            f.name
+            for f in EVENT_SCHEMA.fields
+            if f.name not in ("record_no", "extra_metrics")
+        )
+        from collections import Counter
+
+        a = Counter(map(tuple, pyds.select(*cols).collect()))
+        b = Counter(map(tuple, linesep.select(*cols).collect()))
+        assert sum(a.values()) > 900  # whole corpus parsed, not a subset
+        assert a == b
+        # map column compared separately (dicts aren't hashable in rows)
+        am = Counter(
+            (r["query"], tuple(sorted((r["extra_metrics"] or {}).items())))
+            for r in pyds.select("query", "extra_metrics").collect()
+        )
+        bm = Counter(
+            (r["query"], tuple(sorted((r["extra_metrics"] or {}).items())))
+            for r in linesep.select("query", "extra_metrics").collect()
+        )
+        assert am == bm
