@@ -448,3 +448,31 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_nonnull"),
     )
+
+
+@op(
+    "json_variant",
+    oracle="""
+    SELECT event_id,
+           cast(json_extract(props, '$.k') AS BIGINT) AS k_long,
+           json_extract_string(props, '$.k') AS k_str,
+           cast(json_extract(props, '$.nope') AS BIGINT) AS missing
+    FROM events
+    """,
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse_json once into a binary variant,
+    then typed path extraction (variant_get) and missing-path
+    tolerance (try_variant_get → NULL). Variant beats repeated
+    get_json_object at scale: the JSON parses ONCE per row into a
+    shredded binary form, and every extraction is an O(1) walk, not a
+    re-parse — the semi-structured analog of columnar pruning. Oracle
+    compares against DuckDB's JSON extraction of the same paths."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k_long"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.nope", "long").alias("missing"),
+    )

@@ -126,6 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_lateral",
     "filter_scalar_subquery",
     "agg_histogram",
+    "json_variant",
     "scan_orc",
     "scan_jdbc",
     # new extension ops: rows-only
