@@ -1259,3 +1259,36 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+@op(
+    "join_bloom_runtime_filter",
+    oracle="""
+    SELECT l.l_orderkey, cast(count(*) AS BIGINT) AS n,
+           round(sum(l.l_extendedprice), 4) AS s
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY 1
+    """,
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dimension join shaped for Spark's runtime bloom-filter
+    injection: the filtered orders side builds a bloom filter pushed
+    into the lineitem scan, so most probe rows drop BEFORE the shuffle
+    — at 100 TB that is shuffling ~2% of the fact table instead of all
+    of it. Injection fires when the build side clears
+    `runtime.bloomFilter.creationSideThreshold` (automatic at real
+    scale; tests/test_plans.py lowers the thresholds and pins
+    BloomFilterMightContain in this exact plan). Join itself is an
+    ordinary equi-join, so correctness is threshold-independent."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("s"),
+        )
+    )

@@ -141,3 +141,67 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "files_before long, files_after long, rows_before long, rows_after long",
     )
+
+
+@op("sink_partition_overwrite")  # rows-only: backfill semantics pytest-pinned
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill/replay: recompute ONE day of a date-partitioned table
+    and overwrite only that partition (dynamic partitionOverwriteMode),
+    leaving every other day's files untouched — the operational
+    primitive for late-data reprocessing at 100 TB, where a static
+    overwrite would truncate the whole table.
+
+    Writes the events table day-partitioned, then re-writes the first
+    day with a marker value; returns per-day counts + marker totals so
+    the driver row proves the other days survived.
+    """
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_povw_"), "t")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", F.to_date("ts").alias("d")
+    )
+    ev.write.partitionBy("d").mode("overwrite").parquet(out)
+    first_day = ev.agg(F.min("d")).collect()[0][0]
+    backfill = ev.where(F.col("d") == F.lit(first_day)).withColumn(
+        "value", F.lit(-1.0)
+    )
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        backfill.write.partitionBy("d").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("d")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value") == -1.0).cast("long")).alias("n_marked"),
+        )
+        .orderBy("d")
+    )
+
+
+@op("scan_schema_evolution")  # rows-only: merged-schema semantics pytest-pinned
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet generations (v2 adds a
+    column), merged with mergeSchema=true — old files surface NULL for
+    the new column instead of failing the scan. The decade-long-table
+    reality at 100 TB: readers must span schema generations.
+
+    Returns per-generation counts and new-column null accounting.
+    """
+    out = os.path.join(tempfile.mkdtemp(prefix="scan_evo_"), "t")
+    n = load_table(spark, sf_dir, "nation")
+    n.select("n_nationkey", "n_name").write.parquet(f"{out}/gen=1")
+    n.select(
+        "n_nationkey", "n_name", F.col("n_regionkey").alias("region_added")
+    ).write.parquet(f"{out}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        merged.groupBy("gen")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("region_added").isNull().cast("long")).alias("n_null_new"),
+        )
+        .orderBy("gen")
+    )

@@ -127,6 +127,9 @@ _PRIORITY: tuple[str, ...] = (
     "filter_scalar_subquery",
     "agg_histogram",
     "json_variant",
+    "join_bloom_runtime_filter",
+    "sink_partition_overwrite",
+    "scan_schema_evolution",
     "scan_orc",
     "scan_jdbc",
     # new extension ops: rows-only

@@ -37,6 +37,8 @@ EAGER = {
     "stream_stream_join",
     "scan_orc",
     "sink_compact",
+    "sink_partition_overwrite",
+    "scan_schema_evolution",
     "dedup_cluster",  # iterative: builder runs label-propagation jobs
     "vec_kmeans",  # iterative: builder runs Lloyd assignment jobs
 }

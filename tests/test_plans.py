@@ -101,3 +101,45 @@ def test_single_shuffle_aggregations(spark, sf_dir, name):
     bookkeeping); anything more means a lost partial-agg."""
     p = plan_of(spark, sf_dir, name)
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_bloom_runtime_filter_injected_when_thresholds_allow(spark, sf_dir):
+    """With the creation/application thresholds lowered to test-SF
+    sizes, Catalyst must inject a bloom filter from the filtered
+    orders side into the lineitem scan side of
+    join_bloom_runtime_filter — the mechanism that prunes the fact-
+    table shuffle at 100 TB (where the default thresholds pass)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # bloom injection targets probable SHUFFLE joins; at test SF the
+        # filtered side would broadcast, so disable broadcast to model
+        # the 100-TB shape where neither side fits
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = OPS["join_bloom_runtime_filter"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def test_partition_overwrite_backfills_only_target_day(spark, sf_dir):
+    rows = OPS["sink_partition_overwrite"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    first, rest = rows[0], rows[1:]
+    assert first["n_marked"] == first["n"]  # backfilled day fully rewritten
+    assert all(r["n_marked"] == 0 for r in rest)  # other days untouched
+
+
+def test_schema_evolution_merges_generations(spark, sf_dir):
+    rows = {r["gen"]: r for r in OPS["scan_schema_evolution"].fn(spark, sf_dir).collect()}
+    assert rows[1]["n_null_new"] == rows[1]["n"]  # old files: new col all NULL
+    assert rows[2]["n_null_new"] == 0
