@@ -476,3 +476,54 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "string").alias("k_str"),
         F.try_variant_get(v, "$.nope", "long").alias("missing"),
     )
+
+
+@op(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, cast(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_totalprice > 250000.0
+    GROUP BY 1
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+ named-argument binding): the
+    injection-safe query template surface a QAN-style API layer uses —
+    values bind as literals in the parsed plan, never by string
+    concatenation, so the SAME plan cache entry serves every threshold."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders WHERE o_totalprice > :threshold
+        GROUP BY 1
+        """,
+        args={"threshold": 250000.0},
+    )
+
+
+@op("observe_metrics")  # rows-only: Observation API is execution-attached
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via df.observe(Observation): metric
+    accumulators (row count, sum, null count) collected DURING the
+    main action — zero extra scans, the 100-TB way to get data-quality
+    counters out of an ingest job (a second aggregation pass over the
+    input would double the read). Returns the observed metrics as a
+    one-row DataFrame beside the job's own output count."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("ingest_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("n_null_user"),
+    )
+    # the "job": a normal aggregation whose action populates the metrics
+    out_rows = observed.groupBy("event_type").count().count()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(out_rows), int(m["n_rows"]), float(m["sum_value"]), int(m["n_null_user"]))],
+        "n_groups long, n_rows long, sum_value double, n_null_user long",
+    )

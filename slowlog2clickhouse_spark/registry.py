@@ -128,8 +128,10 @@ _PRIORITY: tuple[str, ...] = (
     "agg_histogram",
     "json_variant",
     "join_bloom_runtime_filter",
+    "sql_parameterized",
     "sink_partition_overwrite",
     "scan_schema_evolution",
+    "observe_metrics",
     "scan_orc",
     "scan_jdbc",
     # new extension ops: rows-only

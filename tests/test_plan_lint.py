@@ -39,6 +39,7 @@ EAGER = {
     "sink_compact",
     "sink_partition_overwrite",
     "scan_schema_evolution",
+    "observe_metrics",
     "dedup_cluster",  # iterative: builder runs label-propagation jobs
     "vec_kmeans",  # iterative: builder runs Lloyd assignment jobs
 }
