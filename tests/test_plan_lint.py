@@ -35,6 +35,7 @@ EAGER = {
     "stream_slowlog_to_jdbc",
     "stream_static_join",
     "stream_stream_join",
+    "stream_transform_with_state",
     "scan_orc",
     "sink_compact",
     "sink_partition_overwrite",

@@ -170,3 +170,18 @@ def test_stream_stream_join_batch_equivalence(spark, sf_dir):
     assert streamed.count() > 0
     cols = ["v_user", "v_id", "p_id", "v_ts", "p_ts"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_transform_with_state_totals_equal_batch(spark, sf_dir):
+    got = OPS["stream_transform_with_state"].fn(spark, sf_dir)
+    # last update per user is the final running total
+    final = {r["user_id"]: (r["n"], round(r["sum_value"], 6)) for r in got.collect()}
+    batch = {
+        r["user_id"]: (r["n"], round(r["sv"], 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    assert final == batch
+    assert got.select("api").distinct().count() == 1
