@@ -574,3 +574,47 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("chars_before"),
         F.length(norm).cast("long").alias("chars_after"),
     )
+
+
+@op(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_DUCK}) AS token FROM documents),
+    freq AS (
+      SELECT token, count(*) AS c FROM tok GROUP BY 1),
+    total AS (SELECT sum(c) AS t FROM freq)
+    SELECT tok.doc_id,
+           cast(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(freq.c * 1.0 / total.t)), 6) AS avg_neg_logprob
+    FROM tok JOIN freq USING (token) CROSS JOIN total
+    GROUP BY 1
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency score (the CCNet-style perplexity proxy):
+    train token frequencies on the corpus itself, score each document
+    by its mean negative log-probability — low = stereotypical text,
+    high = rare-token soup; curation keeps the middle band.
+
+    Scale: one (token) shuffle to build the LM, which is |vocab|-sized
+    and broadcast back; the scoring join is map-side against that
+    broadcast, then one partial-agg'd groupBy on doc_id. Works
+    unchanged when the LM comes from a reference corpus instead of
+    self-training (swap the freq input). ln is libm-dependent →
+    rounded 6 (G8)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") * 1.0 / F.col("t"))), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )

@@ -118,6 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_repetition",
     "sample_stratified",
     "text_decontaminate",
+    "text_unigram_logprob",
     "merge_upsert",
     "cohort_retention",
     "funnel_events",

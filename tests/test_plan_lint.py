@@ -56,6 +56,7 @@ ALLOW_NESTED_LOOP = {
     "vec_quantize_int8",  # broadcast 1-row dim-stats arrays
     "funnel_events",  # 1-row × 1-row × 1-row stage-count join
     "agg_histogram",  # broadcast 1-row min/max stats
+    "text_unigram_logprob",  # broadcast 1-row corpus-total factor
 }
 
 LAZY_OPS = sorted(set(OPS) - EAGER)
