@@ -106,3 +106,40 @@ def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         normalize, "event_id bigint, zscore double"
     )
+
+
+@op(
+    "map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           cast(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE batch transform (mapInArrow): the zero-pandas path
+    — RecordBatches flow straight from the JVM into pyarrow.compute
+    kernels (C++ vectorized) and back, skipping the pandas conversion
+    tax that mapInPandas pays both ways. The right surface when the
+    Python side is itself columnar (tokenizers, Arrow-native libs).
+    Oracle-checked against plain SQL token/char counts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def count_tokens(batches):
+        for batch in batches:
+            text = batch.column(1)
+            toks = pc.list_value_length(pc.split_pattern(text, " "))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(toks, pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                ["doc_id", "n_tokens", "n_chars"],
+            )
+
+    return d.mapInArrow(count_tokens, "doc_id long, n_tokens long, n_chars long")

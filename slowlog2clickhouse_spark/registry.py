@@ -130,6 +130,9 @@ _PRIORITY: tuple[str, ...] = (
     "json_variant",
     "join_bloom_runtime_filter",
     "sql_parameterized",
+    "set_intersect_all",
+    "set_except_all",
+    "map_in_arrow",
     "sink_partition_overwrite",
     "scan_schema_evolution",
     "observe_metrics",
