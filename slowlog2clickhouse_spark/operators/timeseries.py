@@ -143,3 +143,40 @@ def agg_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.agg(F.count_distinct("user_id").alias("exact_users"))
     ).select(F.lit(None).cast("timestamp").alias("day"), "est_users", "exact_users")
     return per_day.unionByName(total)
+
+
+# the recursive member carries the max bound along instead of
+# re-evaluating a scalar subquery every iteration (each re-evaluation
+# is a full orders scan per recursion step — 80 steps = 80 scans)
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE months(m, mx) AS (
+  SELECT cast(date_trunc('month', min(cast(o_orderdate AS TIMESTAMP)))
+              AS TIMESTAMP),
+         cast(date_trunc('month', max(cast(o_orderdate AS TIMESTAMP)))
+              AS TIMESTAMP)
+  FROM orders
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH, mx FROM months WHERE m < mx
+)
+SELECT m, cast(count(o_orderkey) AS BIGINT) AS n_orders
+FROM months
+LEFT JOIN orders ON date_trunc('month', cast(o_orderdate AS TIMESTAMP)) = m
+GROUP BY 1
+"""
+
+
+@op("cte_recursive_spine", oracle=_RECURSIVE_SPINE_SQL)
+def cte_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4): generate the
+    dense month spine between the first and last order month by
+    recursion, then left-join order counts onto it — zero-filled
+    months survive, the gap-fill companion to time_gapfill_locf's
+    sequence/explode formulation (two routes to the same spine; the
+    recursion is the portable-SQL one).
+
+    Scale: the recursion materializes |months| rows on the driver-side
+    plan — O(hundreds) for any retention window — then one broadcast
+    of the spine against the fact scan's month-truncated key; the only
+    real shuffle is the final groupBy on month."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SPINE_SQL)

@@ -133,6 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     "set_intersect_all",
     "set_except_all",
     "map_in_arrow",
+    "cte_recursive_spine",
     "sink_partition_overwrite",
     "scan_schema_evolution",
     "observe_metrics",
