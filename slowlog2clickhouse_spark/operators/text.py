@@ -482,6 +482,27 @@ _PACK_BUDGET = 512  # tokens per training sequence (context window)
 _PACK_SHARDS = 16
 
 
+def first_fit_decreasing(sizes, budget):
+    """Pure packing core shared by pack_sequences and its hypothesis
+    property tests: sizes (already sorted desc by caller, or not —
+    assignment follows input order) → bin index per element. Oversize
+    elements get a bin alone (capacity clamps at 0)."""
+    remaining: list[int] = []
+    assigned: list[int] = []
+    for tc in sizes:
+        # first-fit over open bins; production swaps the linear scan
+        # for a capacity-bucketed index, same assignment semantics
+        for bi, cap in enumerate(remaining):
+            if cap >= tc:
+                remaining[bi] = cap - tc
+                assigned.append(bi)
+                break
+        else:
+            remaining.append(max(budget - tc, 0))
+            assigned.append(len(remaining) - 1)
+    return assigned
+
+
 @op("pack_sequences")  # rows-only: bin ids are implementation-defined
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign every document to a fixed-token-budget
@@ -518,20 +539,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
         ).reset_index(drop=True)
-        remaining: list[int] = []
-        assigned: list[int] = []
-        for tc in pdf["n_tokens"]:
-            # first-fit over open bins; production swaps the linear scan
-            # for a capacity-bucketed index, same assignment semantics
-            for bi, cap in enumerate(remaining):
-                if cap >= tc:
-                    remaining[bi] = cap - tc
-                    assigned.append(bi)
-                    break
-            else:
-                remaining.append(max(_PACK_BUDGET - tc, 0))
-                assigned.append(len(remaining) - 1)
-        pdf["bin_id"] = pd.Series(assigned, dtype="int64")
+        pdf["bin_id"] = pd.Series(
+            first_fit_decreasing(list(pdf["n_tokens"]), _PACK_BUDGET),
+            dtype="int64",
+        )
         return pdf[["doc_id", "shard", "bin_id", "n_tokens"]]
 
     return d.groupBy("shard").applyInPandas(

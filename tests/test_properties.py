@@ -95,3 +95,29 @@ def test_parser_never_crashes(garbage):
         return
     assert set(ev) >= {"ts", "query", "admin", "user", "host", "db"}
     assert isinstance(ev["admin"], bool)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=1000), max_size=200),
+    st.integers(min_value=1, max_value=600),
+)
+def test_first_fit_decreasing_invariants(sizes, budget):
+    """Packing invariants over arbitrary inputs: every element
+    assigned; bins contiguous from 0; no bin over budget unless it
+    holds exactly one oversize element; deterministic."""
+    from slowlog2clickhouse_spark.operators.text import first_fit_decreasing
+
+    ordered = sorted(sizes, reverse=True)
+    got = first_fit_decreasing(ordered, budget)
+    assert len(got) == len(ordered)
+    if got:
+        assert set(got) == set(range(max(got) + 1))
+    fills = {}
+    for b, sz in zip(got, ordered):
+        fills.setdefault(b, []).append(sz)
+    for b, items in fills.items():
+        over = [i for i in items if i > budget]
+        assert len(over) <= 1, (b, items)  # at most one oversize per bin
+        # the non-oversize load always fits the budget
+        assert sum(i for i in items if i <= budget) <= budget, (b, items)
+    assert got == first_fit_decreasing(ordered, budget)
