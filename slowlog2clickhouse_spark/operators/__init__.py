@@ -12,6 +12,7 @@ from slowlog2clickhouse_spark.operators import (  # noqa: F401
     slowlog_ops,
     text,
     timeseries,
+    tpch,
     udfs,
     vector,
 )

@@ -134,6 +134,10 @@ _PRIORITY: tuple[str, ...] = (
     "set_except_all",
     "map_in_arrow",
     "cte_recursive_spine",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "join_strategy_hints",
     "sink_partition_overwrite",
     "scan_schema_evolution",
     "observe_metrics",

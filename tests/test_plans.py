@@ -143,3 +143,14 @@ def test_schema_evolution_merges_generations(spark, sf_dir):
     rows = {r["gen"]: r for r in OPS["scan_schema_evolution"].fn(spark, sf_dir).collect()}
     assert rows[1]["n_null_new"] == rows[1]["n"]  # old files: new col all NULL
     assert rows[2]["n_null_new"] == 0
+
+
+def test_shuffle_hash_hint_respected(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "join_strategy_hints")
+    assert "ShuffledHashJoin" in p, p[:1500]
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "tpch_q5")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
