@@ -527,3 +527,59 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(out_rows), int(m["n_rows"]), float(m["sum_value"]), int(m["n_null_user"]))],
         "n_groups long, n_rows long, sum_value double, n_null_user long",
     )
+
+
+@op(
+    "agg_corr_cov",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+           round(stddev_samp(l_quantity), 6) AS sd_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: Pearson correlation, sample covariance,
+    sample stddev per group — single-pass mergeable moments (partial
+    agg carries (n, Σx, Σy, Σxy, Σx², Σy²)), so the shuffle stays
+    |groups|-sized at any SF. Float-order drift is below the rounding
+    grain (G8: round 4-6, values are nowhere near decimal halves)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "cov_qty_price"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+    )
+
+
+@op(
+    "ansi_try_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           try_cast(o_orderpriority AS BIGINT) AS bad_cast,
+           try_cast(substr(o_orderpriority, 1, 1) AS BIGINT) AS good_cast,
+           CASE WHEN (o_custkey % 100) = 0 THEN NULL
+                ELSE o_totalprice / (o_custkey % 100) END AS safe_div
+    FROM orders
+    """,
+)
+def ansi_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error tolerance (Spark 4 runs ANSI ON by default, so
+    bad casts/div-by-zero THROW unless handled): try_cast returns NULL
+    on malformed input, try_divide on zero denominators — the
+    row-survival contract an ingest pipeline needs when one bad record
+    must not kill a 100-TB job."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("bigint").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("bigint").alias(
+            "good_cast"
+        ),
+        F.try_divide("o_totalprice", F.col("o_custkey") % 100).alias("safe_div"),
+    )

@@ -138,6 +138,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q3",
     "tpch_q5",
     "join_strategy_hints",
+    "agg_corr_cov",
+    "ansi_try_funcs",
     "sink_partition_overwrite",
     "scan_schema_evolution",
     "observe_metrics",
