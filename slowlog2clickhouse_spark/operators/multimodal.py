@@ -177,3 +177,50 @@ def mm_metadata_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("meta.n_bytes").cast("long")).alias("total_bytes"),
         )
     )
+
+
+@op(
+    "mm_binary_chunks",
+    # DuckDB cannot slice BLOBs, but the corpus is pure ASCII (verified:
+    # octet_length(encode(text)) == length(text) for every row), so the
+    # oracle slices the VARCHAR — identical bytes, identical md5.
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, cast(ceil(length(text) / 256.0)
+                                  AS BIGINT))) AS chunk_no
+      FROM documents)
+    SELECT doc_id, cast(chunk_no AS BIGINT) AS chunk_no,
+           cast(length(substr(text, chunk_no * 256 + 1, 256)) AS BIGINT)
+             AS chunk_bytes,
+           md5(substr(text, chunk_no * 256 + 1, 256)) AS chunk_md5
+    FROM idx
+    """,
+)
+def mm_binary_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window binary chunking — the audio-frame / shard-upload
+    primitive — ENTIRELY JVM-side: substring on the binary column
+    inside a posexplode over the chunk index, no Python in the path at
+    all (unlike the codec ops, byte windowing needs no library). Each
+    chunk row carries its ordinal, byte length, and md5 — the form a
+    content-addressed store or frame-level pipeline consumes.
+
+    Scale: pure map-side fan-out (|payload|/256 rows per doc), no
+    shuffle anywhere; md5 is codegen'd. Oracle slices the same windows
+    with DuckDB blob indexing."""
+    p = attach_binary(load_table(spark, sf_dir, "documents"))
+    n_chunks = F.ceil(F.length("payload") / float(FRAME_BYTES)).cast("int")
+    chunk = F.expr(f"substring(payload, chunk_no * {FRAME_BYTES} + 1, {FRAME_BYTES})")
+    return (
+        p.select(
+            "doc_id",
+            "payload",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            F.length(chunk).cast("long").alias("chunk_bytes"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

@@ -140,6 +140,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_strategy_hints",
     "agg_corr_cov",
     "ansi_try_funcs",
+    "mm_binary_chunks",
     "sink_partition_overwrite",
     "scan_schema_evolution",
     "observe_metrics",
