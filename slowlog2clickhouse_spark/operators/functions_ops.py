@@ -583,3 +583,48 @@ def ansi_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.try_divide("o_totalprice", F.col("o_custkey") % 100).alias("safe_div"),
     )
+
+
+@op(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS members
+    FROM nation GROUP BY 1
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (ClickHouse groupArray / SQL
+    listagg analog): deterministic ORDER BY inside the aggregate via
+    sorted collect_list + concat_ws — order-stable across engines and
+    partitionings (G7: never an unsorted collect)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias(
+            "members"
+        )
+    )
+
+
+@op(
+    "agg_median_mode",
+    oracle="""
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n,
+           median(value) AS med,
+           quantile_cont(value, 0.25) AS q1
+    FROM events GROUP BY 1
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median() (exact continuous, = percentile 0.5 interpolated — the
+    Spark 3.4+ builtin) and a companion exact quartile per group. Exact
+    medians buffer per-group values (G6); the documented 100-TB default
+    is approx_percentile — this op is the correctness baseline that
+    sketch variants are tested against (agg_percentile_approx)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.median("value").alias("med"),
+        F.percentile("value", 0.25).alias("q1"),
+    )

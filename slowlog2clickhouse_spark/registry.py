@@ -141,6 +141,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
+    "agg_string_concat",
+    "agg_median_mode",
     "sink_partition_overwrite",
     "scan_schema_evolution",
     "observe_metrics",
