@@ -205,3 +205,23 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gen")
     )
+
+
+@op("sink_v2_writeto")  # rows-only: catalog round-trip pytest-pinned
+def sink_v2_writeto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameWriterV2 (`df.writeTo(...).createOrReplace()`): the
+    catalog-table write path (vs the path-based v1 `df.write`). V2 is
+    the surface where partitioned-by-expression tables, REPLACE TABLE
+    atomicity, and catalog plugins (Iceberg/Delta at 100 TB) hang —
+    this op proves the engine speaks it against the built-in catalog,
+    then reads the table back by NAME, not path. (The built-in session
+    catalog lacks atomic REPLACE TABLE AS SELECT — a lakehouse catalog
+    provides it — so this uses DROP + CTAS `create()`.)"""
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("s"))
+    )
+    spark.sql("DROP TABLE IF EXISTS order_status_summary")
+    agg.writeTo("order_status_summary").using("parquet").create()
+    return spark.table("order_status_summary")

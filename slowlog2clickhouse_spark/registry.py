@@ -160,6 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "vec_kmeans",
     "sink_compact",
     "scan_slowlog_pyds",
+    "sink_v2_writeto",
     # slower demos last within the window
     "join_bucketed_colocated",
     "stream_file_source",

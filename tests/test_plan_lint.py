@@ -41,6 +41,7 @@ EAGER = {
     "sink_partition_overwrite",
     "scan_schema_evolution",
     "observe_metrics",
+    "sink_v2_writeto",
     "dedup_cluster",  # iterative: builder runs label-propagation jobs
     "vec_kmeans",  # iterative: builder runs Lloyd assignment jobs
 }

@@ -121,3 +121,30 @@ def test_first_fit_decreasing_invariants(sizes, budget):
         # the non-oversize load always fits the budget
         assert sum(i for i in items if i <= budget) <= budget, (b, items)
     assert got == first_fit_decreasing(ordered, budget)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=string.ascii_letters + string.digits + " ;\n#",
+            min_size=1,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=200)
+def test_datasource_record_split_roundtrip(bodies):
+    """The Python-datasource splitter must produce exactly one chunk
+    per record and preserve every byte: joining N records with the
+    '\\n# Time: ' boundary and re-splitting yields the originals."""
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import _records
+
+    recs = [f"# Time: 2024-01-01T00:00:0{i % 10}Z\n{b}" for i, b in enumerate(bodies)]
+    # a record body must not itself contain the boundary marker
+    recs = [r for r in recs if "\n# Time: " not in r[8:]]
+    text = "\n# Time: ".join(r[8:] if i else r for i, r in enumerate(recs))
+    got = list(_records(text))
+    assert len(got) == len(recs)
+    assert got == recs
