@@ -367,6 +367,14 @@ def _lloyd(emb: DataFrame, k: int, iters: int):
     """
     init = emb.orderBy("vec_id").limit(k).select("e").collect()
     centroids = [list(r["e"]) for r in init]
+    if not centroids:  # empty corpus: empty assignment, no iterations
+        empty = emb.select(
+            "vec_id",
+            "e",
+            F.lit(0).alias("cluster"),
+            F.lit(0.0).alias("sq_dist"),
+        ).limit(0)
+        return empty, []
     history = []
     assigned = None
     for _ in range(iters):

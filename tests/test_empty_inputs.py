@@ -1,0 +1,63 @@
+"""Degenerate-input sweep: every probed operator must run (not crash)
+on a corpus of EMPTY tables with correct schemas — at 100 TB empty
+partitions, empty date ranges, and freshly-truncated tables are
+routine, and a plan that throws on zero rows is a production outage.
+
+funnel_events and cte_recursive_spine legitimately emit their single
+global row (zero counts / NULL spine anchor) on empty input; everything
+else must return zero rows."""
+
+from __future__ import annotations
+
+import pytest
+
+from slowlog2clickhouse_spark.io import TABLES, load_table
+from slowlog2clickhouse_spark.registry import all_ops
+
+OPS = all_ops()
+
+PROBE = [
+    "agg_groupby_stats",
+    "win_topk_per_group",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_cluster",
+    "text_tfidf",
+    "text_decontaminate",
+    "pack_sequences",
+    "sample_stratified",
+    "vec_knn_topk",
+    "vec_kmeans",
+    "corpus_curation",
+    "merge_upsert",
+    "cohort_retention",
+    "agg_histogram",
+    "time_gapfill_locf",
+    "agg_median_mode",
+    "mm_binary_chunks",
+]
+SINGLE_ROW_OK = {"funnel_events", "cte_recursive_spine"}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory):
+    import pyspark.sql.functions as F
+
+    dst = str(tmp_path_factory.mktemp("sf_empty"))
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t).limit(0)
+        if t == "events":
+            # write back as ns-long, matching the driver fixture layout
+            df = df.withColumn("ts", F.unix_micros("ts") * 1000)
+        df.write.parquet(f"{dst}/{t}.parquet")
+    return dst
+
+
+@pytest.mark.parametrize("name", PROBE)
+def test_op_survives_empty_tables(spark, empty_sf_dir, name):
+    assert OPS[name].fn(spark, empty_sf_dir).count() == 0
+
+
+@pytest.mark.parametrize("name", sorted(SINGLE_ROW_OK))
+def test_global_row_ops_emit_one_row_on_empty(spark, empty_sf_dir, name):
+    assert OPS[name].fn(spark, empty_sf_dir).count() == 1
