@@ -431,3 +431,22 @@ class TestPythonDataSource:
             for r in linesep.select("query", "extra_metrics").collect()
         )
         assert am == bm
+
+
+def test_crlf_line_endings_parse_clean():
+    """Windows-style \r\n logs: headers parse, query text carries no
+    stray carriage returns (fingerprints would split classes)."""
+    from slowlog2clickhouse_spark.sources.slowlog import parse_record
+
+    rec = (
+        "# Time: 2024-01-01T10:00:00Z\r\n"
+        "# User@Host: app[app] @ host1 [10.0.0.1]\r\n"
+        "# Query_time: 1.5  Lock_time: 0.01 Rows_sent: 10  Rows_examined: 100\r\n"
+        "SET timestamp=1704103200;\r\n"
+        "SELECT * FROM t WHERE id = 5;\r\n"
+    )
+    ev = parse_record(rec)
+    assert ev["user"] == "app" and ev["host"] == "host1"
+    assert ev["query_time"] == 1.5 and ev["rows_sent"] == 10
+    assert "\r" not in ev["query"]
+    assert ev["query"] == "SELECT * FROM t WHERE id = 5"
