@@ -224,3 +224,77 @@ def mm_binary_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_w", T.LongType()),
+        T.StructField("src_h", T.LongType()),
+        T.StructField("dst_w", T.LongType()),
+        T.StructField("dst_h", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+RESIZE_TARGET = (32, 32)
+
+
+def resize_stub(payload: bytes, w: int, h: int, dst=RESIZE_TARGET) -> bytes:
+    """Deterministic fake resize: nearest-neighbor index into the raw
+    byte grid (row-major w×h, truncated/cycled). A real deployment
+    swaps this for PIL.Image.resize — the op's schema, batching, and
+    metadata rewrite are what's real here (same seam contract as
+    decode_image_stub)."""
+    dw, dh = dst
+    if not payload:
+        return b""
+    n = len(payload)
+    out = bytearray()
+    for y in range(dh):
+        sy = min(int(y * h / dh), h - 1) if h else 0
+        for x in range(dw):
+            sx = min(int(x * w / dw), w - 1) if w else 0
+            out.append(payload[(sy * w + sx) % n])
+    return bytes(out)
+
+
+@op("mm_resize")  # rows-only: binary plumbing, determinism pytest-pinned
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize stage: payload + (width, height) metadata →
+    fixed-target nearest-neighbor downsample, metadata rewritten to
+    the new dims — the standard normalize-before-embed step of an
+    image pipeline, as Arrow-batched mapInPandas (bytes cross the
+    JVM↔Python boundary once per batch). The pixel math is the
+    documented deterministic stub (no PIL in container); everything
+    around it — schema, metadata rewrite, batch shape, md5 — is real.
+    """
+    import hashlib
+
+    with_bin = attach_binary(load_table(spark, sf_dir, "documents"))
+    flat = with_bin.select(
+        "doc_id", "payload", "meta.width", "meta.height"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                resize_stub(p, int(w), int(h))
+                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": pdf["width"].astype("int64"),
+                    "src_h": pdf["height"].astype("int64"),
+                    "dst_w": RESIZE_TARGET[0],
+                    "dst_h": RESIZE_TARGET[1],
+                    "resized": resized,
+                    "resized_md5": [
+                        hashlib.md5(r).hexdigest() for r in resized
+                    ],
+                }
+            )
+
+    return flat.mapInPandas(resize, _RESIZE_SCHEMA)

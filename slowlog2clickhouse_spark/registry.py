@@ -161,6 +161,7 @@ _PRIORITY: tuple[str, ...] = (
     "sink_compact",
     "scan_slowlog_pyds",
     "sink_v2_writeto",
+    "mm_resize",
     # slower demos last within the window
     "join_bucketed_colocated",
     "stream_file_source",
