@@ -465,3 +465,64 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_a", "vec_b", F.round(dot / (na * nb), 6).alias("cos_sim")
     )
     return pairs.where(F.col("cos_sim") > 0.15)
+
+
+def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85):
+    """Iterative PageRank over an undirected edge list (doc_a, doc_b).
+
+    Per iteration: one shuffle on dst (contribution aggregation) and a
+    join back to degrees — the data-parallel loop shape shared with
+    _lloyd/connected_components. The rank vector is localCheckpointed
+    each round so iteration N+1's lineage doesn't replay rounds 1..N
+    (the same truncation connected_components needs). Deterministic:
+    uniform init, fixed iteration count, float sums whose cross-run
+    partitioning is fixed by the checkpoint.
+    """
+    both = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    both = both.localCheckpoint(eager=True)
+    deg = both.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = deg.select(F.col("src").alias("doc_id"), "deg")
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "doc_id", F.lit(0.0).alias("rank")
+        ).limit(0), 0
+    ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            both.join(ranks, both["src"] == ranks["doc_id"])
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["doc_id"] == contrib["dst"], "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping * F.coalesce("in_rank", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks, n
+
+
+@op("graph_pagerank")  # rows-only: iterative float refinement (G8)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the minhash near-dup candidate graph: centrality
+    in the duplicate graph surfaces template/boilerplate hubs — docs
+    whose text is near-copied everywhere — which curation pipelines
+    down-weight or cap. 5 damped iterations; tests pin that ranks sum
+    to ~1 and the algorithm is rerun-stable."""
+    cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    ranks, _ = pagerank(cand)
+    return ranks.select(
+        "doc_id", F.round(F.col("rank"), 8).alias("rank")
+    )

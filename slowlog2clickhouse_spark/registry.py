@@ -158,6 +158,7 @@ _PRIORITY: tuple[str, ...] = (
     "vec_quantize_int8",
     "pack_sequences",
     "vec_kmeans",
+    "graph_pagerank",
     "sink_compact",
     "scan_slowlog_pyds",
     "sink_v2_writeto",

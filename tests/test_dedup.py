@@ -131,3 +131,12 @@ def test_simhash_plan_no_cartesian(spark, sf_dir):
     p = buf.getvalue()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pagerank_sums_to_one_and_rerun_stable(spark, sf_dir):
+    got = {r["doc_id"]: r["rank"] for r in OPS["graph_pagerank"].fn(spark, sf_dir).collect()}
+    assert got, "candidate graph should not be empty at test SF"
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert all(v > 0 for v in got.values())
+    rerun = {r["doc_id"]: r["rank"] for r in OPS["graph_pagerank"].fn(spark, sf_dir).collect()}
+    assert rerun == got

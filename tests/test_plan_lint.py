@@ -44,6 +44,7 @@ EAGER = {
     "sink_v2_writeto",
     "dedup_cluster",  # iterative: builder runs label-propagation jobs
     "vec_kmeans",  # iterative: builder runs Lloyd assignment jobs
+    "graph_pagerank",  # iterative: builder runs rank-propagation jobs
 }
 
 # intended nested-loop/cartesian designs: K-row broadcast probes/dims
