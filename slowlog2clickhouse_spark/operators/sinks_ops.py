@@ -223,5 +223,16 @@ def sink_v2_writeto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("s"))
     )
     spark.sql("DROP TABLE IF EXISTS order_status_summary")
+    # DROP on a fresh session is a no-op while the managed LOCATION from
+    # a previous session's run persists on disk — CTAS then collides
+    # (LOCATION_ALREADY_EXISTS). Clear the orphan location explicitly.
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    shutil.rmtree(os.path.join(wh, "order_status_summary"), ignore_errors=True)
     agg.writeTo("order_status_summary").using("parquet").create()
     return spark.table("order_status_summary")
