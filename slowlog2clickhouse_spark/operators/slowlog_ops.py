@@ -240,3 +240,50 @@ def scan_slowlog_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("db").asc_nulls_first())
     )
+
+
+@op("qan_filter_dimensions")  # rows-only: fixture-driven, golden corpus
+def qan_filter_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QAN filter-panel op: for each dimension (db, user, host),
+    every observed value with its query count and share of total query
+    time — what populates the left-hand drilldown list in the QAN UI
+    (qan-api2 filters endpoint analog, SURVEY §3.3 [R:M]).
+
+    One pass over parsed events, unpivoted to (dimension, value) pairs
+    map-side, then a single partial-agg'd groupBy — at 100 TB the
+    dimension fan-out is ×3 before aggregation, the shuffle is
+    |dims × values|-sized."""
+    ev = parse_slowlog(spark, FIXTURE_LOG).where(
+        ~F.col("admin") & F.col("query").isNotNull()
+    )
+    total = ev.agg(F.sum("query_time").alias("t"))
+    pairs = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dim).alias("dimension"),
+                        F.coalesce(F.col(dim), F.lit("<none>")).alias("value"),
+                    )
+                    for dim in ("db", "user", "host")
+                ]
+            )
+        ).alias("dv"),
+        "query_time",
+    )
+    return (
+        pairs.select("dv.dimension", "dv.value", "query_time")
+        .groupBy("dimension", "value")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.round(F.sum("query_time"), 6).alias("total_time"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "dimension",
+            "value",
+            "n_queries",
+            "total_time",
+            F.round(F.col("total_time") / F.col("t"), 6).alias("time_share"),
+        )
+    )

@@ -154,6 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster",
     "slowlog_classes_approx",
     "slowlog_parse_stats",
+    "qan_filter_dimensions",
     "agg_hll_daily_merge",
     "vec_quantize_int8",
     "pack_sequences",

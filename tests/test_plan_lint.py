@@ -59,6 +59,7 @@ ALLOW_NESTED_LOOP = {
     "funnel_events",  # 1-row × 1-row × 1-row stage-count join
     "agg_histogram",  # broadcast 1-row min/max stats
     "text_unigram_logprob",  # broadcast 1-row corpus-total factor
+    "qan_filter_dimensions",  # broadcast 1-row total-time factor
 }
 
 LAZY_OPS = sorted(set(OPS) - EAGER)
