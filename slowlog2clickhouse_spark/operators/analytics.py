@@ -15,6 +15,7 @@ natural keys (c_custkey / user_id), partial-agg'd, no UDFs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from slowlog2clickhouse_spark.io import load_table
@@ -183,4 +184,103 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1.agg(F.count("*").alias("n_view"))
         .crossJoin(s2.agg(F.count("*").alias("n_click_after")))
         .crossJoin(s3.agg(F.count("*").alias("n_purchase_after")))
+    )
+
+
+@op(
+    "diff_snapshots",
+    oracle="""
+    WITH now AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+                  ELSE c_acctbal END AS bal
+      FROM customer WHERE c_custkey % 10 <> 1
+      UNION ALL
+      SELECT c_custkey + 1000000, CAST(0.0 AS DOUBLE)
+      FROM customer WHERE c_custkey % 10 = 2)
+    SELECT coalesce(b.c_custkey, n.k) AS c_custkey,
+           CASE WHEN b.c_custkey IS NULL THEN 'I'
+                WHEN n.k IS NULL THEN 'D'
+                ELSE 'U' END AS change,
+           b.c_acctbal AS old_bal, n.bal AS new_bal
+    FROM customer b FULL OUTER JOIN now n ON b.c_custkey = n.k
+    WHERE b.c_custkey IS NULL OR n.k IS NULL OR b.c_acctbal <> n.bal
+    """,
+)
+def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the inverse of merge_upsert and the core of CDC
+    validation / data reconciliation: given yesterday's table and
+    today's (derived here with the same deterministic change recipe as
+    merge_upsert), emit exactly the insert/update/delete rows that
+    transform one into the other.
+
+    Scale: one full-outer join on the key (both sides shuffle once;
+    with bucketed snapshots it's shuffle-free), change classification
+    is map-side. Float equality is safe: both sides compute the same
+    IEEE expression on identical inputs."""
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    k = F.col("c_custkey")
+    now = (
+        base.where(k % 10 != 1)
+        .select(
+            k.alias("k"),
+            F.when(k % 10 == 0, F.col("c_acctbal") + 100)
+            .otherwise(F.col("c_acctbal"))
+            .alias("bal"),
+        )
+        .unionByName(
+            base.where(k % 10 == 2).select(
+                (k + 1000000).alias("k"), F.lit(0.0).alias("bal")
+            )
+        )
+    )
+    j = base.join(now, base["c_custkey"] == now["k"], "full_outer")
+    return j.where(
+        base["c_custkey"].isNull()
+        | now["k"].isNull()
+        | (base["c_acctbal"] != now["bal"])
+    ).select(
+        F.coalesce(base["c_custkey"], now["k"]).alias("c_custkey"),
+        F.when(base["c_custkey"].isNull(), "I")
+        .when(now["k"].isNull(), "D")
+        .otherwise("U")
+        .alias("change"),
+        base["c_acctbal"].alias("old_bal"),
+        now["bal"].alias("new_bal"),
+    )
+
+
+@op(
+    "scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version
+      FROM events)
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           next_ts AS valid_to,
+           cast(version AS BIGINT) AS version,
+           cast(next_ts IS NULL AS BIGINT) AS is_current
+    FROM ordered
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: each per-user
+    event opens a validity interval closed by the next event
+    (lead() over the user timeline); the last interval stays open
+    (valid_to NULL, is_current). The standard dimensional-warehouse
+    temporal table, one window over one user_id shuffle; event_id
+    tiebreaks equal timestamps deterministically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("ts").over(w).isNull().cast("long").alias("is_current"),
     )

@@ -122,6 +122,8 @@ _PRIORITY: tuple[str, ...] = (
     "merge_upsert",
     "cohort_retention",
     "funnel_events",
+    "diff_snapshots",
+    "scd2_intervals",
     "map_funcs",
     "text_normalize",
     "join_lateral",
