@@ -186,3 +186,79 @@ def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 4).alias("sq"),
         )
     )
+
+
+@op(
+    "tpch_q6",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           cast(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+      AND l_shipdate < DATE '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue change: the pure pushdown
+    showcase — every predicate reaches the parquet scan
+    (PushedFilters), zero joins, one global agg; at 100 TB the scan
+    reads only the 4 referenced columns and skips row groups via
+    min/max stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@op(
+    "tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY 1 HAVING sum(l_quantity) > 150)
+    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 4) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN big ON big.l_orderkey = o_orderkey
+    GROUP BY 1, 2, 3, 4
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: HAVING-filtered semi-join set
+    (orders whose line quantities exceed a threshold) driving a 3-way
+    join and top-N. The `big` set is small → broadcast; o_orderkey is
+    the unique tiebreak (spec orders by totalprice/date; testdata's
+    orderkey pins determinism)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+              F.col("bk") == o["o_orderkey"])
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )

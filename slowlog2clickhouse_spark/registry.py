@@ -139,6 +139,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
     "join_strategy_hints",
     "agg_corr_cov",
     "ansi_try_funcs",
