@@ -262,3 +262,50 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )
+
+
+@op(
+    "tpch_q14",
+    oracle="""
+    WITH sums AS (
+      SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0 END), 4) AS promo_rev,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= DATE '1995-09-01'
+        AND l_shipdate < DATE '1995-10-01')
+    SELECT promo_rev, total_rev,
+           round(100.0 * promo_rev / total_rev, 6) AS promo_pct
+    FROM sums
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect (testdata's p_type is a plain
+    category, so = 'PROMO' replaces the spec's LIKE 'PROMO%'): month
+    fact slice joined to the part dim — broadcast at any SF ratio —
+    then one conditional aggregate. The percentage is computed from
+    the ROUNDED sums so the final division is bit-identical
+    cross-engine (G5/G8)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("date"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sums = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(0.0)), 4
+            ).alias("promo_rev"),
+            F.round(F.sum(net), 4).alias("total_rev"),
+        )
+    )
+    return sums.select(
+        "promo_rev",
+        "total_rev",
+        F.round(100.0 * F.col("promo_rev") / F.col("total_rev"), 6).alias(
+            "promo_pct"
+        ),
+    )

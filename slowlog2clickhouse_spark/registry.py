@@ -141,6 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q5",
     "tpch_q6",
     "tpch_q18",
+    "tpch_q14",
     "join_strategy_hints",
     "agg_corr_cov",
     "ansi_try_funcs",
