@@ -236,3 +236,34 @@ def sink_v2_writeto(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(os.path.join(wh, "order_status_summary"), ignore_errors=True)
     agg.writeTo("order_status_summary").using("parquet").create()
     return spark.table("order_status_summary")
+
+
+@op(
+    "scan_jsonl",
+    oracle="""
+    SELECT lang, cast(count(*) AS BIGINT) AS n,
+           cast(sum(n_chars) AS BIGINT) AS total_chars,
+           cast(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY 1
+    """,
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines as a source/sink format: write documents to JSONL,
+    read back with an EXPLICIT schema (a 100-TB scan never infers —
+    inference is a second full pass), aggregate, hash-check against
+    the parquet original. JSONL is the interchange format most raw
+    LLM-corpus drops arrive in; this pins the decode path end-to-end.
+    """
+    out = os.path.join(tempfile.mkdtemp(prefix="scan_jsonl_"), "docs_jsonl")
+    load_table(spark, sf_dir, "documents").write.mode("overwrite").json(out)
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    return (
+        spark.read.schema(schema)
+        .json(out)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )

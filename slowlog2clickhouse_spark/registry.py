@@ -152,6 +152,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_schema_evolution",
     "observe_metrics",
     "scan_orc",
+    "scan_jsonl",
     "scan_jdbc",
     # new extension ops: rows-only
     "dedup_simhash",

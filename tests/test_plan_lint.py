@@ -37,6 +37,7 @@ EAGER = {
     "stream_stream_join",
     "stream_transform_with_state",
     "scan_orc",
+    "scan_jsonl",
     "sink_compact",
     "sink_partition_overwrite",
     "scan_schema_evolution",
