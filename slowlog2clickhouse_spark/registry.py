@@ -185,6 +185,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_static_join",
     "stream_stream_join",
     "stream_transform_with_state",
+    "stream_rate_source",
 )
 
 

@@ -391,3 +391,41 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         api = "applyInPandasWithState-fallback"
     return run_to_memory(result, "update").withColumn("api", F.lit(api))
+
+
+@op("stream_rate_source")  # rows-only: synthetic source, invariants tested
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `rate-micro-batch` synthetic source: a deterministic
+    rows-per-batch generator — the load-driver for soak-testing
+    streaming topologies before real data exists (the plain `rate`
+    source has no backlog, so availableNow would pull zero rows).
+    Runs micro-batches until ≥2 batches landed, then returns the
+    parity-count aggregate — proving trigger plumbing on a non-file
+    source."""
+    import time
+
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "1000")
+        .option("numPartitions", "4")
+        .load()
+    )
+    agg = stream.groupBy((F.col("value") % 2).alias("parity")).agg(
+        F.count("*").alias("n")
+    )
+    name = f"rate_result_{next(_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        got = spark.sql(f"SELECT sum(n) AS s FROM {name}").collect()[0]["s"]
+        if got and got >= 2000:
+            break
+        time.sleep(0.5)
+    q.stop()
+    return spark.table(name)

@@ -36,6 +36,7 @@ EAGER = {
     "stream_static_join",
     "stream_stream_join",
     "stream_transform_with_state",
+    "stream_rate_source",
     "scan_orc",
     "scan_jsonl",
     "sink_compact",
