@@ -1327,3 +1327,36 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
     return a.exceptAll(b)
+
+
+@op(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+      FROM customer WHERE c_custkey % 50 = 0),
+    b AS (
+      SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+             cast(count(*) AS BIGINT) AS seg_n
+      FROM customer GROUP BY 1)
+    SELECT a.c_custkey, a.seg, b.seg_n
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics a dimension
+    join needs when 'unknown' is itself a category. Catalyst still
+    plans a hash join (the null-safe comparison is a valid equi-key;
+    no fallback to nested loop), which the plan lint enforces."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.expr("nullif(c_mktsegment, 'BUILDING')")
+    a = c.where(F.col("c_custkey") % 50 == 0).select(
+        "c_custkey", seg.alias("seg")
+    )
+    b = c.select(seg.alias("seg_b")).groupBy("seg_b").agg(
+        F.count("*").alias("seg_n")
+    )
+    return a.join(b, a["seg"].eqNullSafe(b["seg_b"])).select(
+        "c_custkey", "seg", "seg_n"
+    )

@@ -143,6 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q18",
     "tpch_q14",
     "join_strategy_hints",
+    "join_null_safe",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
