@@ -1360,3 +1360,30 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["seg"].eqNullSafe(b["seg_b"])).select(
         "c_custkey", "seg", "seg_n"
     )
+
+
+@op(
+    "set_union_by_name",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM (SELECT o_orderkey, o_totalprice, o_orderpriority
+          FROM orders WHERE o_orderstatus = 'F'
+          UNION ALL BY NAME
+          SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderpriority,
+                 o_totalprice
+          FROM orders WHERE o_orderstatus = 'O') t
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: unionByName with allowMissingColumns — the
+    append that survives a source generation losing/gaining a column
+    (missing columns fill NULL, alignment is by NAME not position;
+    positional union would silently transpose columns here)."""
+    o = load_table(spark, sf_dir, "orders")
+    old_gen = o.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    new_gen = o.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice"  # generation dropped the column
+    )
+    return old_gen.unionByName(new_gen, allowMissingColumns=True)

@@ -180,3 +180,52 @@ def cte_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     real shuffle is the final groupBy on month."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+@op(
+    "time_weighted_avg",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+      FROM events WHERE event_type = 'purchase'),
+    weighted AS (
+      SELECT user_id, value,
+             epoch_us(next_ts) - epoch_us(ts) AS dur
+      FROM spans WHERE next_ts IS NOT NULL)
+    SELECT user_id,
+           cast(count(*) AS BIGINT) AS n_spans,
+           cast(sum(dur) AS BIGINT) AS total_dur,
+           round(sum(value * dur) / sum(dur), 6) AS tw_avg
+    FROM weighted GROUP BY 1
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average — the monitoring-correct mean for
+    irregularly sampled gauges (each observation holds until the next
+    one; a plain avg over-weights bursts): per-user LOCF spans via
+    lead(), then Σ(value·duration)/Σ(duration). One user_id shuffle
+    shared by the window and the aggregate. Durations are exact
+    integer MICROseconds (unix_micros / epoch_us — second-granularity
+    epoch() truncates fractions differently across engines), so only
+    the final division needs the G8 rounding."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dur"),
+    ).where(F.col("dur").isNotNull())
+    return spans.groupBy("user_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("dur").cast("long").alias("total_dur"),
+        F.round(F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 6).alias(
+            "tw_avg"
+        ),
+    )

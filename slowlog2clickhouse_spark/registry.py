@@ -144,6 +144,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q14",
     "join_strategy_hints",
     "join_null_safe",
+    "set_union_by_name",
+    "time_weighted_avg",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
