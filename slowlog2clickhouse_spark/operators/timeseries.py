@@ -229,3 +229,48 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tw_avg"
         ),
     )
+
+
+@op(
+    "win_islands_runs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_type
+      FROM events)
+    SELECT user_id, event_type,
+           cast(count(*) AS BIGINT) AS run_len,
+           min(ts) AS run_start, max(ts) AS run_end
+    FROM seq
+    GROUP BY user_id, event_type, rn - rn_type
+    """,
+)
+def win_islands_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: group CONSECUTIVE same-type events per user
+    into runs via the row_number-difference trick (rn − rn_per_type is
+    constant within a run) — the standard SQL idiom for
+    state-transition analysis (retry storms, repeated errors) that
+    needs no iteration. Two windows share one user_id Exchange; the
+    run groupBy is partial-agg'd. event_id tiebreaks equal timestamps
+    so runs are deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count("*").alias("run_len"),
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+        )
+        .drop("grp")
+    )

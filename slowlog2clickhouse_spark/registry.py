@@ -146,6 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_null_safe",
     "set_union_by_name",
     "time_weighted_avg",
+    "win_islands_runs",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
