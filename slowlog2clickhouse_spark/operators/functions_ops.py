@@ -628,3 +628,48 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("value").alias("med"),
         F.percentile("value", 0.25).alias("q1"),
     )
+
+
+@op(
+    "str_array_funcs2",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+      FROM documents WHERE len(string_split(text, ' ')) >= 10)
+    SELECT doc_id,
+           levenshtein(toks[1], toks[-1]) AS lev_first_last,
+           lpad(lang, 5, '*') AS lang_pad,
+           translate(source, 'src', 'xyz') AS src_tr,
+           coalesce(array_to_string(list_sort(list_intersect(toks[1:5],
+                                                    toks[-5:])), ','), '')
+             AS head_tail_common,
+           list_has_any(toks[1:5], toks[-5:]) AS overlaps
+    FROM t
+    """,
+)
+def str_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string/array function battery: levenshtein edit distance
+    (the fuzzy-match primitive), lpad/translate, and array set algebra
+    (array_intersect + arrays_overlap between a document's head and
+    tail token windows). Set-op results are SORTED before
+    stringification — Spark and DuckDB build the intersection in
+    different internal orders (G7)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = d.where(F.size(toks) >= 10).select(
+        "doc_id", "lang", "source", toks.alias("toks")
+    )
+    head = F.slice("toks", 1, 5)
+    tail = F.slice("toks", -5, 5)
+    return d.select(
+        "doc_id",
+        F.levenshtein(
+            F.element_at("toks", 1), F.element_at("toks", -1)
+        ).alias("lev_first_last"),
+        F.lpad("lang", 5, "*").alias("lang_pad"),
+        F.translate("source", "src", "xyz").alias("src_tr"),
+        F.array_join(
+            F.array_sort(F.array_intersect(head, tail)), ","
+        ).alias("head_tail_common"),
+        F.arrays_overlap(head, tail).alias("overlaps"),
+    )

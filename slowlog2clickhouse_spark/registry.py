@@ -147,6 +147,7 @@ _PRIORITY: tuple[str, ...] = (
     "set_union_by_name",
     "time_weighted_avg",
     "win_islands_runs",
+    "str_array_funcs2",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
