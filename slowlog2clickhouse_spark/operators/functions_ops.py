@@ -16,6 +16,7 @@ Cross-engine type notes baked in below (SURVEY.md §7 G):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from slowlog2clickhouse_spark.functions.fingerprint import (
@@ -672,4 +673,53 @@ def str_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.array_intersect(head, tail)), ","
         ).alias("head_tail_common"),
         F.arrays_overlap(head, tail).alias("overlaps"),
+    )
+
+
+@op(
+    "agg_bool",
+    oracle="""
+    SELECT event_type,
+           bool_and(value > 1) AS all_above_1,
+           bool_or(value > 99) AS any_above_99,
+           cast(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_above_50
+    FROM events GROUP BY 1
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any — ClickHouse min/max-of-UInt8
+    analog) plus the FILTER clause form of conditional counting."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.every(F.col("value") > 1).alias("all_above_1"),
+        F.some(F.col("value") > 99).alias("any_above_99"),
+        F.count(F.when(F.col("value") > 50, 1)).alias("n_above_50"),
+    )
+
+
+@op(
+    "win_nth_value",
+    oracle="""
+    SELECT user_id, event_id,
+           nth_value(value, 2) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_val
+    FROM events
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value window function (running 2nd observation per user —
+    NULL until the partition has seen two rows); completes the
+    first/last/nth value-navigation family. event_id tiebreak keeps
+    the frame deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.nth_value("value", 2).over(w).alias("second_val"),
     )

@@ -148,6 +148,8 @@ _PRIORITY: tuple[str, ...] = (
     "time_weighted_avg",
     "win_islands_runs",
     "str_array_funcs2",
+    "agg_bool",
+    "win_nth_value",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
