@@ -723,3 +723,34 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.nth_value("value", 2).over(w).alias("second_val"),
     )
+
+
+@op(
+    "agg_skew_kurt",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, avg(value) AS mu FROM events GROUP BY 1),
+    c AS (
+      SELECT e.event_type,
+             sum(pow(value - mu, 2)) / count(*) AS m2,
+             sum(pow(value - mu, 3)) / count(*) AS m3,
+             sum(pow(value - mu, 4)) / count(*) AS m4
+      FROM events e JOIN m USING (event_type) GROUP BY 1)
+    SELECT event_type,
+           round(m3 / pow(m2, 1.5), 6) AS skew,
+           round(m4 / pow(m2, 2) - 3, 6) AS kurt
+    FROM c
+    """,
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment aggregates: skewness and excess kurtosis per
+    group (latency distributions are long-tailed; these are the shape
+    signals a p95 alone hides). Spark computes POPULATION moments
+    (g1, g2−3) single-pass; DuckDB's builtins are sample-adjusted
+    (G1), so the oracle derives the same population moments explicitly
+    from central sums — definition parity, not comparator loosening."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.skewness("value"), 6).alias("skew"),
+        F.round(F.kurtosis("value"), 6).alias("kurt"),
+    )

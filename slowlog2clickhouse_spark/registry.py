@@ -150,6 +150,7 @@ _PRIORITY: tuple[str, ...] = (
     "str_array_funcs2",
     "agg_bool",
     "win_nth_value",
+    "agg_skew_kurt",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
