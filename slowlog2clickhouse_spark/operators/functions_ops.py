@@ -754,3 +754,25 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("value"), 6).alias("skew"),
         F.round(F.kurtosis("value"), 6).alias("kurt"),
     )
+
+
+@op(
+    "explode_outer_nulls",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 6)
+               AS longs
+      FROM documents)
+    SELECT t.doc_id, u.token
+    FROM t LEFT JOIN LATERAL (SELECT unnest(t.longs) AS token) u ON TRUE
+    """,
+)
+def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows whose array is EMPTY survive the fan-out as
+    a NULL row (plain explode silently drops them — a correctness trap
+    in join pipelines where 'document with no long tokens' must still
+    appear downstream). Oracle emulates with LEFT JOIN LATERAL unnest."""
+    d = load_table(spark, sf_dir, "documents")
+    longs = F.filter(F.split("text", " "), lambda x: F.length(x) > 6)
+    return d.select("doc_id", F.explode_outer(longs).alias("token"))

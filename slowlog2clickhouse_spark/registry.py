@@ -151,6 +151,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_bool",
     "win_nth_value",
     "agg_skew_kurt",
+    "explode_outer_nulls",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
