@@ -776,3 +776,34 @@ def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     longs = F.filter(F.split("text", " "), lambda x: F.length(x) > 6)
     return d.select("doc_id", F.explode_outer(longs).alias("token"))
+
+
+@op(
+    "str_regex_extract_all",
+    oracle="""
+    SELECT doc_id,
+           cast(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+             AS n_number_runs,
+           coalesce(array_to_string(regexp_extract_all(text, '[0-9]+'), ','),
+                    '') AS number_runs,
+           cast(len(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT)
+             AS n_long_words
+    FROM documents
+    """,
+)
+def str_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: ALL matches as an array (single-match
+    extract is str_regex_extract) — the tokenizer/masker primitive for
+    pulling every number run or long word out of a document in one
+    codegen'd pass. Match order is left-to-right in both engines, so
+    the joined string is deterministic without sorting."""
+    d = load_table(spark, sf_dir, "documents")
+    nums = F.regexp_extract_all("text", F.lit("[0-9]+"), 0)
+    return d.select(
+        "doc_id",
+        F.size(nums).cast("long").alias("n_number_runs"),
+        F.array_join(nums, ",").alias("number_runs"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{6,}"), 0))
+        .cast("long")
+        .alias("n_long_words"),
+    )

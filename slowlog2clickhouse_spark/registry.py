@@ -152,6 +152,7 @@ _PRIORITY: tuple[str, ...] = (
     "win_nth_value",
     "agg_skew_kurt",
     "explode_outer_nulls",
+    "str_regex_extract_all",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
