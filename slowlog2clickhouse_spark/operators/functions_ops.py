@@ -807,3 +807,29 @@ def str_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_long_words"),
     )
+
+
+@op(
+    "agg_bitwise",
+    oracle="""
+    SELECT event_type,
+           bit_and(event_id) AS band,
+           bit_or(event_id) AS bor,
+           bit_xor(event_id) AS bxor,
+           max(greatest(user_id, event_id % 1000)) AS gmax,
+           min(least(user_id, event_id % 1000)) AS lmin
+    FROM events GROUP BY 1
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and/or/xor — flag-mask rollups, e.g.
+    ClickHouse groupBitAnd analogs) plus row-wise greatest/least.
+    All order-independent integer ops — exact cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("event_id").alias("band"),
+        F.bit_or("event_id").alias("bor"),
+        F.bit_xor("event_id").alias("bxor"),
+        F.max(F.greatest("user_id", F.col("event_id") % 1000)).alias("gmax"),
+        F.min(F.least("user_id", F.col("event_id") % 1000)).alias("lmin"),
+    )

@@ -153,6 +153,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_skew_kurt",
     "explode_outer_nulls",
     "str_regex_extract_all",
+    "agg_bitwise",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
