@@ -833,3 +833,27 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.greatest("user_id", F.col("event_id") % 1000)).alias("gmax"),
         F.min(F.least("user_id", F.col("event_id") % 1000)).alias("lmin"),
     )
+
+
+@op(
+    "str_hex_base64",
+    oracle="""
+    SELECT doc_id,
+           hex(doc_id) AS id_hex,
+           base64(encode(substr(text, 1, 24))) AS head_b64,
+           md5(substr(text, 1, 24)) AS head_md5
+    FROM documents
+    """,
+)
+def str_hex_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-text encodings: hex of an integer id, base64 of a byte
+    window, md5 beside them — the content-addressing/uri-safe
+    primitives every artifact store needs; all codegen'd."""
+    d = load_table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 24)
+    return d.select(
+        "doc_id",
+        F.hex("doc_id").alias("id_hex"),
+        F.base64(F.encode(head, "utf-8")).alias("head_b64"),
+        F.md5(head).alias("head_md5"),
+    )

@@ -154,6 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     "explode_outer_nulls",
     "str_regex_extract_all",
     "agg_bitwise",
+    "str_hex_base64",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
