@@ -857,3 +857,25 @@ def str_hex_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(F.encode(head, "utf-8")).alias("head_b64"),
         F.md5(head).alias("head_md5"),
     )
+
+
+@op(
+    "agg_product",
+    oracle="""
+    SELECT l_orderkey,
+           cast(count(*) AS BIGINT) AS n_items,
+           round(product(1 - l_discount), 6) AS compound_keep
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative aggregate (product): compound retained fraction
+    after per-line discounts — the compounding pattern (interest,
+    survival rates, chained probabilities) that additive aggregates
+    can't express. Per-order groups are small and factors near 1, so
+    ordering drift sits far below the G8 rounding grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.product(1 - F.col("l_discount")), 6).alias("compound_keep"),
+    )

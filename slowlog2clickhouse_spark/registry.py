@@ -155,6 +155,7 @@ _PRIORITY: tuple[str, ...] = (
     "str_regex_extract_all",
     "agg_bitwise",
     "str_hex_base64",
+    "agg_product",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
