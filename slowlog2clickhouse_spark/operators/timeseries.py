@@ -274,3 +274,29 @@ def win_islands_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+@op(
+    "time_bucket_custom",
+    oracle="""
+    SELECT to_timestamp((cast(floor(epoch(ts)) AS BIGINT) // 900) * 900)
+             AT TIME ZONE 'UTC' AS bucket_15m,
+           cast(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sv
+    FROM events GROUP BY 1
+    """,
+)
+def time_bucket_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-width time bucketing (15-minute): epoch-div-multiply,
+    the bucket width date_trunc can't express (QAN dashboards zoom
+    through 1m/5m/15m/1h grains; only the constant changes). Integer
+    division on epoch seconds is exact cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col("ts").cast("timestamp")) / 900)
+        .cast("long") * 900
+    )
+    return ev.groupBy(bucket.alias("bucket_15m")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sv"),
+    )

@@ -156,6 +156,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_bitwise",
     "str_hex_base64",
     "agg_product",
+    "time_bucket_custom",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
