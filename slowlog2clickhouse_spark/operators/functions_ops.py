@@ -879,3 +879,54 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.round(F.product(1 - F.col("l_discount")), 6).alias("compound_keep"),
     )
+
+
+@op(
+    "date_try_parse",
+    oracle=r"""
+    SELECT o_orderkey,
+           try_strptime(cast(o_orderdate AS VARCHAR), '%Y-%m-%d %H:%M:%S')
+             AS parsed_ok,
+           try_strptime('not-a-date', '%Y-%m-%d') AS parsed_bad
+    FROM orders
+    """,
+)
+def date_try_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-timestamp tolerance: try_to_timestamp returns NULL on
+    garbage instead of throwing under ANSI mode — the ingest-side
+    sibling of ansi_try_funcs (one bad log line must not kill the
+    batch)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_to_timestamp(
+            F.col("o_orderdate").cast("string"),
+            F.lit("yyyy-MM-dd HH:mm:ss"),
+        ).alias("parsed_ok"),
+        F.try_to_timestamp(F.lit("not-a-date"), F.lit("yyyy-MM-dd")).alias(
+            "parsed_bad"
+        ),
+    )
+
+
+@op(
+    "str_regex_backref",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(substr(text, 1, 40),
+                          '([a-z]+) ([a-z]+)', '\2 \1', 'g') AS swapped
+    FROM documents
+    """,
+)
+def str_regex_backref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-group backreferences in regexp_replace (swap the first
+    two words) — the rewrite primitive behind query-text normalizers.
+    Replacement syntax differs per engine (Java $1 vs RE2 \\1); the
+    SEMANTICS are pinned equal by the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.substring("text", 1, 40), r"([a-z]+) ([a-z]+)", r"$2 $1"
+        ).alias("swapped"),
+    )

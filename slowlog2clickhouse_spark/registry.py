@@ -157,6 +157,8 @@ _PRIORITY: tuple[str, ...] = (
     "str_hex_base64",
     "agg_product",
     "time_bucket_custom",
+    "date_try_parse",
+    "str_regex_backref",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
