@@ -930,3 +930,55 @@ def str_regex_backref(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, 40), r"([a-z]+) ([a-z]+)", r"$2 $1"
         ).alias("swapped"),
     )
+
+
+@op(
+    "win_ratio_to_report",
+    oracle="""
+    SELECT event_id, event_type, value,
+           round(value / sum(value) OVER (PARTITION BY event_type), 8)
+             AS share_of_type
+    FROM events
+    """,
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each row's share of its partition total (a
+    whole-partition window aggregate, no ordering/frame) — the
+    percent-of-total column every report has. One shuffle on the
+    partition key; sums are order-dependent doubles → G8 round on the
+    RATIO (value magnitudes keep drift far below 1e-8)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") / F.sum("value").over(w), 8).alias(
+            "share_of_type"
+        ),
+    )
+
+
+@op(
+    "date_month_arith",
+    oracle="""
+    SELECT o_orderkey,
+           cast(o_orderdate AS TIMESTAMP) + INTERVAL 3 MONTH AS plus_3m,
+           last_day(cast(o_orderdate AS DATE)) AS month_end,
+           cast(date_trunc('month', cast(o_orderdate AS TIMESTAMP))
+                AS TIMESTAMP) AS month_start
+    FROM orders
+    """,
+)
+def date_month_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month arithmetic: add_months (with its end-of-month
+    clamp — both engines roll Jan 31 + 1 month to Feb 29), last_day,
+    month truncation. The billing/retention-period date algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.add_months(ts, 3).cast("timestamp").alias("plus_3m"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.date_trunc("month", ts).alias("month_start"),
+    )

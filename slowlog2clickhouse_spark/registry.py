@@ -159,6 +159,8 @@ _PRIORITY: tuple[str, ...] = (
     "time_bucket_custom",
     "date_try_parse",
     "str_regex_backref",
+    "win_ratio_to_report",
+    "date_month_arith",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
