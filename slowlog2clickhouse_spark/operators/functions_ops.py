@@ -982,3 +982,66 @@ def date_month_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
         F.date_trunc("month", ts).alias("month_start"),
     )
+
+
+@op(
+    "fn_digest_sha256",
+    oracle="""
+    SELECT doc_id, sha256(text) AS content_sha256,
+           substr(sha256(text), 1, 16) AS short_id
+    FROM documents
+    """,
+)
+def fn_digest_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHA-256 content digest (the collision-resistant sibling of the
+    md5 class key — what a content-addressed store actually uses) plus
+    the truncated short-id form. Byte-identical cross-engine (G8's
+    stable-hash family)."""
+    d = load_table(spark, sf_dir, "documents")
+    sha = F.lower(F.sha2("text", 256))
+    return d.select(
+        "doc_id",
+        sha.alias("content_sha256"),
+        F.substring(sha, 1, 16).alias("short_id"),
+    )
+
+
+@op(
+    "array_clean_funcs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            x -> CASE WHEN x = 'the' THEN NULL ELSE x END)
+               AS toks
+      FROM documents)
+    SELECT doc_id,
+           cast(len(list_filter(toks, x -> x IS NOT NULL)) AS BIGINT)
+             AS n_compact,
+           array_to_string(list_sort(list_distinct(
+             list_filter(toks, x -> x IS NOT NULL))), ',') AS distinct_sorted,
+           cast(len(list_filter(toks, x -> x IS NULL OR x <> 'value'))
+                AS BIGINT) AS n_removed
+    FROM t
+    """,
+)
+def array_clean_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array cleanup battery: array_compact (drop NULLs),
+    array_distinct (SORTED before stringify — engines build sets in
+    different orders, G7), array_remove (which KEEPS NULL elements —
+    the oracle filter must too) — the token-list hygiene ops a text
+    pipeline chains before hashing."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.transform(
+        F.split("text", " "),
+        lambda x: F.when(x == "the", F.lit(None)).otherwise(x),
+    )
+    compact = F.array_compact(toks)
+    return d.select(
+        "doc_id",
+        F.size(compact).cast("long").alias("n_compact"),
+        F.array_join(F.array_sort(F.array_distinct(compact)), ",").alias(
+            "distinct_sorted"
+        ),
+        F.size(F.array_remove(toks, "value")).cast("long").alias("n_removed"),
+    )

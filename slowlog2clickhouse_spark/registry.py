@@ -161,6 +161,8 @@ _PRIORITY: tuple[str, ...] = (
     "str_regex_backref",
     "win_ratio_to_report",
     "date_month_arith",
+    "fn_digest_sha256",
+    "array_clean_funcs",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
