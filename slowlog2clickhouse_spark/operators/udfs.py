@@ -143,3 +143,20 @@ def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInArrow(count_tokens, "doc_id long, n_tokens long, n_chars long")
+
+
+@op("udf_arrow_optimized")  # rows-only: must equal the row UDF (pytest)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD Python UDF execution mode (Spark 4): a row-signature
+    UDF with `useArrow=True` — Arrow batch transport like a pandas
+    UDF, but the author still writes scalar Python. Rounds out the
+    row-UDF / pandas-UDF / arrow-row-UDF triple so all three are
+    golden-tested equal; plan shows ArrowEvalPython instead of
+    BatchEvalPython."""
+    fp_arrow = F.udf(fingerprint_py, "string", useArrow=True)
+    ev = parse_slowlog(spark, FIXTURE_LOG).where(F.col("query").isNotNull())
+    return (
+        ev.select(fp_arrow("query").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n"))
+    )

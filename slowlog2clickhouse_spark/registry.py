@@ -188,6 +188,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_pagerank",
     "sink_compact",
     "scan_slowlog_pyds",
+    "udf_arrow_optimized",
     "sink_v2_writeto",
     "mm_resize",
     # slower demos last within the window

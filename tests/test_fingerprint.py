@@ -81,3 +81,18 @@ def test_sql_chain_agrees_with_udf(spark):
     got = [r[0] for r in df.select(fingerprint_col(F.col("q"))).collect()]
     want = [fingerprint_py(s) for s in simple]
     assert got == want
+
+
+def test_arrow_optimized_udf_equals_row_udf(spark, sf_dir):
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    ops = all_ops()
+    arrow = {
+        (r["fingerprint"], r["n"])
+        for r in ops["udf_arrow_optimized"].fn(spark, sf_dir).collect()
+    }
+    pandas_v = {
+        (r["fingerprint"], r["n"])
+        for r in ops["pandas_udf_fingerprint"].fn(spark, sf_dir).collect()
+    }
+    assert arrow == pandas_v and arrow
