@@ -1045,3 +1045,27 @@ def array_clean_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.array_remove(toks, "value")).cast("long").alias("n_removed"),
     )
+
+
+@op(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           cast(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           cast(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           cast(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() indicator columns on a ROLLUP — how a consumer
+    distinguishes 'NULL because subtotal row' from 'NULL data' in
+    multi-level aggregates (agg_rollup produces the levels; this op
+    produces the level METADATA)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count("*").alias("n"),
+    )

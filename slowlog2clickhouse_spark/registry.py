@@ -163,6 +163,7 @@ _PRIORITY: tuple[str, ...] = (
     "date_month_arith",
     "fn_digest_sha256",
     "array_clean_funcs",
+    "agg_grouping_id",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
