@@ -1069,3 +1069,29 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").cast("long").alias("g_priority"),
         F.count("*").alias("n"),
     )
+
+
+@op(
+    "agg_regression",
+    oracle="""
+    SELECT event_type,
+           round(regr_slope(value, user_id), 8) AS slope,
+           round(regr_intercept(value, user_id), 6) AS intercept,
+           round(regr_r2(value, user_id), 8) AS r2,
+           cast(regr_count(value, user_id) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2/count) —
+    the single-pass trend-line fit behind every dashboard's 'is this
+    metric drifting' overlay. Mergeable moment sums, so partial agg
+    keeps the shuffle |groups|-sized; G8 rounding on the float
+    outputs."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", "user_id"), 8).alias("slope"),
+        F.round(F.regr_intercept("value", "user_id"), 6).alias("intercept"),
+        F.round(F.regr_r2("value", "user_id"), 8).alias("r2"),
+        F.regr_count("value", "user_id").alias("n"),
+    )

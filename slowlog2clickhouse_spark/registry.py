@@ -164,6 +164,7 @@ _PRIORITY: tuple[str, ...] = (
     "fn_digest_sha256",
     "array_clean_funcs",
     "agg_grouping_id",
+    "agg_regression",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
