@@ -1095,3 +1095,26 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("value", "user_id"), 8).alias("r2"),
         F.regr_count("value", "user_id").alias("n"),
     )
+
+
+@op(
+    "str_split_part",
+    oracle="""
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS first_field,
+           split_part(text, ' ', 3) AS third_field,
+           split_part(source, 'src', 2) AS src_ordinal
+    FROM documents
+    """,
+)
+def str_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_part: nth field of a delimited string in one call (the
+    log/CSV field-plucking staple; returns '' past the end in both
+    engines, so no NULL-handling divergence)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.split_part("text", F.lit(" "), F.lit(1)).alias("first_field"),
+        F.split_part("text", F.lit(" "), F.lit(3)).alias("third_field"),
+        F.split_part("source", F.lit("src"), F.lit(2)).alias("src_ordinal"),
+    )

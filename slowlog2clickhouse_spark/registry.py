@@ -165,6 +165,7 @@ _PRIORITY: tuple[str, ...] = (
     "array_clean_funcs",
     "agg_grouping_id",
     "agg_regression",
+    "str_split_part",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
