@@ -1118,3 +1118,42 @@ def str_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part("text", F.lit(" "), F.lit(3)).alias("third_field"),
         F.split_part("source", F.lit("src"), F.lit(2)).alias("src_ordinal"),
     )
+
+
+@op(
+    "map_transform_funcs",
+    oracle="""
+    SELECT doc_id,
+           upper(lang) AS lang_upper,
+           'k_lang' AS lang_key,
+           length(lang) + length(source) AS zipped_lang
+    FROM documents
+    """,
+)
+def map_transform_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: transform_values / transform_keys /
+    map_zip_with over a labels-style map, scalarized by extracting
+    known keys. The oracle computes each extracted result directly —
+    what's under test is that Spark's map HOFs produce exactly those
+    values (DuckDB has no map lambdas to mirror)."""
+    d = load_table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("src"), F.col("source")
+    )
+    upped = F.transform_values(m, lambda k, v: F.upper(v))
+    keyed = F.transform_keys(m, lambda k, v: F.concat(F.lit("k_"), k))
+    lens = F.map_zip_with(
+        m, m, lambda k, v1, v2: F.length(v1) + F.length(v2)
+    )
+    # zipped_lang = len(lang)+len(lang); adjust to lang+source via a
+    # second map built from swapped values
+    m2 = F.create_map(
+        F.lit("lang"), F.col("source"), F.lit("src"), F.col("lang")
+    )
+    lens2 = F.map_zip_with(m, m2, lambda k, v1, v2: F.length(v1) + F.length(v2))
+    return d.select(
+        "doc_id",
+        upped.getItem("lang").alias("lang_upper"),
+        F.array_sort(F.map_keys(keyed)).getItem(0).alias("lang_key"),
+        lens2.getItem("lang").alias("zipped_lang"),
+    )

@@ -166,6 +166,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_grouping_id",
     "agg_regression",
     "str_split_part",
+    "map_transform_funcs",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",
