@@ -16,5 +16,6 @@ from slowlog2clickhouse_spark.operators import (  # noqa: F401
     udfs,
     vector,
 )
+from slowlog2clickhouse_spark.plans import events_pipeline as _events_pipeline  # noqa: F401
 from slowlog2clickhouse_spark.streaming import ops as streaming_ops  # noqa: F401
 from slowlog2clickhouse_spark.streaming import slowlog_stream  # noqa: F401

@@ -167,6 +167,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_regression",
     "str_split_part",
     "map_transform_funcs",
+    "events_pipeline",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",

@@ -44,6 +44,7 @@ EAGER = {
     "scan_schema_evolution",
     "observe_metrics",
     "sink_v2_writeto",
+    "events_pipeline",
     "dedup_cluster",  # iterative: builder runs label-propagation jobs
     "vec_kmeans",  # iterative: builder runs Lloyd assignment jobs
     "graph_pagerank",  # iterative: builder runs rank-propagation jobs

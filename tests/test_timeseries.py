@@ -83,3 +83,13 @@ def test_hll_daily_merge_error_bound(spark, sf_dir):
     # (unions never shrink a sketch)
     day_max = max(r["est_users"] for r in rows if r["day"] is not None)
     assert total_rows[0]["est_users"] >= day_max
+
+
+def test_events_pipeline_conserves_events(spark, sf_dir):
+    """Every raw event lands in exactly one session of the rollup."""
+    from slowlog2clickhouse_spark.io import load_table
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    roll = all_ops()["events_pipeline"].fn(spark, sf_dir)
+    total = sum(r["n_events"] for r in roll.collect())
+    assert total == load_table(spark, sf_dir, "events").count()
