@@ -82,6 +82,7 @@ EXTRA_OPS = (
     "corpus_curation",
     "dedup_cluster",
     "text_decontaminate",
+    "events_pipeline",
 )
 
 
@@ -114,6 +115,7 @@ def main() -> None:
         "corpus_curation": lambda: ops["corpus_curation"].fn(spark, sf_dir),
         "dedup_cluster": lambda: ops["dedup_cluster"].fn(spark, sf_dir),
         "text_decontaminate": lambda: ops["text_decontaminate"].fn(spark, sf_dir),
+        "events_pipeline": lambda: ops["events_pipeline"].fn(spark, sf_dir),
     }
     for name in EXTRA_OPS:
         results[name] = round(time_df(extra_builders[name]), 4)
