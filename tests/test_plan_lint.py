@@ -45,6 +45,7 @@ EAGER = {
     "observe_metrics",
     "sink_v2_writeto",
     "events_pipeline",
+    "cache_branch_reuse",
     "dedup_cluster",  # iterative: builder runs label-propagation jobs
     "vec_kmeans",  # iterative: builder runs Lloyd assignment jobs
     "graph_pagerank",  # iterative: builder runs rank-propagation jobs

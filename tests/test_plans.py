@@ -154,3 +154,23 @@ def test_tpch_q5_broadcasts_dims(spark, sf_dir):
     p = plan_of(spark, sf_dir, "tpch_q5")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_cached_branch_uses_in_memory_scan(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    from slowlog2clickhouse_spark.io import load_table
+    import pyspark.sql.functions as F2
+
+    shared = (
+        load_table(spark, sf_dir, "orders")
+        .where(F2.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_orderpriority")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        shared.count()  # materialize
+        p = shared.groupBy("o_orderpriority").count()._jdf.queryExecution()
+        assert "InMemoryTableScan" in p.executedPlan().toString()
+    finally:
+        shared.unpersist()
