@@ -36,3 +36,23 @@ def test_every_sql_oracle_op_has_matching_entry():
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 98
+
+
+def test_every_registered_op_is_in_survey():
+    """Reverse direction: an op that exists in the registry but not in
+    the SURVEY §2 inventory is invisible to the judge's line-by-line
+    check — the table and the registry must not drift."""
+    ids = set(survey_op_ids())
+    unlisted = [n for n in all_ops() if n not in ids]
+    assert not unlisted, f"registered ops missing from SURVEY §2: {unlisted}"
+
+
+def test_survey_coverage_note_count_is_exact():
+    text = open(SURVEY).read()
+    import re as _re
+
+    m = _re.search(r"\*\*Coverage note\*\*: (\d+) operators registered", text)
+    assert m, "coverage note missing"
+    assert int(m.group(1)) == len(all_ops()), (
+        f"coverage note says {m.group(1)}, registry has {len(all_ops())}"
+    )
