@@ -1157,3 +1157,34 @@ def map_transform_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.map_keys(keyed)).getItem(0).alias("lang_key"),
         lens2.getItem("lang").alias("zipped_lang"),
     )
+
+
+@op(
+    "fn_from_csv",
+    oracle="""
+    SELECT doc_id,
+           doc_id AS parsed_id,
+           lang AS parsed_lang,
+           cast(n_chars AS BIGINT) AS parsed_chars
+    FROM documents
+    """,
+)
+def fn_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_csv round-trip: encode row fields into a CSV string, parse
+    back TYPED with an explicit schema (the embedded-CSV column case —
+    webhook payloads, legacy exports). Oracle recomputes the fields
+    directly, so any parse drift (quoting, type coercion) fails the
+    hash."""
+    d = load_table(spark, sf_dir, "documents")
+    csv = F.concat_ws(
+        ",", F.col("doc_id"), F.col("lang"), F.col("n_chars")
+    )
+    parsed = F.from_csv(
+        csv, F.lit("id LONG, lang STRING, chars LONG")
+    )
+    return d.select(
+        "doc_id",
+        parsed["id"].alias("parsed_id"),
+        parsed["lang"].alias("parsed_lang"),
+        parsed["chars"].alias("parsed_chars"),
+    )

@@ -167,6 +167,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_regression",
     "str_split_part",
     "map_transform_funcs",
+    "fn_from_csv",
     "events_pipeline",
     "cache_branch_reuse",
     "agg_corr_cov",
@@ -213,6 +214,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_stream_join",
     "stream_transform_with_state",
     "stream_rate_source",
+    "stream_progress_metrics",
 )
 
 

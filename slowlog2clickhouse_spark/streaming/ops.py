@@ -429,3 +429,35 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         time.sleep(0.5)
     q.stop()
     return spark.table(name)
+
+
+@op("stream_progress_metrics")  # rows-only: observability surface
+def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability: run a windowed aggregate to completion
+    and surface the query-progress metrics (rows/sec, batch count,
+    state rows) from `lastProgress` — what an operator actually
+    watches in production (the Dropwizard/metrics-sink numbers, pulled
+    through the same API)."""
+    agg = tumbling_agg(read_events_stream(spark, sf_dir), window="1 hour")
+    name = f"progress_{next(_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    prog = q.lastProgress or {}
+    n_state = 0
+    for so in prog.get("stateOperators") or []:
+        n_state += so.get("numRowsTotal", 0) or 0
+    row = (
+        int(prog.get("batchId", -1)),
+        int((prog.get("sources") or [{}])[0].get("numInputRows", 0) or 0),
+        int(n_state),
+        int(spark.table(name).count()),
+    )
+    return spark.createDataFrame(
+        [row], "batch_id long, input_rows long, state_rows long, out_rows long"
+    )

@@ -37,6 +37,7 @@ EAGER = {
     "stream_stream_join",
     "stream_transform_with_state",
     "stream_rate_source",
+    "stream_progress_metrics",
     "scan_orc",
     "scan_jsonl",
     "sink_compact",
