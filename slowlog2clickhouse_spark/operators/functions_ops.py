@@ -864,20 +864,33 @@ def str_hex_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey,
            cast(count(*) AS BIGINT) AS n_items,
-           round(product(1 - l_discount), 6) AS compound_keep
+           cast(list_reduce(list(cast(round((1 - l_discount) * 100, 0)
+                                      AS HUGEINT)), (a, b) -> a * b)
+                AS VARCHAR) AS keep_product_pct
     FROM lineitem GROUP BY 1
     """,
 )
 def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiplicative aggregate (product): compound retained fraction
-    after per-line discounts — the compounding pattern (interest,
-    survival rates, chained probabilities) that additive aggregates
-    can't express. Per-order groups are small and factors near 1, so
-    ordering drift sits far below the G8 rounding grain."""
+    """Multiplicative aggregate: compound retained fraction after
+    chained per-line discounts, kept EXACT — factors are integer
+    percent points folded in arbitrary-precision arithmetic
+    (decimal(38) here, HUGEINT in the oracle) and compared as the
+    integer product string. Groups reach 12 items at sf0.1, so
+    100^n > 2^53 and ANY double-product formulation drifts by
+    multiplication order (measured: 127/147k groups at round-6);
+    exact integers sidestep the whole class. The float
+    `compound = product / 100^n` form is what a consumer derives —
+    division is their display step, not the stored aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round((1 - F.col("l_discount")) * 100, 0).cast("decimal(38,0)")
+    prod = F.aggregate(
+        F.collect_list(cents),
+        F.lit(1).cast("decimal(38,0)"),
+        lambda acc, x: (acc * x).cast("decimal(38,0)"),
+    )
     return li.groupBy("l_orderkey").agg(
         F.count("*").alias("n_items"),
-        F.round(F.product(1 - F.col("l_discount")), 6).alias("compound_keep"),
+        prod.cast("string").alias("keep_product_pct"),
     )
 
 
