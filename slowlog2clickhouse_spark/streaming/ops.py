@@ -108,6 +108,9 @@ def tumbling_agg(events: DataFrame, window: str = "1 minute") -> DataFrame:
 
 @op("stream_tumbling_agg")  # rows-only; batch-eq tested
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation (1-minute windows) over
+    the file-source stream — batch-equal by construction (shared
+    tumbling_agg definition; tests/test_streaming.py pins it)."""
     s = tumbling_agg(read_events_stream(spark, sf_dir))
     return run_to_memory(s, "complete")
 
