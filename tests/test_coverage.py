@@ -56,3 +56,16 @@ def test_survey_coverage_note_count_is_exact():
     assert int(m.group(1)) == len(all_ops()), (
         f"coverage note says {m.group(1)}, registry has {len(all_ops())}"
     )
+
+
+def test_operator_index_in_sync():
+    """OPERATORS.md is generated; it must list exactly the registry."""
+    import re as _re
+
+    path = os.path.join(os.path.dirname(SURVEY), "OPERATORS.md")
+    text = open(path).read()
+    listed = set(_re.findall(r"- \*\*`([a-z0-9_]+)`\*\*", text))
+    assert listed == set(all_ops()), (
+        "regenerate with scripts/gen_operator_index.py; drift: "
+        f"{listed ^ set(all_ops())}"
+    )
