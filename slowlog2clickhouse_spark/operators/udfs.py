@@ -160,3 +160,43 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.count("*").alias("n"))
     )
+
+
+@op(
+    "grouped_apply_arrow",
+    oracle="""
+    SELECT doc_id, lang,
+           cast(n_chars AS BIGINT) AS n_chars,
+           cast(n_chars - cast(floor(avg(n_chars) OVER (PARTITION BY lang))
+                               AS BIGINT) AS BIGINT) AS centered
+    FROM documents
+    """,
+)
+def grouped_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Arrow-native transform (applyInArrow): per-language
+    centering of doc lengths computed with pyarrow.compute kernels on
+    whole-group RecordBatches — the zero-pandas sibling of
+    grouped_map_normalize (applyInPandas). Mean is FLOORED to BIGINT on
+    both sides (python int() truncates, DuckDB's double cast rounds)
+    so the oracle stays integer-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def center(table: pa.Table) -> pa.Table:
+        n = table.column("n_chars")
+        mean = int(pc.mean(n).as_py())
+        centered = pc.subtract(n, pa.scalar(mean, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": table.column("doc_id"),
+                "lang": table.column("lang"),
+                "n_chars": n,
+                "centered": centered,
+            }
+        )
+
+    return d.groupBy("lang").applyInArrow(
+        center, "doc_id long, lang string, n_chars long, centered long"
+    )

@@ -168,6 +168,7 @@ _PRIORITY: tuple[str, ...] = (
     "str_split_part",
     "map_transform_funcs",
     "fn_from_csv",
+    "grouped_apply_arrow",
     "events_pipeline",
     "cache_branch_reuse",
     "agg_corr_cov",
