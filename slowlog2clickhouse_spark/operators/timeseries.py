@@ -300,3 +300,35 @@ def time_bucket_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("sv"),
     )
+
+
+@op(
+    "qan_apdex",
+    oracle="""
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n,
+           cast(sum(CASE WHEN value <= 25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_satisfied,
+           cast(sum(CASE WHEN value > 25 AND value <= 100 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tolerating,
+           (sum(CASE WHEN value <= 25 THEN 1 ELSE 0 END)
+            + sum(CASE WHEN value > 25 AND value <= 100 THEN 1 ELSE 0 END)
+              / 2.0) / count(*) AS apdex
+    FROM events GROUP BY 1
+    """,
+)
+def qan_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex score per class (satisfied ≤ T, tolerating ≤ 4T,
+    frustrated above) — the industry-standard latency-satisfaction
+    index a QAN dashboard headlines next to p95. Pure conditional
+    counting (int/int + /2.0 — exact cross-engine), one partial-agg'd
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    sat = (F.col("value") <= 25).cast("long")
+    tol = ((F.col("value") > 25) & (F.col("value") <= 100)).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(sat).alias("n_satisfied"),
+        F.sum(tol).alias("n_tolerating"),
+        ((F.sum(sat) + F.sum(tol) / 2.0) / F.count("*")).alias("apdex"),
+    )

@@ -157,6 +157,7 @@ _PRIORITY: tuple[str, ...] = (
     "str_hex_base64",
     "agg_product",
     "time_bucket_custom",
+    "qan_apdex",
     "date_try_parse",
     "str_regex_backref",
     "win_ratio_to_report",
