@@ -332,3 +332,63 @@ def qan_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(tol).alias("n_tolerating"),
         ((F.sum(sat) + F.sum(tol) / 2.0) / F.count("*")).alias("apdex"),
     )
+
+
+@op(
+    "qan_slo_burn",
+    oracle="""
+    WITH now_t AS (SELECT max(ts) AS now FROM events),
+    windows AS (
+      SELECT e.event_type,
+             sum(CASE WHEN e.ts > now - INTERVAL 1 HOUR
+                      THEN 1 ELSE 0 END) AS n_1h,
+             sum(CASE WHEN e.ts > now - INTERVAL 1 HOUR AND e.value > 100
+                      THEN 1 ELSE 0 END) AS bad_1h,
+             sum(CASE WHEN e.ts > now - INTERVAL 6 HOUR
+                      THEN 1 ELSE 0 END) AS n_6h,
+             sum(CASE WHEN e.ts > now - INTERVAL 6 HOUR AND e.value > 100
+                      THEN 1 ELSE 0 END) AS bad_6h
+      FROM events e CROSS JOIN now_t GROUP BY 1)
+    SELECT event_type,
+           cast(n_1h AS BIGINT) AS n_1h, cast(bad_1h AS BIGINT) AS bad_1h,
+           cast(n_6h AS BIGINT) AS n_6h, cast(bad_6h AS BIGINT) AS bad_6h,
+           (bad_1h * 1.0 / n_1h) / 0.05 AS burn_1h,
+           (bad_6h * 1.0 / n_6h) / 0.05 AS burn_6h,
+           CASE WHEN (bad_1h * 1.0 / n_1h) / 0.05 > 14.4
+                 AND (bad_6h * 1.0 / n_6h) / 0.05 > 6 THEN 1 ELSE 0 END
+             AS page_alert
+    FROM windows WHERE n_1h > 0 AND n_6h > 0
+    """,
+)
+def qan_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO burn rate, SRE-workbook style: fraction of slow events
+    (value > 100) against a 5% error budget over a short AND a long
+    window (1h/6h relative to the stream head), with the classic
+    fast-burn page condition (14.4×/6×). Multi-window burn alerts are
+    THE production latency-SLO pattern; here it's two conditional
+    aggregates sharing one scan, exact int arithmetic until the final
+    ratios."""
+    ev = load_table(spark, sf_dir, "events")
+    now = ev.agg(F.max("ts").alias("now"))
+    e = ev.crossJoin(F.broadcast(now))
+    in_1h = F.col("ts") > F.col("now") - F.expr("INTERVAL 1 HOUR")
+    in_6h = F.col("ts") > F.col("now") - F.expr("INTERVAL 6 HOUR")
+    bad = F.col("value") > 100
+    w = e.groupBy("event_type").agg(
+        F.sum(in_1h.cast("long")).alias("n_1h"),
+        F.sum((in_1h & bad).cast("long")).alias("bad_1h"),
+        F.sum(in_6h.cast("long")).alias("n_6h"),
+        F.sum((in_6h & bad).cast("long")).alias("bad_6h"),
+    )
+    burn_1h = (F.col("bad_1h") * 1.0 / F.col("n_1h")) / 0.05
+    burn_6h = (F.col("bad_6h") * 1.0 / F.col("n_6h")) / 0.05
+    return w.where((F.col("n_1h") > 0) & (F.col("n_6h") > 0)).select(
+        "event_type",
+        "n_1h",
+        "bad_1h",
+        "n_6h",
+        "bad_6h",
+        burn_1h.alias("burn_1h"),
+        burn_6h.alias("burn_6h"),
+        ((burn_1h > 14.4) & (burn_6h > 6)).cast("long").alias("page_alert"),
+    )

@@ -158,6 +158,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_product",
     "time_bucket_custom",
     "qan_apdex",
+    "qan_slo_burn",
     "date_try_parse",
     "str_regex_backref",
     "win_ratio_to_report",

@@ -65,6 +65,7 @@ ALLOW_NESTED_LOOP = {
     "agg_histogram",  # broadcast 1-row min/max stats
     "text_unigram_logprob",  # broadcast 1-row corpus-total factor
     "qan_filter_dimensions",  # broadcast 1-row total-time factor
+    "qan_slo_burn",  # broadcast 1-row stream-head timestamp
 }
 
 LAZY_OPS = sorted(set(OPS) - EAGER)
