@@ -336,7 +336,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iters: int = 10
+    edges: DataFrame, max_iters: int = 50
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list
     ``(doc_a, doc_b)`` → ``(doc_id, cluster_id)`` where cluster_id is
@@ -349,6 +349,15 @@ def connected_components(
     changed-row count. ``localCheckpoint`` cuts the lineage so plans
     don't grow exponentially across iterations (the standard Spark
     iteration pattern; GraphX/GraphFrames do the same internally).
+
+    Raises ``RuntimeError`` if the fixpoint is NOT reached within
+    ``max_iters`` — a partially-propagated labeling would silently
+    split one true component into several clusters (wrong KEEP/DROP
+    verdicts), which is strictly worse than failing loud. Min-label
+    propagation needs one round per hop of min-label distance, so a
+    pathological chain of length > max_iters trips this; callers with
+    deep graphs raise max_iters (or switch to a star-contraction
+    variant, which is log-round but heavier per round).
     """
     both = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -363,6 +372,7 @@ def connected_components(
     nodes = both.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             both.join(labels, both.dst == labels.doc_id)
@@ -385,7 +395,15 @@ def connected_components(
         n_changed = updated.where("changed").count()
         labels = updated.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations (last round still changed {n_changed} labels); "
+            "raise max_iters — returning partial labels would silently "
+            "split components"
+        )
     return labels
 
 

@@ -1280,8 +1280,14 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     `runtime.bloomFilter.creationSideThreshold` (automatic at real
     scale; tests/test_plans.py lowers the thresholds and pins
     BloomFilterMightContain in this exact plan). Join itself is an
-    ordinary equi-join, so correctness is threshold-independent."""
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ordinary equi-join, so correctness is threshold-independent.
+
+    Relies on `spark.sql.optimizer.runtime.bloomFilter.enabled`
+    being default-true (Spark ≥3.4; verified on this build) rather
+    than setting it here: the conf is read at action-time optimization
+    — after this builder returns — so a set here could not be
+    try/finally-restored without disabling the feature, and an
+    unrestored set leaks session state across ops."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     return (

@@ -237,9 +237,13 @@ def parse_record(rec: str, record_no: int = 0) -> dict | None:
                 except ValueError:
                     extra[key] = val
             continue
-        c0 = line[:1]
-        if c0 in "/T" and _is_preamble(line):
+        # No first-char fast-path here: a rotation banner inside a record
+        # need not start with '/' or 'T' (e.g. a relative mysqld path in
+        # 'mysqld, Version: ... started with:'), and _is_preamble's three
+        # anchored patterns are cheap enough to run on every line.
+        if _is_preamble(line):
             continue  # rotation banner inside a record: never query text
+        c0 = line[:1]
         if c0 in "Ss" and line[:3].lower() == "set":
             m = _SET_TS_RE.match(line)
             if m:
