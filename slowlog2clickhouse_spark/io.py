@@ -32,6 +32,25 @@ TABLES = (
 )
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Re-tag TIMESTAMP_NTZ columns as session-tz TimestampType.
+
+    Newer testdata ships parquet ``timestamp[us]`` without tz metadata,
+    which Spark 4 infers as TIMESTAMP_NTZ
+    (``spark.sql.parquet.inferTimestampNTZ.enabled=true`` by default).
+    The engine standardizes on session-tz TimestampType and
+    ``ensure_compat`` pins the session to UTC, so this cast is a pure
+    re-tag: identical epoch micros, and it keeps epoch-native functions
+    (``unix_micros``, ``to_utc_timestamp``, …) working across both
+    testdata vintages. The cast folds into the scan projection — no
+    extra stage, pushdown/pruning unaffected.
+    """
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; repairs the ns timestamp on events."""
     if name == "events":
@@ -40,8 +59,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _normalize_ntz(df)
+    return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

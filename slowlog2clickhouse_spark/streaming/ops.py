@@ -33,30 +33,41 @@ from slowlog2clickhouse_spark.registry import op
 _counter = itertools.count()
 _TMP = "/tmp/slowlog2clickhouse_spark/streaming"
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # parquet ns → long (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (op
-    stream_file_source): declared schema (streams never infer), ns→µs
-    repair identical to the batch loader — same downstream code."""
+    stream_file_source): declared schema (streams never infer), with the
+    same ts repair as the batch loader — same downstream code.
+
+    Two testdata vintages exist: parquet ``timestamp[ns]`` (surfaces as
+    a nanosecond long under ``nanosAsLong``, repaired with integer
+    ``div 1000``) and parquet ``timestamp[us]`` without tz metadata
+    (surfaces as TIMESTAMP_NTZ, re-tagged to session-tz TimestampType —
+    a no-op under the UTC session). Streams must declare their schema
+    up front, so sniff the vintage from the parquet footer with a batch
+    read first (footer-only, no data scan).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_batch = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
     # streaming file sources take a directory; select just events.parquet
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    reader = spark.readStream.option("pathGlobFilter", "events.parquet")
+    if ts_batch == "bigint":
+        raw = reader.schema(_events_raw_schema(T.LongType())).parquet(sf_dir)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    raw = reader.schema(_events_raw_schema(T.TimestampNTZType())).parquet(sf_dir)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
