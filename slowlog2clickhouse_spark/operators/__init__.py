@@ -13,6 +13,7 @@ from slowlog2clickhouse_spark.operators import (  # noqa: F401
     text,
     timeseries,
     tpch,
+    tpch_full,
     udfs,
     vector,
 )

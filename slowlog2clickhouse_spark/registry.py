@@ -136,6 +136,23 @@ _PRIORITY: tuple[str, ...] = (
     "scan_orc",
     "scan_jsonl",
     "scan_jdbc",
+    # remaining TPC-H suite (tpch_full.py) — oracle-checked
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
     # new extension ops: rows-only
     "dedup_simhash",
     "vec_knn_ivf",

@@ -66,6 +66,8 @@ ALLOW_NESTED_LOOP = {
     "text_unigram_logprob",  # broadcast 1-row corpus-total factor
     "qan_filter_dimensions",  # broadcast 1-row total-time factor
     "qan_slo_burn",  # broadcast 1-row stream-head timestamp
+    "tpch_q11",  # broadcast 1-row total-value threshold
+    "tpch_q22",  # broadcast 1-row avg-balance threshold
 }
 
 LAZY_OPS = sorted(set(OPS) - EAGER)
