@@ -174,3 +174,55 @@ def test_cached_branch_uses_in_memory_scan(spark, sf_dir):
         assert "InMemoryTableScan" in p.executedPlan().toString()
     finally:
         shared.unpersist()
+
+
+def test_tpch_q4_exists_is_semi_hash_join(spark, sf_dir):
+    """Q4's EXISTS must lower to a left-semi hash join with the
+    lateness predicate riding the join — not a per-row subquery and
+    not a nested loop."""
+    p = plan_of(spark, sf_dir, "tpch_q4")
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q9_part_filter_prunes_before_fact_join(spark, sf_dir):
+    """Q9's p_name LIKE filter must reach the part scan (the dim is
+    filtered BEFORE broadcast, so the fact join only keeps matching
+    partkeys)."""
+    p = plan_of(spark, sf_dir, "tpch_q9")
+    assert "BroadcastHashJoin" in p
+    scans = [line for line in p.splitlines() if "PushedFilters" in line]
+    assert any("Contains(p_name,red)" in s or "p_name" in s for s in scans), p[:2000]
+
+
+def test_tpch_q21_semi_anti_pair_stays_hash(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair must be one semi + one anti hash
+    join on orderkey — the different-supplier inequality rides the
+    join condition without forcing a nested loop."""
+    p = plan_of(spark, sf_dir, "tpch_q21")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q13_outer_join_preserves_zero_order_customers(spark, sf_dir):
+    """Q13 semantic pin: the distribution must contain a c_count=0
+    bucket only if some customer has no orders — and the total across
+    buckets must equal |customer| (outer join loses nobody)."""
+    import duckdb
+
+    rows = OPS["tpch_q13"].fn(spark, sf_dir).collect()
+    total = sum(r["custdist"] for r in rows)
+    n_cust = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/customer.parquet')"
+    ).fetchone()[0]
+    assert total == n_cust
+
+
+def test_tpch_q17_threshold_join_is_broadcast(spark, sf_dir):
+    """Q17's decorrelated per-part avg joins back as a broadcast (the
+    aggregate output is |parts| rows, dim-sized at any SF)."""
+    p = plan_of(spark, sf_dir, "tpch_q17")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
