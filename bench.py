@@ -83,6 +83,9 @@ EXTRA_OPS = (
     "dedup_cluster",
     "text_decontaminate",
     "events_pipeline",
+    # round-4: classic yardsticks with the heaviest join graphs
+    "tpch_q9",
+    "tpch_q21",
 )
 
 
@@ -116,6 +119,8 @@ def main() -> None:
         "dedup_cluster": lambda: ops["dedup_cluster"].fn(spark, sf_dir),
         "text_decontaminate": lambda: ops["text_decontaminate"].fn(spark, sf_dir),
         "events_pipeline": lambda: ops["events_pipeline"].fn(spark, sf_dir),
+        "tpch_q9": lambda: ops["tpch_q9"].fn(spark, sf_dir),
+        "tpch_q21": lambda: ops["tpch_q21"].fn(spark, sf_dir),
     }
     for name in EXTRA_OPS:
         results[name] = round(time_df(extra_builders[name]), 4)
