@@ -5,6 +5,7 @@ from slowlog2clickhouse_spark.operators import (  # noqa: F401
     dedup,
     functions_ops,
     multimodal,
+    quality,
     relational,
     reshape,
     sinks_ops,

@@ -1,0 +1,236 @@
+"""Data-quality operators — the Deequ/dbt-test-shaped surface a
+production warehouse runs before trusting a load (profiling,
+constraint checks, referential integrity). The reference tool ingests
+logs blind; a Spark-native engine can audit what it loaded in the same
+declarative plans it queries with.
+
+Scale shape: every check is a single-pass aggregate (profiling packs
+ALL column stats into one scan — no per-column jobs), and integrity
+checks are anti-join counts that shuffle keys only. Violations are
+REPORTED as rows, never raised — at 100 TB a quality gate that
+collects to the driver to decide pass/fail is a bottleneck; downstream
+decides from the summary table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.registry import op
+
+
+@op(
+    "dq_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           cast(count(*) AS BIGINT) AS n_rows,
+           cast(count(o_totalprice) AS BIGINT) AS n_non_null,
+           cast(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           round(min(o_totalprice), 4) AS min_val,
+           round(max(o_totalprice), 4) AS max_val,
+           round(sum(o_totalprice), 4) AS sum_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           cast(count(*) AS BIGINT),
+           cast(count(o_custkey) AS BIGINT),
+           cast(count(DISTINCT o_custkey) AS BIGINT),
+           round(min(o_custkey), 4),
+           round(max(o_custkey), 4),
+           round(sum(o_custkey), 4)
+    FROM orders
+    """,
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE/deequ-metrics shape): per-column
+    row count, non-null count, exact NDV, min/max/sum — ONE scan for
+    all profiled columns (stats computed side by side in a single
+    aggregate, then unpivoted), not a job per column. At 100 TB swap
+    the exact NDV for approx_count_distinct (agg_approx_count_distinct
+    is the registered sketch variant)."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.round(F.min("o_totalprice"), 4).alias("mn_price"),
+        F.round(F.max("o_totalprice"), 4).alias("mx_price"),
+        F.round(F.sum("o_totalprice"), 4).alias("sm_price"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.round(F.min("o_custkey"), 4).alias("mn_cust"),
+        F.round(F.max("o_custkey"), 4).alias("mx_cust"),
+        F.round(F.sum("o_custkey"), 4).alias("sm_cust"),
+    )
+    row = F.struct
+    return stats.select(
+        F.explode(
+            F.array(
+                row(
+                    F.lit("o_totalprice").alias("col"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col("nn_price").alias("n_non_null"),
+                    F.col("nd_price").alias("n_distinct"),
+                    (F.col("mn_price") * 1.0).alias("min_val"),
+                    (F.col("mx_price") * 1.0).alias("max_val"),
+                    F.col("sm_price").alias("sum_val"),
+                ),
+                row(
+                    F.lit("o_custkey").alias("col"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col("nn_cust").alias("n_non_null"),
+                    F.col("nd_cust").alias("n_distinct"),
+                    (F.col("mn_cust") * 1.0).alias("min_val"),
+                    (F.col("mx_cust") * 1.0).alias("max_val"),
+                    (F.col("sm_cust") * 1.0).alias("sum_val"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
+@op(
+    "dq_constraints",
+    oracle="""
+    SELECT 'orders' AS tbl, 'o_totalprice_positive' AS check_name,
+           cast(count(*) AS BIGINT) AS n_checked,
+           cast(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'o_orderstatus_domain',
+           cast(count(*) AS BIGINT),
+           cast(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'l_discount_range',
+           cast(count(*) AS BIGINT),
+           cast(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'l_quantity_positive',
+           cast(count(*) AS BIGINT),
+           cast(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint checks (dbt-test / deequ shape): each
+    rule is a conditional aggregate, all rules on one table share ONE
+    scan, and the result is a (table, check, n_checked, n_violations)
+    summary — violations are data, not exceptions. Adding a rule adds
+    a column to the aggregate, not a pass over the data."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    o_checks = o.agg(
+        F.count("*").alias("n"),
+        viol(F.col("o_totalprice") <= 0).alias("v_price"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("v_status"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orders").alias("tbl"),
+                    F.lit("o_totalprice_positive").alias("check_name"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_price").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("orders").alias("tbl"),
+                    F.lit("o_orderstatus_domain").alias("check_name"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_status").alias("n_violations"),
+                ),
+            )
+        ).alias("c")
+    )
+    li_checks = li.agg(
+        F.count("*").alias("n"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("v_disc"),
+        viol(F.col("l_quantity") <= 0).alias("v_qty"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem").alias("tbl"),
+                    F.lit("l_discount_range").alias("check_name"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_disc").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("lineitem").alias("tbl"),
+                    F.lit("l_quantity_positive").alias("check_name"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_qty").alias("n_violations"),
+                ),
+            )
+        ).alias("c")
+    )
+    return o_checks.unionAll(li_checks).select("c.*")
+
+
+@op(
+    "dq_fk_integrity",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS fk,
+           cast((SELECT count(*) FROM orders) AS BIGINT) AS n_child_rows,
+           cast((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           cast((SELECT count(*) FROM lineitem) AS BIGINT),
+           cast((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           cast((SELECT count(*) FROM customer) AS BIGINT),
+           cast((SELECT count(*) FROM customer cu
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = cu.c_nationkey))
+                AS BIGINT)
+    """,
+)
+def dq_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts per declared FK edge
+    via left-anti joins (parent side broadcast when dim-sized, plain
+    hash join fact→fact). The orphan count is the actionable number —
+    at 100 TB you quarantine orphans, you don't fail the load."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def edge(fk_name, child, parent, ck, pk, broadcast_parent):
+        p = parent.select(pk).distinct()
+        if broadcast_parent:
+            p = F.broadcast(p)
+        orphans = child.join(p, child[ck] == p[pk], "left_anti")
+        return (
+            child.agg(F.count("*").alias("n_child_rows"))
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            .select(
+                F.lit(fk_name).alias("fk"), "n_child_rows", "n_orphans"
+            )
+        )
+
+    return (
+        edge("orders.o_custkey->customer", o, c, "o_custkey", "c_custkey", True)
+        .unionAll(
+            edge("lineitem.l_orderkey->orders", li, o, "l_orderkey", "o_orderkey", False)
+        )
+        .unionAll(
+            edge("customer.c_nationkey->nation", c, n, "c_nationkey", "n_nationkey", True)
+        )
+    )

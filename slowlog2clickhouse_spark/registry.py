@@ -153,6 +153,10 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
+    # data-quality suite (quality.py) — oracle-checked
+    "dq_profile",
+    "dq_constraints",
+    "dq_fk_integrity",
     # new extension ops: rows-only
     "dedup_simhash",
     "vec_knn_ivf",
