@@ -1201,3 +1201,38 @@ def fn_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["lang"].alias("parsed_lang"),
         parsed["chars"].alias("parsed_chars"),
     )
+
+
+@op(
+    "xml_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS parsed_status,
+           cast(o_custkey AS BIGINT) AS parsed_cust,
+           round(o_totalprice, 4) AS parsed_price
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native XML round-trip: encode row fields into an XML
+    string, parse back TYPED with from_xml (the embedded-XML column
+    case — SOAP/legacy feeds). Oracle recomputes the fields directly,
+    so escaping or type-coercion drift in the XML path fails the
+    hash. Single narrow projection, no shuffle."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    xml = F.concat(
+        F.lit("<order><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><cust>"),
+        F.col("o_custkey"),
+        F.lit("</cust><price>"),
+        F.col("o_totalprice"),
+        F.lit("</price></order>"),
+    )
+    parsed = F.from_xml(xml, "status STRING, cust LONG, price DOUBLE")
+    return o.select(
+        "o_orderkey",
+        parsed["status"].alias("parsed_status"),
+        parsed["cust"].alias("parsed_cust"),
+        F.round(parsed["price"], 4).alias("parsed_price"),
+    )

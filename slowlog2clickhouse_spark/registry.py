@@ -157,6 +157,9 @@ _PRIORITY: tuple[str, ...] = (
     "dq_profile",
     "dq_constraints",
     "dq_fk_integrity",
+    # round-4 function-surface additions — oracle-checked
+    "xml_funcs",
+    "fuzzy_match_levenshtein",
     # new extension ops: rows-only
     "dedup_simhash",
     "vec_knn_ivf",
