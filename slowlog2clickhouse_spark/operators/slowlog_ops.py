@@ -1,9 +1,21 @@
 """Slow-log domain + source/sink operators — SURVEY.md §2 A & K (core).
 
 These run on the committed fixture log (tests/fixtures/), not the
-testdata star schema, so they are rows-only at the driver; their
-correctness gate is the golden-file test suite (tests/test_slowlog.py)
-mirroring the go-mysql fixture-corpus style (SURVEY.md §5.1).
+testdata star schema. Since round 5 the parsed-event IR is ALSO
+committed as a golden parquet (scripts/gen_slowlog_golden.py →
+tests/fixtures/slowlog_small_events.parquet, freshness pinned by
+tests/test_slowlog.py), so the driver's DuckDB oracle can hash-check
+the whole parse → fingerprint → class-aggregate pipeline instead of
+recording it rows-only: the oracle SQL reads the golden IR by absolute
+path and recomputes the stat battery.
+
+Float canonicalization (SURVEY §7 G conventions): order-dependent
+double sums are rounded to 6 decimals (the log's own precision — the
+round recovers the exact decimal sum, so both engines agree); avg is
+``round(sum, 6) / cnt`` (deterministic double division of identical
+operands); exact percentiles are emitted RAW — Spark ``percentile``
+and DuckDB ``quantile_cont`` share the lo + frac·(hi−lo) interpolation
+bit-for-bit; min/max are raw input values.
 """
 
 from __future__ import annotations
@@ -15,12 +27,14 @@ from pyspark.sql import functions as F
 
 from slowlog2clickhouse_spark.io import load_table
 from slowlog2clickhouse_spark.plans.pipeline import (
+    DEFAULT_STAT_METRICS,
     ingest_slowlog,
     sink_classes_parquet,
     top_digests,
 )
 from slowlog2clickhouse_spark.registry import op
 from slowlog2clickhouse_spark.sources.slowlog import (
+    BOOL_METRICS,
     EVENT_SCHEMA,
     parse_record,
     parse_slowlog,
@@ -31,7 +45,69 @@ _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 FIXTURE_LOG = os.path.join(_REPO_ROOT, "tests", "fixtures", "slowlog_small.log")
+# goldens live OUTSIDE the *.log fixture dir: directory-scoped readers
+# (parse_slowlog(dir), the pyds corpus test) must never see parquet
+GOLDEN_EVENTS = os.path.join(
+    _REPO_ROOT, "tests", "fixtures", "golden", "slowlog_small_events.parquet"
+)
+GOLDEN_RECORDS = os.path.join(
+    _REPO_ROOT, "tests", "fixtures", "golden", "slowlog_small_records.parquet"
+)
 _TMP = "/tmp/slowlog2clickhouse_spark"
+
+# the golden IR as a DuckDB table expression (absolute path: the driver
+# runs DuckDB wherever it likes; the parquet is committed in-repo)
+_GOLD = f"read_parquet('{GOLDEN_EVENTS}')"
+_LONG_METRICS = {"rows_sent", "rows_examined", "bytes_sent"}
+
+
+def _battery_sql() -> str:
+    """DuckDB mirror of plans.pipeline.class_agg_exprs under the
+    driver-facing float canonicalization (module docstring)."""
+    cols: list[str] = []
+    for m in DEFAULT_STAT_METRICS:
+        sum_sql = (
+            f"CAST(sum({m}) AS BIGINT)"
+            if m in _LONG_METRICS
+            else f"round(sum({m}), 6)"
+        )
+        cols += [
+            f"count({m}) AS m_{m}_cnt",
+            f"{sum_sql} AS m_{m}_sum",
+            f"min({m}) AS m_{m}_min",
+            f"max({m}) AS m_{m}_max",
+            f"round(CAST(sum({m}) AS DOUBLE), 6) / count({m}) AS m_{m}_avg",
+            f"quantile_cont({m}, 0.5) AS m_{m}_med",
+            f"quantile_cont({m}, 0.95) AS m_{m}_p95",
+            f"quantile_cont({m}, 0.99) AS m_{m}_p99",
+        ]
+    for b in BOOL_METRICS:
+        cols.append(f"CAST(sum(CAST({b} AS BIGINT)) AS BIGINT) AS {b}_sum")
+    return ",\n           ".join(cols)
+
+
+def _driver_battery(classes: DataFrame) -> DataFrame:
+    """Driver-facing canonicalization of a class/global stat-battery
+    row: JSON-encode the labels map (the driver's pandas canonicalizer
+    can't hash dict cells) and pin the float convention above."""
+    upd = {"labels": F.to_json("labels")}
+    for m in DEFAULT_STAT_METRICS:
+        sum_c, cnt_c = F.col(f"m_{m}_sum"), F.col(f"m_{m}_cnt")
+        upd[f"m_{m}_avg"] = F.round(sum_c.cast("double"), 6) / cnt_c
+        upd[f"m_{m}_sum"] = F.round(sum_c, 6)
+    return classes.withColumns(upd)
+
+
+_CLASS_DIMS_SQL = """
+       count(*) AS num_queries,
+       min(fingerprint) AS fingerprint,
+       min(db) AS db, min("user") AS "user", min(host) AS host,
+       max(CASE WHEN rn = 1 THEN query END) AS example,
+       max(CASE WHEN rn = 1 THEN extra_metrics_json END) AS labels,
+       CAST(sum(CASE WHEN rate_type = 'query' AND rate_limit > 1
+                     THEN rate_limit ELSE 1 END) AS BIGINT)
+           AS num_queries_scaled,
+"""
 
 
 @op(
@@ -43,12 +119,16 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
 
 
-@op("scan_text_multiline")  # rows-only: input is the repo fixture log
+@op(
+    "scan_text_multiline",
+    oracle=f"SELECT record_len, head FROM read_parquet('{GOLDEN_RECORDS}')",
+)
 def scan_text_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-line record assembly via lineSep='\\n# Time: ' — the
     reference parser's record boundary ([go-mysql] log/slow/parser.go
     state machine [R:H]) pushed down into the text source, so splits
-    align with records and the scan parallelizes at 100 TB."""
+    align with records and the scan parallelizes at 100 TB. Oracle =
+    the committed golden record projection."""
     rec = read_slowlog_records(spark, FIXTURE_LOG)
     return rec.select(
         F.length("value").alias("record_len"),
@@ -57,24 +137,41 @@ def scan_text_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _driver_safe(events: DataFrame) -> DataFrame:
-    """JSON-encode map columns for driver-facing results: the driver's
-    pandas canonicalizer cannot sort/hash dict cells (same failure
-    class as round-1's mm_decode_features array crash). Internal
-    consumers keep the typed map."""
-    return events.withColumn("extra_metrics", F.to_json("extra_metrics"))
+    """Driver-facing event rows: JSON-encode the map column (the
+    driver's pandas canonicalizer cannot sort/hash dict cells — same
+    failure class as round-1's mm_decode_features array crash) and drop
+    ``record_no`` (a partition-layout artifact, not event content).
+    Internal consumers keep the typed map + record_no."""
+    return events.withColumn("extra_metrics", F.to_json("extra_metrics")).drop(
+        "record_no"
+    )
 
 
-@op("map_in_pandas_chunker")  # rows-only: golden-tested
+# the parse-op oracle: the committed golden IR, column-for-column
+_EVENTS_SQL = (
+    "SELECT "
+    + ", ".join(
+        f'"{f.name}"'
+        for f in EVENT_SCHEMA.fields
+        if f.name not in ("record_no", "extra_metrics")
+    )
+    + f", extra_metrics_json AS extra_metrics FROM {_GOLD}"
+)
+
+
+@op("map_in_pandas_chunker", oracle=_EVENTS_SQL)
 def map_in_pandas_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched record parser (mapInPandas) — the reference's
-    state machine as a partition-streaming transform."""
+    state machine as a partition-streaming transform. Oracle = the
+    committed golden event IR (event-for-event)."""
     return _driver_safe(parse_slowlog(spark, FIXTURE_LOG))
 
 
-@op("udtf_parse_slowlog")  # rows-only: golden-tested
+@op("udtf_parse_slowlog", oracle=_EVENTS_SQL)
 def udtf_parse_slowlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python UDTF: one text record → N typed event rows
-    (the table-function formulation of the parser)."""
+    (the table-function formulation of the parser). Oracle = the
+    committed golden event IR (event-for-event)."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType=EVENT_SCHEMA)
@@ -95,16 +192,58 @@ def udtf_parse_slowlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("slowlog_classes")  # rows-only: pipeline output, golden-tested
+@op(
+    "slowlog_classes",
+    oracle=f"""
+    WITH ev AS (
+      SELECT *, date_trunc('minute', ts) AS period_start
+      FROM {_GOLD}
+      WHERE NOT admin AND query IS NOT NULL),
+    ranked AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY digest, period_start
+          ORDER BY query_time DESC NULLS LAST, query DESC) AS rn
+      FROM ev)
+    SELECT digest, period_start,{_CLASS_DIMS_SQL}
+           {_battery_sql()},
+           CAST(60 AS BIGINT) AS period_length
+    FROM ranked
+    GROUP BY digest, period_start
+    """,
+)
 def slowlog_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END reference pipeline: parse → fingerprint/digest →
     1-minute class aggregation with full stat battery (cnt/sum/min/
-    max/avg/med/p95/p99 + bool sums + worst-execution example)."""
-    classes = ingest_slowlog(spark, FIXTURE_LOG)
-    return classes.withColumn("labels", F.to_json("labels"))
+    max/avg/med/p95/p99 + bool sums + worst-execution example). The
+    oracle recomputes the battery over the committed golden IR; the
+    example tiebreak is the content-deterministic one (pipeline.py
+    class_agg_exprs docstring)."""
+    classes = ingest_slowlog(spark, FIXTURE_LOG, example_tiebreak="query")
+    return _driver_battery(classes)
 
 
-@op("slowlog_global")  # rows-only: pipeline output, golden-tested
+@op(
+    "slowlog_global",
+    oracle=f"""
+    WITH ev AS (
+      SELECT *, date_trunc('minute', ts) AS period_start
+      FROM {_GOLD}
+      WHERE NOT admin AND query IS NOT NULL),
+    ranked AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY period_start
+          ORDER BY query_time DESC NULLS LAST, query DESC) AS rn
+      FROM ev)
+    SELECT period_start,{_CLASS_DIMS_SQL}
+           {_battery_sql()},
+           CAST(60 AS BIGINT) AS period_length
+    FROM ranked
+    GROUP BY period_start
+    """.replace(
+        "min(fingerprint) AS fingerprint,",
+        "'GLOBAL' AS fingerprint, 'GLOBAL' AS digest,",
+    ),
+)
 def slowlog_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Result.Global analog ([go-mysql] event/global.go [R:H]):
     whole-period stat battery beside the per-class rows — one GLOBAL
@@ -113,7 +252,7 @@ def slowlog_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
 
     events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG))
-    return aggregate_global(events).withColumn("labels", F.to_json("labels"))
+    return _driver_battery(aggregate_global(events, example_tiebreak="query"))
 
 
 @op("slowlog_classes_approx")  # rows-only: sketch percentiles (G8)
@@ -127,7 +266,18 @@ def slowlog_classes_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classes.withColumn("labels", F.to_json("labels"))
 
 
-@op("slowlog_parse_stats")  # rows-only: observability, golden-tested
+@op(
+    "slowlog_parse_stats",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(coalesce(sum(CASE WHEN admin THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_admin,
+           CAST(coalesce(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_no_ts,
+           CAST(coalesce(sum(CASE WHEN query IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_no_query,
+           CAST(coalesce(sum(CASE WHEN rate_limit > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rate_limited,
+           CAST(coalesce(sum(CASE WHEN extra_metrics_json <> '{{}}' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_extra_kv
+    FROM {_GOLD}
+    """,
+)
 def slowlog_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse-quality accounting — the reference logs skipped/partial
     events; here it is a one-row DataFrame a monitoring job can sink:
@@ -148,17 +298,37 @@ def slowlog_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("slowlog_top_digests")  # rows-only
+@op(
+    "slowlog_top_digests",
+    oracle=f"""
+    SELECT digest, min(fingerprint) AS fingerprint,
+           CAST(count(*) AS BIGINT) AS total_queries,
+           round(sum(query_time), 6) AS total_query_time,
+           max(query_time) AS worst_query_time
+    FROM {_GOLD}
+    WHERE NOT admin AND query IS NOT NULL
+    GROUP BY digest
+    ORDER BY sum(query_time) DESC NULLS LAST, digest ASC
+    LIMIT 10
+    """,
+)
 def slowlog_top_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The M2 slice: top-10 digests by total query time — what QAN
-    renders on its landing page."""
-    return top_digests(ingest_slowlog(spark, FIXTURE_LOG), k=10)
+    renders on its landing page. The class-sum-of-sums equals the
+    oracle's direct per-digest sum after the 6-decimal round (the log's
+    own precision recovers the exact decimal total)."""
+    td = top_digests(ingest_slowlog(spark, FIXTURE_LOG), k=10)
+    return td.withColumn("total_query_time", F.round("total_query_time", 6))
 
 
-@op("sink_parquet")  # rows-only: write + read-back verify
+@op(
+    "sink_parquet",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+)
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet sink with read-back (the INSERT-batching analog,
-    main.go:~200-320 [R:M])."""
+    main.go:~200-320 [R:M]). The oracle is the pre-sink aggregate over
+    the source table: a lossy format hop would fail the hash."""
     out = f"{_TMP}/sink_parquet"
     df = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
         F.count("*").alias("n")
@@ -167,12 +337,23 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-@op("sink_parquet_partitioned")  # rows-only: write + read-back verify
+@op(
+    "sink_parquet_partitioned",
+    oracle=f"""
+    SELECT CAST(date_trunc('minute', ts) AS DATE) AS period_date,
+           CAST(count(DISTINCT (digest, date_trunc('minute', ts))) AS BIGINT)
+               AS n_classes
+    FROM {_GOLD}
+    WHERE NOT admin AND query IS NOT NULL
+    GROUP BY 1
+    """,
+)
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-partitioned, digest-sorted sink mirroring the reference's
     MergeTree layout (PARTITION BY toDate(period_start) ORDER BY
     (digest, period_start) — README DDL [R:M]); read-back counts per
-    partition prove pruning-compatible layout."""
+    partition prove pruning-compatible layout. Oracle = per-day
+    distinct (digest, minute) classes over the golden IR."""
     out = f"{_TMP}/sink_classes"
     classes = ingest_slowlog(spark, FIXTURE_LOG)
     sink_classes_parquet(classes, out)
@@ -180,10 +361,19 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("period_date").agg(F.count("*").alias("n_classes"))
 
 
-@op("scan_csv")  # rows-only: csv round-trip with explicit schema
+@op(
+    "scan_csv",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
 def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delimited text scan with declared schema (never inferSchema in
-    production — schema inference is a full extra pass at 100 TB)."""
+    production — schema inference is a full extra pass at 100 TB).
+    Oracle = the same aggregate over the parquet original: doubles
+    survive the text hop exactly (Spark writes shortest-round-trip
+    representations)."""
     out = f"{_TMP}/events_csv"
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
@@ -215,23 +405,28 @@ def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("scan_slowlog_pyds")  # rows-only; golden-equal to the lineSep source
+@op(
+    "scan_slowlog_pyds",
+    oracle=f"""
+    SELECT db, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(query_time), 6) AS total_qt
+    FROM {_GOLD}
+    GROUP BY db
+    """,
+)
 def scan_slowlog_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The slow-log format as a REGISTERED Spark data source
     (`spark.read.format("slowlog")`) via the Spark 4 Python Data
     Source API — same parse_record state machine as the mapInPandas
     reader, one partition per log file. tests/test_slowlog.py pins
     event-for-event equality between both integration surfaces over
-    the whole fixture corpus. Returned aggregated per-file so the
-    driver row is stable: per-db event counts + total query time."""
+    the whole fixture corpus (directory read, one partition per file);
+    the driver-facing read targets the golden-covered log so the
+    per-db counts + total query time hash against the golden IR."""
     from slowlog2clickhouse_spark.sources import slowlog_datasource
 
     slowlog_datasource.register(spark)
-    ev = (
-        spark.read.format("slowlog")
-        .option("path", os.path.dirname(FIXTURE_LOG))
-        .load()
-    )
+    ev = spark.read.format("slowlog").option("path", FIXTURE_LOG).load()
     return (
         ev.groupBy("db")
         .agg(
@@ -242,7 +437,27 @@ def scan_slowlog_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("qan_filter_dimensions")  # rows-only: fixture-driven, golden corpus
+@op(
+    "qan_filter_dimensions",
+    oracle=f"""
+    WITH ev AS (
+      SELECT * FROM {_GOLD} WHERE NOT admin AND query IS NOT NULL),
+    tot AS (SELECT sum(query_time) AS t FROM ev),
+    pairs AS (
+      SELECT dim.dimension, dim.value, ev.query_time
+      FROM ev, LATERAL (VALUES
+          ('db', coalesce(ev.db, '<none>')),
+          ('user', coalesce(ev."user", '<none>')),
+          ('host', coalesce(ev.host, '<none>'))) AS dim(dimension, value)),
+    agg AS (
+      SELECT dimension, value, CAST(count(*) AS BIGINT) AS n_queries,
+             round(sum(query_time), 6) AS total_time
+      FROM pairs GROUP BY 1, 2)
+    SELECT dimension, value, n_queries, total_time,
+           round(total_time / t, 6) AS time_share
+    FROM agg, tot
+    """,
+)
 def qan_filter_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The QAN filter-panel op: for each dimension (db, user, host),
     every observed value with its query count and share of total query

@@ -23,16 +23,29 @@ from pyspark.sql import functions as F
 
 from slowlog2clickhouse_spark.functions.fingerprint import digest_py, fingerprint_py
 from slowlog2clickhouse_spark.io import load_table
-from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG
+from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG, GOLDEN_EVENTS
 from slowlog2clickhouse_spark.registry import op
 from slowlog2clickhouse_spark.sources.slowlog import parse_slowlog
 
+_GOLD = f"read_parquet('{GOLDEN_EVENTS}')"
 
-@op("udf_fingerprint_py")  # rows-only: golden-tested vs CASES table
+
+@op(
+    "udf_fingerprint_py",
+    oracle=f"""
+    SELECT fingerprint_py AS fingerprint, digest_py AS digest,
+           count(*) AS n
+    FROM {_GOLD}
+    WHERE query IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
 def udf_fingerprint_py(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact reference fingerprint semantics as a row UDF ([go-mysql]
     query/query.go [R:H]) over parsed fixture statements — handles the
-    grammar the regex chain can't (escaped quotes, nested constructs)."""
+    grammar the regex chain can't (escaped quotes, nested constructs).
+    Oracle = the golden IR's committed fingerprint_py/digest_py
+    columns (scripts/gen_slowlog_golden.py)."""
     fp_udf = F.udf(fingerprint_py, "string")
     dg_udf = F.udf(digest_py, "string")
     ev = parse_slowlog(spark, FIXTURE_LOG).where(F.col("query").isNotNull())
@@ -42,7 +55,15 @@ def udf_fingerprint_py(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("pandas_udf_fingerprint")  # rows-only: must equal the row UDF
+@op(
+    "pandas_udf_fingerprint",
+    oracle=f"""
+    SELECT fingerprint_py AS fingerprint, count(*) AS n
+    FROM {_GOLD}
+    WHERE query IS NOT NULL
+    GROUP BY 1
+    """,
+)
 def pandas_udf_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics, Arrow-vectorized (series→series pandas UDF) —
     the Python path you'd actually run at scale."""

@@ -51,8 +51,17 @@ def class_agg_exprs(
     metrics=DEFAULT_STAT_METRICS,
     bools=BOOL_METRICS,
     percentiles: str = "exact",
+    example_tiebreak: str = "record_no",
 ) -> list:
-    """The per-class stat battery ([go-mysql] event/metrics.go [R:H])."""
+    """The per-class stat battery ([go-mysql] event/metrics.go [R:H]).
+
+    ``example_tiebreak``: the worst-execution pick on a query_time tie.
+    ``record_no`` mirrors the reference (last-read wins within a batch);
+    ``query`` is a content-deterministic tiebreak independent of read
+    order/partitioning — the driver-facing ops use it so the class row
+    hashes identically against a SQL oracle on any executor layout.
+    """
+    tb = {"record_no": "record_no", "query": "query"}[example_tiebreak]
     aggs = [
         F.count("*").alias("num_queries"),
         F.min("fingerprint").alias("fingerprint"),
@@ -61,11 +70,11 @@ def class_agg_exprs(
         F.min("host").alias("host"),
         # example = query text of the worst execution (max query_time,
         # record_no tiebreak) — event/class.go example logic [R:H]
-        F.expr("max_by(query, struct(query_time, record_no))").alias("example"),
+        F.expr(f"max_by(query, struct(query_time, {tb}))").alias("example"),
         # labels: the qan-api2 D5 nested k/v column — the unrecognized
         # `# Key: value` pairs of the class's worst execution ride along
         # to the sink as map<string,string>
-        F.expr("max_by(extra_metrics, struct(query_time, record_no))").alias("labels"),
+        F.expr(f"max_by(extra_metrics, struct(query_time, {tb}))").alias("labels"),
         # Percona Log_slow_rate_limit upscaling: with rate_type='query'
         # only 1/N sessions are logged, so each logged event stands for
         # rate_limit executions ([go-mysql] log/log.go RateType/RateLimit)
@@ -107,6 +116,7 @@ def aggregate_classes(
     period: str = "minute",
     metrics=DEFAULT_STAT_METRICS,
     percentiles: str = "exact",
+    example_tiebreak: str = "record_no",
 ) -> DataFrame:
     """events (+fingerprint/digest) → one row per (digest, period)."""
     period_len = {"minute": 60, "hour": 3600, "day": 86400}[period]
@@ -118,7 +128,13 @@ def aggregate_classes(
             F.col("digest"),
             F.date_trunc(period, F.col("ts")).alias("period_start"),
         )
-        .agg(*class_agg_exprs(metrics=metrics, percentiles=percentiles))
+        .agg(
+            *class_agg_exprs(
+                metrics=metrics,
+                percentiles=percentiles,
+                example_tiebreak=example_tiebreak,
+            )
+        )
         .withColumn("period_length", F.lit(period_len).cast("long"))
     )
 
@@ -128,6 +144,7 @@ def aggregate_global(
     period: str = "minute",
     metrics=DEFAULT_STAT_METRICS,
     percentiles: str = "exact",
+    example_tiebreak: str = "record_no",
 ) -> DataFrame:
     """Whole-period rollup beside the per-class rows — the reference's
     ``Result.Global`` ([go-mysql] event/global.go [R:H]): same stat
@@ -137,7 +154,11 @@ def aggregate_global(
     period_len = {"minute": 60, "hour": 3600, "day": 86400}[period]
     exprs = [
         e
-        for e in class_agg_exprs(metrics=metrics, percentiles=percentiles)
+        for e in class_agg_exprs(
+            metrics=metrics,
+            percentiles=percentiles,
+            example_tiebreak=example_tiebreak,
+        )
         # fingerprint/db/user/host are per-class dims; meaningless globally
     ]
     return (
@@ -156,10 +177,17 @@ def ingest_slowlog(
     period: str = "minute",
     metrics=DEFAULT_STAT_METRICS,
     percentiles: str = "exact",
+    example_tiebreak: str = "record_no",
 ) -> DataFrame:
     """Full batch pipeline: log file(s) → query-class rows."""
     events = with_fingerprint(parse_slowlog(spark, path))
-    return aggregate_classes(events, period=period, metrics=metrics, percentiles=percentiles)
+    return aggregate_classes(
+        events,
+        period=period,
+        metrics=metrics,
+        percentiles=percentiles,
+        example_tiebreak=example_tiebreak,
+    )
 
 
 def sink_classes_parquet(classes: DataFrame, out_path: str) -> None:

@@ -66,8 +66,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_batch == "bigint":
         raw = reader.schema(_events_raw_schema(T.LongType())).parquet(sf_dir)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    raw = reader.schema(_events_raw_schema(T.TimestampNTZType())).parquet(sf_dir)
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ts_batch == "timestamp_ntz":
+        raw = reader.schema(_events_raw_schema(T.TimestampNTZType())).parquet(sf_dir)
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ts_batch == "timestamp":  # tz-annotated vintage: no repair needed
+        return reader.schema(_events_raw_schema(T.TimestampType())).parquet(sf_dir)
+    raise ValueError(f"unrecognized events.ts parquet vintage: {ts_batch!r}")
 
 
 def run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:

@@ -450,3 +450,43 @@ def test_crlf_line_endings_parse_clean():
     assert ev["query_time"] == 1.5 and ev["rows_sent"] == 10
     assert "\r" not in ev["query"]
     assert ev["query"] == "SELECT * FROM t WHERE id = 5"
+
+
+class TestGoldenParquet:
+    """The committed golden IR (scripts/gen_slowlog_golden.py) is the
+    driver-oracle's ground truth for the whole slowlog family — these
+    tests pin it to the live parser so a parser change that shifts the
+    IR is a deliberate, reviewed regeneration, never silent drift."""
+
+    def test_events_golden_fresh(self, spark):
+        from collections import Counter
+
+        from scripts.gen_slowlog_golden import golden_events_df
+        from slowlog2clickhouse_spark.operators.slowlog_ops import (
+            FIXTURE_LOG,
+            GOLDEN_EVENTS,
+        )
+        from tests.parity import canon_rows
+
+        live = golden_events_df(spark, FIXTURE_LOG)
+        gold = spark.read.parquet(GOLDEN_EVENTS)
+        assert sorted(live.columns) == sorted(gold.columns)
+        lc, lr = [c.lower() for c in live.columns], [tuple(r) for r in live.collect()]
+        gc, gr = [c.lower() for c in gold.columns], [tuple(r) for r in gold.collect()]
+        assert len(lr) == len(gr) > 900
+        assert canon_rows(lc, lr) == canon_rows(gc, gr)
+
+    def test_records_golden_fresh(self, spark):
+        from scripts.gen_slowlog_golden import golden_records_df
+        from slowlog2clickhouse_spark.operators.slowlog_ops import (
+            FIXTURE_LOG,
+            GOLDEN_RECORDS,
+        )
+        from tests.parity import canon_rows
+
+        live = golden_records_df(spark, FIXTURE_LOG)
+        gold = spark.read.parquet(GOLDEN_RECORDS)
+        lc, lr = [c.lower() for c in live.columns], [tuple(r) for r in live.collect()]
+        gc, gr = [c.lower() for c in gold.columns], [tuple(r) for r in gold.collect()]
+        assert len(lr) == len(gr) > 900
+        assert canon_rows(lc, lr) == canon_rows(gc, gr)
