@@ -9,8 +9,15 @@ watermarks bounding state — batch/stream parity is by construction
 
 Driver-contract note: these queries() entries run a real streaming
 query to completion against the static testdata (memory sink,
-availableNow/processAllAvailable) and return the materialized result —
-rows-only at the driver; equivalence to batch is pytest-checked.
+availableNow/processAllAvailable) and return the materialized result.
+For the deterministic ops the BATCH formulation of the same
+transformation is declared as the DuckDB oracle (batch/stream parity
+is by construction AND pytest-pinned, so the driver can hash-check
+them); determinism holds because the whole static input is one
+micro-batch (single parquet file under availableNow's default file
+batching), so no window is dropped mid-stream by a watermark and
+per-batch emission happens exactly once. Ops whose output depends on
+runtime progress (rate source, progress metrics) stay rows-only.
 
 100 TB notes: watermark delay bounds state size (|open windows| ×
 |keys|); file-source streams partition per input file; complete-mode
@@ -89,7 +96,12 @@ def run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
     return sdf.sparkSession.table(name)
 
 
-@op("stream_file_source")  # rows-only; batch-eq tested
+@op(
+    "stream_file_source",
+    oracle="""
+    SELECT event_id, event_type, value FROM events WHERE value > 100
+    """,
+)
 def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitor a directory/file for new data; project + filter on the
     stream (stateless — proves the source + schema path)."""
@@ -121,19 +133,39 @@ def tumbling_agg(events: DataFrame, window: str = "1 minute") -> DataFrame:
     )
 
 
-@op("stream_tumbling_agg")  # rows-only; batch-eq tested
+@op(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS period_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window streaming aggregation (1-minute windows) over
     the file-source stream — batch-equal by construction (shared
-    tumbling_agg definition; tests/test_streaming.py pins it)."""
+    tumbling_agg definition; tests/test_streaming.py pins it). The
+    oracle IS that batch formulation: tumbling window.start ==
+    date_trunc('minute')."""
     s = tumbling_agg(read_events_stream(spark, sf_dir))
     return run_to_memory(s, "complete")
 
 
-@op("stream_sliding_agg")  # rows-only; batch-eq tested
+@op(
+    "stream_sliding_agg",
+    oracle="""
+    SELECT date_trunc('minute', ts) - k * INTERVAL '1 minute' AS w_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events, (SELECT unnest([0, 1, 2, 3, 4]) AS k) offs
+    GROUP BY 1, 2
+    """,
+)
 def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 5-minute window, 1-minute slide (each event lands in 5
-    windows — state is 5× tumbling, still watermark-bounded)."""
+    windows — state is 5× tumbling, still watermark-bounded). Oracle:
+    minute-aligned windows mean each event belongs to exactly the five
+    windows starting at floor(ts) − k minutes, k ∈ 0..4."""
     ev = read_events_stream(spark, sf_dir)
     s = (
         ev.withWatermark("ts", "5 minutes")
@@ -146,11 +178,34 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(s, "complete")
 
 
-@op("stream_session_window")  # rows-only; batch-eq tested
+@op(
+    "stream_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    g AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o)
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id, count(*) AS n_events, round(sum(value), 4) AS total
+    FROM g GROUP BY user_id, grp
+    """,
+)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-ized activity per user (30-minute gap closes a session)
     — the genuinely stateful op; session merge is handled by the
-    engine's session-window state store."""
+    engine's session-window state store. Oracle = the classic
+    gaps-and-islands formulation: a session breaks exactly when the
+    inter-event gap reaches the 30-minute horizon (Spark merges windows
+    on OVERLAP, i.e. next_ts − prev_ts < gap), and ends at
+    last_event + gap."""
     ev = read_events_stream(spark, sf_dir)
     s = (
         ev.withWatermark("ts", "10 minutes")
@@ -167,10 +222,16 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(s, "complete")
 
 
-@op("stream_dedup_watermark")  # rows-only; batch-eq tested
+@op(
+    "stream_dedup_watermark",
+    oracle="SELECT event_id, event_type, value FROM events",
+)
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop duplicate event ids within the watermark horizon —
-    exactly-once-ish ingestion dedup with bounded state."""
+    exactly-once-ish ingestion dedup with bounded state. The injected
+    union doubles every row, dedup restores exactly the source
+    (event_id is unique in the testdata), so the oracle is the plain
+    projection."""
     ev = read_events_stream(spark, sf_dir)
     dup = ev.unionByName(ev)  # inject duplicates to make the op observable
     s = (
@@ -181,7 +242,16 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(s, "append")
 
 
-@op("stream_late_data")  # rows-only; semantics tested in pytest
+@op(
+    "stream_late_data",
+    oracle="""
+    SELECT * FROM (VALUES
+      (TIMESTAMP '2024-01-01 10:00:00', CAST(1 AS BIGINT)),
+      (TIMESTAMP '2024-01-01 10:01:00', CAST(1 AS BIGINT)),
+      (TIMESTAMP '2024-01-01 10:02:00', CAST(1 AS BIGINT))
+    ) t(w_start, n)
+    """,
+)
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late/on-time split: two micro-batches — batch 2
     carries rows older than the advanced watermark; append-mode output
@@ -230,11 +300,21 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-@op("sink_stream_foreachbatch")  # rows-only
+@op(
+    "sink_stream_foreachbatch",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS period_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_value,
+           max(value) AS max_value, CAST(0 AS BIGINT) AS epoch
+    FROM events GROUP BY 1, 2
+    """,
+)
 def sink_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous ingest → per-micro-batch parquet append via
     foreachBatch (the production sink shape: the same callback does
-    JDBC/ClickHouse batched INSERTs — sinks/jdbc.py)."""
+    JDBC/ClickHouse batched INSERTs — sinks/jdbc.py). One input file →
+    one availableNow micro-batch → epoch 0 exactly once, so the sunk
+    parquet equals the batch aggregate."""
     base = _TMP + f"/feb_{next(_counter)}"
     shutil.rmtree(base, ignore_errors=True)
     out = f"{base}/out"
@@ -265,11 +345,19 @@ def static_join_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
     return (
         events.join(F.broadcast(dim), "user_id")
         .groupBy("event_type", "segment")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sv"))
     )
 
 
-@op("stream_static_join")  # rows-only; batch-eq tested
+@op(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_type, c.c_mktsegment AS segment,
+           count(*) AS n, round(sum(e.value), 4) AS sv
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the streaming events source enriched against
     the static customer dim, then aggregated — the standard streaming
@@ -283,7 +371,17 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(static_join_enrich(ev, dim), "complete")
 
 
-@op("stream_stream_join")  # rows-only; batch-eq tested
+@op(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id AS v_user, v.event_id AS v_id, p.event_id AS p_id,
+           v.ts AS v_ts, p.ts AS p_ts
+    FROM events v JOIN events p
+      ON v.event_type = 'view' AND p.event_type = 'purchase'
+     AND v.user_id = p.user_id
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+    """,
+)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time range predicate: for
     each view, purchases by the same user within 1 hour after it.
@@ -320,7 +418,25 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "append")
 
 
-@op("stream_transform_with_state")  # rows-only; batch-eq tested
+# environment gate mirrored into the oracle: the op's `api` column
+# reports which state API executed, and the oracle string is built by
+# the same import-try in the same interpreter the query will run in
+try:
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _TWS_API = "transformWithStateInPandas"
+except ImportError:
+    _TWS_API = "applyInPandasWithState-fallback"
+
+
+@op(
+    "stream_transform_with_state",
+    oracle=f"""
+    SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_value,
+           '{_TWS_API}' AS api
+    FROM events GROUP BY 1
+    """,
+)
 def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator targeting the NEW
     transformWithStateInPandas API (Spark 4): a StatefulProcessor with
@@ -408,7 +524,13 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
         api = "applyInPandasWithState-fallback"
-    return run_to_memory(result, "update").withColumn("api", F.lit(api))
+    # round the pandas-accumulated running sum to the testdata's own
+    # 2-decimal precision so the row hashes against the batch oracle
+    return (
+        run_to_memory(result, "update")
+        .withColumn("sum_value", F.round("sum_value", 4))
+        .withColumn("api", F.lit(api))
+    )
 
 
 @op("stream_rate_source")  # rows-only: synthetic source, invariants tested

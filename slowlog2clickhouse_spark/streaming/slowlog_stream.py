@@ -14,6 +14,7 @@ is foreachBatch → partitioned parquet / ClickHouse JDBC.
 from __future__ import annotations
 
 import itertools
+import os as _os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,6 +27,28 @@ from slowlog2clickhouse_spark.sources.slowlog import (
 )
 
 _counter = itertools.count()
+
+# golden IR path recomputed here (importing operators.slowlog_ops at
+# module scope would re-enter the operators package mid-registration)
+_GOLD = "read_parquet('{}')".format(
+    _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        "tests", "fixtures", "golden", "slowlog_small_events.parquet",
+    )
+)
+
+# the batch formulation of stream_classes over the golden IR — shared
+# by the stream_slowlog_classes and stream_slowlog_to_jdbc oracles
+_STREAM_CLASSES_SQL = f"""
+    SELECT date_trunc('minute', ts) AS period_start, digest,
+           count(*) AS num_queries,
+           round(sum(query_time), 6) AS m_query_time_sum,
+           max(query_time) AS m_query_time_max,
+           min(fingerprint) AS fingerprint
+    FROM {_GOLD}
+    WHERE NOT admin AND query IS NOT NULL
+    GROUP BY 1, 2
+"""
 
 
 def read_slowlog_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -94,10 +117,12 @@ def stream_classes(events: DataFrame) -> DataFrame:
     )
 
 
-@op("stream_slowlog_classes")  # rows-only; batch-eq tested
+@op("stream_slowlog_classes", oracle=_STREAM_CLASSES_SQL)
 def stream_slowlog_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END streaming reference pipeline: tail log dir → parse →
-    fingerprint → watermarked 1-minute classes."""
+    fingerprint → watermarked 1-minute classes. Oracle = the batch
+    formulation over the committed golden IR (complete mode over the
+    single-file fixture emits every window exactly once)."""
     from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG
     from slowlog2clickhouse_spark.streaming.ops import run_to_memory
 
@@ -105,7 +130,13 @@ def stream_slowlog_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(s, "complete")
 
 
-@op("stream_slowlog_to_jdbc")  # rows-only; end-to-end integration
+@op(
+    "stream_slowlog_to_jdbc",
+    oracle=_STREAM_CLASSES_SQL.replace(
+        "min(fingerprint) AS fingerprint",
+        "min(fingerprint) AS fingerprint, CAST(0 AS INTEGER) AS epoch",
+    ),
+)
 def stream_slowlog_to_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE full reference deployment shape, end to end: tail the slow
     log → parse → fingerprint → watermarked 1-minute classes →
