@@ -503,7 +503,17 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("observe_metrics")  # rows-only: Observation API is execution-attached
+@op(
+    "observe_metrics",
+    oracle="""
+    SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_groups,
+           count(*) AS n_rows,
+           round(sum(value), 4) AS sum_value,
+           CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_null_user
+    FROM events
+    """,
+)
 def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline observability via df.observe(Observation): metric
     accumulators (row count, sum, null count) collected DURING the

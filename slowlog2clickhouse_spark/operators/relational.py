@@ -1395,7 +1395,15 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return old_gen.unionByName(new_gen, allowMissingColumns=True)
 
 
-@op("cache_branch_reuse")  # rows-only: caching surface, plan pytest-pinned
+@op(
+    "cache_branch_reuse",
+    oracle="""
+    SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days,
+           count(*) AS n_shared
+    FROM orders WHERE o_totalprice > 100000
+    """,
+)
 def cache_branch_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit midpoint caching: an expensive shared stage (filtered
     + enriched orders) is persisted once and TWO downstream branches

@@ -104,7 +104,14 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sink_compact")  # rows-only: file counts are the contract, pytest-pinned
+@op(
+    "sink_compact",
+    oracle="""
+    SELECT CAST(48 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS files_after,
+           count(*) AS rows_before, count(*) AS rows_after
+    FROM events
+    """,
+)
 def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the maintenance op every long-running
     ingest needs: a fragmented table (simulated by writing events at 48
@@ -143,7 +150,16 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sink_partition_overwrite")  # rows-only: backfill semantics pytest-pinned
+@op(
+    "sink_partition_overwrite",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+           CAST(CASE WHEN CAST(ts AS DATE) =
+                          (SELECT min(CAST(ts AS DATE)) FROM events)
+                THEN count(*) ELSE 0 END AS BIGINT) AS n_marked
+    FROM events GROUP BY 1
+    """,
+)
 def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backfill/replay: recompute ONE day of a date-partitioned table
     and overwrite only that partition (dynamic partitionOverwriteMode),
@@ -181,7 +197,16 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("scan_schema_evolution")  # rows-only: merged-schema semantics pytest-pinned
+@op(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT g.gen, count(*) AS n,
+           CAST(CASE WHEN g.gen = 1 THEN count(*) ELSE 0 END AS BIGINT)
+               AS n_null_new
+    FROM nation, (SELECT unnest([1, 2]) AS gen) g
+    GROUP BY 1
+    """,
+)
 def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on read: two parquet generations (v2 adds a
     column), merged with mergeSchema=true — old files surface NULL for
@@ -207,7 +232,14 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sink_v2_writeto")  # rows-only: catalog round-trip pytest-pinned
+@op(
+    "sink_v2_writeto",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 4) AS s
+    FROM orders GROUP BY 1
+    """,
+)
 def sink_v2_writeto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrameWriterV2 (`df.writeTo(...).createOrReplace()`): the
     catalog-table write path (vs the path-based v1 `df.write`). V2 is
