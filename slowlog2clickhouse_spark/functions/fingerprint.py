@@ -42,7 +42,10 @@ PRE_LOWER_STEPS: list[tuple[str, str]] = [
     (r"/\*[^!].*?\*/", " "),  # block comments (not /*! version hints */)
     (r"--[^\n]*", " "),  # line comments
     (r"#[^\n]*", " "),  # MySQL '#' line comments (Java+RE2 portable)
-    (r"\b0x[0-9a-fA-F]+\b", "?"),  # hex literals
+    (r"\b0[xX][0-9a-fA-F]+\b", "?"),  # hex literals (0X masked too: the
+    # fingerprint lowercases, so preserving 0X would break idempotence)
+    (r"\b0b[01]+\b", "?"),  # binary literals
+    (r"\b\d+(?:\.\d+)?[eE][+-]?\d+\b", "?"),  # scientific notation first
     (r"\b\d+\.\d+\b", "?"),  # floats before ints
     (r"\b\d+\b", "?"),  # integer literals
 ]
@@ -98,7 +101,8 @@ def digest_duckdb(expr: str) -> str:
 # Full-fidelity Python implementation (UDF path / golden source of truth)
 # ---------------------------------------------------------------------------
 
-_HEX_RE = re.compile(r"^0x[0-9a-fA-F]+$")
+_HEX_RE = re.compile(r"^0[xX][0-9a-fA-F]+$")
+_BIN_RE = re.compile(r"^0b[01]+$")
 _NUM_RE = re.compile(r"^\d+(\.\d+)?([eE][+-]?\d+)?$")
 _IN_RE = re.compile(r"\bin\s*\(\s*\?\s*(,\s*\?\s*)*\)")
 _VALUES_RE = re.compile(r"\bvalues\s*\(\s*\?\s*(,\s*\?\s*)*\)(\s*,\s*\(\s*\?\s*(,\s*\?\s*)*\))*")
@@ -150,7 +154,7 @@ def fingerprint_py(query: str) -> str:
             prev = out[-1] if out else ""
             # not part of an identifier like t1 / col2
             if (not prev or not (prev.isalnum() or prev == "_")) and (
-                _NUM_RE.match(tok) or _HEX_RE.match(tok)
+                _NUM_RE.match(tok) or _HEX_RE.match(tok) or _BIN_RE.match(tok)
             ):
                 out.append("?")
                 i = j

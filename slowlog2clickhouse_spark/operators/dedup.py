@@ -5,9 +5,13 @@ The five standard LLM-corpus dedup levels over `documents` /
 
   exact          md5 of normalized text, hash-groupBy        (oracle)
   ngram-jaccard  token-set overlap on candidate pairs        (oracle)
-  minhash-LSH    shingle → xxhash64 minhash sigs → band join (rows)
-  simhash        bitwise majority of token hashes + hamming  (rows)
+  minhash-LSH    shingle → md5-family minhash sigs → band join (oracle)
+  simhash        bitwise majority of token hashes + hamming  (oracle)
   embedding      cosine near-dup on candidate pairs          (oracle)
+
+Since round 5 the LSH hashes are md5-derived (portable_hash60) rather
+than xxhash64, so the minhash/simhash candidate sets are reproducible
+in DuckDB and driver-hash-checked like the rest of the family.
 
 Scale design: exact & minhash & simhash shuffle on a HASH key (never
 on raw text — keys are fixed-width); candidate generation is always
@@ -131,80 +135,207 @@ def _tokens_col(col="text"):
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH (rows-only: xxhash64 is engine-specific)
+# MinHash + LSH — PORTABLE hashing (md5-derived, oracle-checkable)
 # ---------------------------------------------------------------------------
+#
+# Hash design (SURVEY §7 G8: md5 is the only cross-engine-stable hash):
+#   * token hash  = int(md5(token)[:15 hex], 16) mod P — 60-bit base,
+#     byte-identical in Spark (conv+cast) and DuckDB ('0x'||substr
+#     cast), reduced mod P = 2^31 − 1;
+#   * shingle base = (h1·C1 + h2·C2 + h3) mod P over 3 consecutive
+#     token hashes (whole-doc fold if < 3 tokens) — ONE md5 per TOKEN,
+#     shingles are pure arithmetic (products < 2^52, no overflow);
+#   * family i = (A_i·x + B_i) mod P, A_i/B_i affine in i — the classic
+#     universal-hash family;
+#   * signature = per-family min over the doc's shingle bases.
+# xxhash64 was cheaper per token but engine-specific — the LSH family
+# could never be driver-verified.
+#
+# EVALUATION-COUNT RULE (learned the hard way — a 100× regression): an
+# expression captured inside a higher-order-function lambda re-runs on
+# EVERY lambda invocation, and CollapseProject inlines a column that is
+# referenced only once — turning an innocent column ref into exactly
+# that capture. Two safe shapes are used below:
+#   1. the md5 pass is the INPUT of transform/aggregate (HOF inputs
+#      evaluate once per row, collapse or not);
+#   2. the token-hash array is materialized in its own select and the
+#      next projection references the column SEVERAL times (multiple
+#      references block CollapseProject — the shape the original
+#      xxhash64 version already relied on).
+# The signature stage stays a pure map — one scan, zero network at
+# 100 TB.
 
 N_HASHES = 16
 BAND_SIZE = 4  # 4 bands x 4 rows
+_MH_P = 2_147_483_647  # 2^31 − 1 (prime)
+_MH_A_MUL, _MH_B_BASE, _MH_B_STEP = 1_103_515_245, 12_345, 1_000_003
+_MH_C1, _MH_C2 = 1_000_003, 100_019  # shingle-combine multipliers
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """doc_id → n_hashes minhash values over 3-token shingles.
+def portable_hash60(col) -> F.Column:
+    """60-bit integer hash both engines compute identically:
+    Spark `conv(substr(md5(x),1,15),16,10)` ≡ DuckDB
+    `('0x'||substr(md5(x),1,15))::BIGINT` (15 hex digits < 2^63)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
-    All JVM-side AND shuffle-free — a pure map over the corpus, so at
-    100 TB the signature stage costs one scan and zero network:
 
-      * tokens are hashed ONCE (``transform(tokens, xxhash64)``);
-      * a shingle's base hash is ``xxhash64`` of its 3 token hashes
-        (24 bytes) — never a built shingle STRING (measured 4× faster
-        than array_join+hash at sf0.1);
-      * hash family i is ``xxhash64(base, seed_i)`` over the 8-byte
-        base, and each signature column is an ``array_min`` per row —
-        no explode, no groupBy.
-
-    The only shuffle in the whole dedup is the band self-join.
-    """
-    tokens = _tokens_col()
-    th = F.transform(tokens, lambda t: F.xxhash64(t))
-    docs_th = docs.select("doc_id", th.alias("th"), F.size(tokens).alias("n"))
-    shingle_h = F.when(
-        F.col("n") >= 3,
+def _with_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """docs → (doc_id, xm): array of shingle base hashes (mod P), from
+    ONE md5 pass over the tokens. Token hashes are materialized as a
+    column and referenced five times in the next projection (size,
+    three element_at, the short-doc fold) — see EVALUATION-COUNT RULE."""
+    th_expr = F.transform(_tokens_col(), lambda t: portable_hash60(t) % _MH_P)
+    with_th = docs.select("doc_id", th_expr.alias("th"))
+    th = F.col("th")
+    n = F.size(th)
+    c1 = F.lit(_MH_C1).cast("long")
+    c2 = F.lit(_MH_C2).cast("long")
+    xm = F.when(
+        n >= 3,
         F.transform(
-            F.sequence(F.lit(1), F.col("n") - 2),
-            lambda i: F.xxhash64(
-                F.element_at("th", i),
-                F.element_at("th", i + 1),
-                F.element_at("th", i + 2),
-            ),
+            F.sequence(F.lit(1), n - 2),
+            lambda i: (
+                F.element_at(th, i) * c1
+                + F.element_at(th, i + 1) * c2
+                + F.element_at(th, i + 2)
+            )
+            % _MH_P,
         ),
-    ).otherwise(F.array(F.xxhash64(F.col("th"))))
-    with_sh = docs_th.select("doc_id", shingle_h.alias("sh"))
+    ).otherwise(
+        F.array(
+            F.aggregate(
+                th,
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * 31 + h) % _MH_P,
+            )
+        )
+    )
+    return with_th.select("doc_id", xm.alias("xm"))
 
-    # NB: closure factory, not `lambda s, i=i`: PySpark calls a 2-param
-    # higher-order lambda with (element, index) and would clobber i
-    def reseed(seed: int):
-        return lambda h: F.xxhash64(h, F.lit(seed))
 
-    return with_sh.select(
-        "doc_id",
-        F.array_min("sh").alias("mh_0"),
-        *[
-            F.array_min(F.transform("sh", reseed(i))).alias(f"mh_{i}")
-            for i in range(1, n_hashes)
-        ],
+def _family_min_merge(acc, x):
+    """One shingle folded into the 16 running family minima."""
+    a_mul = F.lit(_MH_A_MUL).cast("long")
+    b_base, b_step = F.lit(_MH_B_BASE).cast("long"), F.lit(_MH_B_STEP).cast("long")
+    return F.transform(
+        acc,
+        lambda a, i: F.least(
+            a, (((a_mul * (i + 1)) % _MH_P) * x + (b_base + b_step * i) % _MH_P) % _MH_P
+        ),
     )
 
 
-@op("dedup_minhash")  # rows-only (G8)
+def _mins_init() -> F.Column:
+    # built lazily: constructing Columns needs an active SparkContext,
+    # and this module must stay importable before any session exists
+    return F.array_repeat(F.lit(_MH_P).cast("long"), N_HASHES)
+
+
+def minhash_signature_array(docs: DataFrame) -> DataFrame:
+    """doc_id → 16-element minhash signature array. Shuffle-free: one
+    `aggregate` whose input is the xm COLUMN (HOF inputs evaluate once
+    per row) and whose merge updates all 16 family minima per
+    shingle."""
+    xm = _with_shingle_hashes(docs)
+    ms = F.aggregate(F.col("xm"), _mins_init(), _family_min_merge)
+    return xm.select("doc_id", ms.alias("ms"))
+
+
+def minhash_band_keys(docs: DataFrame) -> DataFrame:
+    """doc_id → 4 LSH band keys, mins → bands folded inside the same
+    single-pass aggregate (finish lambda — the accumulator is a bound
+    variable, so nothing re-evaluates)."""
+    xm = _with_shingle_hashes(docs)
+    bands = F.aggregate(
+        F.col("xm"),
+        _mins_init(),
+        _family_min_merge,
+        lambda acc: F.transform(
+            F.sequence(F.lit(0), F.lit(N_HASHES // BAND_SIZE - 1)),
+            lambda b: F.aggregate(
+                F.slice(acc, b * BAND_SIZE + 1, BAND_SIZE),
+                F.lit(0).cast("long"),
+                lambda s, m: s * 31 + m,
+            ),
+        ),
+    )
+    return xm.select("doc_id", bands.alias("band_sigs"))
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """Column-per-family view (mh_0..mh_15) of the signature array —
+    test/analysis surface; the production path (dedup_minhash) folds
+    the array directly into band keys without widening."""
+    sig = minhash_signature_array(docs)
+    return sig.select(
+        "doc_id",
+        *[F.element_at("ms", i + 1).alias(f"mh_{i}") for i in range(n_hashes)],
+    )
+
+
+# DuckDB mirror of the signature + banding chain (shared by the
+# dedup_minhash oracle; sf0.01's corpus is small enough for the
+# oracle's all-pairs band compare via list_has_any)
+_MINHASH_BANDS_DUCK = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_DUCK} AS t FROM documents),
+    th AS (
+      SELECT doc_id,
+             list_transform(t, s ->
+               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {_MH_P}) AS h
+      FROM tok),
+    xm AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= 3
+                  THEN list_transform(range(1, len(h) - 1),
+                       i -> (h[i] * {_MH_C1} + h[i+1] * {_MH_C2} + h[i+2])
+                            % {_MH_P})
+                  ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+                        (acc, x) -> (acc * 31 + x) % {_MH_P})] END AS xs
+      FROM th),
+    mins AS (
+      SELECT doc_id,
+             list_transform(range(0, {N_HASHES}), i ->
+               list_min(list_transform(xs, x ->
+                 ((({_MH_A_MUL} * (i + 1)) % {_MH_P}) * x
+                  + ({_MH_B_BASE} + {_MH_B_STEP} * i) % {_MH_P}) % {_MH_P}))) AS ms
+      FROM xm),
+    bands AS (
+      SELECT doc_id,
+             list_transform(range(0, {N_HASHES // BAND_SIZE}), b ->
+               {{'b': b, 's': ((ms[b*4+1] * 31 + ms[b*4+2]) * 31
+                               + ms[b*4+3]) * 31 + ms[b*4+4]}}) AS bs
+      FROM mins)
+"""
+
+
+@op(
+    "dedup_minhash",
+    oracle=_MINHASH_BANDS_DUCK
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)
+    """,
+)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: banded signature equi-join —
     the scalable candidate generator (no cross join anywhere; the only
     shuffles are the signature groupBy and the band self-join, both on
-    hash keys)."""
+    hash keys). Signatures are md5-derived (module header), so the
+    DuckDB oracle reproduces the exact candidate-pair set."""
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(d)
     # ONE posexplode instead of a 4-way union: the (shuffle-free)
     # signature expressions are evaluated once per row, not once per
     # band — and both sides of the self-join become identical subplans,
-    # so the band-key Exchange is computed once and reused (ReuseExchange)
-    band_sigs = F.array(
-        *[
-            F.xxhash64(*[F.col(f"mh_{b * BAND_SIZE + r}") for r in range(BAND_SIZE)])
-            for b in range(N_HASHES // BAND_SIZE)
-        ]
-    )
-    banded = sig.select(
-        "doc_id", F.posexplode(band_sigs).alias("band", "band_sig")
+    # so the band-key Exchange is computed once and reused (ReuseExchange).
+    # posexplode_OUTER, deliberately: plain posexplode triggers
+    # InferFiltersFromGenerate, whose size(..)>0 filter re-inlines the
+    # whole signature expression below the Generate and re-evaluates it
+    # interpreted per row (measured 30×); band_sigs is always exactly 4
+    # elements, so outer is semantically identical.
+    banded = minhash_band_keys(d).select(
+        "doc_id", F.posexplode_outer("band_sigs").alias("band", "band_sig")
     ).repartition("band", "band_sig")
     # ^ explicit shuffle on the band key: without it AQE broadcasts one
     # side of the self-join and the signature map runs TWICE; with it
@@ -225,38 +356,75 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (rows-only)
+# SimHash — PORTABLE hashing (md5-derived, oracle-checkable)
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 64
-SIMHASH_BANDS = 4  # 4 bands × 16 bits; hamming ≤ 3 ⟹ some band intact
-SIMHASH_MAX_HAMMING = 3  # the classic near-dup radius for 64-bit simhash
+SIMHASH_BITS = 60  # width of the md5-derived portable token hash
+SIMHASH_BANDS = 4  # 4 bands × 15 bits; hamming ≤ 3 ⟹ some band intact
+SIMHASH_MAX_HAMMING = 3  # the classic near-dup radius
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → 64-bit simhash (per-bit majority vote over token
-    hashes). Shuffle-free: token hashes are a per-row ``transform``
-    array and every bit-sum an ``aggregate`` over it — a pure map over
-    the corpus, like minhash_signatures."""
-    hashes = F.transform(_tokens_col(), lambda t: F.xxhash64(t))
-    docs_h = docs.select("doc_id", hashes.alias("hs"))
-    def vote(bit: int):  # closure factory — see minhash_signatures note
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    """doc_id → 60-bit simhash (per-bit majority vote over portable
+    md5-derived token hashes). Shuffle-free: ONE `aggregate` whose
+    input is the single md5 pass (HOF inputs evaluate once per row —
+    EVALUATION-COUNT RULE above) carrying a 60-slot vote accumulator;
+    the finish lambda assembles the sign bits into the signature."""
+    hashes = F.transform(_tokens_col(), lambda t: portable_hash60(t))
+    # F.shiftright/shiftleft type their bit count as a Python int;
+    # call_function reaches the SQL builtin, which takes a Column
+    sr, sl = (
+        lambda h, b: F.call_function("shiftright", h, b),
+        lambda v, b: F.call_function("shiftleft", v, b),
+    )
+    sim = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.transform(
+            acc,
+            lambda v, b: v
+            + F.when(sr(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+        lambda acc: F.aggregate(
+            F.transform(
+                acc,
+                lambda v, b: F.when(v > 0, sl(F.lit(1).cast("long"), b)).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        ),
+    )
+    return docs.select("doc_id", sim.alias("simhash"))
 
-    bit_votes = [
-        F.aggregate("hs", F.lit(0), vote(i)) for i in range(SIMHASH_BITS)
-    ]
-    # assemble via OR of disjoint bits (shiftleft handles bit 63's sign)
-    sim = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        sim = sim.bitwiseOR(
-            F.when(
-                bit_votes[i] > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return docs_h.select("doc_id", sim.alias("simhash"))
+
+_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+_SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_BITS) - 1
+
+# DuckDB mirror of the signature chain (dedup_simhash oracle)
+_SIMHASH_SIGS_DUCK = f"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_transform({_TOK_DUCK}, t ->
+               CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS h
+      FROM documents),
+    sigs AS (
+      SELECT doc_id,
+             coalesce(list_sum(list_transform(range(0, {SIMHASH_BITS}), b ->
+               CASE WHEN coalesce(list_sum(list_transform(h, x ->
+                         CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+                    THEN (CAST(1 AS BIGINT) << b)
+                    ELSE CAST(0 AS BIGINT) END)), 0) AS simhash
+      FROM hs),
+    bands AS (
+      SELECT doc_id, simhash,
+             list_transform(range(0, {SIMHASH_BANDS}), b ->
+               {{'b': b,
+                 'v': (simhash >> (b * {_SIMHASH_BAND_BITS}))
+                      & {_SIMHASH_BAND_MASK}}}) AS bs
+      FROM sigs)
+"""
 
 
 def simhash_candidates_windowed(sigs: DataFrame, window: int = 5) -> DataFrame:
@@ -282,16 +450,28 @@ def simhash_candidates_windowed(sigs: DataFrame, window: int = 5) -> DataFrame:
     )
 
 
-@op("dedup_simhash")  # rows-only (G8)
+@op(
+    "dedup_simhash",
+    oracle=_SIMHASH_SIGS_DUCK
+    + f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup via band-bucketed candidates — the same LSH
-    structure as dedup_minhash: split the 64-bit signature into
-    4×16-bit bands, equi-self-join on (band, value), then hamming-
+    structure as dedup_minhash: split the 60-bit signature into
+    4×15-bit bands, equi-self-join on (band, value), then hamming-
     filter with a single codegen'd bit_count(xor). No window, no cross
     join — docs only meet if they agree EXACTLY on one band, which
     pigeonhole GUARANTEES whenever hamming ≤ 3 (4 bands can't all be
-    touched by ≤3 flipped bits). Expected bucket size n/65536 per
-    band keeps the self-join near-linear at corpus scale."""
+    touched by ≤3 flipped bits). Expected bucket size n/32768 per
+    band keeps the self-join near-linear at corpus scale. Signatures
+    are md5-derived (portable_hash60), so the DuckDB oracle reproduces
+    the exact pair set."""
     d = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures(d)
     band_width = SIMHASH_BITS // SIMHASH_BANDS
@@ -306,7 +486,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     banded = sigs.select(
-        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "band_val")
+        # posexplode_outer: see dedup_minhash — avoids the inferred
+        # size()>0 filter re-evaluating the signature per row
+        "doc_id", "simhash", F.posexplode_outer(band_vals).alias("band", "band_val")
     ).repartition("band", "band_val")
     # ^ shared Exchange — see dedup_minhash; signature map runs once
     a = banded.alias("a")

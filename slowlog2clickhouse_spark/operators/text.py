@@ -404,13 +404,29 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("text_fingerprint_rolling")  # rows-only: engine-specific hash (G8)
+@op(
+    "text_fingerprint_rolling",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split(lower(text), ' '), t -> t <> ''),
+                 t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))),
+             (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_fp
+    FROM documents
+    """,
+)
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: polynomial rolling hash over token hashes
-    (left fold, mod 1e9+7 to stay in ANSI-safe long range) — entirely
-    in higher-order functions, JVM-side."""
+    """Document fingerprint: polynomial rolling hash over PORTABLE
+    md5-derived token hashes (left fold, mod 1e9+7 keeps acc·31 + h
+    within int64 for 60-bit h) — entirely in higher-order functions,
+    JVM-side, and byte-identical in the DuckDB oracle (list_reduce with
+    a prepended 0 is the same left fold)."""
+    from slowlog2clickhouse_spark.operators.dedup import portable_hash60
+
     d = load_table(spark, sf_dir, "documents")
-    token_hashes = F.transform(_tokens(), lambda t: F.hash(t).cast("long"))
+    token_hashes = F.transform(_tokens(), lambda t: portable_hash60(t))
     rolling = F.aggregate(
         token_hashes,
         F.lit(0).cast("long"),

@@ -38,11 +38,148 @@ CASES = [
     ("SELECT c FROM t WHERE tag = '#42' AND id = 7", "select c from t where tag = ? and id = ?"),
 ]
 
+# Extended corpus toward go-mysql's query_test.go breadth (round-5):
+# IN-lists across literal kinds, multi-row VALUES, /*! */ version
+# hints, escaped quotes, multi-statement, number/identifier boundaries,
+# MySQL-isms. Expectations verified against the state machine and
+# reviewed for reference semantics.
+EXTENDED_CASES = [
+    # IN lists: hex / float / string / mixed / long / spacing / nested
+    ("SELECT c FROM t WHERE id IN (0x1A, 0xFF)", "select c from t where id in(?+)"),
+    ("SELECT c FROM t WHERE id IN (1.5, 2.25, 3.0)", "select c from t where id in(?+)"),
+    ("SELECT c FROM t WHERE name IN ('a', 'b', 'c')", "select c from t where name in(?+)"),
+    ("SELECT c FROM t WHERE id IN (1, 'a', 2.5, 0xFF)", "select c from t where id in(?+)"),
+    (
+        "SELECT c FROM t WHERE id IN(" + ", ".join(str(i) for i in range(50)) + ")",
+        "select c from t where id in(?+)",
+    ),
+    ("SELECT c FROM t WHERE id IN ( 1 , 2 , 3 )", "select c from t where id in(?+)"),
+    ("SELECT c FROM t WHERE id IN (1)", "select c from t where id in(?+)"),
+    ("DELETE FROM t WHERE id IN (7,8) AND x IN (9)", "delete from t where id in(?+) and x in(?+)"),
+    ("SELECT c FROM t WHERE a IN (1,2) OR b IN (3,4)", "select c from t where a in(?+) or b in(?+)"),
+    (
+        "SELECT c FROM t WHERE id IN (SELECT id FROM u WHERE v = 3)",
+        "select c from t where id in (select id from u where v = ?)",
+    ),
+    # VALUES: multi-row, mixed literal kinds, spacing; non-literal rows survive
+    (
+        "INSERT INTO t VALUES (1, 2.5, 'x'), (2, 3.5, 'y'), (3, 4.5, 'z')",
+        "insert into t values(?+)",
+    ),
+    ("INSERT INTO t(a,b) VALUES (1,'a')", "insert into t(a,b) values(?+)"),
+    ("REPLACE INTO t VALUES (0xAB, 'q')", "replace into t values(?+)"),
+    ("INSERT INTO t VALUES(1,'a'),(2,'b'),(3,'c'),(4,'d')", "insert into t values(?+)"),
+    ("INSERT INTO t VALUES (now(), 1)", "insert into t values (now(), ?)"),
+    ("INSERT INTO t VALUES ( 1 , 'a' ) , ( 2 , 'b' )", "insert into t values(?+)"),
+    # /*! */ version hints: preserved (not comments), version number masked
+    ("SELECT /*! STRAIGHT_JOIN */ c FROM t WHERE id = 1", "select /*! straight_join */ c from t where id = ?"),
+    ("SELECT /*!40001 SQL_NO_CACHE */ * FROM t WHERE x = 5", "select /*!? sql_no_cache */ * from t where x = ?"),
+    ("INSERT /*!40000 DELAYED */ INTO t VALUES (1, 'a')", "insert /*!? delayed */ into t values(?+)"),
+    # comments
+    ("SELECT c FROM t /* multi\nline\ncomment */ WHERE id = 3", "select c from t where id = ?"),
+    ("SELECT c FROM t WHERE id = 3 -- trailing no newline", "select c from t where id = ?"),
+    ("SELECT c FROM t WHERE id = 3 # trailing hash no newline", "select c from t where id = ?"),
+    ("SELECT c /* one */ FROM t /* two */ WHERE id = 4", "select c from t where id = ?"),
+    ("SELECT c FROM t /* unterminated WHERE id = 5", "select c from t"),
+    ("SELECT a#b\nFROM t WHERE c = 2", "select a from t where c = ?"),
+    # escaped quotes (UDF-only grammar; the chain documents divergence)
+    (r"SELECT * FROM t WHERE name = 'O\'Brien'", "select * from t where name = ?"),
+    ("SELECT * FROM t WHERE name = 'O''Brien'", "select * from t where name = ?"),
+    (r'SELECT * FROM t WHERE name = "say \"hi\""', "select * from t where name = ?"),
+    (r"UPDATE t SET note = 'ends with backslash \\' WHERE id = 2", "update t set note = ? where id = ?"),
+    ("SELECT * FROM t WHERE a = 'x' AND b = 'don''t stop' AND c = 9", "select * from t where a = ? and b = ? and c = ?"),
+    # numbers vs identifiers
+    ("SELECT t1.col2 FROM t1 WHERE t1.id3 = 4", "select t1.col2 from t1 where t1.id3 = ?"),
+    ("SELECT a1b2 FROM x9 WHERE q0 = 0", "select a1b2 from x9 where q0 = ?"),
+    ("SELECT c FROM t WHERE x = -3.14 AND y = +7", "select c from t where x = -? and y = +?"),
+    ("SELECT c FROM t WHERE x = .5 AND y = 0.25", "select c from t where x = .? and y = ?"),
+    ("SELECT c FROM t WHERE x = 007", "select c from t where x = ?"),
+    ("SELECT c FROM t WHERE x = 6.02e23", "select c from t where x = ?"),
+    ("SELECT c FROM t WHERE x = 1e5", "select c from t where x = ?"),
+    ("SELECT c FROM t LIMIT 10 OFFSET 20", "select c from t limit ? offset ?"),
+    ("SELECT c FROM t LIMIT 5, 10", "select c from t limit ?, ?"),
+    ("SELECT c FROM t WHERE ts BETWEEN 1704067200 AND 1704153600", "select c from t where ts between ? and ?"),
+    # hex/binary literal edges (MySQL: 0x lowercase only; 0b binary)
+    ("SELECT c FROM t WHERE x = 0xdeadBEEF AND y = 0Xff", "select c from t where x = ? and y = ?"),
+    ("SELECT c FROM t WHERE flag = 0b1010", "select c from t where flag = ?"),
+    # strings
+    ("SELECT * FROM t WHERE name LIKE '%abc%'", "select * from t where name like ?"),
+    ("SELECT * FROM t WHERE j = '{\"k\": 1, \"v\": [2, 3]}'", "select * from t where j = ?"),
+    ("SELECT * FROM t WHERE s = ''", "select * from t where s = ?"),
+    ("SELECT * FROM t WHERE d = '2024-01-01 10:00:00'", "select * from t where d = ?"),
+    ("SELECT * FROM t WHERE u = 'café über'", "select * from t where u = ?"),
+    # multi-statement
+    ("SELECT 1; SELECT 2", "select ?; select ?"),
+    (
+        "SELECT 1; UPDATE t SET a = 2; DELETE FROM u WHERE b = 3",
+        "select ?; update t set a = ?; delete from u where b = ?",
+    ),
+    ("BEGIN; INSERT INTO t VALUES (1); COMMIT", "begin; insert into t values(?+); commit"),
+    # statement shapes
+    ("SET timestamp=1704067798", "set timestamp=?"),
+    ("use warehouse", "use warehouse"),
+    ("CREATE TABLE t (id INT, name VARCHAR(255))", "create table t (id int, name varchar(?))"),
+    ("ALTER TABLE t ADD COLUMN c INT DEFAULT 5", "alter table t add column c int default ?"),
+    ("SELECT `col` FROM `db`.`t` WHERE `id` = 11", "select `col` from `db`.`t` where `id` = ?"),
+    (
+        "SELECT COUNT(*), MAX(x) FROM t GROUP BY y HAVING COUNT(*) > 5",
+        "select count(*), max(x) from t group by y having count(*) > ?",
+    ),
+    (
+        "SELECT c FROM t WHERE a IS NULL AND b = TRUE AND d = FALSE",
+        "select c from t where a is null and b = true and d = false",
+    ),
+    ("SELECT c FROM t ORDER BY x DESC, y ASC LIMIT 100", "select c from t order by x desc, y asc limit ?"),
+    (
+        "SELECT a.x, b.y FROM a JOIN b ON a.id = b.id AND a.v > 3",
+        "select a.x, b.y from a join b on a.id = b.id and a.v > ?",
+    ),
+    (
+        "SELECT c FROM t WHERE x = 1 UNION SELECT c FROM u WHERE x = 2",
+        "select c from t where x = ? union select c from u where x = ?",
+    ),
+    ("GRANT SELECT ON db.* TO 'user'@'host'", "grant select on db.* to ?@?"),
+    ("CALL proc(1, 'a', 2.5)", "call proc(?, ?, ?)"),
+    ("SELECT DATE_ADD(NOW(), INTERVAL 30 DAY)", "select date_add(now(), interval ? day)"),
+    ("SELECT CAST(x AS UNSIGNED) FROM t WHERE id = 8", "select cast(x as unsigned) from t where id = ?"),
+    (
+        "SELECT c FROM t WHERE MATCH(a) AGAINST ('query' IN BOOLEAN MODE)",
+        "select c from t where match(a) against (? in boolean mode)",
+    ),
+    ("SHOW TABLES LIKE 'prefix%'", "show tables like ?"),
+    ("EXPLAIN SELECT c FROM t WHERE id = 1", "explain select c from t where id = ?"),
+    ("SELECT c FROM t WHERE ts > NOW() - INTERVAL 1 HOUR", "select c from t where ts > now() - interval ? hour"),
+    ("SELECT c FROM t PARTITION (p0, p1) WHERE id = 2", "select c from t partition (p0, p1) where id = ?"),
+    (
+        "SELECT DISTINCT c FROM t WHERE x <> 4 AND y != 5 AND z <=> 6",
+        "select distinct c from t where x <> ? and y != ? and z <=> ?",
+    ),
+    ("SELECT c FROM t WHERE ip = '10.0.0.1' AND port = 3306", "select c from t where ip = ? and port = ?"),
+    ("SELECT IF(x > 1, 'yes', 'no') FROM t", "select if(x > ?, ?, ?) from t"),
+    (
+        "SELECT c FROM t WHERE EXISTS (SELECT 1 FROM u WHERE u.id = t.id)",
+        "select c from t where exists (select ? from u where u.id = t.id)",
+    ),
+    ("SELECT SUBSTRING(name, 1, 3) FROM t WHERE id = 44", "select substring(name, ?, ?) from t where id = ?"),
+    ("SELECT c FROM t WHERE x % 2 = 0 AND y DIV 3 = 1", "select c from t where x % ? = ? and y div ? = ?"),
+    (
+        "WITH cte AS (SELECT id FROM t WHERE v = 9) SELECT * FROM cte",
+        "with cte as (select id from t where v = ?) select * from cte",
+    ),
+    ("SELECT c INTO @v FROM t WHERE id = 12", "select c into @v from t where id = ?"),
+    ("LOAD DATA INFILE '/tmp/f.csv' INTO TABLE t", "load data infile ? into table t"),
+    ("SELECT c FROM t FOR UPDATE", "select c from t for update"),
+    ("SELECT c FROM t LOCK IN SHARE MODE", "select c from t lock in share mode"),
+    ("SELECT GROUP_CONCAT(c SEPARATOR ',') FROM t WHERE id = 3", "select group_concat(c separator ?) from t where id = ?"),
+]
+
+ALL_CASES = CASES + EXTENDED_CASES
+
 # subset where the regexp_replace chain matches full UDF semantics
 CHAIN_SAFE = [c for c, _ in CASES if "--" not in c.split("'")[0] or "'" not in c]
 
 
-@pytest.mark.parametrize("raw,expected", CASES)
+@pytest.mark.parametrize("raw,expected", ALL_CASES)
 def test_fingerprint_py(raw, expected):
     got = fingerprint_py(raw)
     if raw == "SELECT x'":
@@ -52,7 +189,7 @@ def test_fingerprint_py(raw, expected):
     assert got == expected, f"{raw!r} -> {got!r} != {expected!r}"
 
 
-@pytest.mark.parametrize("raw,_", CASES)
+@pytest.mark.parametrize("raw,_", ALL_CASES)
 def test_fingerprint_idempotent(raw, _):
     fp = fingerprint_py(raw)
     assert fingerprint_py(fp) == fp
@@ -76,6 +213,15 @@ def test_sql_chain_agrees_with_udf(spark):
         "INSERT INTO t VALUES (1, 'a'), (2, 'b')",
         "SELECT c FROM t /* comment */ WHERE id = 7",
         "SELECT   c\tFROM  t  WHERE a = 0xFF",
+    ] + [
+        # chain-safe slice of the extended corpus: no backslash/doubled
+        # quote escapes and no multi-line block comments (the documented
+        # UDF-only grammar: Java regex '.' stops at \n) — everything
+        # else must agree
+        raw
+        for raw, _ in EXTENDED_CASES
+        if "\\" not in raw and "''" not in raw and "\n" not in raw
+        and "unterminated" not in raw
     ]
     df = spark.createDataFrame([(s,) for s in simple], ["q"])
     got = [r[0] for r in df.select(fingerprint_col(F.col("q"))).collect()]
