@@ -589,7 +589,33 @@ def connected_components(
     return labels
 
 
-@op("dedup_cluster")  # rows-only: iterative fixpoint, no SQL oracle
+@op(
+    "dedup_cluster",
+    # The iterative fixpoint IS SQL-expressible now that the candidate
+    # edges are portable (md5 minhash): a recursive CTE enumerates
+    # reachability (UNION dedups, so it terminates) and min(reachable)
+    # is the cluster label — O(Σ component²) pairs, fine at oracle SF
+    # because near-dup clusters are tiny.
+    oracle=_MINHASH_BANDS_DUCK.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + """
+    , cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)),
+    und AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand),
+    reach AS (
+      SELECT DISTINCT s AS v, s AS r FROM und
+      UNION
+      SELECT reach.v, und.d FROM reach JOIN und ON und.s = reach.r
+    )
+    SELECT v AS doc_id, min(r) AS cluster_id,
+           (min(r) = v) AS keep
+    FROM reach GROUP BY v
+    """,
+)
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup RESOLUTION: minhash band candidates →
     connected components → one row per involved doc with its cluster

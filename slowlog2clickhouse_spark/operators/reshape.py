@@ -97,7 +97,15 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("join_bucketed_colocated")  # rows-only: layout demo, plan-tested
+@op(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free fact-fact join via bucketed tables: both sides
     written bucketBy(8, orderkey) + sortBy, then joined — the plan has

@@ -166,7 +166,15 @@ def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(count_tokens, "doc_id long, n_tokens long, n_chars long")
 
 
-@op("udf_arrow_optimized")  # rows-only: must equal the row UDF (pytest)
+@op(
+    "udf_arrow_optimized",
+    oracle=f"""
+    SELECT fingerprint_py AS fingerprint, count(*) AS n
+    FROM {_GOLD}
+    WHERE query IS NOT NULL
+    GROUP BY 1
+    """,
+)
 def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The THIRD Python UDF execution mode (Spark 4): a row-signature
     UDF with `useArrow=True` — Arrow batch transport like a pandas

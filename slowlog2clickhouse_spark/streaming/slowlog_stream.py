@@ -185,7 +185,13 @@ def stream_slowlog_to_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("stream_stateful_counter")  # rows-only; invariants tested
+@op(
+    "stream_stateful_counter",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, max(value) AS max_value
+    FROM events GROUP BY 1
+    """,
+)
 def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running
     per-user event count + running max value across micro-batches (the
