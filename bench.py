@@ -86,6 +86,8 @@ EXTRA_OPS = (
     # round-4: classic yardsticks with the heaviest join graphs
     "tpch_q9",
     "tpch_q21",
+    # round-5: the data-quality profiler (driver-green this round)
+    "dq_profile",
 )
 
 
@@ -121,6 +123,7 @@ def main() -> None:
         "events_pipeline": lambda: ops["events_pipeline"].fn(spark, sf_dir),
         "tpch_q9": lambda: ops["tpch_q9"].fn(spark, sf_dir),
         "tpch_q21": lambda: ops["tpch_q21"].fn(spark, sf_dir),
+        "dq_profile": lambda: ops["dq_profile"].fn(spark, sf_dir),
     }
     for name in EXTRA_OPS:
         results[name] = round(time_df(extra_builders[name]), 4)

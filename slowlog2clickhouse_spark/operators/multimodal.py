@@ -126,7 +126,26 @@ _FRAME_SCHEMA = T.StructType(
 )
 
 
-@op("mm_frame_sample")  # rows-only
+@op(
+    "mm_frame_sample",
+    # the corpus is pure ASCII (oracle-checked: octet_length == length),
+    # so byte-chunking the utf-8 payload equals char-chunking the text;
+    # encode() re-blobs the frame so both engines hash/compare bytes
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / {FRAME_BYTES}.0)
+                                  AS INTEGER))) AS c
+      FROM documents)
+    SELECT doc_id,
+           CAST(c // 2 AS BIGINT) AS frame_no,
+           encode(substring(text, c * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+               AS frame,
+           md5(substring(text, c * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+               AS frame_md5
+    FROM f WHERE c % 2 = 0
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Video' frame sampling: every 2nd fixed-size block of the
     payload becomes a frame row (1→N fan-out inside mapInPandas —

@@ -282,10 +282,54 @@ def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
 
 
-@op("vec_quantize_int8")  # rows-only: libm-dependent cosine (G8)
+@op(
+    "vec_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+      FROM embeddings),
+    comp AS (
+      SELECT generate_subscripts(ed, 1) AS pos, unnest(ed) AS v FROM e),
+    st AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM comp GROUP BY pos),
+    stats AS (
+      SELECT list(mn ORDER BY pos) AS mins,
+             list(greatest(mx - mn, 1e-9) ORDER BY pos) AS rng
+      FROM st),
+    coded AS (
+      SELECT vec_id, ed, mins, rng,
+             list_transform(range(1, len(ed) + 1), i ->
+               CAST(round((ed[i] - mins[i]) / rng[i] * 255, 0) AS INTEGER))
+                 AS codes
+      FROM e, stats),
+    recon AS (
+      SELECT vec_id, ed, codes,
+             list_transform(range(1, len(ed) + 1), i ->
+               mins[i] + CAST(codes[i] AS DOUBLE) / 255 * rng[i]) AS dq
+      FROM coded)
+    SELECT vec_id,
+           round(
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(ed) + 1), i -> ed[i] * dq[i])),
+               (a, x) -> a + x)
+             / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(ed, x -> x * x)), (a, x) -> a + x))
+                * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(dq, x -> x * x)), (a, x) -> a + x))),
+             6) AS cos_fidelity,
+           round(list_max(list_transform(range(1, len(ed) + 1), i ->
+                 abs(ed[i] - dq[i]))), 6) AS max_abs_err,
+           CAST(list_min(codes) AS BIGINT) AS code_min,
+           CAST(list_max(codes) AS BIGINT) AS code_max
+    FROM recon
+    """,
+)
 def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar int8 quantization fidelity: per-dimension corpus min/max
     → 8-bit codes → dequantize → cosine(original, reconstruction).
+    Oracle-checked: the whole chain is deterministic double arithmetic
+    (mins/rng broadcast stats, affine code/decode, LEFT-fold dot
+    products mirrored by list_reduce), rounded at 6 decimals.
 
     The memory/bandwidth lever for ANN at scale — int8 codes cut the
     corpus footprint 4× (float32) before any index structure, which is

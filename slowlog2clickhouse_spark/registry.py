@@ -142,6 +142,12 @@ _PRIORITY: tuple[str, ...] = (
     "sink_v2_writeto",
     "cache_branch_reuse",
     "observe_metrics",
+    "vec_quantize_int8",
+    "mm_frame_sample",
+    "dedup_cluster",
+    "udf_arrow_optimized",
+    "join_bucketed_colocated",
+    "stream_stateful_counter",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
@@ -196,17 +202,12 @@ _PRIORITY: tuple[str, ...] = (
     "date_try_parse",
     "str_regex_backref",
     "vec_knn_ivf",
-    "dedup_cluster",
     "slowlog_classes_approx",
     "agg_hll_daily_merge",
-    "vec_quantize_int8",
     "pack_sequences",
     "vec_kmeans",
     "graph_pagerank",
-    "udf_arrow_optimized",
     "mm_resize",
-    "join_bucketed_colocated",
-    "stream_stateful_counter",
     "stream_rate_source",
     "stream_progress_metrics",
     "mm_metadata_filter",
