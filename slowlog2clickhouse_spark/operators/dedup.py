@@ -396,7 +396,14 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             lambda s, x: s + x,
         ),
     )
-    return docs.select("doc_id", sim.alias("simhash"))
+    # coalesce makes the column NON-NULLABLE (null text → 0, matching
+    # the DuckDB oracle), which stops InferFiltersFromConstraints from
+    # deriving IsNotNull(simhash) off the hamming predicate — that
+    # inferred filter pushes below the Generate and re-inlines the
+    # whole signature chain into an interpreted per-row Filter (the
+    # EVALUATION-COUNT RULE above; pinned by
+    # tests/test_plans.py::test_lsh_band_explode_no_inferred_filter_duplication)
+    return docs.select("doc_id", F.coalesce(sim, F.lit(0).cast("long")).alias("simhash"))
 
 
 _SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS

@@ -227,3 +227,28 @@ def test_tpch_q17_threshold_join_is_broadcast(spark, sf_dir):
     p = plan_of(spark, sf_dir, "tpch_q17")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_lsh_band_explode_no_inferred_filter_duplication(spark, sf_dir):
+    """Regression guard for the round-5 perf trap: plain posexplode
+    lets InferFiltersFromGenerate add a size(..)>0 filter whose
+    predicate re-inlines the WHOLE signature expression below the
+    Generate — re-evaluating the md5/aggregate chain interpreted per
+    row (measured 30x wall at sf0.1). posexplode_outer on the
+    never-empty band array must keep the signature expression out of
+    any Filter node."""
+    for op_name in ("dedup_minhash", "dedup_simhash"):
+        p = plan_of(spark, sf_dir, op_name)
+        filter_lines = [ln for ln in p.splitlines() if "Filter" in ln]
+        joined = " ".join(filter_lines)
+        assert "size(aggregate" not in joined and "size(transform" not in joined, (
+            op_name,
+            filter_lines[:3],
+        )
+        # and the full condition text anywhere: an md5 inside a Filter
+        # means the signature chain leaked into a predicate
+        in_filter_blocks = [
+            blk for blk in p.split("\n\n") if blk.strip().startswith("(")
+            and "Filter" in blk.splitlines()[0]
+        ]
+        assert not any("md5" in blk for blk in in_filter_blocks), op_name
