@@ -150,6 +150,18 @@ def fingerprint_py(query: str) -> str:
             j = i
             while j < n and (query[j].isalnum() or query[j] == "."):
                 j += 1
+            # signed exponent: '1E-5' — the sign isn't alnum, so extend
+            # the token when an e/E is followed by [+-]digits
+            if (
+                j < n
+                and query[j] in "+-"
+                and query[j - 1] in "eE"
+                and j + 1 < n
+                and query[j + 1].isdigit()
+            ):
+                j += 1
+                while j < n and query[j].isdigit():
+                    j += 1
             tok = query[i:j]
             prev = out[-1] if out else ""
             # not part of an identifier like t1 / col2

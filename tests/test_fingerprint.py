@@ -171,6 +171,49 @@ EXTENDED_CASES = [
     ("SELECT c FROM t FOR UPDATE", "select c from t for update"),
     ("SELECT c FROM t LOCK IN SHARE MODE", "select c from t lock in share mode"),
     ("SELECT GROUP_CONCAT(c SEPARATOR ',') FROM t WHERE id = 3", "select group_concat(c separator ?) from t where id = ?"),
+    # signed exponents (tokenizer extends across the sign)
+    ("SELECT c FROM t WHERE x = 1E-5 AND y = 2.5e+10", "select c from t where x = ? and y = ?"),
+    # tuple IN-lists stay structural (per-element masking only)
+    ("SELECT c FROM t WHERE (a, b) IN ((1, 2), (3, 4))", "select c from t where (a, b) in ((?, ?), (?, ?))"),
+    # INSERT variants
+    (
+        "INSERT INTO t (a) VALUES (1) ON DUPLICATE KEY UPDATE a = a + 1",
+        "insert into t (a) values(?+) on duplicate key update a = a + ?",
+    ),
+    ("INSERT INTO t SELECT * FROM u WHERE v = 5", "insert into t select * from u where v = ?"),
+    ("INSERT IGNORE INTO t VALUES (9, 'z')", "insert ignore into t values(?+)"),
+    # string-literal dialect forms
+    (r"SELECT * FROM t WHERE name LIKE 'a\_b%' ESCAPE '\\'", "select * from t where name like ? escape ?"),
+    ("SELECT _utf8'abc' FROM t WHERE id = 1", "select _utf8? from t where id = ?"),
+    ("SELECT N'abc' FROM t WHERE id = 2", "select n? from t where id = ?"),
+    ("SELECT * FROM t WHERE d = DATE '2024-01-01'", "select * from t where d = date ?"),
+    ("SELECT * FROM t WHERE ts = TIMESTAMP '2024-01-01 10:00:00'", "select * from t where ts = timestamp ?"),
+    ("SELECT c FROM t WHERE flag = b'1010'", "select c from t where flag = b?"),
+    ("SELECT c FROM t WHERE h = X'ABCD'", "select c from t where h = x?"),
+    ("SELECT c FROM t WHERE s = 'a' COLLATE utf8mb4_bin", "select c from t where s = ? collate utf8mb4_bin"),
+    # negatives / operators / admin statements
+    ("SELECT c FROM t WHERE x BETWEEN -5 AND -1", "select c from t where x between -? and -?"),
+    (
+        "SELECT c FROM t WHERE x = 1 UNION ALL SELECT c FROM u WHERE x = 2",
+        "select c from t where x = ? union all select c from u where x = ?",
+    ),
+    ("TRUNCATE TABLE sessions", "truncate table sessions"),
+    ("RENAME TABLE old_t TO new_t", "rename table old_t to new_t"),
+    ("SET NAMES utf8mb4", "set names utf8mb4"),
+    ("SHOW VARIABLES LIKE 'max_connections'", "show variables like ?"),
+    ("KILL 12345", "kill ?"),
+    (
+        "SELECT ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) FROM t WHERE d = 7",
+        "select row_number() over (partition by g order by v desc) from t where d = ?",
+    ),
+    ("SELECT JSON_EXTRACT(doc, '$.items[0].id') FROM t WHERE id = 3", "select json_extract(doc, ?) from t where id = ?"),
+    ("SELECT c FROM t WHERE MOD(x, 4) = 2", "select c from t where mod(x, ?) = ?"),
+    ("DROP TABLE IF EXISTS tmp_2024_01", "drop table if exists tmp_2024_01"),
+    ("ANALYZE TABLE t UPDATE HISTOGRAM ON c WITH 32 BUCKETS", "analyze table t update histogram on c with ? buckets"),
+    (
+        "SELECT c FROM t WHERE x IN (1,2) AND s IN ('a','b') AND h IN (0xA, 0xB)",
+        "select c from t where x in(?+) and s in(?+) and h in(?+)",
+    ),
 ]
 
 ALL_CASES = CASES + EXTENDED_CASES
