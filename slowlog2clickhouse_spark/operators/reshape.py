@@ -99,9 +99,14 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "join_bucketed_colocated",
+    # DECIMAL-exact revenue: the per-row double product is IEEE-identical
+    # on both engines, and decimal summation is associative — so the
+    # group total matches bit-for-bit at ANY scale (a double sum over
+    # ~600k rows/group drifts past any fixed rounding at sf0.1)
     oracle="""
     SELECT o_orderpriority, count(*) AS n,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4)))
+               AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1
     """,
@@ -150,8 +155,12 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            ),
+            # decimal-exact sum: order-independent, hashes identically
+            # against the oracle at any SF (see oracle comment)
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("revenue"),
         )
     )
