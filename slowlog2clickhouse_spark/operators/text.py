@@ -700,3 +700,54 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt_a") * F.col("cnt_b")).alias("n_pairs"),
         )
     )
+
+
+@op(
+    "text_ngram_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+      FROM documents),
+    bg AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM tok WHERE len(t) >= 2),
+    cnt AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+    rk AS (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY lang ORDER BY n DESC, bigram ASC) AS INTEGER) AS rk
+      FROM cnt)
+    SELECT lang, bigram, n, rk FROM rk WHERE rk <= 5
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: the top-5 bigrams per language with a
+    deterministic (count desc, bigram asc) ranking — the profiling pass
+    every corpus report starts with (and the vocabulary seed for
+    fingerprinting/tokenizer work).
+
+    Scale: bigram fan-out is map-side (×|doc tokens|, no shuffle);
+    the count groupBy partial-aggregates before its shuffle so network
+    volume is |lang × distinct bigrams|; the per-language top-5 rides
+    Spark's WindowGroupLimit rank pushdown (per-partition top-k BEFORE
+    the window shuffle — plan-pinned in tests/test_plans.py).
+
+    The token array is materialized as a column and referenced three
+    times in the bigram projection — the EVALUATION-COUNT RULE shape
+    (operators/dedup.py) that keeps split() from re-running per
+    bigram."""
+    d = load_table(spark, sf_dir, "documents")
+    with_t = d.select("lang", _tokens().alias("t"))
+    t = F.col("t")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    bg = with_t.where(F.size(t) >= 2).select(
+        "lang", F.explode(bigrams).alias("bigram")
+    )
+    cnt = bg.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return cnt.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)

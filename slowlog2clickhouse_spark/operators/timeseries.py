@@ -392,3 +392,69 @@ def qan_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         burn_6h.alias("burn_6h"),
         ((burn_1h > 14.4) & (burn_6h > 6)).cast("long").alias("page_alert"),
     )
+
+
+@op(
+    "qan_anomaly_mad",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             round(sum(value), 4) AS v
+      FROM events GROUP BY 1, 2),
+    med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS med FROM hourly GROUP BY 1),
+    mad AS (
+      SELECT h.event_type, quantile_cont(abs(h.v - m.med), 0.5) AS mad
+      FROM hourly h JOIN med m USING (event_type) GROUP BY 1)
+    SELECT h.event_type, h.hour, h.v, m.med, d.mad,
+           round(abs(h.v - m.med) / greatest(d.mad, 1e-9), 4) AS dev_ratio,
+           (abs(h.v - m.med) > 3 * d.mad) AS is_anomaly
+    FROM hourly h
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    """,
+)
+def qan_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-class load-anomaly detection: flag hours whose total
+    value deviates from the class median by more than 3 median absolute
+    deviations — the QAN "this digest misbehaved at 3am" panel, with
+    MAD instead of stddev so one incident hour can't inflate its own
+    threshold.
+
+    Scale: hourly pre-aggregation first (|classes × hours| rows out of
+    the events scan — the same cardinality collapse as the slowlog
+    pipeline), then two tiny per-class reductions (median, MAD) that
+    broadcast back onto the hourly rows. Exact percentile is fine HERE
+    because its input is the pre-aggregated hourly table, not raw
+    events; the raw-events path would use approx_percentile.
+
+    Float discipline: hourly sums rounded to the testdata's own
+    precision (exact-decimal recovery), medians bit-identical between
+    Spark `percentile` and DuckDB `quantile_cont`, ratio guarded
+    against MAD = 0 classes."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    h_med = hourly.join(F.broadcast(med), "event_type")
+    mad = h_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(v - med), 0.5)").alias("mad")
+    )
+    dev = F.abs(F.col("v") - F.col("med"))
+    return (
+        h_med.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "v",
+            "med",
+            "mad",
+            F.round(dev / F.greatest(F.col("mad"), F.lit(1e-9)), 4).alias(
+                "dev_ratio"
+            ),
+            (dev > 3 * F.col("mad")).alias("is_anomaly"),
+        )
+    )

@@ -148,6 +148,8 @@ _PRIORITY: tuple[str, ...] = (
     "udf_arrow_optimized",
     "join_bucketed_colocated",
     "stream_stateful_counter",
+    "qan_anomaly_mad",
+    "text_ngram_topk",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

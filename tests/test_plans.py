@@ -252,3 +252,11 @@ def test_lsh_band_explode_no_inferred_filter_duplication(spark, sf_dir):
             and "Filter" in blk.splitlines()[0]
         ]
         assert not any("md5" in blk for blk in in_filter_blocks), op_name
+
+
+def test_ngram_topk_uses_window_group_limit(spark, sf_dir):
+    """Per-language top-5 must ride the rank pushdown (per-partition
+    top-k BEFORE the window shuffle), like win_topk_per_group."""
+    p = plan_of(spark, sf_dir, "text_ngram_topk")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
