@@ -53,20 +53,21 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
 
 
 def test_bucketed_join_matches_shuffle_join(spark, sf_dir):
+    # bucketed revenue is DECIMAL (exact associative sum); the shuffle
+    # variant sums doubles — equal up to double-summation rounding
     bucketed = {
-        tuple(r)
+        r["o_orderpriority"]: (r["n"], float(r["revenue"]))
         for r in OPS["join_bucketed_colocated"].fn(spark, sf_dir).collect()
     }
     plain = {
-        tuple(r)
-        for r in OPS["join_shuffle_inner"]
-        .fn(spark, sf_dir)
-        .select(
-            F.col("priority").alias("o_orderpriority"), "n_items", "revenue"
-        )
-        .collect()
+        r["priority"]: (r["n_items"], float(r["revenue"]))
+        for r in OPS["join_shuffle_inner"].fn(spark, sf_dir).collect()
     }
-    assert bucketed == plain
+    assert bucketed.keys() == plain.keys()
+    for k, (n, rev) in bucketed.items():
+        pn, prev = plain[k]
+        assert n == pn, k
+        assert abs(rev - prev) <= 1e-6 * max(1.0, abs(rev)), k
 
 
 def test_pivot_unpivot_roundtrip_cardinality(spark, sf_dir):
