@@ -747,7 +747,47 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85):
     return ranks, n
 
 
-@op("graph_pagerank")  # rows-only: iterative float refinement (G8)
+# Unrolled 5-iteration PageRank as plain CTEs: each rK mirrors one
+# Spark round exactly — contributions sum rank/deg over in-edges, the
+# teleport term is written `(1.0 - 0.85) / n` so both engines evaluate
+# the SAME double (0.15000000000000002, not the 0.15 literal). Ranks
+# round to 8 dp; PageRank is a 0.85-contraction so cross-engine
+# summation-order noise (~1e-15) can't reach that digit.
+_PAGERANK_ITER = """,
+    r{k} AS MATERIALIZED (
+      SELECT d.src AS doc_id,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * coalesce(s.m, 0.0) AS rank
+      FROM deg d LEFT JOIN (
+        SELECT e.dst, sum(r.rank / dg.deg) AS m
+        FROM e
+        JOIN r{prev} r ON r.doc_id = e.src
+        JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst) s ON s.dst = d.src)"""
+
+_PAGERANK_DUCK = (
+    _MINHASH_BANDS_DUCK
+    + """
+    , cand AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)),
+    e AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand),
+    deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+    r0 AS MATERIALIZED (
+      SELECT src AS doc_id, 1.0 / (SELECT n FROM nn) AS rank FROM deg)"""
+    + "".join(_PAGERANK_ITER.format(k=k, prev=k - 1) for k in range(1, 6))
+    + """
+    SELECT doc_id, round(rank, 8) AS rank FROM r5
+    """
+)
+
+
+@op("graph_pagerank", oracle=_PAGERANK_DUCK)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the minhash near-dup candidate graph: centrality
     in the duplicate graph surfaces template/boilerplate hubs — docs

@@ -1066,14 +1066,37 @@ def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sample_fraction")  # rows-only: seeded sampling is engine-specific
+@op(
+    "sample_fraction",
+    # deterministic md5-threshold sample: keep a row iff a 60-bit
+    # md5-derived hash of its primary key lands under frac — the same
+    # portable-hash idiom as the LSH family (SURVEY §7 G8), so DuckDB
+    # reproduces the exact sampled set
+    oracle="""
+    SELECT count(*) AS n_sampled,
+           round(count(*) / 0.1, 0) AS n_estimated_total
+    FROM lineitem
+    WHERE CAST(('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 15))
+               AS BIGINT) % 1000000 < 100000
+    """,
+)
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row sampling (reference analog: Log_slow_rate_limit rate-limited
-    logging; counts upscaled by 1/fraction like RateType/RateLimit)."""
+    logging; counts upscaled by 1/fraction like RateType/RateLimit).
+
+    Hash-threshold sampling instead of ``df.sample(seed=...)``: the
+    keep/drop decision is a pure function of the row's key, so the
+    sample is identical across engines, retries and partitionings —
+    exactly the property a distributed rate-limiter needs (a seeded
+    Bernoulli sample is partition-order-dependent and engine-specific).
+    Scale: embarrassingly parallel map-side filter; one md5 per row,
+    no shuffle before the count aggregation."""
     li = load_table(spark, sf_dir, "lineitem")
     frac = 0.1
+    key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    bucket = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % 1000000
     return (
-        li.sample(fraction=frac, seed=42)
+        li.where(bucket < int(frac * 1000000))
         .agg(F.count("*").alias("n_sampled"))
         .select(
             "n_sampled",

@@ -15,7 +15,24 @@ from slowlog2clickhouse_spark.registry import op
 from slowlog2clickhouse_spark.sinks.jdbc import clickhouse_ddl, jdbc_options, write_jdbc
 
 
-@op("sink_jdbc_clickhouse")  # rows-only: no CH server in sandbox (SURVEY §2 A7)
+_SINK_CONTRACT_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+    "golden",
+    "sink_jdbc_contract.parquet",
+)
+
+
+@op(
+    "sink_jdbc_clickhouse",
+    # the sink CONTRACT (DDL + writer options) is deterministic, so it
+    # is driver-checkable against a committed golden even though no
+    # ClickHouse server exists here (SURVEY §2 A7; the data-path
+    # round-trip runs against Derby in scan_jdbc). Regenerate with
+    # scripts/gen_sink_contract_golden.py on a deliberate change.
+    oracle=f"SELECT item, value FROM read_parquet('{_SINK_CONTRACT_GOLDEN}')",
+)
 def sink_jdbc_clickhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse bulk-insert sink, integration-deferred: materializes
     the exact DDL + writer options that ``sinks.jdbc.write_jdbc`` would

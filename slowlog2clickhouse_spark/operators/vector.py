@@ -143,13 +143,73 @@ IVF_K = 16  # coarse cells (≈√n at test SF; ~4096 at corpus scale)
 IVF_NPROBE = 4  # search the 4 nearest cells per probe
 
 
-@op("vec_knn_ivf")  # rows-only: cell membership is implementation-defined
+# DuckDB mirrors of the fold-ordered vector math: list_reduce is a
+# sequential left fold, and Spark's aggregate(zip_with) starts at
+# lit(0.0) (0.0 + x1 ≡ x1 exactly) — so dot products, norms and
+# cosines are IEEE-bit-identical cross-engine, which is what makes
+# the UNROUNDED argmax cell assignment below safe to oracle-check.
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1),"
+        f" i -> {a}[i] * {b}[i]), (s, x) -> s + x)"
+    )
+
+
+def _duck_norm(a: str) -> str:
+    return f"sqrt(list_reduce(list_transform({a}, x -> x * x), (s, x) -> s + x))"
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return f"({_duck_dot(a, b)}) / ({_duck_norm(a)} * {_duck_norm(b)})"
+
+
+_IVF_DUCK = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hk
+      FROM embeddings),
+    cents AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY hk, vec_id) AS cent_id, ed AS cent
+      FROM e ORDER BY hk, vec_id LIMIT {IVF_K}),
+    cand_sc AS MATERIALIZED (
+      SELECT e.vec_id AS cand_id, e.ed AS ce, c.cent_id,
+             {_duck_cos("e.ed", "c.cent")} AS cos_c
+      FROM e JOIN cents c ON e.vec_id >= 20),
+    cand_cells AS (
+      SELECT cand_id, ce, cent_id AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY cand_id ORDER BY cos_c DESC, cent_id ASC) AS rnc
+        FROM cand_sc) t WHERE rnc = 1),
+    probe_sc AS MATERIALIZED (
+      SELECT e.vec_id AS probe_id, e.ed AS pe, c.cent_id,
+             {_duck_cos("e.ed", "c.cent")} AS cos_c
+      FROM e JOIN cents c ON e.vec_id < 20),
+    probe_cells AS (
+      SELECT probe_id, pe, cent_id AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY cos_c DESC, cent_id ASC) AS rnc
+        FROM probe_sc) t WHERE rnc <= {IVF_NPROBE})
+    SELECT probe_id, cand_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT p.probe_id, c.cand_id,
+             round({_duck_cos("p.pe", "c.ce")}, 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY round({_duck_cos("p.pe", "c.ce")}, 6) DESC,
+                        c.cand_id ASC) AS rn
+      FROM probe_cells p JOIN cand_cells c USING (cell)
+    ) t WHERE rn <= 3
+    """
+
+
+@op("vec_knn_ivf", oracle=_IVF_DUCK)
 def vec_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via an IVF (inverted-file) coarse index, the FAISS-style
     alternative to vec_knn_lsh:
 
       1. centroids = a deterministic hash-ranked sample of K corpus
-         vectors (a seeded uniform draw — no RNG state, rerun-stable);
+         vectors (md5-ranked since r5 — portable across engines, no
+         RNG state, rerun-stable);
       2. every corpus vector is assigned to its nearest centroid via a
          broadcast of the K-row centroid table + map-side partial
          ``max_by`` (the shuffle carries ONE row per vector, not K);
@@ -161,15 +221,16 @@ def vec_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     emb = _emb_double()
-    with_e = e.select("vec_id", emb.alias("ed"))
+    hk = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    with_e = e.select("vec_id", emb.alias("ed"), hk.alias("hk"))
 
     cents = (
-        with_e.orderBy(F.xxhash64("vec_id"), "vec_id")
+        with_e.orderBy("hk", "vec_id")
         .limit(IVF_K)
         .select(
-            F.row_number()
-            .over(W.orderBy(F.xxhash64("vec_id"), "vec_id"))
-            .alias("cent_id"),
+            F.row_number().over(W.orderBy("hk", "vec_id")).alias("cent_id"),
             F.col("ed").alias("cent"),
         )
     )
@@ -235,7 +296,39 @@ PLANES = [
 ]
 
 
-@op("vec_knn_lsh")  # rows-only: bucket membership is implementation-defined
+# The oracle embeds the SAME seeded plane constants as SQL literals
+# (repr() round-trips doubles exactly) and sums the dot product as a
+# left-assoc `ed[1]*c1 + ed[2]*c2 + …` chain — the identical IEEE
+# evaluation order as Spark's aggregate(zip_with) fold, so every sign
+# bit (hence every bucket id) matches bit-for-bit cross-engine.
+def _lsh_bucket_sql(col: str) -> str:
+    bits = []
+    for p, plane in enumerate(PLANES):
+        dot = " + ".join(f"{col}[{i + 1}]*({c!r})" for i, c in enumerate(plane))
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+_KNN_LSH_DUCK = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+      FROM embeddings),
+    b AS MATERIALIZED (
+      SELECT vec_id, ed, {_lsh_bucket_sql("ed")} AS bucket FROM e)
+    SELECT probe_id, cand_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             round(list_cosine_similarity(p.ed, c.ed), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY round(list_cosine_similarity(p.ed, c.ed), 6) DESC,
+                        c.vec_id ASC) AS rn
+      FROM b p JOIN b c
+        ON p.vec_id < 20 AND c.vec_id >= 20 AND p.bucket = c.bucket
+    ) t WHERE rn <= 3
+    """
+
+
+@op("vec_knn_lsh", oracle=_KNN_LSH_DUCK)
 def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: 8 fixed Gaussian planes → sign
     bits → bucket id; probes only join candidates in their own bucket.
@@ -243,7 +336,8 @@ def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     THE 100 TB path: the probe×corpus cross join becomes a bucket
     equi-join (expected bucket size = n/2^8); recall is tunable via
     plane count / multi-probe. Planes are seeded constants so results
-    are deterministic run-to-run.
+    are deterministic run-to-run — and, since round 5, bucket ids are
+    reproduced literally by the DuckDB oracle (module comment above).
     """
     e = load_table(spark, sf_dir, "embeddings")
     emb = _emb_double()
