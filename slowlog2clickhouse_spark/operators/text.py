@@ -519,7 +519,55 @@ def first_fit_decreasing(sizes, budget):
     return assigned
 
 
-@op("pack_sequences")  # rows-only: bin ids are implementation-defined
+# First-fit-decreasing IS SQL-expressible: a recursive CTE walks each
+# shard's docs in (tokens desc, doc_id) order carrying the open-bin
+# remainders as a BIGINT[] — one recursion step per doc, all shards
+# advancing in parallel rows. `fit` (first bin with capacity) is the
+# inlined list_filter(...)[1] expression; arithmetic is all-integer,
+# so the bin assignment matches Spark's Python packer exactly.
+_FIT = (
+    "list_filter(range(1, len(st.rem) + 1),"
+    " j -> st.rem[j] >= o.n_tokens)[1]"
+)
+
+_PACK_DUCK = f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {{shards}} AS shard
+      FROM documents),
+    ord AS MATERIALIZED (
+      SELECT d.*, row_number() OVER (
+          PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM d),
+    st AS (
+      SELECT shard, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
+             CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS bin_id,
+             CAST([] AS BIGINT[]) AS rem
+      FROM (SELECT DISTINCT shard FROM ord) seed
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN {_FIT} IS NULL THEN len(st.rem)
+                  ELSE {_FIT} - 1 END AS bin_id,
+             CASE WHEN {_FIT} IS NULL
+                  THEN list_append(st.rem,
+                                   greatest({{budget}} - o.n_tokens, 0))
+                  ELSE list_transform(range(1, len(st.rem) + 1),
+                         j -> CASE WHEN j = {_FIT}
+                              THEN st.rem[j] - o.n_tokens
+                              ELSE st.rem[j] END)
+             END AS rem
+      FROM st JOIN ord o ON o.shard = st.shard AND o.rn = st.rn + 1)
+    SELECT doc_id, shard, bin_id, n_tokens
+    FROM st WHERE doc_id IS NOT NULL
+    """
+
+
+@op(
+    "pack_sequences",
+    oracle=_PACK_DUCK.format(shards=_PACK_SHARDS, budget=_PACK_BUDGET),
+)
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign every document to a fixed-token-budget
     training sequence (bin) — the step that turns a curated corpus into
@@ -528,13 +576,13 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's token count, so downstream writers can group-concatenate.
 
     Scale: packing is embarrassingly parallel across shards — one
-    shuffle on pmod(xxhash64(doc_id), 16), then a pure
+    shuffle on pmod(md5-derived hash(doc_id), 16), then a pure
     Arrow-batched applyInPandas per shard; no global coordination, and
     shard count scales with the cluster (set it to ~2× executors at
     100 TB; bin utilization loss vs global packing is <1% for doc
-    length ≪ budget). Deterministic: xxhash64 is seed-stable and the
-    per-shard sort is (tokens desc, doc_id), so reruns produce
-    identical bins. tests/test_text_curation.py pins the invariants:
+    length ≪ budget). Deterministic: the md5 shard key is portable
+    (SURVEY §7 G8 — the oracle re-derives it) and the per-shard sort
+    is (tokens desc, doc_id), so reruns produce identical bins. tests/test_text_curation.py pins the invariants:
     exact partition of the corpus, no bin over budget (unless a single
     oversize doc), rerun-stable assignment.
     """
@@ -545,7 +593,14 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size(_tokens()).cast("long").alias("n_tokens"),
-            F.pmod(F.xxhash64("doc_id"), F.lit(_PACK_SHARDS))
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(_PACK_SHARDS),
+            )
             .cast("long")
             .alias("shard"),
         )

@@ -543,7 +543,12 @@ def _lloyd(emb: DataFrame, k: int, iters: int):
         new_c = (
             assigned.select("cluster", F.posexplode("e"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("col").alias("m"))
+            # round the model to 9 dp: absorbs summation-order noise so
+            # the refit centroids are engine- AND partitioning-exact
+            # (the driver oracle re-derives them in SQL); 1e-9 is far
+            # below any inter-centroid distance, so assignments are
+            # unaffected
+            .agg(F.round(F.avg("col"), 9).alias("m"))
             .groupBy("cluster")
             .agg(
                 F.transform(
@@ -557,7 +562,60 @@ def _lloyd(emb: DataFrame, k: int, iters: int):
     return assigned, history
 
 
-@op("vec_kmeans")  # rows-only: iterative float refinement (G8)
+# Unrolled Lloyd iterations as CTEs (same trick as the pagerank
+# oracle): aN assigns against c{N-1} with the fold-ordered L2 chain
+# (bit-identical to Spark's aggregate(zip_with)), cN re-averages
+# rounded to 9 dp (matching _lloyd's model rounding — this is what
+# makes the refit centroids engine-exact), empty clusters keep their
+# previous centroid via the LEFT JOIN coalesce, exactly like _lloyd.
+def _duck_l2(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (s, x) -> s + x)"
+    )
+
+
+def _kmeans_duck(k: int, iters: int) -> str:
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+      FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, ed AS cent
+      FROM e ORDER BY vec_id LIMIT {k})"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(f""",
+    a{it} AS MATERIALIZED (
+      SELECT vec_id, ed, cluster, d AS sq_dist FROM (
+        SELECT e.vec_id, e.ed, c.cluster,
+               {_duck_l2("e.ed", "c.cent")} AS d,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_duck_l2("e.ed", "c.cent")} ASC, c.cluster ASC
+               ) AS rn
+        FROM e JOIN c{it - 1} c ON true) t WHERE rn = 1)""")
+        if it < iters:
+            parts.append(f""",
+    n{it} AS (
+      SELECT cluster, list(m ORDER BY pos) AS cent FROM (
+        SELECT cluster, pos, round(avg(v), 9) AS m FROM (
+          SELECT cluster, unnest(ed) AS v,
+                 generate_subscripts(ed, 1) AS pos FROM a{it}) comp
+        GROUP BY 1, 2) avgs GROUP BY 1),
+    c{it} AS MATERIALIZED (
+      SELECT p.cluster, coalesce(n.cent, p.cent) AS cent
+      FROM c{it - 1} p LEFT JOIN n{it} n USING (cluster))""")
+    parts.append(f"""
+    SELECT CAST(cluster AS BIGINT) AS cluster, count(*) AS n,
+           round(sum(sq_dist), 4) AS inertia
+    FROM a{iters} GROUP BY 1
+    """)
+    return "".join(parts)
+
+
+@op("vec_kmeans", oracle=_kmeans_duck(k=8, iters=3))
 def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (k=8, 3 Lloyd iterations) over the embedding
     corpus — the iterative-algorithm representative: per-cluster sizes
