@@ -636,3 +636,106 @@ def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cluster", F.col("cluster").cast("long"))
     )
+
+
+_RECALL_TRUTH_DUCK = f"""
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY round({_duck_cos("p.ed", "c.ed")}, 6) DESC,
+                          c.vec_id ASC) AS rn
+        FROM e p JOIN e c ON p.vec_id < 20 AND c.vec_id >= 20
+      ) t WHERE rn <= 3"""
+
+_RECALL_DUCK = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+      FROM embeddings),
+    truth AS MATERIALIZED ({_RECALL_TRUTH_DUCK}),
+    tagged AS (
+      SELECT 'lsh' AS method, probe_id, cand_id
+      FROM ({_KNN_LSH_DUCK}) l
+      UNION ALL
+      SELECT 'ivf' AS method, probe_id, cand_id
+      FROM ({_IVF_DUCK}) v),
+    hits AS (
+      SELECT method, count(*) AS hits
+      FROM tagged JOIN truth USING (probe_id, cand_id) GROUP BY 1),
+    m AS (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'),
+    tn AS (SELECT count(*) AS truth_n FROM truth)
+    SELECT m.method, coalesce(h.hits, 0) AS hits, tn.truth_n,
+           round(coalesce(h.hits, 0) / tn.truth_n, 4) AS recall
+    FROM m LEFT JOIN hits h USING (method), tn
+    """
+
+
+@op("ann_recall_eval", oracle=_RECALL_DUCK)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of both ANN variants (vec_knn_lsh, vec_knn_ivf) against
+    the brute-force ground truth on the same probe/corpus split — the
+    "measure, don't guess" evaluation every approximate index needs
+    before it replaces the exact path at scale. Fully deterministic
+    (both ANN variants are portable-hash-keyed since r5), so the whole
+    evaluation — including the ground truth — is oracle-checkable.
+
+    Scale: ground truth is the one brute-force pass you run on a
+    SAMPLE of probes (here: the 20-probe panel); the ANN variants are
+    the production path. At 100 TB recall evaluation stays this exact
+    shape — fixed probe panel, broadcast probes, corpus never shuffles.
+
+    Measured at sf0.01: IVF(nprobe=4) ≈ 0.65, LSH(8 planes,
+    single-probe) ≈ 0.03 — exactly the trade the op exists to surface:
+    8 sign bits over 64-dim near-uniform embeddings slice the corpus
+    into buckets so fine that true neighbors rarely agree on all 8
+    bits. The production fix is multi-probe (query the Hamming-1
+    neighborhood) or fewer planes; SCALING.md records the numbers.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    with_e = e.select("vec_id", _emb_double().alias("ed"))
+    probes = with_e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("ed").alias("pe")
+    )
+    cands = with_e.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"), F.col("ed").alias("ce")
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    truth = (
+        cands.join(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(cosine(F.col("pe"), F.col("ce")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("probe_id", "cand_id")
+    )
+    tagged = (
+        vec_knn_lsh(spark, sf_dir)
+        .select(F.lit("lsh").alias("method"), "probe_id", "cand_id")
+        .unionByName(
+            vec_knn_ivf(spark, sf_dir).select(
+                F.lit("ivf").alias("method"), "probe_id", "cand_id"
+            )
+        )
+    )
+    hits = tagged.join(truth, ["probe_id", "cand_id"]).groupBy("method").agg(
+        F.count("*").alias("hits")
+    )
+    methods = spark.createDataFrame([("lsh",), ("ivf",)], "method string")
+    truth_n = truth.agg(F.count("*").alias("truth_n"))
+    return (
+        methods.join(hits, "method", "left")
+        .crossJoin(truth_n)  # 1-row aggregate, broadcast by planner
+        .select(
+            "method",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            "truth_n",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.col("truth_n"), 4
+            ).alias("recall"),
+        )
+    )

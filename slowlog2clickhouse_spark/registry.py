@@ -148,8 +148,19 @@ _PRIORITY: tuple[str, ...] = (
     "udf_arrow_optimized",
     "join_bucketed_colocated",
     "stream_stateful_counter",
+    # --- round-6 rotation head: oracle ops converted/added in the
+    # round-5 session, never driver-scored (replica-green at sf0.01
+    # and sf0.1) — next round, move this block into positions 1-N.
     "qan_anomaly_mad",
     "text_ngram_topk",
+    "vec_knn_ivf",
+    "pack_sequences",
+    "vec_kmeans",
+    "graph_pagerank",
+    "sample_fraction",
+    "sink_jdbc_clickhouse",
+    "vec_knn_lsh",
+    "ann_recall_eval",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
@@ -203,12 +214,8 @@ _PRIORITY: tuple[str, ...] = (
     "qan_slo_burn",
     "date_try_parse",
     "str_regex_backref",
-    "vec_knn_ivf",
     "slowlog_classes_approx",
     "agg_hll_daily_merge",
-    "pack_sequences",
-    "vec_kmeans",
-    "graph_pagerank",
     "mm_resize",
     "stream_rate_source",
     "stream_progress_metrics",
@@ -240,10 +247,7 @@ _PRIORITY: tuple[str, ...] = (
     "vec_cosine_pairs",
     "vec_knn_topk",
     "vec_centroid",
-    "sample_fraction",
     "agg_percentile_approx",
-    "sink_jdbc_clickhouse",
-    "vec_knn_lsh",
     "join_semi_anti_rewrite",
     "corpus_curation",
     "join_salted_skew",

@@ -109,3 +109,17 @@ def test_kmeans_partitions_corpus_and_inertia_decreases(spark, sf_dir):
     sizes = OPS["vec_kmeans"].fn(spark, sf_dir).collect()
     assert sum(r["n"] for r in sizes) == emb.count()
     assert all(0 <= r["cluster"] < 8 for r in sizes)
+
+
+def test_ann_recall_eval_bounds_and_truth_size(spark, sf_dir):
+    """Recall rows exist for both methods, recall ∈ [0,1], hits ≤ truth,
+    and the truth panel is exactly 20 probes × top-3."""
+    rows = {r["method"]: r for r in OPS["ann_recall_eval"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    for m, r in rows.items():
+        assert 0 <= r["hits"] <= r["truth_n"], m
+        assert 0.0 <= r["recall"] <= 1.0, m
+    assert rows["lsh"]["truth_n"] == rows["ivf"]["truth_n"] == 60
+    # IVF(nprobe=4) dominates single-probe 8-plane LSH on this corpus —
+    # the documented trade the op exists to surface
+    assert rows["ivf"]["recall"] >= rows["lsh"]["recall"]
