@@ -376,6 +376,94 @@ def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
 
 
+_KNN_LSH_MP_DUCK = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+      FROM embeddings),
+    b AS MATERIALIZED (
+      SELECT vec_id, ed, {_lsh_bucket_sql("ed")} AS bucket FROM e),
+    pq AS (
+      SELECT vec_id AS probe_id, ed AS pe,
+             unnest([bucket,
+                     {", ".join(f"xor(bucket, {1 << p})" for p in range(N_PLANES))}])
+               AS qb
+      FROM b WHERE vec_id < 20)
+    SELECT probe_id, cand_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT p.probe_id, c.vec_id AS cand_id,
+             round(list_cosine_similarity(p.pe, c.ed), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY round(list_cosine_similarity(p.pe, c.ed), 6) DESC,
+                        c.vec_id ASC) AS rn
+      FROM pq p JOIN b c ON c.vec_id >= 20 AND p.qb = c.bucket
+    ) t WHERE rn <= 3
+    """
+
+
+@op("vec_knn_lsh_multiprobe", oracle=_KNN_LSH_MP_DUCK)
+def vec_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH: each probe queries its own bucket
+    PLUS the 8 Hamming-1 neighbors (one sign bit flipped) — the
+    standard recall fix for fine sign-bit bucketing (measured by
+    ann_recall_eval: single-probe recall@3 ≈ 0.03 here; multi-probe
+    lifts it several-fold at 9× probe fan-out and ZERO extra corpus
+    passes or index state).
+
+    Scale: the corpus side is untouched (one bucket per vector, same
+    equi-join); only the tiny probe panel fans out ×(1+planes). This
+    is the knob you turn BEFORE adding planes or tables, because it
+    trades probe-side work — the cheap side — for recall. Each
+    candidate lives in exactly one bucket, so the 9 probe keys are
+    distinct and the join emits no duplicate (probe, cand) pairs.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_double()
+
+    def bucket(col):
+        bits = []
+        for p, plane in enumerate(PLANES):
+            plane_arr = F.array(*[F.lit(x) for x in plane])
+            dot = F.aggregate(
+                F.zip_with(col, plane_arr, lambda x, y: x * y), F.lit(0.0), _add
+            )
+            bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        return sum(bits)
+
+    with_bucket = e.select("vec_id", emb.alias("ed"), bucket(emb).alias("bucket"))
+    probes = (
+        with_bucket.where(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("ed").alias("pe"),
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                        for p in range(N_PLANES)
+                    ],
+                )
+            ).alias("qb"),
+        )
+    )
+    cands = with_bucket.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("ed").alias("ce"),
+        F.col("bucket").alias("cb"),
+    )
+    scored = cands.join(
+        F.broadcast(probes), F.col("qb") == F.col("cb")
+    ).select(
+        "probe_id",
+        "cand_id",
+        F.round(cosine(F.col("pe"), F.col("ce")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+
+
 @op(
     "vec_quantize_int8",
     oracle="""
@@ -658,11 +746,15 @@ _RECALL_DUCK = f"""
       FROM ({_KNN_LSH_DUCK}) l
       UNION ALL
       SELECT 'ivf' AS method, probe_id, cand_id
-      FROM ({_IVF_DUCK}) v),
+      FROM ({_IVF_DUCK}) v
+      UNION ALL
+      SELECT 'lsh_mp' AS method, probe_id, cand_id
+      FROM ({_KNN_LSH_MP_DUCK}) lm),
     hits AS (
       SELECT method, count(*) AS hits
       FROM tagged JOIN truth USING (probe_id, cand_id) GROUP BY 1),
-    m AS (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'),
+    m AS (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'
+          UNION ALL SELECT 'lsh_mp'),
     tn AS (SELECT count(*) AS truth_n FROM truth)
     SELECT m.method, coalesce(h.hits, 0) AS hits, tn.truth_n,
            round(coalesce(h.hits, 0) / tn.truth_n, 4) AS recall
@@ -672,7 +764,8 @@ _RECALL_DUCK = f"""
 
 @op("ann_recall_eval", oracle=_RECALL_DUCK)
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@3 of both ANN variants (vec_knn_lsh, vec_knn_ivf) against
+    """Recall@3 of the ANN variants (vec_knn_lsh, vec_knn_ivf and
+    the multi-probe LSH) against
     the brute-force ground truth on the same probe/corpus split — the
     "measure, don't guess" evaluation every approximate index needs
     before it replaces the exact path at scale. Fully deterministic
@@ -721,11 +814,18 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("ivf").alias("method"), "probe_id", "cand_id"
             )
         )
+        .unionByName(
+            vec_knn_lsh_multiprobe(spark, sf_dir).select(
+                F.lit("lsh_mp").alias("method"), "probe_id", "cand_id"
+            )
+        )
     )
     hits = tagged.join(truth, ["probe_id", "cand_id"]).groupBy("method").agg(
         F.count("*").alias("hits")
     )
-    methods = spark.createDataFrame([("lsh",), ("ivf",)], "method string")
+    methods = spark.createDataFrame(
+        [("lsh",), ("ivf",), ("lsh_mp",)], "method string"
+    )
     truth_n = truth.agg(F.count("*").alias("truth_n"))
     return (
         methods.join(hits, "method", "left")

@@ -160,6 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "sample_fraction",
     "sink_jdbc_clickhouse",
     "vec_knn_lsh",
+    "vec_knn_lsh_multiprobe",
     "ann_recall_eval",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the

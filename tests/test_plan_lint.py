@@ -57,6 +57,7 @@ EAGER = {
 ALLOW_NESTED_LOOP = {
     "join_cross",  # small×small cartesian by definition
     "vec_knn_topk",  # broadcast probe set (brute-force baseline)
+    "ann_recall_eval",  # brute-force truth pass on the fixed probe panel
     "vec_knn_ivf",  # broadcast 16-row centroid table
     "text_tfidf",  # broadcast 1-row corpus-size factor
     "agg_hll_daily_merge",  # broadcast 1-row exact-total factor

@@ -115,11 +115,14 @@ def test_ann_recall_eval_bounds_and_truth_size(spark, sf_dir):
     """Recall rows exist for both methods, recall ∈ [0,1], hits ≤ truth,
     and the truth panel is exactly 20 probes × top-3."""
     rows = {r["method"]: r for r in OPS["ann_recall_eval"].fn(spark, sf_dir).collect()}
-    assert set(rows) == {"lsh", "ivf"}
+    assert set(rows) == {"lsh", "ivf", "lsh_mp"}
     for m, r in rows.items():
         assert 0 <= r["hits"] <= r["truth_n"], m
         assert 0.0 <= r["recall"] <= 1.0, m
     assert rows["lsh"]["truth_n"] == rows["ivf"]["truth_n"] == 60
+    assert rows["lsh_mp"]["truth_n"] == 60
     # IVF(nprobe=4) dominates single-probe 8-plane LSH on this corpus —
-    # the documented trade the op exists to surface
+    # the documented trade the op exists to surface — and Hamming-1
+    # multi-probe strictly widens the single-probe candidate set
     assert rows["ivf"]["recall"] >= rows["lsh"]["recall"]
+    assert rows["lsh_mp"]["recall"] >= rows["lsh"]["recall"]
