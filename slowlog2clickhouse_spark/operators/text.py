@@ -806,3 +806,73 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = bg.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
     w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
     return cnt.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+
+
+@op(
+    "corpus_mix_rebalance",
+    # per-source rate = min_count/count as an integer md5-bucket
+    # threshold: floor(min*1e6/cnt) is the same IEEE double → BIGINT
+    # on both engines, and the keep/drop decision is a pure function
+    # of (doc_id, source) — so the oracle reproduces the exact
+    # rebalanced sample, not just its expectation
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    mn AS (SELECT min(n_docs) AS mn FROM c),
+    r AS (
+      SELECT source, n_docs,
+             CAST(floor(mn.mn * 1000000.0 / n_docs) AS BIGINT) AS thr
+      FROM c, mn),
+    s AS (
+      SELECT d.source, count(*) AS n_sampled
+      FROM documents d JOIN r USING (source)
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || d.source),
+                                 1, 15)) AS BIGINT) % 1000000 < r.thr
+      GROUP BY 1)
+    SELECT r.source, r.n_docs, r.thr, coalesce(s.n_sampled, 0) AS n_sampled
+    FROM r LEFT JOIN s USING (source)
+    """,
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing: downsample every source to the
+    smallest source's size with a deterministic per-source
+    hash-threshold rate — the data-mixing step of an LLM training
+    pipeline (cap the over-represented crawl, keep all of the small
+    curated sets), with the same retry-stable keep/drop property as
+    sample_fraction.
+
+    Scale: two tiny aggregations (per-source counts, global min) that
+    broadcast back onto a map-side filter; the corpus crosses the wire
+    zero times. Changing the target mixture is a driver-side constant,
+    not a re-shuffle — exactly how you want mixture sweeps to work at
+    100 TB (N mixtures = N map-side filters over one cached scan).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    mn = counts.agg(F.min("n_docs").alias("mn"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "source",
+        "n_docs",
+        F.floor(F.col("mn") * 1000000.0 / F.col("n_docs"))
+        .cast("long")
+        .alias("thr"),
+    )
+    key = F.concat_ws("|", F.col("doc_id").cast("string"), F.col("source"))
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % 1000000
+    )
+    sampled = (
+        d.select("source", bucket.alias("b"))
+        .join(F.broadcast(rates.select("source", "thr")), "source")
+        .where(F.col("b") < F.col("thr"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "thr",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+        )
+    )

@@ -65,6 +65,7 @@ ALLOW_NESTED_LOOP = {
     "funnel_events",  # 1-row × 1-row × 1-row stage-count join
     "agg_histogram",  # broadcast 1-row min/max stats
     "text_unigram_logprob",  # broadcast 1-row corpus-total factor
+    "corpus_mix_rebalance",  # broadcast 1-row min-source-count factor
     "qan_filter_dimensions",  # broadcast 1-row total-time factor
     "qan_slo_burn",  # broadcast 1-row stream-head timestamp
     "tpch_q11",  # broadcast 1-row total-value threshold
