@@ -799,3 +799,58 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "doc_id", F.round(F.col("rank"), 8).alias("rank")
     )
+
+
+@op(
+    "dedup_minhash_verified",
+    # the full production dedup: LSH RECALL stage (band candidates)
+    # followed by the exact-Jaccard PRECISION stage; jaccard is
+    # int/int → bit-identical cross-engine, no rounding
+    oracle=_MINHASH_BANDS_DUCK
+    + f"""
+    , cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)),
+    tk AS (SELECT doc_id, list_distinct({_TOK_DUCK}) AS toks FROM documents),
+    j AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(ta.toks, tb.toks)) AS common,
+             len(ta.toks) AS sza, len(tb.toks) AS szb
+      FROM cand c
+      JOIN tk ta ON ta.doc_id = c.doc_a
+      JOIN tk tb ON tb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+           common * 1.0 / (sza + szb - common) AS jaccard
+    FROM j WHERE common * 1.0 / (sza + szb - common) > 0.2
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase near-dup detection, the shape production dedup
+    actually ships: MinHash-LSH band join for RECALL (cheap, may emit
+    false candidates) → exact token-set Jaccard for PRECISION (runs
+    only on the candidate pairs, never all-pairs). Survivors are the
+    pairs a curator can trust.
+
+    Scale: the verify stage joins the candidate-pair table (tiny — LSH
+    keeps it near-linear in true dups) against per-doc distinct-token
+    arrays on doc_id; the intersection is a map-side array op, so no
+    token fan-out and no hot-token skew — the exact failure
+    dedup_ngram_jaccard's block bound exists to prevent is structurally
+    impossible here.
+    """
+    cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.array_distinct(_tokens_col()).alias("toks"))
+    ta = tk.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = tk.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    common = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("long")
+    jac = common * 1.0 / (F.size("ta") + F.size("tb") - common)
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a", "doc_b", common.alias("common"), jac.alias("jaccard")
+        )
+        .where(F.col("jaccard") > 0.2)
+    )

