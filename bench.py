@@ -88,6 +88,10 @@ EXTRA_OPS = (
     "tpch_q21",
     # round-5: the data-quality profiler (driver-green this round)
     "dq_profile",
+    # round-5 additions: two-phase verified dedup and the ANN recall
+    # gate (runs brute-force truth + all three ANN variants)
+    "dedup_minhash_verified",
+    "ann_recall_eval",
 )
 
 
@@ -124,6 +128,10 @@ def main() -> None:
         "tpch_q9": lambda: ops["tpch_q9"].fn(spark, sf_dir),
         "tpch_q21": lambda: ops["tpch_q21"].fn(spark, sf_dir),
         "dq_profile": lambda: ops["dq_profile"].fn(spark, sf_dir),
+        "dedup_minhash_verified": lambda: ops["dedup_minhash_verified"].fn(
+            spark, sf_dir
+        ),
+        "ann_recall_eval": lambda: ops["ann_recall_eval"].fn(spark, sf_dir),
     }
     for name in EXTRA_OPS:
         results[name] = round(time_df(extra_builders[name]), 4)

@@ -834,8 +834,14 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "method",
             F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
             "truth_n",
+            # try_divide: an EMPTY probe panel (truth_n = 0) must yield
+            # NULL recall, not an ANSI division-by-zero crash — matches
+            # DuckDB, where 0/0 is NULL
             F.round(
-                F.coalesce(F.col("hits"), F.lit(0)) / F.col("truth_n"), 4
+                F.try_divide(
+                    F.coalesce(F.col("hits"), F.lit(0)), F.col("truth_n")
+                ),
+                4,
             ).alias("recall"),
         )
     )

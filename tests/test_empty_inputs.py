@@ -35,6 +35,11 @@ PROBE = [
     "time_gapfill_locf",
     "agg_median_mode",
     "mm_binary_chunks",
+    # round-5 additions
+    "graph_pagerank",
+    "corpus_mix_rebalance",
+    "dedup_minhash_verified",
+    "vec_knn_lsh_multiprobe",
 ]
 SINGLE_ROW_OK = {"funnel_events", "cte_recursive_spine"}
 
@@ -61,3 +66,13 @@ def test_op_survives_empty_tables(spark, empty_sf_dir, name):
 @pytest.mark.parametrize("name", sorted(SINGLE_ROW_OK))
 def test_global_row_ops_emit_one_row_on_empty(spark, empty_sf_dir, name):
     assert OPS[name].fn(spark, empty_sf_dir).count() == 1
+
+
+def test_recall_gate_reports_all_methods_on_empty(spark, empty_sf_dir):
+    """ann_recall_eval keeps its 3 method rows on an empty corpus
+    (hits 0, truth_n 0, recall NULL) — a monitoring row that vanishes
+    on empty input is how a recall regression hides."""
+    rows = {r["method"]: r for r in OPS["ann_recall_eval"].fn(spark, empty_sf_dir).collect()}
+    assert set(rows) == {"lsh", "ivf", "lsh_mp"}
+    for r in rows.values():
+        assert r["hits"] == 0 and r["truth_n"] == 0 and r["recall"] is None
