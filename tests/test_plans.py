@@ -260,3 +260,34 @@ def test_ngram_topk_uses_window_group_limit(spark, sf_dir):
     p = plan_of(spark, sf_dir, "text_ngram_topk")
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
+
+
+def test_mix_rebalance_corpus_never_shuffles_rows(spark, sf_dir):
+    """corpus_mix_rebalance: the per-source rates reach the corpus via
+    broadcast (map-side filter); the only hashpartitioning exchanges
+    carry per-source partial aggregates, never document rows."""
+    p = plan_of(spark, sf_dir, "corpus_mix_rebalance")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            # partial-agg exchanges key on source only
+            assert "source" in line, line
+
+
+def test_minhash_verified_intersects_map_side(spark, sf_dir):
+    """dedup_minhash_verified: the precision stage must be a map-side
+    array_intersect on candidate pairs — no cartesian, no token-level
+    fan-out join in the verify phase."""
+    p = plan_of(spark, sf_dir, "dedup_minhash_verified")
+    assert "CartesianProduct" not in p
+    assert "array_intersect" in p
+
+
+def test_multiprobe_lsh_fans_out_probe_side_only(spark, sf_dir):
+    """vec_knn_lsh_multiprobe: the ×9 bucket explode sits on the tiny
+    probe side (broadcast); the corpus side joins on its single bucket
+    via the broadcast hash join, not a nested loop."""
+    p = plan_of(spark, sf_dir, "vec_knn_lsh_multiprobe")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
