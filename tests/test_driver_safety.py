@@ -46,3 +46,29 @@ def test_no_complex_typed_output_columns(spark, name):
         f"{name} emits driver-unhashable columns {bad}; JSON-encode or "
         "explode them in the registered op (keep the typed form internal)"
     )
+
+
+def test_every_oracle_sql_plans_in_duckdb():
+    """Static guard: every declared oracle must at least EXPLAIN in
+    DuckDB over correctly-typed (sf0.001) views — catches SQL syntax
+    drift in seconds without running Spark or the full parity suite.
+    (Value parity is driver_sim / test_oracle_parity's job.)"""
+    import duckdb
+
+    from slowlog2clickhouse_spark.io import TABLES
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    bad = []
+    for name, o in OPS.items():
+        if not o.oracle:
+            continue
+        try:
+            con.execute(f"EXPLAIN {o.oracle}")
+        except Exception as e:  # noqa: BLE001 - collect all failures
+            bad.append((name, str(e).splitlines()[0]))
+    assert not bad, f"oracle SQL fails to plan in DuckDB: {bad}"
