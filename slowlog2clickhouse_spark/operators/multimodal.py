@@ -100,19 +100,46 @@ def decode_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_bin.select("doc_id", "payload").mapInPandas(extract, _FEAT_SCHEMA)
 
 
-@op("mm_decode_features")  # rows-only: binary plumbing, golden-tested
+@op(
+    "mm_decode_features",
+    # the corpus is pure ASCII (same precondition mm_frame_sample's
+    # oracle pins via octet_length == length), so the utf-8 byte
+    # histogram equals the codepoint histogram — the oracle re-derives
+    # the fake codec's 16-bin L1-normalized features in SQL, verifying
+    # the whole Arrow mapInPandas decode path end to end. feature =
+    # cnt/n_bytes is int/int → bit-identical; round(·, 6) both sides.
+    oracle=f"""
+    WITH d AS (SELECT doc_id, length(text) AS n_bytes, text FROM documents),
+    c AS (
+      SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) % {N_FEATURES} AS bin
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) + 1)) AS i FROM d) t),
+    h AS (SELECT doc_id, bin, count(*) AS cnt FROM c GROUP BY 1, 2),
+    bins AS (SELECT unnest(range(0, {N_FEATURES})) AS bin)
+    SELECT d.doc_id, CAST(d.n_bytes AS BIGINT) AS n_bytes,
+           CAST(b.bin AS BIGINT) AS bin,
+           round(coalesce(h.cnt, 0) * 1.0 / d.n_bytes, 6) AS feature
+    FROM d CROSS JOIN bins b
+    LEFT JOIN h ON h.doc_id = d.doc_id AND h.bin = b.bin
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing decode op: same plan as ``decode_features_df`` but
-    the feature array is JSON-encoded (rounded to 6 decimals) so every
-    result column is scalar — array cells are unsortable/unhashable in
-    a pandas-based canonicalizer."""
+    emitted LONG (doc_id, n_bytes, bin, feature) — one row per
+    histogram bin, every column scalar (array cells are
+    unsortable/unhashable in a pandas-based canonicalizer; same
+    convention as vec_centroid). The decode itself is the documented
+    fake-codec stub; what the oracle proves is that the Arrow-batched
+    mapInPandas plumbing and the histogram math survive the
+    JVM↔Python boundary bit-for-bit."""
     feats = decode_features_df(spark, sf_dir)
     return feats.select(
+        "doc_id", "n_bytes", F.posexplode("features")
+    ).select(
         "doc_id",
         "n_bytes",
-        F.to_json(F.transform("features", lambda x: F.round(x, 6))).alias(
-            "features_json"
-        ),
+        F.col("pos").cast("long").alias("bin"),
+        F.round("col", 6).alias("feature"),
     )
 
 
@@ -279,7 +306,43 @@ def resize_stub(payload: bytes, w: int, h: int, dst=RESIZE_TARGET) -> bytes:
     return bytes(out)
 
 
-@op("mm_resize")  # rows-only: binary plumbing, determinism pytest-pinned
+@op(
+    "mm_resize",
+    # nearest-neighbor index math is exactly reproducible: the 32×32
+    # target divides by a power of two (y*h/32.0 is exact in IEEE
+    # doubles), the corpus is pure ASCII (byte == codepoint), and the
+    # sampled string re-blobs via encode() — so the resized payload
+    # and its md5 hash-match the Python stub byte-for-byte. The
+    # oracle verifies the full Arrow mapInPandas resize path.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n,
+             length(text) % 640 + 1 AS w,
+             length(text) % 480 + 1 AS h
+      FROM documents),
+    ys AS (SELECT unnest(range(0, {RESIZE_TARGET[1]})) AS y),
+    xs AS (SELECT unnest(range(0, {RESIZE_TARGET[0]})) AS x),
+    cell AS (
+      SELECT d.doc_id, d.text, d.n, d.w, d.h, ys.y, xs.x,
+             least(CAST(floor(ys.y * d.h / {RESIZE_TARGET[1]}.0) AS BIGINT),
+                   d.h - 1) AS sy,
+             least(CAST(floor(xs.x * d.w / {RESIZE_TARGET[0]}.0) AS BIGINT),
+                   d.w - 1) AS sx
+      FROM d CROSS JOIN ys CROSS JOIN xs),
+    r AS (
+      SELECT doc_id,
+             string_agg(substr(text, CAST((sy * w + sx) % n AS INT) + 1, 1),
+                        '' ORDER BY y, x) AS resized_s
+      FROM cell GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(d.w AS BIGINT) AS src_w, CAST(d.h AS BIGINT) AS src_h,
+           CAST({RESIZE_TARGET[0]} AS BIGINT) AS dst_w,
+           CAST({RESIZE_TARGET[1]} AS BIGINT) AS dst_h,
+           encode(r.resized_s) AS resized,
+           md5(r.resized_s) AS resized_md5
+    FROM d JOIN r USING (doc_id)
+    """,
+)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize stage: payload + (width, height) metadata →
     fixed-target nearest-neighbor downsample, metadata rewritten to
