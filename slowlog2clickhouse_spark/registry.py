@@ -164,6 +164,8 @@ _PRIORITY: tuple[str, ...] = (
     "ann_recall_eval",
     "corpus_mix_rebalance",
     "dedup_minhash_verified",
+    "mm_decode_features",
+    "mm_resize",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
@@ -219,11 +221,9 @@ _PRIORITY: tuple[str, ...] = (
     "str_regex_backref",
     "slowlog_classes_approx",
     "agg_hll_daily_merge",
-    "mm_resize",
     "stream_rate_source",
     "stream_progress_metrics",
     "mm_metadata_filter",
-    "mm_decode_features",
     "win_running_sum",
     "win_first_last_value",
     "win_percent_cume",
