@@ -292,18 +292,22 @@ def resize_stub(payload: bytes, w: int, h: int, dst=RESIZE_TARGET) -> bytes:
     byte grid (row-major w×h, truncated/cycled). A real deployment
     swaps this for PIL.Image.resize — the op's schema, batching, and
     metadata rewrite are what's real here (same seam contract as
-    decode_image_stub)."""
+    decode_image_stub).
+
+    Vectorized (numpy fancy-indexing, no per-byte Python loop): the
+    dw×dh gather is one indexed read, so per-doc cost is C-speed —
+    byte-identical to the loop form (pinned in tests/test_multimodal)
+    and the reason this stage stops being the one data-proportional
+    row in SCALING.md's table."""
     dw, dh = dst
     if not payload:
         return b""
     n = len(payload)
-    out = bytearray()
-    for y in range(dh):
-        sy = min(int(y * h / dh), h - 1) if h else 0
-        for x in range(dw):
-            sx = min(int(x * w / dw), w - 1) if w else 0
-            out.append(payload[(sy * w + sx) % n])
-    return bytes(out)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    ys = np.minimum((np.arange(dh) * h) // dh, h - 1) if h else np.zeros(dh, int)
+    xs = np.minimum((np.arange(dw) * w) // dw, w - 1) if w else np.zeros(dw, int)
+    idx = (ys[:, None] * w + xs[None, :]) % n
+    return arr[idx].tobytes()
 
 
 @op(
