@@ -13,8 +13,11 @@ features), so the Spark-side plumbing — schema, partitioning, UDF
 signature, batch shape — is real and tested while the codec is a
 drop-in replacement.
 
-All ops are rows-only at the driver (binary payloads have no SQL
-oracle); tests/test_multimodal.py asserts shapes and determinism.
+Since round 5 every op here is oracle-checked: the synthetic payload
+is the documents' utf-8 bytes and the corpus is pure ASCII, so DuckDB
+re-derives frames, histograms, resizes and feature-space retrieval
+from the text column — hash-verifying the Arrow mapInPandas plumbing
+end to end. tests/test_multimodal.py adds shape/determinism pins.
 """
 
 from __future__ import annotations
@@ -384,3 +387,86 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return flat.mapInPandas(resize, _RESIZE_SCHEMA)
+
+
+_FEAT_VECS_DUCK = f"""
+    WITH d AS (SELECT doc_id, length(text) AS n_bytes, text FROM documents),
+    c AS (
+      SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) % {N_FEATURES} AS bin
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) + 1)) AS i FROM d) t),
+    h AS (SELECT doc_id, bin, count(*) AS cnt FROM c GROUP BY 1, 2),
+    bins AS (SELECT unnest(range(0, {N_FEATURES})) AS bin),
+    f AS (
+      SELECT d.doc_id, b.bin, coalesce(h.cnt, 0) * 1.0 / d.n_bytes AS v
+      FROM d CROSS JOIN bins b
+      LEFT JOIN h ON h.doc_id = d.doc_id AND h.bin = b.bin),
+    vecs AS MATERIALIZED (
+      SELECT doc_id, list(v ORDER BY bin) AS fv FROM f GROUP BY 1)"""
+
+# fold-ordered cosine (same left-assoc shape as operators/vector.py's
+# _duck_cos — dot and norms are sequential list_reduce folds, matching
+# Spark's aggregate(zip_with) bit-for-bit)
+_FCOS = (
+    "(list_reduce(list_transform(range(1, len({a}) + 1),"
+    " i -> {a}[i] * {b}[i]), (s, x) -> s + x))"
+    " / (sqrt(list_reduce(list_transform({a}, x -> x * x), (s, x) -> s + x))"
+    " * sqrt(list_reduce(list_transform({b}, x -> x * x), (s, x) -> s + x)))"
+)
+
+
+@op(
+    "mm_feature_knn",
+    oracle=_FEAT_VECS_DUCK
+    + f"""
+    SELECT probe_id, cand_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT p.doc_id AS probe_id, c.doc_id AS cand_id,
+             round({_FCOS.format(a="p.fv", b="c.fv")}, 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.doc_id
+               ORDER BY round({_FCOS.format(a="p.fv", b="c.fv")}, 6) DESC,
+                        c.doc_id ASC) AS rn
+      FROM vecs p JOIN vecs c ON p.doc_id < 20 AND c.doc_id >= 20
+    ) t WHERE rn <= 3
+    """,
+)
+def mm_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal similarity retrieval end to end: binary payload →
+    Arrow-batched feature decode (the verified stub codec) → cosine
+    top-3 per probe — the find-similar-images shape (decode once,
+    index, search), with every stage of the chain oracle-checked
+    including the decode that crosses the JVM↔Python boundary.
+
+    Scale: the decode is a map-side mapInPandas pass; the probe panel
+    broadcasts against the candidate corpus exactly like vec_knn_topk
+    (the brute-force baseline shape — at corpus scale the candidate
+    side moves behind vec_knn_lsh/ivf bucketing, unchanged features).
+    """
+    from pyspark.sql import Window as W
+
+    feats = decode_features_df(spark, sf_dir).select(
+        "doc_id", F.col("features").alias("fv")
+    )
+    probes = feats.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("probe_id"), F.col("fv").alias("pf")
+    )
+    cands = feats.where(F.col("doc_id") >= 20).select(
+        F.col("doc_id").alias("cand_id"), F.col("fv").alias("cf")
+    )
+    add = lambda a, x: a + x  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with("pf", "cf", lambda x, y: x * y), F.lit(0.0), add
+    )
+    na = F.sqrt(F.aggregate(F.transform("pf", lambda x: x * x), F.lit(0.0), add))
+    nb = F.sqrt(F.aggregate(F.transform("cf", lambda x: x * x), F.lit(0.0), add))
+    scored = cands.join(F.broadcast(probes)).select(
+        "probe_id",
+        "cand_id",
+        F.round(dot / (na * nb), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(
+        F.col("rn") <= 3
+    )

@@ -166,6 +166,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_verified",
     "mm_decode_features",
     "mm_resize",
+    "mm_feature_knn",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

@@ -58,6 +58,7 @@ ALLOW_NESTED_LOOP = {
     "join_cross",  # small×small cartesian by definition
     "vec_knn_topk",  # broadcast probe set (brute-force baseline)
     "ann_recall_eval",  # brute-force truth pass on the fixed probe panel
+    "mm_feature_knn",  # broadcast probe panel (brute-force baseline shape)
     "vec_knn_ivf",  # broadcast 16-row centroid table
     "text_tfidf",  # broadcast 1-row corpus-size factor
     "agg_hll_daily_merge",  # broadcast 1-row exact-total factor
