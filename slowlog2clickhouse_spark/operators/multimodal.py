@@ -470,3 +470,82 @@ def mm_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(
         F.col("rn") <= 3
     )
+
+
+_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+    ]
+)
+
+
+@op(
+    "mm_audio_energy",
+    # the Arrow stage emits INTEGER per-frame sums (exact across the
+    # boundary); rms = round(sqrt(sum_sq/n), 6) is computed JVM-side —
+    # IEEE sqrt is correctly rounded, so both engines agree bit-for-bit.
+    # The silence flag compares the ROUNDED rms (no boundary flake).
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    s AS (
+      SELECT doc_id, (i - 1) // {FRAME_BYTES} AS frame_no,
+             ord(substr(text, CAST(i AS INT), 1)) AS b
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) + 1)) AS i FROM d) t),
+    f AS (
+      SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+             count(*) AS n_samples, sum(b * b) AS sum_sq
+      FROM s GROUP BY 1, 2)
+    SELECT doc_id, frame_no, n_samples,
+           round(sqrt(sum_sq * 1.0 / n_samples), 6) AS rms,
+           (round(sqrt(sum_sq * 1.0 / n_samples), 6) < 95.0) AS is_silence
+    FROM f
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Audio' energy analysis: the payload as a PCM-ish sample stream,
+    windowed into {FRAME}-byte frames → per-frame RMS energy and a
+    silence flag — the voice-activity-detection shape of an audio
+    pipeline (silence trimming before ASR/embedding).
+
+    Boundary discipline: the Arrow mapInPandas stage emits only
+    INTEGER per-frame aggregates (n, Σb²) — exact across JVM↔Python —
+    and the float math (sqrt, round, threshold) runs JVM-side where
+    the oracle can reproduce it bit-for-bit. That split (ints across
+    the boundary, floats in the engine) is the general recipe for
+    hash-stable Python stages.
+
+    Scale: map-side fan-out to |payload|/{FRAME} frame rows, one
+    partial-agg'd groupBy on (doc, frame) — same cardinality collapse
+    as the slowlog class pipeline; silence pruning then drops most
+    frames before any expensive downstream stage.
+    """
+    with_bin = attach_binary(load_table(spark, sf_dir, "documents"))
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "n_samples": [], "sum_sq": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                for fn in range(0, (len(arr) + FRAME_BYTES - 1) // FRAME_BYTES):
+                    fr = arr[fn * FRAME_BYTES : (fn + 1) * FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(fn)
+                    out["n_samples"].append(len(fr))
+                    out["sum_sq"].append(int((fr * fr).sum()))
+            yield pd.DataFrame(out)
+
+    frames = with_bin.select("doc_id", "payload").mapInPandas(
+        energy, _ENERGY_SCHEMA
+    )
+    rms = F.round(F.sqrt(F.col("sum_sq") * 1.0 / F.col("n_samples")), 6)
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        "n_samples",
+        rms.alias("rms"),
+        (rms < 95.0).alias("is_silence"),
+    )
