@@ -502,3 +502,50 @@ def qan_filter_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("total_time") / F.col("t"), 6).alias("time_share"),
         )
     )
+
+
+@op(
+    "qan_new_digests",
+    oracle=f"""
+    WITH ev AS (
+      SELECT digest, date_trunc('minute', ts) AS period_start
+      FROM {_GOLD} WHERE NOT admin AND query IS NOT NULL),
+    dp AS (SELECT DISTINCT digest, period_start FROM ev),
+    f AS (SELECT digest, min(period_start) AS first_seen FROM dp GROUP BY 1)
+    SELECT period_start, count(*) AS n_digests,
+           CAST(sum(CASE WHEN period_start = first_seen THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new
+    FROM dp JOIN f USING (digest) GROUP BY 1
+    """,
+)
+def qan_new_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QAN "new queries" panel: per period, how many distinct query
+    classes ran and how many appeared for the FIRST time — the panel
+    that catches a deploy introducing unseen query shapes (PMM's
+    new-queries filter; first-seen = min period per digest).
+
+    Scale: the (digest, period) distinct set is the same cardinality
+    collapse as the class pipeline; first-seen is a |digests|-row
+    aggregate that broadcasts back. No raw-event row crosses a second
+    shuffle."""
+    from slowlog2clickhouse_spark.plans.pipeline import with_fingerprint
+
+    events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        (~F.col("admin")) & F.col("query").isNotNull()
+    )
+    dp = events.select(
+        "digest", F.date_trunc("minute", F.col("ts")).alias("period_start")
+    ).distinct()
+    first = dp.groupBy("digest").agg(F.min("period_start").alias("first_seen"))
+    return (
+        dp.join(F.broadcast(first), "digest")
+        .groupBy("period_start")
+        .agg(
+            F.count("*").alias("n_digests"),
+            F.sum(
+                F.when(F.col("period_start") == F.col("first_seen"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new"),
+        )
+    )

@@ -168,6 +168,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_resize",
     "mm_feature_knn",
     "mm_audio_energy",
+    "qan_new_digests",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
