@@ -316,3 +316,45 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("source").alias("n_sources"),
         )
     )
+
+
+@op(
+    "scan_partition_pruned",
+    # the read-back aggregate over ONE partition equals the same
+    # date-slice of the source table; min(date) picks the slice
+    # deterministically at any SF
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+    GROUP BY 1
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan — THE 100 TB read-path optimization: write
+    the events table date-partitioned (the MergeTree-mirroring layout
+    every sink here uses), then read back exactly one day; the literal
+    date filter prunes at PLANNING time, so the scan lists and reads
+    only that day's files (plan shows ``PartitionFilters``, pinned in
+    tests/test_plans.py). At 100 TB this is the difference between
+    scanning one day and scanning three years.
+
+    The one ``collect`` fetches a single scalar (min date) to build
+    the literal predicate — the same driver-side-scalar pattern as the
+    backfill demo (sinks_ops.py sink_partition_overwrite).
+    """
+    part_dir = os.path.join(
+        tempfile.mkdtemp(prefix="scan_pruned_"), "events_by_day"
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value", F.to_date("ts").alias("event_date")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(part_dir)
+    first_day = ev.agg(F.min("event_date")).collect()[0][0]
+    back = spark.read.parquet(part_dir).where(
+        F.col("event_date") == F.lit(first_day)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )

@@ -169,6 +169,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_feature_knn",
     "mm_audio_energy",
     "qan_new_digests",
+    "scan_partition_pruned",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

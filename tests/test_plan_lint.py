@@ -43,6 +43,7 @@ EAGER = {
     "sink_compact",
     "sink_partition_overwrite",
     "scan_schema_evolution",
+    "scan_partition_pruned",
     "observe_metrics",
     "sink_v2_writeto",
     "events_pipeline",

@@ -291,3 +291,13 @@ def test_multiprobe_lsh_fans_out_probe_side_only(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_partition_pruned_scan_filters_at_planning_time(spark, sf_dir):
+    """scan_partition_pruned: the date predicate must appear as a
+    PartitionFilter (planning-time pruning — only one day's files are
+    listed/read), not as a post-scan row filter."""
+    p = plan_of(spark, sf_dir, "scan_partition_pruned")
+    lines = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert lines, p[:2000]
+    assert any("event_date" in l and "=" in l for l in lines), lines
