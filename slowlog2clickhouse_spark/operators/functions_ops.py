@@ -1246,3 +1246,50 @@ def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["cust"].alias("parsed_cust"),
         F.round(parsed["price"], 4).alias("parsed_price"),
     )
+
+
+@op(
+    "agg_bitmap_distinct",
+    # ClickHouse groupBitmap parity: the oracle is plain exact
+    # COUNT(DISTINCT); the Spark side must reproduce it through the
+    # two-level bitmap aggregation. n_buckets pins the bucketing
+    # itself: Spark's bitmap_bucket_number(v) = floor((v-1)/32768)+1
+    # for v > 0 (one 4 KB bitmap per 32768-value range). ids are
+    # shifted +1 before bucketing because bitmap_bucket_number's
+    # Java truncation and SQL floor division disagree at v = 0; the
+    # +1 bijection keeps counts identical and buckets aligned with
+    # the oracle's user_id // 32768.
+    oracle="""
+    SELECT event_type,
+           cast(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           cast(count(DISTINCT (user_id // 32768)) AS BIGINT) AS n_buckets
+    FROM events GROUP BY 1
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via Spark 4 bitmap aggregates — the
+    ClickHouse ``groupBitmap`` pattern: bucket ids into fixed 32768-bit
+    bitmaps (``bitmap_bucket_number`` / ``bitmap_bit_position``),
+    OR-merge per bucket with ``bitmap_construct_agg``, then sum
+    ``bitmap_count`` per group.
+
+    Scale: this is THE exact-distinct plan for 100 TB. A naive
+    COUNT(DISTINCT id) shuffles every raw id; here the map side
+    partial-aggregates ids into ≤4 KB fixed-width bitmap partials, so
+    shuffle volume is |groups × touched buckets × 4 KB| regardless of
+    row count — HLL-sized network cost with an EXACT answer. The
+    second aggregation (sum of per-bucket counts) is tiny. Both
+    stages are built-in JVM aggregates inside whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type",
+        F.bitmap_bucket_number(F.col("user_id") + 1).alias("bkt"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id") + 1)).alias(
+            "bm"
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users"),
+        F.count("*").alias("n_buckets"),
+    )

@@ -549,3 +549,59 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         rms.alias("rms"),
         (rms < 95.0).alias("is_silence"),
     )
+
+
+@op(
+    "mm_phash_dedup",
+    # aHash bit i = (feature_i > mean). For the 16-bin L1-normalized
+    # histogram the mean is exactly 1/16, so the oracle decides each
+    # bit with INTEGER math (16*cnt > n_bytes ⟺ cnt/n_bytes > 1/16 —
+    # no float boundary; the Spark side's double compare against
+    # 0.0625 agrees because 1/16 is exactly representable and the
+    # smallest ratio gap 1/(16·n_bytes) is far above double epsilon).
+    oracle=f"""
+    WITH d AS (SELECT doc_id, length(text) AS n_bytes, text FROM documents),
+    c AS (
+      SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) % {N_FEATURES} AS bin
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) + 1)) AS i FROM d) t),
+    h AS (SELECT doc_id, bin, count(*) AS cnt FROM c GROUP BY 1, 2),
+    ph AS (
+      SELECT d.doc_id,
+             CAST(sum(CASE WHEN 16 * coalesce(h.cnt, 0) > d.n_bytes
+                           THEN (CAST(1 AS BIGINT) << b.bin)
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM d
+      CROSS JOIN (SELECT unnest(range(0, {N_FEATURES})) AS bin) b
+      LEFT JOIN h ON h.doc_id = d.doc_id AND h.bin = b.bin
+      GROUP BY 1)
+    SELECT phash, cast(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS rep_doc_id
+    FROM ph GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash duplicate grouping over decoded image features —
+    the aHash recipe: threshold each histogram bin against the mean
+    (1/16 for an L1-normalized 16-bin histogram) into one bit, pack
+    into a 16-bit signature, group identical signatures into duplicate
+    clusters (min doc_id as the representative to keep).
+
+    Scale: the signature is a pure expression over the decoded feature
+    array (JVM-side fold, no second Python crossing after the decode
+    stage), and dedup is a fixed-width groupBy on the 64-bit hash —
+    the same skew-free shuffle shape as dedup_exact. A real deployment
+    swaps the fake codec for DCT-based pHash; every stage downstream
+    of decode is unchanged."""
+    feats = decode_features_df(spark, sf_dir)
+    phash = F.expr(
+        "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) -> acc + "
+        "CASE WHEN element_at(features, i + 1) > 0.0625 "
+        "THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"
+    )
+    return (
+        feats.select(F.col("doc_id"), phash.alias("phash"))
+        .groupBy("phash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("rep_doc_id"))
+        .where(F.col("n_docs") >= 2)
+    )

@@ -876,3 +876,63 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
         )
     )
+
+
+@op(
+    "doc_chunk_sliding",
+    # starts are 1, 1+24, … ≤ greatest(1, n-31): Spark's inclusive
+    # sequence(1, stop, 24) == DuckDB's exclusive range(1, stop+1, 24).
+    # Chunk identity travels as md5(joined tokens) so the oracle
+    # hash-checks content without hauling chunk text through compare.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents),
+    s AS (
+      SELECT doc_id, t, len(t) AS n,
+             unnest(range(1, greatest(1, len(t) - 31) + 1, 24)) AS start
+      FROM tok WHERE len(t) > 0)
+    SELECT doc_id,
+           CAST((start - 1) // 24 AS INTEGER) AS chunk_idx,
+           CAST(start AS INTEGER) AS start,
+           CAST(least(32, n - start + 1) AS INTEGER) AS n_tokens,
+           md5(array_to_string(list_slice(t, start, start + 31), ' '))
+             AS chunk_md5
+    FROM s
+    """,
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG/context-window prep
+    step: split every document into 32-token chunks with a 24-token
+    stride (8-token overlap so no retrieval boundary loses context),
+    emitting (doc_id, chunk_idx, start, n_tokens, md5-of-chunk).
+
+    Scale: pure map-side fan-out — tokenize once per doc (the array is
+    a named column, so split() runs once — EVALUATION-COUNT RULE),
+    explode the precomputed start offsets, slice + hash per chunk. No
+    shuffle at all: chunking 100 TB is embarrassingly parallel and
+    this plan keeps it that way (the output inherits the scan's
+    partitioning for a downstream embed/index stage)."""
+    d = load_table(spark, sf_dir, "documents")
+    with_t = d.select("doc_id", _tokens().alias("t")).where(F.size("t") > 0)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.size("t") - F.lit(31)),
+        F.lit(24),
+    )
+    s = with_t.select(
+        "doc_id",
+        F.col("t"),
+        F.size("t").alias("n"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    return s.select(
+        "doc_id",
+        "chunk_idx",
+        "start",
+        F.least(F.lit(32), F.col("n") - F.col("start") + 1).alias("n_tokens"),
+        F.md5(
+            F.array_join(F.slice(F.col("t"), F.col("start"), 32), " ")
+        ).alias("chunk_md5"),
+    )

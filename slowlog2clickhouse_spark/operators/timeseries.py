@@ -458,3 +458,107 @@ def qan_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dev > 3 * F.col("mad")).alias("is_anomaly"),
         )
     )
+
+
+@op(
+    "time_rolling_distinct",
+    # u7 must be EXACT distinct over a 7-day trailing window — not a
+    # windowed count over pre-aggregated rows (distinct doesn't merge).
+    # Both engines expand each (day, user) pair to the 7 days it
+    # covers, then count distinct once.
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    cover AS (
+      SELECT CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS day,
+             user_id
+      FROM pairs),
+    roll AS (SELECT day, count(DISTINCT user_id) AS u7 FROM cover GROUP BY 1),
+    daily AS (SELECT d AS day, count(DISTINCT user_id) AS u1
+              FROM pairs GROUP BY 1)
+    SELECT daily.day, daily.u1, roll.u7
+    FROM daily JOIN roll USING (day)
+    """,
+)
+def time_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day (the WAU-by-day panel)
+    beside the daily distinct count. Exact rolling distinct does NOT
+    decompose into a window over daily partials — two days' distinct
+    sets overlap — so the classic trick is used: reduce to distinct
+    (day, user) pairs first, then map-side explode each pair onto the
+    ≤7 days it covers and run ONE distinct aggregation.
+
+    Scale: the first distinct collapses the raw event stream to
+    |active days × users| pairs (the only full-data shuffle); the ×7
+    fan-out happens AFTER that collapse, on the small pair set. This
+    beats both a per-day self-join (7 scans) and a naive
+    range-join (|days| × |events| candidate explosion). Joining back
+    to the daily table trims the 6 phantom lead days."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    cover = pairs.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    roll = cover.groupBy("day").agg(F.countDistinct("user_id").alias("u7"))
+    daily = pairs.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("u1")
+    )
+    return daily.join(roll, "day").select("day", "u1", "u7")
+
+
+@op(
+    "qan_latency_histogram",
+    # power-of-two bucket = number of binary digits of floor(value),
+    # computed with integer/string ops on BOTH engines (no float log2
+    # whose libm rounding could flip a boundary): Spark
+    # length(conv(iv, 10, 2)) == DuckDB length(bin(iv)), incl. iv=0
+    # ('0', length 1 — merged with the [1,1] bucket by design).
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             length(bin(greatest(CAST(floor(value) AS BIGINT), 0))) AS bucket
+      FROM events),
+    cnt AS (
+      SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(bucket AS INTEGER) AS bucket,
+           CASE WHEN bucket = 1 THEN 0
+                ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS lo,
+           (CAST(1 AS BIGINT) << bucket) - 1 AS hi,
+           cast(n AS BIGINT) AS n
+    FROM cnt ORDER BY 1, 2
+    """,
+)
+def qan_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class latency histogram with power-of-two buckets — the QAN
+    latency-distribution bar chart (and ClickHouse's own
+    ``quantileTiming`` bucketing philosophy): bucket k holds values in
+    [2^(k-1), 2^k), so 40 buckets span ns→hours with constant
+    relative error.
+
+    Scale: bucketing is a map-side integer expression (no UDF, no
+    float log); the aggregation shuffles |classes × ~40 buckets| tiny
+    rows with map-side partials. Histograms at 100 TB should cost one
+    partial-agg pass — this plan does."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = F.greatest(F.floor("value").cast("long"), F.lit(0))
+    bucket = F.length(F.conv(iv.cast("string"), 10, 2))
+    b = ev.select("event_type", bucket.alias("bucket"))
+    return (
+        b.groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            F.when(F.col("bucket") == 1, F.lit(0).cast("long"))
+            .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)"))
+            .alias("lo"),
+            (F.expr("shiftleft(CAST(1 AS BIGINT), bucket)") - 1).alias("hi"),
+            "n",
+        )
+        .orderBy("event_type", "bucket")
+    )

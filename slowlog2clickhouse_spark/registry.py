@@ -170,6 +170,11 @@ _PRIORITY: tuple[str, ...] = (
     "mm_audio_energy",
     "qan_new_digests",
     "scan_partition_pruned",
+    "agg_bitmap_distinct",
+    "doc_chunk_sliding",
+    "time_rolling_distinct",
+    "qan_latency_histogram",
+    "mm_phash_dedup",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

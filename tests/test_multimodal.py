@@ -17,3 +17,20 @@ def test_resize_deterministic_and_fixed_dims(spark, sf_dir):
         assert len(r["resized"]) == RESIZE_TARGET[0] * RESIZE_TARGET[1]
     rerun = {(r["doc_id"], r["resized_md5"]) for r in OPS["mm_resize"].fn(spark, sf_dir).collect()}
     assert rerun == {(r["doc_id"], r["resized_md5"]) for r in rows}
+
+
+def test_phash_dedup_clusters_are_real_duplicate_groups(spark, sf_dir):
+    rows = OPS["mm_phash_dedup"].fn(spark, sf_dir).collect()
+    from slowlog2clickhouse_spark.io import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert rows, "ASCII corpora share byte histograms; clusters expected"
+    seen = set()
+    total = 0
+    for r in rows:
+        assert r["n_docs"] >= 2
+        assert 0 <= r["phash"] < (1 << 16)
+        assert r["phash"] not in seen
+        seen.add(r["phash"])
+        total += r["n_docs"]
+    assert total <= n_docs

@@ -134,3 +134,29 @@ def test_pack_sequences_invariants(spark, sf_dir):
         for r in OPS["pack_sequences"].fn(spark, sf_dir).collect()
     }
     assert rerun == {(r["doc_id"], r["shard"], r["bin_id"]) for r in rows}
+
+
+def test_doc_chunk_sliding_tiles_every_doc(spark, sf_dir):
+    from collections import defaultdict
+
+    rows = OPS["doc_chunk_sliding"].fn(spark, sf_dir).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    assert by_doc
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        # contiguous 0-based chunk ids at a fixed 24-token stride
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert all(c["start"] == 1 + 24 * c["chunk_idx"] for c in chunks)
+        # all chunks are full 32-gram windows except possibly the last,
+        # and the last window reaches the end of the token stream
+        assert all(c["n_tokens"] == 32 for c in chunks[:-1])
+        last = chunks[-1]
+        assert 0 < last["n_tokens"] <= 32
+        n_doc = last["start"] + last["n_tokens"] - 1
+        if len(chunks) > 1:
+            # stride < size ⇒ overlap: next window starts inside prev
+            assert chunks[1]["start"] <= chunks[0]["start"] + 32
+            # the doc actually needed more than one window
+            assert n_doc > 32

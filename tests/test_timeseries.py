@@ -93,3 +93,64 @@ def test_events_pipeline_conserves_events(spark, sf_dir):
     roll = all_ops()["events_pipeline"].fn(spark, sf_dir)
     total = sum(r["n_events"] for r in roll.collect())
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_rolling_distinct_dominates_daily_and_matches_bruteforce(spark, sf_dir):
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from slowlog2clickhouse_spark.io import load_table
+
+    rows = OPS["time_rolling_distinct"].fn(spark, sf_dir).collect()
+    assert rows
+    by_day = {r["day"]: r for r in rows}
+    for r in rows:
+        assert r["u7"] >= r["u1"] > 0, r
+    # brute-force the window for the median day
+    day = sorted(by_day)[len(by_day) // 2]
+    ev = load_table(spark, sf_dir, "events")
+    lo = day - dt.timedelta(days=6)
+    expect = (
+        ev.where((F.to_date("ts") >= lo) & (F.to_date("ts") <= day))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert by_day[day]["u7"] == expect
+
+
+def test_latency_histogram_partitions_all_events(spark, sf_dir):
+    from slowlog2clickhouse_spark.io import load_table
+
+    rows = OPS["qan_latency_histogram"].fn(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n"] for r in rows) == total
+    for r in rows:
+        # bucket k covers [2^(k-1), 2^k) on the floored integer value
+        # (bucket 1 additionally absorbs 0)
+        assert r["hi"] == (1 << r["bucket"]) - 1
+        assert r["lo"] == (0 if r["bucket"] == 1 else 1 << (r["bucket"] - 1))
+        assert r["n"] > 0
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from slowlog2clickhouse_spark.io import load_table
+
+    rows = {
+        r["event_type"]: r
+        for r in OPS["agg_bitmap_distinct"].fn(spark, sf_dir).collect()
+    }
+    expect = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {k: v["n_users"] for k, v in rows.items()} == expect
+    for r in rows.values():
+        # every bucket holds ≤ 32768 ids
+        assert r["n_users"] <= r["n_buckets"] * 32768
