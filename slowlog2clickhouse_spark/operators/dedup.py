@@ -854,3 +854,74 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") > 0.2)
     )
+
+
+@op(
+    "dedup_containment",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_TOK_DUCK}) AS token FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+       AND b.doc_id - a.doc_id <= 3
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, common,
+           common * 1.0 / least(sa.sz, sb.sz) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common * 1.0 / least(sa.sz, sb.sz) > 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup: common / min(|A|, |B|) instead of Jaccard.
+    Jaccard misses the quote-inside-a-bigger-page duplicate (a small
+    doc fully embedded in a large one scores low because the union is
+    large); containment catches exactly that asymmetric case — the
+    boilerplate/quotation dedup pass of an LLM corpus pipeline.
+
+    Scale: identical shape to dedup_ngram_jaccard — the self-join key
+    includes the block bound so hot tokens can't go quadratic; only
+    the final scoring expression differs (int/int, exact
+    cross-engine). Production candidates come from dedup_minhash's
+    band join; the bounded window keeps the oracle small."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens_col()).alias("token")).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    blk = 4
+    a = tok.select(
+        F.col("doc_id").alias("a_doc"),
+        F.col("token").alias("a_tok"),
+        F.explode(
+            F.array(
+                F.floor(F.col("doc_id") / blk),
+                F.floor(F.col("doc_id") / blk) + 1,
+            )
+        ).alias("jblk"),
+    )
+    b = tok.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("token").alias("b_tok"),
+        F.floor(F.col("doc_id") / blk).alias("jblk"),
+    )
+    pairs = (
+        a.join(b, (F.col("a_tok") == F.col("b_tok")) & (a["jblk"] == b["jblk"]))
+        .where(
+            (F.col("a_doc") < F.col("b_doc"))
+            & (F.col("b_doc") - F.col("a_doc") <= 3)
+        )
+        .groupBy(F.col("a_doc").alias("doc_a"), F.col("b_doc").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    score = F.col("common") * 1.0 / F.least(F.col("sa.sz"), F.col("sb.sz"))
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "common", score.alias("containment"))
+        .where(F.col("containment") > 0.5)
+    )

@@ -936,3 +936,53 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(F.col("t"), F.col("start"), 32), " ")
         ).alias("chunk_md5"),
     )
+
+
+@op(
+    "text_bpe_pairs",
+    # adjacent-character pairs inside words (no space in the pair) —
+    # the frequency scan that picks BPE merge candidate #1. Tiebreak
+    # on the pair string keeps the top-20 deterministic.
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, lower(text) AS t FROM documents),
+    p AS (
+      SELECT substr(t, CAST(i AS INT), 2) AS pair
+      FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS i FROM ch) x),
+    cnt AS (
+      SELECT pair, count(*) AS n FROM p
+      WHERE pair NOT LIKE '% %' AND length(pair) = 2
+      GROUP BY 1),
+    rk AS (
+      SELECT pair, n,
+             CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS INTEGER)
+               AS rk
+      FROM cnt)
+    SELECT pair, n, rk FROM rk WHERE rk <= 20
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate scan — the inner statistic of byte-pair-
+    encoding tokenizer training: count every adjacent character pair
+    within words (pairs straddling a space are excluded; BPE never
+    merges across word boundaries) and rank the top 20. Iterating
+    this scan + merge IS tokenizer induction; one round is the
+    representative kernel.
+
+    Scale: the pair fan-out is a map-side substring explode (×|chars|,
+    no Python); the aggregation's key domain is the alphabet² (~1k
+    distinct pairs), so the shuffle after map-side partials is tiny
+    regardless of corpus size — 100 TB of text reduces to a
+    few-thousand-row pair table per round."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select(F.lower("text").alias("t"))
+    pairs = ch.select(
+        F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"), "t"
+    ).select(F.col("t").substr(F.col("i"), F.lit(2)).alias("pair"))
+    cnt = (
+        pairs.where(~F.col("pair").contains(" ") & (F.length("pair") == 2))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return cnt.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 20)

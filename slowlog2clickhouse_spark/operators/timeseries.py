@@ -562,3 +562,70 @@ def qan_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@op(
+    "join_interval_binned",
+    # the oracle states the semantics as the naive inequality join —
+    # correct but quadratic per user; the Spark plan must reproduce it
+    # through the binned equi-join.
+    oracle="""
+    WITH err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    pur AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT e.event_id, e.user_id,
+           cast(count(p.ts) AS BIGINT) AS purchases_10m
+    FROM err e LEFT JOIN pur p
+      ON p.user_id = e.user_id
+     AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join done scale-safe: for every error event, count the
+    same user's purchases in the following 10 minutes (does the error
+    suppress conversion?). The naive formulation is an inequality
+    join — Catalyst plans those as nested loops, the classic 100 TB
+    killer. The scale-safe plan bins both sides into 10-minute epochs
+    and equi-joins on (user_id, bin): a purchase at most 10 minutes
+    ahead lives in the error's own bin or the next one, so the error
+    side explodes to those two bins and the post-filter applies the
+    exact interval — a plain hash join whose candidate set is bounded
+    by per-(user, 10-min) activity, not per-user history.
+
+    Left semantics are restored by joining the counted matches back
+    onto the error spine (zero-match errors keep count 0)."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_of = (F.unix_timestamp("ts") / 600).cast("long")
+    err = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("e_ts"), bin_of.alias("b")
+    )
+    probe = err.select(
+        "event_id",
+        "user_id",
+        "e_ts",
+        F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("jb"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        bin_of.alias("jb"),
+    )
+    hits = (
+        probe.join(
+            pur,
+            (probe["user_id"] == pur["p_user"]) & (probe["jb"] == pur["jb"]),
+        )
+        .where(
+            (F.col("p_ts") > F.col("e_ts"))
+            & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return err.join(hits, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("purchases_10m"),
+    )

@@ -175,6 +175,9 @@ _PRIORITY: tuple[str, ...] = (
     "time_rolling_distinct",
     "qan_latency_histogram",
     "mm_phash_dedup",
+    "dedup_containment",
+    "text_bpe_pairs",
+    "join_interval_binned",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

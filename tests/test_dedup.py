@@ -154,3 +154,26 @@ def test_minhash_verified_is_subset_with_exact_jaccard(spark, sf_dir):
     for r in ver:
         assert r["jaccard"] > 0.2
         assert 0 < r["common"]
+
+
+def test_containment_dominates_jaccard_and_respects_threshold(spark, sf_dir):
+    cont = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in OPS["dedup_containment"].fn(spark, sf_dir).collect()
+    }
+    assert cont
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in OPS["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    for pair, r in cont.items():
+        assert 0.5 < r["containment"] <= 1.0, (pair, r)
+        # common/min >= common/union, so any Jaccard-passing pair that
+        # also passes the containment threshold must score at least as
+        # high here
+        if pair in jac:
+            assert r["containment"] >= jac[pair]
+    # every jaccard > 0.5 pair is necessarily a containment > 0.5 pair
+    for pair, j in jac.items():
+        if j > 0.5:
+            assert pair in cont, pair

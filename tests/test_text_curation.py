@@ -160,3 +160,15 @@ def test_doc_chunk_sliding_tiles_every_doc(spark, sf_dir):
             assert chunks[1]["start"] <= chunks[0]["start"] + 32
             # the doc actually needed more than one window
             assert n_doc > 32
+
+
+def test_bpe_pairs_ranked_within_word_only(spark, sf_dir):
+    rows = OPS["text_bpe_pairs"].fn(spark, sf_dir).collect()
+    rows.sort(key=lambda r: r["rk"])
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == 20
+    for prev, cur in zip(rows, rows[1:]):
+        # count-desc with pair-asc tiebreak
+        assert (prev["n"], cur["pair"]) >= (cur["n"], prev["pair"])
+    for r in rows:
+        assert len(r["pair"]) == 2 and " " not in r["pair"]

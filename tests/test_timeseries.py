@@ -154,3 +154,29 @@ def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
     for r in rows.values():
         # every bucket holds ≤ 32768 ids
         assert r["n_users"] <= r["n_buckets"] * 32768
+
+
+def test_interval_binned_matches_bruteforce_inequality_join(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from slowlog2clickhouse_spark.io import load_table
+
+    got = {
+        r["event_id"]: r["purchases_10m"]
+        for r in OPS["join_interval_binned"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    n_err = ev.where(F.col("event_type") == "error").count()
+    # left spine: one row per error event, zero-match errors included
+    assert len(got) == n_err
+    assert any(v > 0 for v in got.values())
+    # brute-force recount for the busiest error event (test-only)
+    busiest = max(got, key=got.get)
+    e_row = ev.where(F.col("event_id") == busiest).collect()[0]
+    expect = ev.where(
+        (F.col("event_type") == "purchase")
+        & (F.col("user_id") == e_row["user_id"])
+        & (F.col("ts") > F.lit(e_row["ts"]))
+        & (F.col("ts") <= F.lit(e_row["ts"]) + F.expr("INTERVAL 10 MINUTES"))
+    ).count()
+    assert got[busiest] == expect
