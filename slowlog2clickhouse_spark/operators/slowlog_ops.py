@@ -549,3 +549,70 @@ def qan_new_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_new"),
         )
     )
+
+
+@op(
+    "slowlog_efficiency",
+    # ints stay int until the final ratios: examine_ratio is exact-int
+    # division (×1.0), lock_share divides the round-6-recovered
+    # decimal sums — both deterministic cross-engine (module
+    # docstring's float discipline).
+    oracle=f"""
+    SELECT digest,
+           cast(count(*) AS BIGINT) AS cnt,
+           cast(coalesce(sum(rows_examined), 0) AS BIGINT)
+             AS rows_examined_sum,
+           cast(coalesce(sum(rows_sent), 0) AS BIGINT) AS rows_sent_sum,
+           coalesce(sum(rows_examined), 0) * 1.0
+             / greatest(coalesce(sum(rows_sent), 0), 1) AS examine_ratio,
+           cast(coalesce(sum(CASE WHEN no_index_used THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_no_index,
+           cast(coalesce(sum(CASE WHEN full_scan THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_full_scan,
+           round(coalesce(sum(lock_time), 0), 6) AS lock_time_sum,
+           round(coalesce(sum(query_time), 0), 6) AS query_time_sum,
+           round(coalesce(sum(lock_time), 0), 6)
+             / greatest(round(coalesce(sum(query_time), 0), 6), 1e-9)
+             AS lock_share
+    FROM {_GOLD}
+    WHERE NOT admin AND query IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def slowlog_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QAN query-efficiency panel: per digest, rows_examined vs
+    rows_sent (the examined/sent ratio is THE missing-index smell — a
+    digest scanning 10^4 rows to return 10 wants an index), no-index /
+    full-scan execution counts, and lock time as a share of total query
+    time (lock-bound vs IO-bound classification). The reference ships
+    these per-class counters to ClickHouse; this is the analytical
+    read-back that ranks optimization targets.
+
+    Scale: one partial-agg'd groupBy on the digest key over the parsed
+    event stream — identical shuffle shape to slowlog_classes; every
+    metric is an int or round-recovered decimal sum, ratios computed
+    once post-aggregation."""
+    from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
+
+    events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        (~F.col("admin")) & F.col("query").isNotNull()
+    )
+    lock_sum = F.round(F.coalesce(F.sum("lock_time"), F.lit(0.0)), 6)
+    qt_sum = F.round(F.coalesce(F.sum("query_time"), F.lit(0.0)), 6)
+    exam = F.coalesce(F.sum("rows_examined"), F.lit(0))
+    sent = F.coalesce(F.sum("rows_sent"), F.lit(0))
+    return events.groupBy("digest").agg(
+        F.count("*").alias("cnt"),
+        exam.alias("rows_examined_sum"),
+        sent.alias("rows_sent_sum"),
+        (exam * 1.0 / F.greatest(sent, F.lit(1))).alias("examine_ratio"),
+        F.coalesce(
+            F.sum(F.when(F.col("no_index_used"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_no_index"),
+        F.coalesce(
+            F.sum(F.when(F.col("full_scan"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_full_scan"),
+        lock_sum.alias("lock_time_sum"),
+        qt_sum.alias("query_time_sum"),
+        (lock_sum / F.greatest(qt_sum, F.lit(1e-9))).alias("lock_share"),
+    )

@@ -178,6 +178,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "text_bpe_pairs",
     "join_interval_binned",
+    "slowlog_efficiency",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

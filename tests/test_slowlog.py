@@ -490,3 +490,25 @@ class TestGoldenParquet:
         gc, gr = [c.lower() for c in gold.columns], [tuple(r) for r in gold.collect()]
         assert len(lr) == len(gr) > 900
         assert canon_rows(lc, lr) == canon_rows(gc, gr)
+
+
+def test_efficiency_ratios_are_consistent(spark, sf_dir):
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    rows = all_ops()["slowlog_efficiency"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cnt"] > 0
+        assert 0 <= r["n_no_index"] <= r["cnt"]
+        assert 0 <= r["n_full_scan"] <= r["cnt"]
+        assert r["examine_ratio"] >= 0
+        # a query can't spend more time locked than it ran
+        assert r["lock_time_sum"] <= r["query_time_sum"] + 1e-6, r
+        if r["rows_sent_sum"] > 0:
+            assert (
+                abs(
+                    r["examine_ratio"]
+                    - r["rows_examined_sum"] / r["rows_sent_sum"]
+                )
+                < 1e-9
+            )
