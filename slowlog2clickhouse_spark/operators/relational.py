@@ -1456,3 +1456,40 @@ def cache_branch_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shared.unpersist()
+
+
+@op(
+    "win_rolling_median",
+    # deterministic frame: unique (ts, event_id) ordering; exact
+    # percentile interpolation is bit-identical between Spark
+    # percentile and DuckDB quantile_cont (module float discipline)
+    oracle="""
+    SELECT event_id, event_type,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+    FROM events
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over the trailing 5 events per class — robust
+    latency smoothing (a single spike can't drag the trend the way a
+    rolling mean lets it). Spark allows any aggregate as a window
+    function, so exact `percentile` rides the same frame machinery as
+    sum/avg — no UDF, no self-join.
+
+    Scale: one window shuffle on the class key; the 5-row frame is
+    O(1) state per row. The 100 TB caveat is per-class row volume in
+    one partition — for truly hot classes the production form adds a
+    (class, time-bucket) sub-key the way win_sessionize documents."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.expr("percentile(value, 0.5)").over(w).alias("med5"),
+    )

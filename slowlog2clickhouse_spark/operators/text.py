@@ -986,3 +986,56 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.orderBy(F.col("n").desc(), F.col("pair").asc())
     return cnt.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 20)
+
+
+@op(
+    "text_oov_rate",
+    # the vocab boundary is deterministic (count desc, token asc,
+    # LIMIT 1000) so both engines cut the same top-1000; oov_rate is
+    # int/int — exact cross-engine.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS token
+      FROM documents),
+    cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+    voc AS (SELECT token FROM cnt ORDER BY n DESC, token ASC LIMIT 1000)
+    SELECT t.doc_id,
+           cast(count(*) AS BIGINT) AS n_tokens,
+           cast(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*)
+             AS oov_rate
+    FROM tok t LEFT JOIN voc v USING (token)
+    GROUP BY 1
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-1000 token vocabulary — the tokenizer-coverage check an LLM
+    data pipeline runs before committing to a vocab (docs with high
+    OOV are either noise or a domain the tokenizer will shred into
+    bytes).
+
+    Scale: the vocabulary is aggregated once (alphabet-bounded key
+    domain, partial-agg'd) and then BROADCAST — the corpus-side token
+    stream joins against it map-side, so the only full-data shuffle is
+    the per-doc groupBy on doc_id (skew-free key). Swapping in a real
+    tokenizer vocab makes the broadcast side a file, not a subquery;
+    the plan is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count("*").alias("n"))
+    voc = (
+        cnt.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(1000)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    joined = tok.join(F.broadcast(voc), "token", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(oov).alias("n_oov"),
+        (F.sum(oov) * 1.0 / F.count("*")).alias("oov_rate"),
+    )

@@ -179,6 +179,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_pairs",
     "join_interval_binned",
     "slowlog_efficiency",
+    "text_oov_rate",
+    "win_rolling_median",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

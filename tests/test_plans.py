@@ -301,3 +301,12 @@ def test_partition_pruned_scan_filters_at_planning_time(spark, sf_dir):
     lines = [l for l in p.splitlines() if "PartitionFilters" in l]
     assert lines, p[:2000]
     assert any("event_date" in l and "=" in l for l in lines), lines
+
+
+def test_rolling_median_window_no_extra_exchange(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "win_rolling_median")
+    # one window over one exchange: the frame aggregate must not
+    # introduce a second shuffle or a sort-per-aggregate (formatted
+    # explain shows each node once in the tree and once in details)
+    assert p.count("+- Exchange") == 1, p[:2000]
+    assert "Window" in p

@@ -172,3 +172,16 @@ def test_bpe_pairs_ranked_within_word_only(spark, sf_dir):
         assert (prev["n"], cur["pair"]) >= (cur["n"], prev["pair"])
     for r in rows:
         assert len(r["pair"]) == 2 and " " not in r["pair"]
+
+
+def test_oov_rate_bounds_and_common_docs_low(spark, sf_dir):
+    rows = OPS["text_oov_rate"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) < 1e-12
+    # with a synthetic vocab this small the corpus's own top-1000
+    # covers most tokens: the median doc should be mostly in-vocab
+    rates = sorted(r["oov_rate"] for r in rows)
+    assert rates[len(rates) // 2] < 0.5
