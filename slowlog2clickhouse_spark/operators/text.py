@@ -1039,3 +1039,60 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(oov).alias("n_oov"),
         (F.sum(oov) * 1.0 / F.count("*")).alias("oov_rate"),
     )
+
+
+@op(
+    "text_dup_spans",
+    # span identity = md5 of the 8-token window (cross-engine stable);
+    # doc frequency counts DISTINCT docs so a span repeated inside one
+    # page doesn't fake boilerplate
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents),
+    sp AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS span_md5
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, len(t) - 6)) AS i
+            FROM tok WHERE len(t) >= 8) x),
+    freq AS (
+      SELECT span_md5, count(*) AS n_docs FROM sp GROUP BY 1
+      HAVING count(*) >= 2)
+    SELECT span_md5, cast(n_docs AS BIGINT) AS n_docs,
+           cast(rk AS INTEGER) AS rk
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY n_docs DESC, span_md5 ASC) AS rk FROM freq) t
+    WHERE rk <= 50
+    """,
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span (boilerplate) detector: 8-token sliding shingles,
+    ranked by how many DISTINCT documents contain them — the
+    span-level complement to doc-level minhash dedup (catches the
+    shared footer/disclaimer that repeats across otherwise-unique
+    pages; C4-style pipelines drop or down-weight these spans).
+
+    Scale: map-side shingle fan-out (×|tokens|), per-doc distinct
+    folded into the (span, doc) distinct-shuffle on the fixed-width
+    md5 key, then a partial-agg'd frequency count whose HAVING ≥2
+    prunes the long tail before the tiny top-50 rank. No all-pairs
+    anything — boilerplate emerges from counting, not comparing."""
+    d = load_table(spark, sf_dir, "documents")
+    with_t = d.select("doc_id", _tokens().alias("t")).where(F.size("t") >= 8)
+    t = F.col("t")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 7),
+        lambda i: F.md5(F.array_join(F.slice(t, i, 8), " ")),
+    )
+    sp = with_t.select(
+        "doc_id", F.explode(spans).alias("span_md5")
+    ).distinct()
+    freq = (
+        sp.groupBy("span_md5")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    w = W.orderBy(F.col("n_docs").desc(), F.col("span_md5").asc())
+    return freq.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 50)

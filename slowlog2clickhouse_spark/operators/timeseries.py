@@ -629,3 +629,55 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.coalesce(F.col("n"), F.lit(0)).alias("purchases_10m"),
     )
+
+
+@op(
+    "agg_session_window_builtin",
+    # oracle reproduces Spark's session_window semantics with the
+    # islands technique: a row starts a new session when its gap from
+    # the previous event exceeds 10 min; window end = last event + gap
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 10 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 10 MINUTE AS session_end,
+           cast(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def agg_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via the BUILT-IN ``session_window``
+    aggregation — the one-liner alternative to win_sessionize's manual
+    lag/cumsum islands (same semantics, pinned against each other by
+    the oracle: window end = last event + gap). In streaming this same
+    expression becomes the stateful session operator; using it in
+    batch keeps one definition of "session" across both modes.
+
+    Scale: session_window aggregates with ONE shuffle on the user key
+    (no window-function sort pass followed by a second groupBy — the
+    manual islands plan pays both); merging is done by the aggregate
+    operator itself."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "10 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

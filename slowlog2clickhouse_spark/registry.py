@@ -181,6 +181,8 @@ _PRIORITY: tuple[str, ...] = (
     "slowlog_efficiency",
     "text_oov_rate",
     "win_rolling_median",
+    "text_dup_spans",
+    "agg_session_window_builtin",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

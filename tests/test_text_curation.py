@@ -185,3 +185,13 @@ def test_oov_rate_bounds_and_common_docs_low(spark, sf_dir):
     # covers most tokens: the median doc should be mostly in-vocab
     rates = sorted(r["oov_rate"] for r in rows)
     assert rates[len(rates) // 2] < 0.5
+
+
+def test_dup_spans_are_really_cross_doc(spark, sf_dir):
+    rows = OPS["text_dup_spans"].fn(spark, sf_dir).collect()
+    assert rows
+    rows.sort(key=lambda r: r["rk"])
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["n_docs"] >= cur["n_docs"]
+    assert all(r["n_docs"] >= 2 for r in rows)

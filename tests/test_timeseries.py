@@ -180,3 +180,32 @@ def test_interval_binned_matches_bruteforce_inequality_join(spark, sf_dir):
         & (F.col("ts") <= F.lit(e_row["ts"]) + F.expr("INTERVAL 10 MINUTES"))
     ).count()
     assert got[busiest] == expect
+
+
+def test_session_window_builtin_agrees_with_manual_islands(spark, sf_dir):
+    """The built-in session_window and the manual lag/cumsum islands
+    (win_sessionize's technique) must carve identical sessions."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from slowlog2clickhouse_spark.io import load_table
+
+    got = {
+        (r["user_id"], r["session_start"]): r
+        for r in OPS["agg_session_window_builtin"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
+    manual = (
+        ev.withColumn("new_s", (gap.isNull() | (gap > 600)).cast("long"))
+        .withColumn("sid", F.sum("new_s").over(wo))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(manual) == len(got)
+    for r in manual:
+        k = (r["user_id"], r["session_start"])
+        assert k in got, k
+        assert got[k]["n_events"] == r["n"], k
