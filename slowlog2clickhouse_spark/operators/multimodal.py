@@ -35,6 +35,7 @@ from slowlog2clickhouse_spark.registry import op
 
 N_FEATURES = 16
 FRAME_BYTES = 256
+_MM_TMP = "/tmp/slowlog2clickhouse_spark"
 
 
 def attach_binary(docs: DataFrame) -> DataFrame:
@@ -604,4 +605,55 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("rep_doc_id"))
         .where(F.col("n_docs") >= 2)
+    )
+
+
+@op(
+    "scan_binary_files",
+    # ASCII corpus ⇒ md5(file bytes) == DuckDB md5(text); length is
+    # the file size the binaryFile source reports from the filesystem,
+    # pinned against the character count
+    oracle="""
+    SELECT doc_id,
+           cast(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's ``binaryFile`` source — THE ingest path for raw
+    image/audio blobs sitting in an object store: one row per file
+    with (path, modificationTime, length, content), no decode, lazy
+    content read. Downstream is exactly attach_binary's shape, so the
+    whole multimodal pipeline runs unchanged over real files.
+
+    The 50-file fixture is written driver-side (test corpus, one-time
+    setup — NOT the data path); the op under test is the distributed
+    read-back. Production note: pair with
+    ``spark.sql.files.maxPartitionBytes`` / ``pathGlobFilter`` and
+    partition directories by date so the listing itself prunes — at
+    100 TB the file LISTING is the first bottleneck, which is why the
+    metadata columns come from the FS layer, not from opening blobs."""
+    import os
+    import shutil
+
+    out = f"{_MM_TMP}/binary_docs"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:
+        with open(f"{out}/doc_{r['doc_id']:05d}.bin", "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(out)
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
     )

@@ -183,6 +183,7 @@ _PRIORITY: tuple[str, ...] = (
     "win_rolling_median",
     "text_dup_spans",
     "agg_session_window_builtin",
+    "scan_binary_files",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

@@ -34,3 +34,22 @@ def test_phash_dedup_clusters_are_real_duplicate_groups(spark, sf_dir):
         seen.add(r["phash"])
         total += r["n_docs"]
     assert total <= n_docs
+
+
+def test_binary_files_roundtrip_content_exact(spark, sf_dir):
+    rows = OPS["scan_binary_files"].fn(spark, sf_dir).collect()
+    assert rows
+    from slowlog2clickhouse_spark.io import load_table
+    import pyspark.sql.functions as F
+
+    src = {
+        r["doc_id"]: r
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", F.length("text").alias("n"), F.md5("text").alias("m"))
+        .collect()
+    }
+    assert len(rows) == len(src)
+    for r in rows:
+        assert r["n_bytes"] == src[r["doc_id"]]["n"]
+        assert r["content_md5"] == src[r["doc_id"]]["m"]
