@@ -14,6 +14,8 @@ from slowlog2clickhouse_spark.plans.pipeline import ingest_slowlog
 from slowlog2clickhouse_spark.registry import op
 from slowlog2clickhouse_spark.sinks.jdbc import clickhouse_ddl, jdbc_options, write_jdbc
 
+_TMP = "/tmp/slowlog2clickhouse_spark"
+
 
 _SINK_CONTRACT_GOLDEN = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -357,4 +359,62 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("total"),
+    )
+
+
+@op(
+    "scan_jsonl_corrupt",
+    # fixture: one good JSON line per doc (doc_id < 500) plus one
+    # deliberately broken line for every doc_id % 10 == 0 — so the
+    # oracle derives both populations from the documents table
+    oracle="""
+    SELECT lang,
+           cast(count(*) AS BIGINT) AS n_good,
+           cast(sum(n_chars) AS BIGINT) AS chars_good
+    FROM documents WHERE doc_id < 500
+    GROUP BY 1
+    UNION ALL
+    SELECT '_corrupt' AS lang,
+           cast(count(*) AS BIGINT) AS n_good,
+           CAST(NULL AS BIGINT) AS chars_good
+    FROM documents WHERE doc_id < 500 AND doc_id % 10 = 0
+    """,
+)
+def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON ingest with a corrupt-record column — the
+    real-world NDJSON feed where some producer ships broken lines:
+    malformed rows land in ``_corrupt_record`` instead of killing the
+    job (FAILFAST) or silently vanishing (DROPMALFORMED), so the
+    pipeline can quarantine and count them. Output: per-lang good-row
+    stats plus one '_corrupt' bucket row.
+
+    Scale: mode=PERMISSIVE is per-record — no cross-record state, the
+    scan stays splittable and the quarantine count is a map-side
+    CASE. The fixture write is distributed (df.write.text), the op
+    under test is the read-back."""
+    out = f"{_TMP}/events_jsonl_corrupt"
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    good = d.select(
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("value")
+    )
+    bad = d.where(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(" BROKEN")).alias(
+            "value"
+        )
+    )
+    good.unionAll(bad).write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    bucket = F.when(
+        F.col("_corrupt_record").isNotNull(), F.lit("_corrupt")
+    ).otherwise(F.col("lang"))
+    return back.groupBy(bucket.alias("lang")).agg(
+        F.count("*").alias("n_good"),
+        F.sum("n_chars").alias("chars_good"),
     )

@@ -681,3 +681,64 @@ def agg_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@op(
+    "events_attribution",
+    # last_value(... IGNORE NULLS) over (user, ts) is deterministic
+    # because (ts, event_id) is unique per user; latency is exact
+    # integer epoch arithmetic
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_type, event_id,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM events WHERE event_type IN ('click', 'purchase'))
+    SELECT event_id, user_id, ts AS purchase_ts, last_click_ts,
+           CASE WHEN last_click_ts IS NOT NULL
+                THEN CAST(date_diff('second', last_click_ts, ts) AS BIGINT)
+                END AS latency_s,
+           (last_click_ts IS NOT NULL) AS attributed
+    FROM s WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the user's most
+    recent PRECEDING click and the click→purchase latency — the
+    marketing-analytics join expressed as one window pass instead of
+    an as-of self-join (the stream is unioned, ordered per user, and
+    `last_value(click_ts) IGNORE NULLS` carries the touch forward;
+    frame ends at 1 PRECEDING so a same-timestamp purchase can't
+    attribute to itself).
+
+    Scale: ONE shuffle on user_id for the window; no join at all —
+    the as-of formulation (join_asof) pays a range-merge per key pair,
+    this pays a linear scan per user partition. Unattributed
+    purchases (no prior click) survive with NULL latency."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    s = ev.withColumn(
+        "last_click_ts", F.last(click_ts, ignorenulls=True).over(w)
+    )
+    lat = F.when(
+        F.col("last_click_ts").isNotNull(),
+        F.col("ts").cast("long") - F.col("last_click_ts").cast("long"),
+    )
+    return s.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_click_ts",
+        lat.alias("latency_s"),
+        F.col("last_click_ts").isNotNull().alias("attributed"),
+    )

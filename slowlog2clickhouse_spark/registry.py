@@ -184,6 +184,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_dup_spans",
     "agg_session_window_builtin",
     "scan_binary_files",
+    "events_attribution",
+    "scan_jsonl_corrupt",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

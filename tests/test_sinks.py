@@ -109,3 +109,19 @@ def test_sink_compact_preserves_rows_and_shrinks_files(spark, sf_dir):
     assert row["rows_before"] == row["rows_after"]
     assert row["files_before"] > row["files_after"]
     assert row["files_after"] <= 4
+
+
+def test_jsonl_corrupt_quarantine_counts(spark, sf_dir):
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    rows = {r["lang"]: r for r in all_ops()["scan_jsonl_corrupt"].fn(spark, sf_dir).collect()}
+    assert "_corrupt" in rows
+    corrupt = rows.pop("_corrupt")
+    assert corrupt["n_good"] > 0 and corrupt["chars_good"] is None
+    import pyspark.sql.functions as F
+
+    from slowlog2clickhouse_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    assert sum(r["n_good"] for r in rows.values()) == d.count()
+    assert corrupt["n_good"] == d.where(F.col("doc_id") % 10 == 0).count()

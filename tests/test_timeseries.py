@@ -209,3 +209,18 @@ def test_session_window_builtin_agrees_with_manual_islands(spark, sf_dir):
         k = (r["user_id"], r["session_start"])
         assert k in got, k
         assert got[k]["n_events"] == r["n"], k
+
+
+def test_attribution_never_self_attributes_and_latency_positive(spark, sf_dir):
+    rows = OPS["events_attribution"].fn(spark, sf_dir).collect()
+    assert rows
+    attributed = [r for r in rows if r["attributed"]]
+    assert attributed
+    for r in attributed:
+        assert r["last_click_ts"] < r["purchase_ts"] or (
+            r["last_click_ts"] == r["purchase_ts"] and r["latency_s"] == 0
+        )
+        assert r["latency_s"] >= 0
+    for r in rows:
+        if not r["attributed"]:
+            assert r["latency_s"] is None and r["last_click_ts"] is None
