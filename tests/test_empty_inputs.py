@@ -40,6 +40,22 @@ PROBE = [
     "corpus_mix_rebalance",
     "dedup_minhash_verified",
     "vec_knn_lsh_multiprobe",
+    # round-5 second-session additions
+    "agg_bitmap_distinct",
+    "doc_chunk_sliding",
+    "time_rolling_distinct",
+    "qan_latency_histogram",
+    "mm_phash_dedup",
+    "dedup_containment",
+    "text_bpe_pairs",
+    "join_interval_binned",
+    "text_oov_rate",
+    "win_rolling_median",
+    "text_dup_spans",
+    "agg_session_window_builtin",
+    "events_attribution",
+    "scan_binary_files",
+    "scan_jsonl_corrupt",
 ]
 SINGLE_ROW_OK = {"funnel_events", "cte_recursive_spine"}
 
