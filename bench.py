@@ -92,6 +92,10 @@ EXTRA_OPS = (
     # gate (runs brute-force truth + all three ANN variants)
     "dedup_minhash_verified",
     "ann_recall_eval",
+    # round-5 second session: bitmap-exact distinct (the 100 TB
+    # distinct-counting plan) and span-level boilerplate detection
+    "agg_bitmap_distinct",
+    "text_dup_spans",
 )
 
 

@@ -234,3 +234,107 @@ def dq_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             edge("customer.c_nationkey->nation", c, n, "c_nationkey", "n_nationkey", True)
         )
     )
+
+
+@op(
+    "dq_drift",
+    # both segments aggregate in ONE conditional-aggregation pass;
+    # every metric is exact-int or round-recovered decimal, so the
+    # rel_change doubles are bit-identical cross-engine
+    oracle="""
+    WITH seg AS (
+      SELECT CASE WHEN o_orderdate < DATE '1998-01-01'
+                  THEN 'base' ELSE 'cur' END AS s,
+             o_totalprice, o_orderstatus, o_orderpriority
+      FROM orders),
+    agg AS (
+      SELECT
+        cast(sum(CASE WHEN s = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        cast(sum(CASE WHEN s = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        round(sum(CASE WHEN s = 'base' THEN o_totalprice ELSE 0 END), 4)
+          AS sp_b,
+        round(sum(CASE WHEN s = 'cur' THEN o_totalprice ELSE 0 END), 4)
+          AS sp_c,
+        cast(count(DISTINCT CASE WHEN s = 'base' THEN o_orderstatus END)
+             AS BIGINT) AS nd_b,
+        cast(count(DISTINCT CASE WHEN s = 'cur' THEN o_orderstatus END)
+             AS BIGINT) AS nd_c,
+        cast(sum(CASE WHEN s = 'base' AND o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS u_b,
+        cast(sum(CASE WHEN s = 'cur' AND o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS u_c
+      FROM seg)
+    SELECT m.metric, m.baseline, m.current,
+           round((m.current - m.baseline) / nullif(m.baseline, 0), 6) AS rel_change,
+           (abs((m.current - m.baseline) / nullif(m.baseline, 0)) > 0.1) AS drifted
+    FROM (
+      SELECT 'row_count' AS metric, n_b * 1.0 AS baseline, n_c * 1.0 AS current
+      FROM agg
+      UNION ALL
+      SELECT 'avg_price', sp_b / nullif(n_b, 0), sp_c / nullif(n_c, 0) FROM agg
+      UNION ALL
+      SELECT 'status_ndv', nd_b * 1.0, nd_c * 1.0 FROM agg
+      UNION ALL
+      SELECT 'urgent_rate', u_b * 1.0 / nullif(n_b, 0), u_c * 1.0 / nullif(n_c, 0) FROM agg) m
+    """,
+)
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the same profile metrics computed
+    over a baseline segment and a current segment (orders before/after
+    1998 stands in for yesterday's load vs today's), reported as
+    (metric, baseline, current, rel_change, drifted>10%) rows — the
+    check that catches a upstream schema change or traffic shift
+    before it poisons downstream aggregates.
+
+    Scale: BOTH segments aggregate in one conditional-aggregation scan
+    (no second read, no join of two profile runs); the metric unpivot
+    is over a single 1-row aggregate. Drift is REPORTED as rows, never
+    raised (module scale-shape note)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    b = lambda c: F.when(base, c)  # noqa: E731
+    c_ = lambda c: F.when(~base, c)  # noqa: E731
+    agg = o.agg(
+        F.sum(base.cast("long")).alias("n_b"),
+        F.sum((~base).cast("long")).alias("n_c"),
+        F.round(F.sum(F.coalesce(b(F.col("o_totalprice")), F.lit(0.0))), 4).alias("sp_b"),
+        F.round(F.sum(F.coalesce(c_(F.col("o_totalprice")), F.lit(0.0))), 4).alias("sp_c"),
+        F.countDistinct(b(F.col("o_orderstatus"))).alias("nd_b"),
+        F.countDistinct(c_(F.col("o_orderstatus"))).alias("nd_c"),
+        F.sum((base & (F.col("o_orderpriority") == "1-URGENT")).cast("long")).alias("u_b"),
+        F.sum(((~base) & (F.col("o_orderpriority") == "1-URGENT")).cast("long")).alias("u_c"),
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("row_count").alias("metric"),
+                    (F.col("n_b") * 1.0).alias("baseline"),
+                    (F.col("n_c") * 1.0).alias("current"),
+                ),
+                F.struct(
+                    F.lit("avg_price").alias("metric"),
+                    F.try_divide(F.col("sp_b"), F.col("n_b")).alias("baseline"),
+                    F.try_divide(F.col("sp_c"), F.col("n_c")).alias("current"),
+                ),
+                F.struct(
+                    F.lit("status_ndv").alias("metric"),
+                    (F.col("nd_b") * 1.0).alias("baseline"),
+                    (F.col("nd_c") * 1.0).alias("current"),
+                ),
+                F.struct(
+                    F.lit("urgent_rate").alias("metric"),
+                    F.try_divide(F.col("u_b") * 1.0, F.col("n_b")).alias("baseline"),
+                    F.try_divide(F.col("u_c") * 1.0, F.col("n_c")).alias("current"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.metric", "m.baseline", "m.current")
+    rel = F.try_divide(F.col("current") - F.col("baseline"), F.col("baseline"))
+    return rows.select(
+        "metric",
+        "baseline",
+        "current",
+        F.round(rel, 6).alias("rel_change"),
+        (F.abs(rel) > 0.1).alias("drifted"),
+    )

@@ -186,6 +186,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_binary_files",
     "events_attribution",
     "scan_jsonl_corrupt",
+    "dq_drift",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

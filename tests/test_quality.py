@@ -90,3 +90,17 @@ def test_dq_profile_null_and_ndv_accounting(spark, dirty_dir):
     assert p["n_non_null"] == 3
     assert p["n_distinct"] == 3
     assert p["min_val"] == -5.0 and p["max_val"] == 100.0
+
+
+def test_drift_metrics_internally_consistent(spark, sf_dir):
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    rows = {r["metric"]: r for r in all_ops()["dq_drift"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"row_count", "avg_price", "status_ndv", "urgent_rate"}
+    for r in rows.values():
+        if r["baseline"] and r["rel_change"] is not None:
+            expect = (r["current"] - r["baseline"]) / r["baseline"]
+            assert abs(r["rel_change"] - expect) < 1e-6
+            assert r["drifted"] == (abs(expect) > 0.1)
+    rc = rows["row_count"]
+    assert rc["baseline"] > 0 and rc["current"] > 0
