@@ -657,3 +657,62 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@op(
+    "mm_scene_cut",
+    # same int-across-the-boundary recipe as mm_audio_energy: frames
+    # carry integer (n, Σb²); rms is rounded ENGINE-side, and the cut
+    # decision compares a difference of those identical rounded
+    # doubles — no float boundary anywhere
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    s AS (
+      SELECT doc_id, (i - 1) // {FRAME_BYTES} AS frame_no,
+             ord(substr(text, CAST(i AS INT), 1)) AS b
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) + 1)) AS i FROM d) t),
+    f AS (
+      SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+             round(sqrt(sum(b * b) * 1.0 / count(*)), 6) AS rms
+      FROM s GROUP BY 1, 2),
+    lagged AS (
+      SELECT doc_id, frame_no, rms,
+             lag(rms) OVER (PARTITION BY doc_id ORDER BY frame_no)
+               AS prev_rms
+      FROM f)
+    SELECT doc_id, frame_no, prev_rms, rms,
+           round(abs(rms - prev_rms), 6) AS delta
+    FROM lagged
+    WHERE prev_rms IS NOT NULL AND abs(rms - prev_rms) > 5.0
+    """,
+)
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' scene-cut detection: a cut is a frame whose energy
+    jumps more than 5.0 RMS units from its predecessor — the
+    frame-difference boundary detector every video pipeline runs
+    before sampling keyframes (sample once per scene, not per second).
+    Completes the image (resize/phash) / audio (energy) / video
+    (frame-sample/scene-cut) triple on the same binary plumbing.
+
+    Scale: frame energies come from the partial-agg'd (doc, frame)
+    groupBy (integer sums across Arrow); the cut decision is a lag
+    window partitioned by doc — frames of one doc are already
+    co-located after the aggregation, so AQE coalesces the window
+    into the same exchange. A real decoder swaps in per-frame luma
+    histograms; the boundary logic is unchanged."""
+    from pyspark.sql import Window as W
+
+    frames = mm_audio_energy(spark, sf_dir).select("doc_id", "frame_no", "rms")
+    w = W.partitionBy("doc_id").orderBy("frame_no")
+    lagged = frames.withColumn("prev_rms", F.lag("rms").over(w))
+    delta = F.abs(F.col("rms") - F.col("prev_rms"))
+    return lagged.where(
+        F.col("prev_rms").isNotNull() & (delta > 5.0)
+    ).select(
+        "doc_id",
+        "frame_no",
+        "prev_rms",
+        "rms",
+        F.round(delta, 6).alias("delta"),
+    )

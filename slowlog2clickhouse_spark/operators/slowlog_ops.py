@@ -616,3 +616,40 @@ def slowlog_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         qt_sum.alias("query_time_sum"),
         (lock_sum / F.greatest(qt_sum, F.lit(1e-9))).alias("lock_share"),
     )
+
+
+@op(
+    "slowlog_dimensions_matrix",
+    oracle=f"""
+    SELECT digest, user, host, db,
+           cast(count(*) AS BIGINT) AS cnt,
+           round(coalesce(sum(query_time), 0), 6) AS query_time_sum
+    FROM {_GOLD}
+    WHERE NOT admin AND query IS NOT NULL
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def slowlog_dimensions_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QAN dimension drill-down matrix: per (digest, user, host, db)
+    execution counts and total query time — the pt-query-digest
+    "which user@host runs this query against which schema" view, and
+    the grouping the QAN UI filters against when a dimension chip is
+    selected (qan_filter_dimensions is the filtered read of exactly
+    this grain).
+
+    Scale: one partial-agg'd groupBy on the composite key; the
+    dimension columns ride the same shuffle as the digest key, so the
+    matrix costs no more than the per-digest rollup. Cardinality =
+    |digests × active principals|, orders of magnitude below raw
+    events."""
+    from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
+
+    events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        (~F.col("admin")) & F.col("query").isNotNull()
+    )
+    return events.groupBy("digest", "user", "host", "db").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.coalesce(F.sum("query_time"), F.lit(0.0)), 6).alias(
+            "query_time_sum"
+        ),
+    )

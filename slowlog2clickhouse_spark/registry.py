@@ -187,6 +187,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_attribution",
     "scan_jsonl_corrupt",
     "dq_drift",
+    "mm_scene_cut",
+    "slowlog_dimensions_matrix",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

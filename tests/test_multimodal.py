@@ -53,3 +53,19 @@ def test_binary_files_roundtrip_content_exact(spark, sf_dir):
     for r in rows:
         assert r["n_bytes"] == src[r["doc_id"]]["n"]
         assert r["content_md5"] == src[r["doc_id"]]["m"]
+
+
+def test_scene_cuts_are_true_energy_jumps(spark, sf_dir):
+    cuts = OPS["mm_scene_cut"].fn(spark, sf_dir).collect()
+    assert cuts
+    from slowlog2clickhouse_spark.operators.multimodal import mm_audio_energy
+
+    rms = {
+        (r["doc_id"], r["frame_no"]): r["rms"]
+        for r in mm_audio_energy(spark, sf_dir).collect()
+    }
+    for c in cuts:
+        assert c["frame_no"] >= 1
+        assert rms[(c["doc_id"], c["frame_no"])] == c["rms"]
+        assert rms[(c["doc_id"], c["frame_no"] - 1)] == c["prev_rms"]
+        assert abs(c["rms"] - c["prev_rms"]) > 5.0

@@ -512,3 +512,18 @@ def test_efficiency_ratios_are_consistent(spark, sf_dir):
                 )
                 < 1e-9
             )
+
+
+def test_dimensions_matrix_rolls_up_to_digest_counts(spark, sf_dir):
+    from collections import defaultdict
+
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    ops = all_ops()
+    matrix = ops["slowlog_dimensions_matrix"].fn(spark, sf_dir).collect()
+    assert matrix
+    per_digest = defaultdict(int)
+    for r in matrix:
+        per_digest[r["digest"]] += r["cnt"]
+    eff = {r["digest"]: r["cnt"] for r in ops["slowlog_efficiency"].fn(spark, sf_dir).collect()}
+    assert per_digest == eff
