@@ -310,3 +310,25 @@ def test_rolling_median_window_no_extra_exchange(spark, sf_dir):
     # explain shows each node once in the tree and once in details)
     assert p.count("+- Exchange") == 1, p[:2000]
     assert "Window" in p
+
+
+def test_doc_chunk_sliding_is_shuffle_free(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "doc_chunk_sliding")
+    # chunking must stay embarrassingly parallel: no Exchange at all
+    assert "Exchange" not in p, p[:2000]
+
+
+def test_bitmap_distinct_two_level_aggregate(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "agg_bitmap_distinct")
+    # two-level: bucket bitmaps then count-sum — both hash aggregates,
+    # and the shuffle carries bitmap partials, never raw ids
+    assert p.count("+- Exchange") == 2, p[:2000]
+    assert "bitmap_construct_agg" in p
+    assert "bitmapCount" in p  # rendered as BitmapExpressionUtils.bitmapCount
+
+
+def test_interval_binned_join_is_hash_not_nested_loop(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "join_interval_binned")
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "HashJoin" in p or "SortMergeJoin" in p
