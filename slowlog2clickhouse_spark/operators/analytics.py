@@ -284,3 +284,105 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("version"),
         F.lead("ts").over(w).isNull().cast("long").alias("is_current"),
     )
+
+
+@op(
+    "events_markov_transitions",
+    # transition probability is exact int/int division; lag ordering
+    # is deterministic via the unique (ts, event_id) tiebreak
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+               AS prev_type
+      FROM events),
+    t AS (
+      SELECT prev_type, event_type AS cur_type, count(*) AS n
+      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT prev_type, sum(n) AS total FROM t GROUP BY 1)
+    SELECT t.prev_type, t.cur_type, cast(t.n AS BIGINT) AS n,
+           t.n * 1.0 / tot.total AS p
+    FROM t JOIN tot USING (prev_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix
+    P(next | previous) per user-ordered stream — the sequence-mining
+    baseline behind "users who view then click convert 3× more" and
+    the generator for session simulation.
+
+    Scale: ONE window shuffle on user_id produces the lag pairs; the
+    transition count groupBy has a |event_types|² key domain (tiny),
+    and the normalizing totals broadcast back onto it. The matrix for
+    100 TB of events costs one user-partitioned pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    t = s.groupBy("prev_type", F.col("event_type").alias("cur_type")).agg(
+        F.count("*").alias("n")
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return t.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "cur_type",
+        "n",
+        (F.col("n") * 1.0 / F.col("total")).alias("p"),
+    )
+
+
+@op(
+    "basket_part_pairs",
+    # per-order distinct parts first, then the in-order pair fan-out:
+    # TPC-H orders hold ≤7 lineitems, so the self-join on l_orderkey
+    # is bounded-quadratic per group — never corpus-quadratic
+    oracle="""
+    WITH op_ AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n
+      FROM op_ a JOIN op_ b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT *, CAST(row_number() OVER (
+          ORDER BY n DESC, part_a ASC, part_b ASC) AS INTEGER) AS rk
+      FROM pairs)
+    SELECT part_a, part_b, cast(n AS BIGINT) AS n, rk
+    FROM rk WHERE rk <= 20
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part pairs bought in
+    the same order — the association-rule mining seed (lift/confidence
+    follow from these counts plus the per-part totals).
+
+    Scale: the pair generator is a self-join keyed on l_orderkey, and
+    basket size bounds the per-key fan-out (≤k² per order for k-item
+    baskets) — the same group-bounded-quadratic argument as
+    dedup_ngram_jaccard's block join. The pair-count groupBy
+    partial-aggregates; only |distinct co-bought pairs| cross the
+    wire, and the global top-20 rides a tiny post-agg window."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy(
+        F.col("n").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    )
+    return pairs.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 20
+    )

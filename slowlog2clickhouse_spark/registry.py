@@ -189,6 +189,8 @@ _PRIORITY: tuple[str, ...] = (
     "dq_drift",
     "mm_scene_cut",
     "slowlog_dimensions_matrix",
+    "events_markov_transitions",
+    "basket_part_pairs",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

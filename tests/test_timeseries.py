@@ -224,3 +224,16 @@ def test_attribution_never_self_attributes_and_latency_positive(spark, sf_dir):
     for r in rows:
         if not r["attributed"]:
             assert r["latency_s"] is None and r["last_click_ts"] is None
+
+
+def test_markov_rows_are_proper_distributions(spark, sf_dir):
+    from collections import defaultdict
+
+    rows = OPS["events_markov_transitions"].fn(spark, sf_dir).collect()
+    assert rows
+    by_prev = defaultdict(list)
+    for r in rows:
+        assert r["n"] > 0 and 0 < r["p"] <= 1
+        by_prev[r["prev_type"]].append(r["p"])
+    for prev, ps in by_prev.items():
+        assert abs(sum(ps) - 1.0) < 1e-9, prev
