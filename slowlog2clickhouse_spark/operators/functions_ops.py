@@ -1293,3 +1293,38 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bitmap_count("bm")).alias("n_users"),
         F.count("*").alias("n_buckets"),
     )
+
+
+@op(
+    "str_collation",
+    # UTF8_LCASE grouping must equal grouping on lower(): the oracle
+    # states the semantics with explicit lower(); min() keeps a
+    # deterministic representative per group
+    oracle="""
+    SELECT lower(o_orderpriority) AS prio_ci,
+           cast(count(*) AS BIGINT) AS n,
+           min(o_orderpriority) AS example
+    FROM orders GROUP BY 1
+    """,
+)
+def str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (new in Spark 4): group a string
+    column under the UTF8_LCASE collation instead of wrapping every
+    reference in lower() — the engine-level answer to
+    case-insensitive dimensions (emails, country codes, SKUs).
+
+    Scale: the collation is carried in the column TYPE, so the
+    aggregate hashes collation keys directly — one partial-agg'd
+    shuffle, no expression wrapper to forget on one side of a join.
+    The output is normalized back to lower() so downstream schemas
+    stay collation-free."""
+    o = load_table(spark, sf_dir, "orders")
+    ci = F.collate(F.col("o_orderpriority"), "UTF8_LCASE")
+    return o.groupBy(ci.alias("prio_key")).agg(
+        F.count("*").alias("n"),
+        F.min("o_orderpriority").alias("example"),
+    ).select(
+        F.lower(F.col("prio_key")).cast("string").alias("prio_ci"),
+        "n",
+        "example",
+    )

@@ -418,3 +418,38 @@ def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_good"),
         F.sum("n_chars").alias("chars_good"),
     )
+
+
+@op(
+    "scan_xml",
+    oracle="""
+    SELECT n_nationkey, n_name, cast(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML FILE format (new in Spark 4 — xml_funcs covers the
+    embedded-string case; this is the file round-trip): write the
+    nation dim as <row> elements, read back TYPED with a declared
+    schema and rowTag. Legacy-feed ingest without a third-party
+    package.
+
+    Scale: XML is the one mainstream format that is NOT splittable by
+    newline — the reader splits on rowTag boundaries, so files (not
+    rows) are the parallelism unit; keep XML at the EDGE of the
+    pipeline (convert to parquet on first touch), which is exactly
+    what this op's write-once/read-once shape models."""
+    out = f"{_TMP}/nation_xml"
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.write.mode("overwrite").option("rowTag", "row").format("xml").save(out)
+    back = (
+        spark.read.schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .option("rowTag", "row")
+        .format("xml")
+        .load(out)
+    )
+    return back.select(
+        "n_nationkey", "n_name", F.col("n_regionkey").alias("n_regionkey")
+    )

@@ -191,6 +191,8 @@ _PRIORITY: tuple[str, ...] = (
     "slowlog_dimensions_matrix",
     "events_markov_transitions",
     "basket_part_pairs",
+    "scan_xml",
+    "str_collation",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
