@@ -386,3 +386,75 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= 20
     )
+
+
+@op(
+    "orders_pareto",
+    # per-customer revenue is a round-4-recovered decimal; the running
+    # sum then adds identical doubles in an identical unique order
+    # (rev DESC, custkey ASC) on both engines, so the >= threshold
+    # comparisons bind identically (win_running_sum precedent)
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, round(sum(o_totalprice), 4) AS rev
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT o_custkey, rev,
+             row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS rn,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM rev),
+    tot AS (SELECT sum(rev) AS total, count(*) AS n_cust FROM rev),
+    th AS (SELECT unnest([0.5, 0.8, 0.9]) AS threshold)
+    SELECT th.threshold,
+           cast(min(rn) AS BIGINT) AS n_customers,
+           round(min(rn) * 1.0 / tot.n_cust, 6) AS pct_customers
+    FROM ranked, tot, th
+    WHERE cum >= th.threshold * tot.total
+    GROUP BY th.threshold, tot.n_cust
+    """,
+)
+def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration analysis: how many top customers account
+    for 50 / 80 / 90 % of revenue — the 80/20 panel behind account
+    prioritization and skew diagnosis (a revenue-skewed customer base
+    is also a shuffle-skewed join key; this op quantifies exactly
+    that).
+
+    Scale: per-customer totals partial-aggregate first (the only
+    full-data shuffle); the ranked cumulative pass runs over
+    |customers| post-agg rows. The single-partition running-sum
+    window is acceptable HERE because its input is the aggregated
+    customer table — the raw-events analog would sub-key it."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    w = W.orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
+    ranked = rev.select(
+        "o_custkey",
+        "rev",
+        F.row_number().over(w).alias("rn"),
+        F.sum("rev").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    tot = rev.agg(
+        F.sum("rev").alias("total"), F.count("*").alias("n_cust")
+    )
+    th = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.8), F.lit(0.9))).alias(
+            "threshold"
+        )
+    )
+    joined = ranked.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(th))
+    return (
+        joined.where(F.col("cum") >= F.col("threshold") * F.col("total"))
+        .groupBy("threshold", "n_cust")
+        .agg(F.min("rn").alias("n_customers"))
+        .select(
+            "threshold",
+            "n_customers",
+            F.round(F.col("n_customers") * 1.0 / F.col("n_cust"), 6).alias(
+                "pct_customers"
+            ),
+        )
+    )

@@ -742,3 +742,56 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         lat.alias("latency_s"),
         F.col("last_click_ts").isNotNull().alias("attributed"),
     )
+
+
+@op(
+    "time_resample_ohlc",
+    # open/close use min_by/max_by on a UNIQUE order key — a
+    # fixed-width string of (epoch_us, event_id): lexicographic ==
+    # numeric at equal width, identical in both engines, and the
+    # event_id suffix makes duplicate-timestamp buckets deterministic
+    oracle="""
+    WITH k AS (
+      SELECT *, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey
+      FROM events)
+    SELECT event_type,
+           cast(time_bucket(INTERVAL 15 MINUTE, ts) AS TIMESTAMP) AS bucket,
+           arg_min(value, okey) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, okey) AS close,
+           cast(count(*) AS BIGINT) AS n
+    FROM k
+    GROUP BY 1, 2
+    """,
+)
+def time_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling: 15-minute buckets per class with
+    open/high/low/close of the value series — the downsampling shape
+    every monitoring chart and financial rollup uses (plot 4 points
+    per bucket instead of every event).
+
+    Scale: ONE partial-agg'd groupBy — min_by/max_by fold the
+    first/last selection INTO the aggregate (each partial carries its
+    candidate row), so there is no window pass, no self-join back to
+    the extremes, and shuffle volume is |classes × buckets|. That's
+    the difference vs the naive row_number()-twice formulation, which
+    pays a full window sort before it can aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 900).cast("long") * 900
+    )
+    okey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(
+        F.min_by("value", okey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", okey).alias("close"),
+        F.count("*").alias("n"),
+    )

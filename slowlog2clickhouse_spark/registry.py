@@ -193,6 +193,8 @@ _PRIORITY: tuple[str, ...] = (
     "basket_part_pairs",
     "scan_xml",
     "str_collation",
+    "time_resample_ohlc",
+    "orders_pareto",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

@@ -237,3 +237,29 @@ def test_markov_rows_are_proper_distributions(spark, sf_dir):
         by_prev[r["prev_type"]].append(r["p"])
     for prev, ps in by_prev.items():
         assert abs(sum(ps) - 1.0) < 1e-9, prev
+
+
+def test_ohlc_invariants(spark, sf_dir):
+    rows = OPS["time_resample_ohlc"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"], r
+        assert r["low"] <= r["close"] <= r["high"], r
+        assert r["n"] > 0
+        if r["n"] == 1:
+            assert r["open"] == r["close"] == r["high"] == r["low"]
+
+
+def test_pareto_thresholds_are_monotone(spark, sf_dir):
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    rows = sorted(
+        all_ops()["orders_pareto"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [r["threshold"] for r in rows] == [0.5, 0.8, 0.9]
+    assert rows[0]["n_customers"] <= rows[1]["n_customers"] <= rows[2]["n_customers"]
+    for r in rows:
+        assert 0 < r["pct_customers"] <= 1
+        # concentration: covering t of revenue takes <= t of customers
+        assert r["pct_customers"] <= r["threshold"] + 1e-9
