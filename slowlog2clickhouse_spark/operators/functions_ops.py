@@ -1328,3 +1328,39 @@ def str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "example",
     )
+
+
+@op(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           cast(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * l_discount), 4) AS revenue_effect
+    FROM lineitem
+    WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+    GROUP BY 1
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (new in Spark 4): the same filtered aggregate
+    written as a |> pipeline — each stage reads top-to-bottom the way
+    the DataFrame API does, and Catalyst lowers it to the IDENTICAL
+    plan as the classic formulation (the oracle), so adopting it is a
+    readability choice, not a performance one.
+
+    Scale: same plan as tpch_q6's shape — pushed filters, map-side
+    partial agg, |flags|-row shuffle."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_pipe"
+    )
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+        |> AGGREGATE count(*) AS n,
+                     round(sum(l_extendedprice * l_discount), 4)
+                       AS revenue_effect
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n, revenue_effect
+        """
+    )

@@ -653,3 +653,59 @@ def slowlog_dimensions_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_time_sum"
         ),
     )
+
+
+@op(
+    "slowlog_load_share",
+    # share = round-6-recovered per-digest sum ÷ the round-6-recovered
+    # grand total (the RAW sum of 30 rounded doubles is order-dependent
+    # in the last ulp — measured: every share differed engine-to-engine
+    # until the grand total was rounded too); rank tiebreaks on digest
+    oracle=f"""
+    WITH per AS (
+      SELECT digest,
+             cast(count(*) AS BIGINT) AS cnt,
+             round(coalesce(sum(query_time), 0), 6) AS qt_sum
+      FROM {_GOLD}
+      WHERE NOT admin AND query IS NOT NULL
+      GROUP BY 1),
+    tot AS (SELECT round(sum(qt_sum), 6) AS grand FROM per)
+    SELECT digest, cnt, qt_sum,
+           qt_sum / tot.grand AS load_share,
+           cast(row_number() OVER (
+             ORDER BY qt_sum DESC, digest ASC) AS INTEGER) AS load_rank
+    FROM per, tot
+    """,
+)
+def slowlog_load_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt-query-digest's headline metric: each digest's share of TOTAL
+    server load (fraction of summed query time) with a deterministic
+    load rank — the "this one query is 40% of your database" number
+    that opens every slow-log report.
+
+    Scale: the per-digest rollup is the only full-data shuffle; the
+    grand total is a 1-row broadcast back onto it, and the rank runs
+    over |digests| post-agg rows."""
+    from pyspark.sql import Window as W
+
+    from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
+
+    events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        (~F.col("admin")) & F.col("query").isNotNull()
+    )
+    per = events.groupBy("digest").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.coalesce(F.sum("query_time"), F.lit(0.0)), 6).alias("qt_sum"),
+    )
+    tot = per.agg(F.round(F.sum("qt_sum"), 6).alias("grand"))
+    w = W.orderBy(F.col("qt_sum").desc(), F.col("digest").asc())
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digest",
+            "cnt",
+            "qt_sum",
+            (F.col("qt_sum") / F.col("grand")).alias("load_share"),
+            F.row_number().over(w).alias("load_rank"),
+        )
+    )

@@ -195,6 +195,8 @@ _PRIORITY: tuple[str, ...] = (
     "str_collation",
     "time_resample_ohlc",
     "orders_pareto",
+    "sql_pipe_syntax",
+    "slowlog_load_share",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

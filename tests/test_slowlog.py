@@ -527,3 +527,17 @@ def test_dimensions_matrix_rolls_up_to_digest_counts(spark, sf_dir):
         per_digest[r["digest"]] += r["cnt"]
     eff = {r["digest"]: r["cnt"] for r in ops["slowlog_efficiency"].fn(spark, sf_dir).collect()}
     assert per_digest == eff
+
+
+def test_load_share_sums_to_one_and_rank_orders(spark, sf_dir):
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    rows = sorted(
+        all_ops()["slowlog_load_share"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["load_rank"],
+    )
+    assert rows
+    assert abs(sum(r["load_share"] for r in rows) - 1.0) < 1e-9
+    assert [r["load_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["qt_sum"] >= cur["qt_sum"]
