@@ -453,3 +453,52 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "n_nationkey", "n_name", F.col("n_regionkey").alias("n_regionkey")
     )
+
+
+@op(
+    "join_dynamic_partition_pruning",
+    # the dim is a separate day table filtered on a NON-join attribute
+    # (first-of-month days); the fact side must read only those days'
+    # partitions AT RUNTIME via the join — no literal date anywhere in
+    # the fact branch
+    oracle="""
+    SELECT e.event_type, cast(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 4) AS total
+    FROM events e
+    WHERE date_part('day', CAST(e.ts AS DATE)) = 1
+    GROUP BY 1
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP) — scan_partition_pruned's
+    runtime sibling and the second half of the 100 TB read-path story:
+    the pruning days are NOT literals, they come from a dimension
+    table filtered on a non-join attribute (is-first-of-month), so
+    planning-time pruning is impossible. Catalyst broadcasts the
+    filtered dim and injects its day values into the fact scan as a
+    runtime partition filter (``dynamicpruningexpression``, pinned in
+    tests/test_plans.py) — the fact side reads only the matching
+    days' files. This is exactly how star-schema date-dim joins avoid
+    full scans in production; everything is one declarative plan, no
+    collect, no literal.
+    """
+    base = os.path.join(tempfile.mkdtemp(prefix="scan_dpp_"))
+    fact_dir, dim_dir = f"{base}/events_by_day", f"{base}/date_dim"
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value", F.to_date("ts").alias("event_date")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(fact_dir)
+    ev.select("event_date").distinct().select(
+        F.col("event_date").alias("day"),
+        F.dayofmonth("event_date").alias("dom"),
+    ).write.mode("overwrite").parquet(dim_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).where(F.col("dom") == 1)
+    return (
+        fact.join(F.broadcast(dim), fact["event_date"] == dim["day"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+    )

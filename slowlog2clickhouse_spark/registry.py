@@ -197,6 +197,7 @@ _PRIORITY: tuple[str, ...] = (
     "orders_pareto",
     "sql_pipe_syntax",
     "slowlog_load_share",
+    "join_dynamic_partition_pruning",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

@@ -332,3 +332,9 @@ def test_interval_binned_join_is_hash_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p, p[:2000]
     assert "CartesianProduct" not in p, p[:2000]
     assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_dpp_injects_runtime_partition_filter(spark, sf_dir):
+    df = OPS["join_dynamic_partition_pruning"].fn(spark, sf_dir)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in s.lower(), s[:2000]
