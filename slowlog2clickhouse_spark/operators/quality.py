@@ -338,3 +338,56 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rel, 6).alias("rel_change"),
         (F.abs(rel) > 0.1).alias("drifted"),
     )
+
+
+@op(
+    "dq_sequence_gaps",
+    # gap detection is pure integer lag arithmetic; the (gap_start,
+    # gap_end) ranges are unique so no tiebreak is needed
+    oracle="""
+    WITH feed AS (
+      SELECT event_id FROM events WHERE event_id % 97 <> 0),
+    s AS (
+      SELECT event_id,
+             lag(event_id) OVER (ORDER BY event_id) AS prev_id
+      FROM feed)
+    SELECT prev_id + 1 AS gap_start,
+           event_id - 1 AS gap_end,
+           cast(event_id - prev_id - 1 AS BIGINT) AS n_missing
+    FROM s
+    WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    """,
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit: ranges of missing ids in a column that
+    should be dense — THE dropped-records check for ingest pipelines
+    (a kafka offset or auto-increment id that skips means data loss
+    upstream; this reports each hole as [start, end, count]).
+
+    Scale: a single-partition ordered window over ids is the naive
+    shape; it's acceptable at dashboard grain but the 100 TB form
+    sub-keys by id range (floor(id/10^9)) so each range scans its own
+    partition and only range-boundary pairs need a second tiny pass —
+    the same spine trick as win_sessionize documents. Here the
+    dataset's id domain is small enough that the direct form IS the
+    honest plan."""
+    # the testdata's ids are perfectly dense, so the op simulates the
+    # lossy feed it audits: every 97th id is dropped deterministically
+    # (both engines), and the detector must report exactly those holes
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 97 != 0
+    )
+    w = W.orderBy("event_id")
+    s = ev.select("event_id").withColumn(
+        "prev_id", F.lag("event_id").over(w)
+    )
+    return s.where(
+        F.col("prev_id").isNotNull()
+        & ((F.col("event_id") - F.col("prev_id")) > 1)
+    ).select(
+        (F.col("prev_id") + 1).alias("gap_start"),
+        (F.col("event_id") - 1).alias("gap_end"),
+        (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
+    )

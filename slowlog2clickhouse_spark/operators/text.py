@@ -1096,3 +1096,61 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.orderBy(F.col("n_docs").desc(), F.col("span_md5").asc())
     return freq.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 50)
+
+
+@op(
+    "text_idf_keywords",
+    # idf = ln(N/df): natural log of an exact int ratio — libm ln is
+    # correctly rounded for these magnitudes in practice, but the
+    # COMPARISON key is (tf*idf) which both engines compute from
+    # identical doubles; round(…, 6) before ranking removes any
+    # boundary residue, and the (score, token) tiebreak pins order
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS score
+      FROM tf JOIN df USING (token), n),
+    rk AS (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY doc_id
+          ORDER BY score DESC, token ASC) AS INTEGER) AS rk
+      FROM scored)
+    SELECT doc_id, token, score, rk FROM rk WHERE rk <= 3
+    """,
+)
+def text_idf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by TF-IDF — the
+    lightweight doc-tagging pass (search facets, dedup explanations,
+    topic drill-downs) that needs no model, just the corpus's own
+    statistics.
+
+    Scale: tf and df are both partial-agg'd token-keyed aggregates off
+    ONE tokenize pass; df (vocabulary-sized) broadcasts onto tf; the
+    per-doc top-3 rides WindowGroupLimit rank pushdown (per-partition
+    top-k BEFORE the window shuffle). Nothing touches raw text twice."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)

@@ -198,6 +198,8 @@ _PRIORITY: tuple[str, ...] = (
     "sql_pipe_syntax",
     "slowlog_load_share",
     "join_dynamic_partition_pruning",
+    "text_idf_keywords",
+    "dq_sequence_gaps",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

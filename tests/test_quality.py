@@ -104,3 +104,26 @@ def test_drift_metrics_internally_consistent(spark, sf_dir):
             assert r["drifted"] == (abs(expect) > 0.1)
     rc = rows["row_count"]
     assert rc["baseline"] > 0 and rc["current"] > 0
+
+
+def test_sequence_gaps_finds_exactly_the_simulated_holes(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from slowlog2clickhouse_spark.io import load_table
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    gaps = all_ops()["dq_sequence_gaps"].fn(spark, sf_dir).collect()
+    assert gaps
+    ids = {
+        r["event_id"]
+        for r in load_table(spark, sf_dir, "events").select("event_id").collect()
+    }
+    surviving = {i for i in ids if i % 97 != 0}
+    expected_missing = {
+        i for i in ids if i % 97 == 0 and min(surviving) < i < max(surviving)
+    }
+    reported = set()
+    for g in gaps:
+        assert g["n_missing"] == g["gap_end"] - g["gap_start"] + 1
+        reported.update(range(g["gap_start"], g["gap_end"] + 1))
+    assert reported == expected_missing

@@ -195,3 +195,20 @@ def test_dup_spans_are_really_cross_doc(spark, sf_dir):
     for prev, cur in zip(rows, rows[1:]):
         assert prev["n_docs"] >= cur["n_docs"]
     assert all(r["n_docs"] >= 2 for r in rows)
+
+
+def test_idf_keywords_prefer_rare_tokens(spark, sf_dir):
+    from collections import defaultdict
+
+    rows = OPS["text_idf_keywords"].fn(spark, sf_dir).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    assert by_doc
+    for doc, kws in by_doc.items():
+        kws.sort(key=lambda r: r["rk"])
+        assert [k["rk"] for k in kws] == list(range(1, len(kws) + 1))
+        assert len(kws) <= 3
+        for prev, cur in zip(kws, kws[1:]):
+            assert (prev["score"], cur["token"]) >= (cur["score"], prev["token"])
+        assert all(k["score"] >= 0 for k in kws)
