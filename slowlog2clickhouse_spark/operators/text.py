@@ -1154,3 +1154,73 @@ def text_idf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+
+
+@op(
+    "text_entropy",
+    # entropy sums are ORDER-DEPENDENT doubles, so both engines fold
+    # the (char, count) list in SORTED char order — a deterministic
+    # summation sequence, not a rounded approximation; log2 of
+    # identical int-ratio doubles is bit-stable
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, substr(lower(text), CAST(i AS INT), 1) AS c
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) + 1)) AS i
+            FROM documents) t),
+    cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+    packed AS (
+      SELECT doc_id,
+             list_sort(list(c)) AS chars,
+             sum(n) AS total,
+             map_from_entries(list(struct_pack(k := c, v := n))) AS m
+      FROM cnt GROUP BY 1)
+    SELECT doc_id,
+           cast(len(chars) AS BIGINT) AS n_distinct_chars,
+           cast(total AS BIGINT) AS n_chars,
+           round(list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list_transform(chars, c ->
+                 -(m[c][1] * 1.0 / total) * log2(m[c][1] * 1.0 / total))),
+             (a, x) -> a + x), 6) AS entropy_bits
+    FROM packed
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality filter: Shannon entropy (bits/char)
+    of each document's character distribution — the cheap detector
+    for base64 blobs, minified code and keyboard-mash (entropy too
+    high) and boilerplate/padding (too low) that LLM corpus pipelines
+    run before any model-based scoring.
+
+    Float discipline worth copying: an entropy is a SUM of doubles,
+    and summation order is engine-dependent under hash aggregation —
+    so both sides fold the per-char terms in sorted char order (a
+    deterministic sequence), making the hash comparison exact instead
+    of rounded-and-hopeful.
+
+    Scale: char fan-out is map-side; the (doc, char) count groupBy
+    partial-aggregates (≤ alphabet rows per doc partial); the fold
+    runs over ≤|alphabet| elements per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "")).alias("c"),
+    ).where(F.col("c") != "")
+    cnt = ch.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    packed = cnt.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("c", "n"))).alias("pairs"),
+        F.sum("n").alias("total"),
+    )
+    term = (
+        "-(x.n * 1.0 / total) * log2(x.n * 1.0 / total)"
+    )
+    entropy = F.expr(
+        f"aggregate(pairs, CAST(0 AS DOUBLE), (a, x) -> a + {term})"
+    )
+    return packed.select(
+        "doc_id",
+        F.size("pairs").cast("long").alias("n_distinct_chars"),
+        F.col("total").alias("n_chars"),
+        F.round(entropy, 6).alias("entropy_bits"),
+    )

@@ -200,6 +200,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_dynamic_partition_pruning",
     "text_idf_keywords",
     "dq_sequence_gaps",
+    "text_entropy",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

@@ -212,3 +212,14 @@ def test_idf_keywords_prefer_rare_tokens(spark, sf_dir):
         for prev, cur in zip(kws, kws[1:]):
             assert (prev["score"], cur["token"]) >= (cur["score"], prev["token"])
         assert all(k["score"] >= 0 for k in kws)
+
+
+def test_entropy_bounds_and_uniformity_extremes(spark, sf_dir):
+    import math
+
+    rows = OPS["text_entropy"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_chars"] > 0
+        # 0 <= H <= log2(distinct chars)
+        assert -1e-9 <= r["entropy_bits"] <= math.log2(max(r["n_distinct_chars"], 2)) + 1e-9
