@@ -458,3 +458,80 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@op(
+    "events_rfm",
+    # quartile edges via ntile over UNIQUE tiebroken orders — both
+    # engines assign identical tiles; recency measured against the
+    # stream head (no wall clock in the plan)
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             cast(count(*) AS BIGINT) AS frequency,
+             round(sum(value), 4) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    head AS (SELECT max(ts) AS now FROM events),
+    base AS (
+      SELECT p.user_id,
+             cast(date_diff('second', p.last_ts, head.now) AS BIGINT)
+               AS recency_s,
+             p.frequency, p.monetary
+      FROM p, head),
+    scored AS (
+      SELECT *,
+             CAST(ntile(4) OVER (ORDER BY recency_s ASC, user_id ASC)
+                  AS INTEGER) AS r_tile,
+             CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC)
+                  AS INTEGER) AS f_tile,
+             CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id ASC)
+                  AS INTEGER) AS m_tile
+      FROM base)
+    SELECT user_id, recency_s, frequency, monetary,
+           r_tile, f_tile, m_tile,
+           r_tile * 100 + f_tile * 10 + m_tile AS rfm_code
+    FROM scored
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary quartiles per
+    purchasing user with the classic 3-digit RFM code (111 = best
+    recent-frequent-big-spender) — the workhorse customer-scoring
+    query of growth analytics.
+
+    Scale: one purchase-filtered aggregate per user, then three
+    ntile windows over the |users| post-agg table. The global ntile
+    is single-partition by nature; at 100 TB you'd compute quartile
+    EDGES via approx_percentile and bucket map-side instead —
+    documented here, demonstrated in agg_percentile_approx."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("value"), 4).alias("monetary"),
+    )
+    head = ev.agg(F.max("ts").alias("now"))
+    base = p.crossJoin(F.broadcast(head)).select(
+        "user_id",
+        (F.col("now").cast("long") - F.col("last_ts").cast("long")).alias(
+            "recency_s"
+        ),
+        "frequency",
+        "monetary",
+    )
+    r_w = W.orderBy(F.col("recency_s").asc(), F.col("user_id").asc())
+    f_w = W.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    m_w = W.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    scored = base.select(
+        "*",
+        F.ntile(4).over(r_w).alias("r_tile"),
+        F.ntile(4).over(f_w).alias("f_tile"),
+        F.ntile(4).over(m_w).alias("m_tile"),
+    )
+    return scored.select(
+        "*",
+        (
+            F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile")
+        ).alias("rfm_code"),
+    )

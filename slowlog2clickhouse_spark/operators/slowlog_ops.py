@@ -709,3 +709,55 @@ def slowlog_load_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("load_rank"),
         )
     )
+
+
+@op(
+    "qan_digest_examples",
+    # worst-2 executions per digest: (query_time DESC, query DESC)
+    # is the same content-deterministic tiebreak the class battery's
+    # example selection uses; the query travels as md5 to keep the
+    # compare payload fixed-width
+    oracle=f"""
+    SELECT digest, rk, round(query_time, 6) AS query_time,
+           md5(query) AS example_md5
+    FROM (
+      SELECT digest, query, query_time,
+             CAST(row_number() OVER (
+               PARTITION BY digest
+               ORDER BY query_time DESC NULLS LAST, query DESC) AS INTEGER)
+               AS rk
+      FROM {_GOLD}
+      WHERE NOT admin AND query IS NOT NULL) t
+    WHERE rk <= 2
+    """,
+)
+def qan_digest_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QAN example pane: the two WORST raw executions per digest
+    (slowest first, content tiebreak) — what the UI shows when you
+    click a class to see "what did this query actually look like when
+    it was slow".
+
+    Scale: rides Spark's WindowGroupLimit rank pushdown — each
+    partition keeps only its local top-2 per digest BEFORE the window
+    shuffle, so example selection costs |digests × 2 × partitions|
+    shuffle rows, not the raw event stream."""
+    from pyspark.sql import Window as W
+
+    from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
+
+    events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        (~F.col("admin")) & F.col("query").isNotNull()
+    )
+    w = W.partitionBy("digest").orderBy(
+        F.col("query_time").desc_nulls_last(), F.col("query").desc()
+    )
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select(
+            "digest",
+            "rk",
+            F.round("query_time", 6).alias("query_time"),
+            F.md5("query").alias("example_md5"),
+        )
+    )

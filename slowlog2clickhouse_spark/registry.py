@@ -201,6 +201,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_idf_keywords",
     "dq_sequence_gaps",
     "text_entropy",
+    "qan_digest_examples",
+    "events_rfm",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

@@ -263,3 +263,18 @@ def test_pareto_thresholds_are_monotone(spark, sf_dir):
         assert 0 < r["pct_customers"] <= 1
         # concentration: covering t of revenue takes <= t of customers
         assert r["pct_customers"] <= r["threshold"] + 1e-9
+
+
+def test_rfm_tiles_partition_users_evenly(spark, sf_dir):
+    from collections import Counter
+
+    rows = OPS["events_rfm"].fn(spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    for dim in ("r_tile", "f_tile", "m_tile"):
+        c = Counter(r[dim] for r in rows)
+        assert set(c) <= {1, 2, 3, 4}
+        # ntile balance: bucket sizes differ by at most 1
+        assert max(c.values()) - min(c.values()) <= 1, (dim, c)
+    for r in rows:
+        assert r["rfm_code"] == r["r_tile"] * 100 + r["f_tile"] * 10 + r["m_tile"]
