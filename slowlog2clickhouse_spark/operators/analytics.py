@@ -535,3 +535,87 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile")
         ).alias("rfm_code"),
     )
+
+
+@op(
+    "events_ab_lift",
+    # assignment is a pure function of user_id (deterministic A/B
+    # split); every statistic derives from exact int counts, so the
+    # z-score doubles are bit-identical cross-engine
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id, user_id % 2 AS grp,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT grp, cast(count(*) AS BIGINT) AS n,
+             cast(sum(converted) AS BIGINT) AS conv
+      FROM assigned GROUP BY 1),
+    w AS (
+      SELECT
+        max(CASE WHEN grp = 0 THEN n END) AS n_a,
+        max(CASE WHEN grp = 0 THEN conv END) AS c_a,
+        max(CASE WHEN grp = 1 THEN n END) AS n_b,
+        max(CASE WHEN grp = 1 THEN conv END) AS c_b
+      FROM g)
+    SELECT n_a, c_a, n_b, c_b,
+           c_a * 1.0 / n_a AS rate_a,
+           c_b * 1.0 / n_b AS rate_b,
+           (c_b * 1.0 / n_b) - (c_a * 1.0 / n_a) AS abs_lift,
+           (c_b * 1.0 / n_b - c_a * 1.0 / n_a)
+             / nullif(sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
+                    * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 0) AS z_score
+    FROM w
+    """,
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test readout: conversion rate per
+    deterministic user-id split, absolute lift, and the pooled
+    z-score — the experiment-analysis query every growth team runs,
+    here with the whole statistic derived from four exact integers
+    (no sampling noise in the plan itself).
+
+    Scale: per-user conversion collapses the event stream first
+    (one shuffle on user_id); the rest is a 2-row aggregate and
+    driver-free scalar algebra. The deterministic hash split is the
+    same retry-stable assignment discipline as sample_fraction."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("grp")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    g = assigned.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("c_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("c_b"),
+    )
+    rate_a = F.col("c_a") * 1.0 / F.col("n_a")
+    rate_b = F.col("c_b") * 1.0 / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    # pooled = 1 (everyone converted — true at tiny SF) zeroes the
+    # variance; z is NULL then, matching the oracle's nullif
+    z = F.try_divide(
+        rate_b - rate_a,
+        F.sqrt(
+            pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ),
+    )
+    return w.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        (rate_b - rate_a).alias("abs_lift"),
+        z.alias("z_score"),
+    )

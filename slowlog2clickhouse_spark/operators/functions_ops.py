@@ -1364,3 +1364,44 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, n, revenue_effect
         """
     )
+
+
+@op(
+    "agg_percentile_disc",
+    # percentile_disc returns an ACTUAL data value (no interpolation),
+    # so unlike the _cont battery there is no float arithmetic at all
+    # to discipline — both engines pick the same stored double
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50_disc,
+           quantile_disc(value, 0.95) AS p95_disc,
+           quantile_cont(value, 0.5) AS p50_cont
+    FROM events GROUP BY 1
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (WITHIN GROUP ORDER BY): percentile_disc
+    picks an actual observed value instead of interpolating — the
+    right choice when the metric is categorical-ish (status codes,
+    bucketed latencies) or when a report must show a value that
+    really occurred. Emitted beside the continuous p50 so the
+    difference is visible in the result itself.
+
+    Scale: same single partial-agg'd shuffle as the exact-percentile
+    battery; the per-group value buffer is the cost driver, and the
+    documented 100 TB swap is approx_percentile (sketch) exactly as
+    for the _cont family."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_pdisc")
+    return spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+                 AS p50_disc,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY value)
+                 AS p95_disc,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value)
+                 AS p50_cont
+        FROM events_pdisc GROUP BY event_type
+        """
+    )

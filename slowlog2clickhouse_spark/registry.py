@@ -203,6 +203,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_entropy",
     "qan_digest_examples",
     "events_rfm",
+    "agg_percentile_disc",
+    "events_ab_lift",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
