@@ -19,5 +19,6 @@ from slowlog2clickhouse_spark.operators import (  # noqa: F401
     vector,
 )
 from slowlog2clickhouse_spark.plans import events_pipeline as _events_pipeline  # noqa: F401
+from slowlog2clickhouse_spark.plans import llm_funnel as _llm_funnel  # noqa: F401
 from slowlog2clickhouse_spark.streaming import ops as streaming_ops  # noqa: F401
 from slowlog2clickhouse_spark.streaming import slowlog_stream  # noqa: F401

@@ -205,6 +205,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_rfm",
     "agg_percentile_disc",
     "events_ab_lift",
+    "llm_curation_funnel",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

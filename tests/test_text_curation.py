@@ -223,3 +223,11 @@ def test_entropy_bounds_and_uniformity_extremes(spark, sf_dir):
         assert r["n_chars"] > 0
         # 0 <= H <= log2(distinct chars)
         assert -1e-9 <= r["entropy_bits"] <= math.log2(max(r["n_distinct_chars"], 2)) + 1e-9
+
+
+def test_curation_funnel_is_monotone_and_consistent(spark, sf_dir):
+    rows = {r["stage"]: r["n"] for r in OPS["llm_curation_funnel"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"total", "quality", "exact_dedup", "near_dedup", "chunks"}
+    assert rows["total"] >= rows["quality"] >= rows["exact_dedup"] >= rows["near_dedup"] > 0
+    # every surviving doc yields at least one chunk
+    assert rows["chunks"] >= rows["near_dedup"]
