@@ -1405,3 +1405,116 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_pdisc GROUP BY event_type
         """
     )
+
+
+@op(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           cast(count(*) AS BIGINT) AS n_all,
+           cast(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_finished,
+           round(sum(o_totalprice) FILTER (WHERE o_totalprice > 100000), 4)
+             AS big_total,
+           cast(count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O')
+                AS BIGINT) AS open_customers
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER clause on aggregates — the standard's form of
+    conditional aggregation (agg_conditional shows the CASE-WHEN
+    equivalent; FILTER states intent directly and composes with
+    DISTINCT, which CASE cannot). One grouped pass computes all four
+    differently-filtered aggregates.
+
+    Scale: identical partial-agg'd single-shuffle plan as the CASE
+    form — FILTER is free at the plan level."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_filter")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               round(sum(o_totalprice)
+                     FILTER (WHERE o_totalprice > 100000), 4) AS big_total,
+               count(DISTINCT o_custkey)
+                 FILTER (WHERE o_orderstatus = 'O') AS open_customers
+        FROM orders_filter GROUP BY 1
+        """
+    )
+
+
+@op(
+    "sql_lateral_alias",
+    # raw IEEE products, NO rounding: scalar double arithmetic is
+    # bit-deterministic cross-engine, while round()-on-a-double-tie is
+    # not (Spark rounds via decimal string, DuckDB via float multiply
+    # — a half-tie at sf0.1 flipped exactly this op before the rounds
+    # were removed)
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net,
+           (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS gross,
+           (l_extendedprice * (1 - l_discount)) * (1 + l_tax) >= 1000
+             AS is_material
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases: `net` defined in the SELECT list and
+    immediately reused by `gross`, which `is_material` reuses again —
+    the expression-pipeline style that otherwise forces nested
+    subqueries or repeated formulas (and repeated formulas drift).
+
+    Scale: pure projection; Catalyst inlines the alias chain into one
+    codegen'd stage, so the readability is free."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 50 == 0
+    )
+    li.createOrReplaceTempView("lineitem_lca")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS net,
+               net * (1 + l_tax) AS gross,
+               gross >= 1000 AS is_material
+        FROM lineitem_lca WHERE l_orderkey % 50 = 0
+        """
+    )
+
+
+@op(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT n_name, cast(count(*) AS BIGINT) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause: table and column names supplied as
+    PARAMETERS without string-concatenating SQL — the
+    injection-safe way to write generic per-table jobs (the
+    compaction/backfill tools in sinks_ops are exactly this shape in
+    production).
+
+    Scale: resolved at analysis time — the plan is identical to the
+    hardcoded-name query."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("sup_idf")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nat_idf")
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_suppliers
+        FROM IDENTIFIER(:fact) JOIN IDENTIFIER(:dim)
+          ON IDENTIFIER(:fact_key) = IDENTIFIER(:dim_key)
+        GROUP BY 1
+        """,
+        args={
+            "fact": "sup_idf",
+            "dim": "nat_idf",
+            "fact_key": "s_nationkey",
+            "dim_key": "n_nationkey",
+        },
+    )

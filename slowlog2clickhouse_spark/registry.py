@@ -206,6 +206,9 @@ _PRIORITY: tuple[str, ...] = (
     "agg_percentile_disc",
     "events_ab_lift",
     "llm_curation_funnel",
+    "agg_filter_clause",
+    "sql_lateral_alias",
+    "sql_identifier_clause",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
