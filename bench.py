@@ -136,6 +136,10 @@ def main() -> None:
             spark, sf_dir
         ),
         "ann_recall_eval": lambda: ops["ann_recall_eval"].fn(spark, sf_dir),
+        "agg_bitmap_distinct": lambda: ops["agg_bitmap_distinct"].fn(
+            spark, sf_dir
+        ),
+        "text_dup_spans": lambda: ops["text_dup_spans"].fn(spark, sf_dir),
     }
     for name in EXTRA_OPS:
         results[name] = round(time_df(extra_builders[name]), 4)
