@@ -56,6 +56,21 @@ PROBE = [
     "events_attribution",
     "scan_binary_files",
     "scan_jsonl_corrupt",
+    # round-5 second wave (fixture-reading slowlog/qan ops excluded:
+    # they parse the committed log, not the star schema)
+    "events_markov_transitions",
+    "basket_part_pairs",
+    "time_resample_ohlc",
+    "text_idf_keywords",
+    "text_entropy",
+    "events_rfm",
+    "mm_scene_cut",
+    "dq_sequence_gaps",
+    "agg_filter_clause",
+    "sql_lateral_alias",
+    "sql_identifier_clause",
+    "agg_percentile_disc",
+    "time_rolling_distinct",
 ]
 SINGLE_ROW_OK = {"funnel_events", "cte_recursive_spine"}
 
