@@ -502,3 +502,60 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("value"), 4).alias("total"),
         )
     )
+
+
+@op(
+    "scan_csv_multiline",
+    # fixture: quoted fields with EMBEDDED NEWLINES (every 7th doc's
+    # text gets its spaces turned into '\\n'); multiLine=true is the
+    # only correct read — the oracle derives the expected per-lang
+    # stats from the source table
+    oracle="""
+    SELECT lang,
+           cast(count(*) AS BIGINT) AS n,
+           cast(sum(CASE WHEN doc_id % 7 = 0
+                         THEN length(text) - length(replace(text, ' ', ''))
+                         ELSE 0 END) AS BIGINT) AS n_embedded_newlines
+    FROM documents WHERE doc_id < 300
+    GROUP BY 1
+    """,
+)
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with quoted multi-line fields — the ingest pain point that
+    silently corrupts naive splitters: every 7th document's text is
+    written with literal newlines inside its quoted field, and the
+    read-back uses ``multiLine=true`` so records span lines.
+
+    Scale trade stated honestly: multiLine CSV is NOT splittable —
+    one file = one task — so the production shape is many medium
+    files (the write here produces one per input partition), and the
+    first job converts to parquet. The per-lang counts plus the
+    embedded-newline tally pin that no record was split or lost."""
+    out = f"{_TMP}/docs_csv_multiline"
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    staged = d.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.regexp_replace("text", " ", "\n"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    staged.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(out)
+    back = (
+        spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(out)
+    )
+    newlines = F.length("text") - F.length(F.regexp_replace("text", "\n", ""))
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("doc_id") % 7 == 0, newlines).otherwise(0)
+        ).alias("n_embedded_newlines"),
+    )

@@ -795,3 +795,36 @@ def time_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", okey).alias("close"),
         F.count("*").alias("n"),
     )
+
+
+@op(
+    "qan_load_heatmap",
+    # G9 date-part conventions in action: Spark dayofweek is
+    # 1=Sunday, DuckDB dow is 0=Sunday — both sides emit ISO
+    # (1=Monday..7=Sunday) explicitly so the heatmap axes agree
+    oracle="""
+    SELECT CAST(isodow(ts) AS INTEGER) AS iso_dow,
+           CAST(hour(ts) AS INTEGER) AS hr,
+           cast(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS load_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def qan_load_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekday × hour load heatmap — every monitoring dashboard's
+    "when does this system hurt" panel (batch jobs light up the 03:00
+    row, business load the weekday 9-17 block). Also the living
+    example of gotcha G9: day-of-week numbering differs across
+    engines, so both sides emit ISO day numbers explicitly.
+
+    Scale: one partial-agg'd shuffle onto a ≤168-cell key domain —
+    the heatmap for 100 TB of events costs a map-side pass."""
+    ev = load_table(spark, sf_dir, "events")
+    iso_dow = F.weekday("ts") + 1  # Spark weekday: 0=Monday
+    return ev.groupBy(
+        iso_dow.cast("int").alias("iso_dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("load_sum"),
+    )

@@ -209,6 +209,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_filter_clause",
     "sql_lateral_alias",
     "sql_identifier_clause",
+    "scan_csv_multiline",
+    "qan_load_heatmap",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
