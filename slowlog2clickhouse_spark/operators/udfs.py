@@ -229,3 +229,61 @@ def grouped_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").applyInArrow(
         center, "doc_id long, lang string, n_chars long, centered long"
     )
+
+
+@op(
+    "udtf_table_arg",
+    # the UDTF computes only EXACT statistics (count, min, max — no
+    # float accumulation order to worry about), so the Python
+    # partition pass is hash-comparable against plain GROUP BY
+    oracle="""
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n,
+           min(value) AS vmin,
+           max(value) AS vmax
+    FROM events GROUP BY 1
+    """,
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 polymorphic UDTF with a TABLE argument: the function
+    consumes `TABLE(events) PARTITION BY event_type`, seeing each
+    class as its own partition stream and emitting one summary row
+    from ``terminate()`` — the API for custom per-group algorithms
+    that don't fit an aggregate signature (sessionizers, sequence
+    miners, anomaly scanners). udtf_parse_slowlog covers the
+    scalar-argument form; this is the table-argument half of the
+    surface.
+
+    Scale: PARTITION BY hash-shuffles once, then each partition
+    streams through one Python worker — the same distribution
+    contract as applyInPandas, with the Arrow batch transfer the
+    UDTF path shares. The oracle being a plain GROUP BY is the
+    point: the plumbing is custom, the answer is checkable."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type string, n bigint, vmin double, vmax double")
+    class PartitionSummary:
+        def __init__(self):
+            self.key = None
+            self.n = 0
+            self.vmin = None
+            self.vmax = None
+
+        def eval(self, row):
+            self.key = row["event_type"]
+            self.n += 1
+            v = row["value"]
+            if v is not None:
+                self.vmin = v if self.vmin is None else min(self.vmin, v)
+                self.vmax = v if self.vmax is None else max(self.vmax, v)
+
+        def terminate(self):
+            if self.n:
+                yield self.key, self.n, self.vmin, self.vmax
+
+    spark.udtf.register("partition_summary_udtf", PartitionSummary)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_udtf")
+    return spark.sql(
+        "SELECT * FROM partition_summary_udtf("
+        "TABLE(events_udtf) PARTITION BY event_type)"
+    )

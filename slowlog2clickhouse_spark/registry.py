@@ -211,6 +211,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_identifier_clause",
     "scan_csv_multiline",
     "qan_load_heatmap",
+    "udtf_table_arg",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

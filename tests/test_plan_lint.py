@@ -119,7 +119,11 @@ def test_no_row_python_udf_outside_api_surface_ops(plans):
         n
         for n, p in plans.items()
         if "BatchEvalPython" in p
-        and n not in ("udf_fingerprint_py", "udtf_parse_slowlog")
+        and n not in (
+            "udf_fingerprint_py",
+            "udtf_parse_slowlog",
+            "udtf_table_arg",  # the TABLE-argument UDTF API surface op
+        )
     ]
     assert not bad, f"row-at-a-time Python UDF in hot path: {bad}"
 
