@@ -97,6 +97,13 @@ def main() -> None:
         golden_records_df(spark, log),
         os.path.join(golden, "slowlog_small_records.parquet"),
     )
+    # rate-limited fixture: the sampled-log estimation op's oracle
+    _write_single_file(
+        golden_events_df(
+            spark, os.path.join(fixtures, "slowlog_ratelimit.log")
+        ),
+        os.path.join(golden, "slowlog_ratelimit_events.parquet"),
+    )
 
 
 if __name__ == "__main__":

@@ -761,3 +761,63 @@ def qan_digest_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("query").alias("example_md5"),
         )
     )
+
+
+FIXTURE_RATELIMIT_LOG = os.path.join(
+    _REPO_ROOT, "tests", "fixtures", "slowlog_ratelimit.log"
+)
+_GOLD_RATE = (
+    "read_parquet('"
+    + os.path.join(
+        _REPO_ROOT, "tests", "fixtures", "golden",
+        "slowlog_ratelimit_events.parquet",
+    )
+    + "')"
+)
+
+
+@op(
+    "slowlog_rate_adjusted",
+    # estimates are exact: cnt × rate_limit is integer, the time sums
+    # are round-6-recovered decimals scaled by an integer factor
+    oracle=f"""
+    SELECT digest,
+           coalesce(max(rate_limit), 1) AS rate_limit,
+           cast(count(*) AS BIGINT) AS cnt_logged,
+           cast(count(*) * coalesce(max(rate_limit), 1) AS BIGINT)
+             AS cnt_estimated,
+           round(coalesce(sum(query_time), 0), 6) AS qt_logged,
+           round(coalesce(sum(query_time), 0), 6)
+             * coalesce(max(rate_limit), 1) AS qt_estimated
+    FROM {_GOLD_RATE}
+    WHERE NOT admin AND query IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def slowlog_rate_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limited slow-log estimation ([go-mysql] log/log.go
+    RateType/RateLimit [R:H]; Percona's Log_slow_rate_limit=N logs
+    only 1/N sessions): per-class counts and time sums UPSCALED by
+    the sampling factor — the correction without which a sampled
+    slow log under-reports load by N×. pt-query-digest and PMM both
+    apply exactly this multiplier; the parser already captures the
+    headers, this op closes the loop.
+
+    Scale: identical digest-keyed partial-agg'd rollup as
+    slowlog_classes; the multiplier rides the aggregate as
+    max(rate_limit) per class (a class is logged under one sampling
+    config at a time)."""
+    from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
+
+    events = with_fingerprint(
+        parse_slowlog(spark, FIXTURE_RATELIMIT_LOG)
+    ).where((~F.col("admin")) & F.col("query").isNotNull())
+    rl = F.coalesce(F.max("rate_limit"), F.lit(1))
+    qt = F.round(F.coalesce(F.sum("query_time"), F.lit(0.0)), 6)
+    return events.groupBy("digest").agg(
+        rl.alias("rate_limit"),
+        F.count("*").alias("cnt_logged"),
+        (F.count("*") * rl).alias("cnt_estimated"),
+        qt.alias("qt_logged"),
+        (qt * rl).alias("qt_estimated"),
+    )

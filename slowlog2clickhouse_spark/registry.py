@@ -212,6 +212,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_csv_multiline",
     "qan_load_heatmap",
     "udtf_table_arg",
+    "slowlog_rate_adjusted",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

@@ -541,3 +541,16 @@ def test_load_share_sums_to_one_and_rank_orders(spark, sf_dir):
     assert [r["load_rank"] for r in rows] == list(range(1, len(rows) + 1))
     for prev, cur in zip(rows, rows[1:]):
         assert prev["qt_sum"] >= cur["qt_sum"]
+
+
+def test_rate_adjusted_upscales_by_sampling_factor(spark, sf_dir):
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    rows = all_ops()["slowlog_rate_adjusted"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["rate_limit"] >= 1
+        assert r["cnt_estimated"] == r["cnt_logged"] * r["rate_limit"]
+        assert abs(r["qt_estimated"] - r["qt_logged"] * r["rate_limit"]) < 1e-9
+    # the fixture's sampled class is logged at 1/100
+    assert any(r["rate_limit"] == 100 for r in rows)
