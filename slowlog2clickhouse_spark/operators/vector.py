@@ -163,7 +163,8 @@ def _duck_cos(a: str, b: str) -> str:
     return f"({_duck_dot(a, b)}) / ({_duck_norm(a)} * {_duck_norm(b)})"
 
 
-_IVF_DUCK = f"""
+def _ivf_duck(nprobe: int) -> str:
+    return f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
@@ -189,7 +190,7 @@ _IVF_DUCK = f"""
       SELECT probe_id, pe, cent_id AS cell FROM (
         SELECT *, row_number() OVER (
             PARTITION BY probe_id ORDER BY cos_c DESC, cent_id ASC) AS rnc
-        FROM probe_sc) t WHERE rnc <= {IVF_NPROBE})
+        FROM probe_sc) t WHERE rnc <= {nprobe})
     SELECT probe_id, cand_id, cos_sim, CAST(rn AS BIGINT) AS rn FROM (
       SELECT p.probe_id, c.cand_id,
              round({_duck_cos("p.pe", "c.ce")}, 6) AS cos_sim,
@@ -200,6 +201,16 @@ _IVF_DUCK = f"""
       FROM probe_cells p JOIN cand_cells c USING (cell)
     ) t WHERE rn <= 3
     """
+
+
+_IVF_DUCK = _ivf_duck(IVF_NPROBE)
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """Parameterized IVF top-3 (see vec_knn_ivf for the design
+    contract); nprobe is the probe-side fan-out knob the sweep op
+    turns."""
+    return _vec_knn_ivf_impl(spark, sf_dir, nprobe)
 
 
 @op("vec_knn_ivf", oracle=_IVF_DUCK)
@@ -219,6 +230,12 @@ def vec_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Recall vs the brute-force baseline is pinned in tests/test_vector.py.
     """
+    return _vec_knn_ivf_impl(spark, sf_dir, IVF_NPROBE)
+
+
+def _vec_knn_ivf_impl(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     emb = _emb_double()
     hk = F.conv(
@@ -274,7 +291,7 @@ def vec_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = with_e.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("probe_id"), "ed"
     )
-    probe_cells = nearest_cells(probes, "probe_id", IVF_NPROBE).select(
+    probe_cells = nearest_cells(probes, "probe_id", nprobe).select(
         "probe_id", F.col("ed").alias("pe"), "cell"
     )
 
@@ -837,6 +854,101 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             # try_divide: an EMPTY probe panel (truth_n = 0) must yield
             # NULL recall, not an ANSI division-by-zero crash — matches
             # DuckDB, where 0/0 is NULL
+            F.round(
+                F.try_divide(
+                    F.coalesce(F.col("hits"), F.lit(0)), F.col("truth_n")
+                ),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
+_SWEEP_NPROBES = (1, 2, 4, 8)
+
+
+def _nprobe_sweep_duck() -> str:
+    arms = "\n      UNION ALL\n".join(
+        f"""      SELECT {p} AS nprobe, probe_id, cand_id
+      FROM ({_ivf_duck(p)}) v{p}"""
+        for p in _SWEEP_NPROBES
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+      FROM embeddings),
+    truth AS MATERIALIZED ({_RECALL_TRUTH_DUCK}),
+    tagged AS (
+{arms}),
+    hits AS (
+      SELECT nprobe, count(*) AS hits
+      FROM tagged JOIN truth USING (probe_id, cand_id) GROUP BY 1),
+    m AS (SELECT unnest([{', '.join(str(p) for p in _SWEEP_NPROBES)}])
+            AS nprobe),
+    tn AS (SELECT count(*) AS truth_n FROM truth)
+    SELECT CAST(m.nprobe AS INTEGER) AS nprobe,
+           coalesce(h.hits, 0) AS hits, tn.truth_n,
+           round(coalesce(h.hits, 0) / tn.truth_n, 4) AS recall
+    FROM m LEFT JOIN hits h USING (nprobe), tn
+    """
+
+
+@op("ann_nprobe_sweep", oracle=_nprobe_sweep_duck())
+def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@3 at nprobe ∈ {1, 2, 4, 8} against
+    the brute-force ground truth — the parameter sweep that picks the
+    recall/latency point BEFORE an approximate index replaces the
+    exact path (ann_recall_eval measures the chosen configs; this op
+    shows the whole knob).
+
+    Scale: the corpus-side cell assignment is computed per arm here
+    for oracle symmetry, but the production sweep shares ONE index —
+    only the probe-side fan-out (nprobe cells per probe) changes, so
+    sweeping is probe-side-cheap exactly like multi-probe LSH. Truth
+    is one brute-force pass on the fixed 20-probe panel."""
+    e = load_table(spark, sf_dir, "embeddings")
+    with_e = e.select("vec_id", _emb_double().alias("ed"))
+    probes = with_e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("ed").alias("pe")
+    )
+    cands = with_e.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"), F.col("ed").alias("ce")
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    truth = (
+        cands.join(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(cosine(F.col("pe"), F.col("ce")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("probe_id", "cand_id")
+        .localCheckpoint()
+    )
+    tagged = None
+    for p in _SWEEP_NPROBES:
+        arm = ivf_topk(spark, sf_dir, p).select(
+            F.lit(p).alias("nprobe"), "probe_id", "cand_id"
+        )
+        tagged = arm if tagged is None else tagged.unionByName(arm)
+    hits = tagged.join(truth, ["probe_id", "cand_id"]).groupBy("nprobe").agg(
+        F.count("*").alias("hits")
+    )
+    arms = spark.createDataFrame(
+        [(p,) for p in _SWEEP_NPROBES], "nprobe int"
+    )
+    truth_n = truth.agg(F.count("*").alias("truth_n"))
+    return (
+        arms.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(truth_n))
+        .select(
+            "nprobe",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            "truth_n",
             F.round(
                 F.try_divide(
                     F.coalesce(F.col("hits"), F.lit(0)), F.col("truth_n")

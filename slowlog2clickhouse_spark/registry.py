@@ -213,6 +213,7 @@ _PRIORITY: tuple[str, ...] = (
     "qan_load_heatmap",
     "udtf_table_arg",
     "slowlog_rate_adjusted",
+    "ann_nprobe_sweep",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

@@ -126,3 +126,16 @@ def test_ann_recall_eval_bounds_and_truth_size(spark, sf_dir):
     # multi-probe strictly widens the single-probe candidate set
     assert rows["ivf"]["recall"] >= rows["lsh"]["recall"]
     assert rows["lsh_mp"]["recall"] >= rows["lsh"]["recall"]
+
+
+def test_nprobe_sweep_recall_is_monotone_in_nprobe(spark, sf_dir):
+    rows = sorted(
+        OPS["ann_nprobe_sweep"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+    # searching more cells can only find more true neighbors
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["hits"] >= prev["hits"], rows
+    assert all(0 <= r["recall"] <= 1 for r in rows)
+    assert rows[-1]["hits"] > 0
