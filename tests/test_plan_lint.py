@@ -78,6 +78,7 @@ ALLOW_NESTED_LOOP = {
     "slowlog_load_share",  # broadcast 1-row grand-total factor
     "text_idf_keywords",  # broadcast 1-row corpus-size factor (idf)
     "events_ab_lift",  # 2-row group stats folded to one wide row
+    "ann_nprobe_sweep",  # brute-force truth pass on the fixed probe panel
 }
 
 LAZY_OPS = sorted(set(OPS) - EAGER)
