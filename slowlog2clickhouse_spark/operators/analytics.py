@@ -619,3 +619,69 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rate_b - rate_a).alias("abs_lift"),
         z.alias("z_score"),
     )
+
+
+@op(
+    "events_conversion_lag",
+    # first-view/first-purchase are exact min() timestamps; the lag is
+    # integer seconds; exact percentiles over the per-user lag table
+    # interpolate bit-identically (module float discipline)
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY 1),
+    lag_t AS (
+      SELECT user_id,
+             cast(date_diff('second', first_view, first_purchase) AS BIGINT)
+               AS lag_s
+      FROM u
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase > first_view)
+    SELECT cast(count(*) AS BIGINT) AS n_converting,
+           min(lag_s) AS min_lag_s,
+           quantile_cont(lag_s, 0.5) AS p50_lag_s,
+           quantile_cont(lag_s, 0.9) AS p90_lag_s,
+           max(lag_s) AS max_lag_s
+    FROM lag_t
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for users whose first purchase
+    follows their first view, the view→purchase lag in seconds with
+    min/p50/p90/max — the activation-speed panel growth teams pair
+    with the funnel (a p50 of days vs minutes changes the whole
+    onboarding design).
+
+    Scale: one conditional-aggregation pass per user (the only
+    full-data shuffle), then exact percentiles over the small
+    converting-user table — the same post-agg-exact-percentile rule
+    as qan_anomaly_mad. No window, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lag_t = u.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select(
+        (
+            F.col("first_purchase").cast("long")
+            - F.col("first_view").cast("long")
+        ).alias("lag_s")
+    )
+    return lag_t.agg(
+        F.count("*").alias("n_converting"),
+        F.min("lag_s").alias("min_lag_s"),
+        F.expr("percentile(lag_s, 0.5)").alias("p50_lag_s"),
+        F.expr("percentile(lag_s, 0.9)").alias("p90_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+    )

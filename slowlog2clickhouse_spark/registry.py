@@ -214,6 +214,7 @@ _PRIORITY: tuple[str, ...] = (
     "udtf_table_arg",
     "slowlog_rate_adjusted",
     "ann_nprobe_sweep",
+    "events_conversion_lag",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
