@@ -94,3 +94,63 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 4).alias("total"),
     )
+
+
+@op(
+    "join_null_skew_isolation",
+    # deterministic null synthesis (every 10th custkey) stands in for
+    # the nullable-FK reality; the oracle states plain left-join
+    # semantics — the Spark side must reproduce them through the split
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_custkey END
+               AS cust_fk,
+             o_totalprice
+      FROM orders)
+    SELECT o.o_orderkey, o.cust_fk, c.c_mktsegment,
+           round(o.o_totalprice, 4) AS price
+    FROM o LEFT JOIN customer c ON o.cust_fk = c.c_custkey
+    """,
+)
+def join_null_skew_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-key skew isolation — the most common real-world join skew:
+    a nullable foreign key sends EVERY null row to one hash partition,
+    where they do nothing (NULL never equi-matches) except serialize
+    one task. The playbook split: route null-key rows around the join
+    entirely (they keep their left-outer NULL columns by construction)
+    and hash-join only the non-null side, then union.
+
+    Scale: the null fraction rides a map-side filter + union — zero
+    shuffle for those rows — and the join's partitions stay balanced.
+    Sibling of join_salted_skew (hot VALUES) — this one handles the
+    hot NULL, which salting can't fix (salted nulls still produce no
+    matches, just spread the waste). The oracle is the plain left
+    join, so the split must be semantics-preserving."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 10 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_fk"),
+        "o_totalprice",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    nulls = o.where(F.col("cust_fk").isNull()).select(
+        "o_orderkey",
+        "cust_fk",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.round("o_totalprice", 4).alias("price"),
+    )
+    matched = (
+        o.where(F.col("cust_fk").isNotNull())
+        .join(c, F.col("cust_fk") == F.col("c_custkey"), "left")
+        .select(
+            "o_orderkey",
+            "cust_fk",
+            "c_mktsegment",
+            F.round("o_totalprice", 4).alias("price"),
+        )
+    )
+    return matched.unionByName(nulls)

@@ -215,6 +215,7 @@ _PRIORITY: tuple[str, ...] = (
     "slowlog_rate_adjusted",
     "ann_nprobe_sweep",
     "events_conversion_lag",
+    "join_null_skew_isolation",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
