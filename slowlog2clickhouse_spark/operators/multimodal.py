@@ -716,3 +716,69 @@ def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rms",
         F.round(delta, 6).alias("delta"),
     )
+
+
+@op(
+    "mm_duplicate_frames",
+    # ASCII corpus ⇒ md5 of the byte frame == md5 of the char
+    # substring (same precondition mm_frame_sample pins); frames are
+    # counted per DISTINCT doc so in-doc repetition can't fake
+    # cross-doc sharing
+    oracle=f"""
+    WITH fr AS (
+      SELECT DISTINCT doc_id,
+             md5(substr(text, CAST((f * {FRAME_BYTES} + 1) AS INT),
+                        {FRAME_BYTES})) AS frame_md5
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(length(text) * 1.0
+                                             / {FRAME_BYTES}) AS BIGINT)))
+                     AS f
+            FROM documents WHERE length(text) > 0) t),
+    freq AS (
+      SELECT frame_md5, cast(count(*) AS BIGINT) AS n_docs
+      FROM fr GROUP BY 1 HAVING count(*) >= 2)
+    SELECT frame_md5, n_docs,
+           cast(row_number() OVER (
+             ORDER BY n_docs DESC, frame_md5 ASC) AS INTEGER) AS rk
+    FROM freq QUALIFY rk <= 50
+    """,
+)
+def mm_duplicate_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate frames: fixed-size payload chunks that
+    appear (by content hash) in two or more documents — the binary
+    analog of text_dup_spans, and the multimodal dedup primitive
+    (shared intro/outro segments across videos, repeated images
+    across pages) that works WITHOUT decoding anything.
+
+    Scale: frame hashing is a map-side binary substring + md5 (zero
+    Python — the JVM slices the blob), the per-doc DISTINCT and the
+    frequency count are fixed-width-key shuffles, and HAVING ≥2
+    prunes before the tiny top-50 rank. Identical counting shape to
+    text_dup_spans — boilerplate emerges from counting, never from
+    pairwise comparison."""
+    from pyspark.sql import Window as W
+
+    with_bin = attach_binary(load_table(spark, sf_dir, "documents"))
+    n_frames = F.ceil(F.length("payload") * 1.0 / FRAME_BYTES).cast("long")
+    fr = (
+        with_bin.where(F.length("payload") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("f"),
+            "payload",
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.expr(f"substring(payload, f * {FRAME_BYTES} + 1, {FRAME_BYTES})")
+            ).alias("frame_md5"),
+        )
+        .distinct()
+    )
+    freq = (
+        fr.groupBy("frame_md5")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    w = W.orderBy(F.col("n_docs").desc(), F.col("frame_md5").asc())
+    return freq.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 50)

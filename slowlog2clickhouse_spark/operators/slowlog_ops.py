@@ -821,3 +821,74 @@ def slowlog_rate_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         qt.alias("qt_logged"),
         (qt * rl).alias("qt_estimated"),
     )
+
+
+@op(
+    "slowlog_top_tables",
+    # table extraction = one regexp over the FINGERPRINT (already
+    # whitespace-normalized), identical pattern both engines; load
+    # share follows slowlog_load_share's round-recovered discipline
+    oracle=f"""
+    WITH t AS (
+      SELECT lower(regexp_extract(fingerprint,
+                   'from ([a-z0-9_]+)', 1)) AS table_name,
+             query_time
+      FROM {_GOLD}
+      WHERE NOT admin AND query IS NOT NULL),
+    per AS (
+      SELECT table_name,
+             cast(count(*) AS BIGINT) AS cnt,
+             round(coalesce(sum(query_time), 0), 6) AS qt_sum
+      FROM t WHERE table_name <> '' GROUP BY 1),
+    tot AS (SELECT round(sum(qt_sum), 6) AS grand FROM per)
+    SELECT table_name, cnt, qt_sum,
+           qt_sum / tot.grand AS load_share,
+           cast(row_number() OVER (
+             ORDER BY qt_sum DESC, table_name ASC) AS INTEGER) AS rnk
+    FROM per, tot
+    """,
+)
+def slowlog_top_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt-query-digest's per-TABLE report: which tables carry the
+    query-time load, extracted from the normalized fingerprints (one
+    regexp — the fingerprint already collapsed literals and case, so
+    'FROM orders' and 'from ORDERS' agree). The table axis is what
+    the DBA acts on (index/partition/denormalize a TABLE, not a
+    digest).
+
+    Scale: regexp is map-side over |classes|-collapsed... actually
+    over events — but the extraction feeds the same digest-shaped
+    partial-agg'd rollup, and the grand total is a 1-row broadcast.
+    Multi-table joins attribute to their first table here; the full
+    version explodes all FROM/JOIN captures (regexp_extract_all) at
+    the same plan shape."""
+    from pyspark.sql import Window as W
+
+    from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
+
+    events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        (~F.col("admin")) & F.col("query").isNotNull()
+    )
+    tbl = F.lower(
+        F.regexp_extract(F.col("fingerprint"), r"from ([a-z0-9_]+)", 1)
+    )
+    per = (
+        events.select(tbl.alias("table_name"), "query_time")
+        .where(F.col("table_name") != "")
+        .groupBy("table_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.coalesce(F.sum("query_time"), F.lit(0.0)), 6).alias(
+                "qt_sum"
+            ),
+        )
+    )
+    tot = per.agg(F.round(F.sum("qt_sum"), 6).alias("grand"))
+    w = W.orderBy(F.col("qt_sum").desc(), F.col("table_name").asc())
+    return per.crossJoin(F.broadcast(tot)).select(
+        "table_name",
+        "cnt",
+        "qt_sum",
+        (F.col("qt_sum") / F.col("grand")).alias("load_share"),
+        F.row_number().over(w).alias("rnk"),
+    )

@@ -216,6 +216,8 @@ _PRIORITY: tuple[str, ...] = (
     "ann_nprobe_sweep",
     "events_conversion_lag",
     "join_null_skew_isolation",
+    "slowlog_top_tables",
+    "mm_duplicate_frames",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

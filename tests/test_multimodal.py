@@ -69,3 +69,13 @@ def test_scene_cuts_are_true_energy_jumps(spark, sf_dir):
         assert rms[(c["doc_id"], c["frame_no"])] == c["rms"]
         assert rms[(c["doc_id"], c["frame_no"] - 1)] == c["prev_rms"]
         assert abs(c["rms"] - c["prev_rms"]) > 5.0
+
+
+def test_duplicate_frames_are_cross_doc_and_ranked(spark, sf_dir):
+    rows = OPS["mm_duplicate_frames"].fn(spark, sf_dir).collect()
+    assert rows
+    rows.sort(key=lambda r: r["rk"])
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["n_docs"] >= cur["n_docs"]
+    assert all(r["n_docs"] >= 2 for r in rows)
