@@ -892,3 +892,65 @@ def slowlog_top_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("qt_sum") / F.col("grand")).alias("load_share"),
         F.row_number().over(w).alias("rnk"),
     )
+
+
+@op(
+    "qan_digest_cooccurrence",
+    # the pair generator self-joins the (digest, minute) DISTINCT set
+    # on the minute key — bounded by digests-per-minute, the same
+    # group-bounded-quadratic argument as basket_part_pairs
+    oracle=f"""
+    WITH dm AS (
+      SELECT DISTINCT digest, date_trunc('minute', ts) AS m
+      FROM {_GOLD}
+      WHERE NOT admin AND query IS NOT NULL AND ts IS NOT NULL),
+    pairs AS (
+      SELECT a.digest AS digest_a, b.digest AS digest_b,
+             cast(count(*) AS BIGINT) AS n_minutes
+      FROM dm a JOIN dm b ON a.m = b.m AND a.digest < b.digest
+      GROUP BY 1, 2)
+    SELECT digest_a, digest_b, n_minutes,
+           cast(row_number() OVER (
+             ORDER BY n_minutes DESC, digest_a ASC, digest_b ASC)
+             AS INTEGER) AS rk
+    FROM pairs QUALIFY rk <= 20
+    """,
+)
+def qan_digest_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-workload mining: the digest pairs most often active
+    in the SAME minute — the panel that surfaces "this report query
+    always runs alongside that lock-heavy update" (the co-occurring
+    pair, not either query alone, is what saturates the server).
+    Market-basket analysis where the basket is a minute of wall time.
+
+    Scale: collapse to DISTINCT (digest, minute) first — the only
+    full-data shuffle — then self-join on the minute key; per-minute
+    active-digest counts bound the pair fan-out exactly as basket
+    size bounds basket_part_pairs. Top-20 over the tiny pair table."""
+    from pyspark.sql import Window as W
+
+    from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
+
+    events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        (~F.col("admin"))
+        & F.col("query").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    dm = events.select(
+        "digest", F.date_trunc("minute", "ts").alias("m")
+    ).distinct()
+    a = dm.select(F.col("digest").alias("digest_a"), F.col("m").alias("ma"))
+    b = dm.select(F.col("digest").alias("digest_b"), F.col("m").alias("mb"))
+    pairs = (
+        a.join(b, (F.col("ma") == F.col("mb")) & (F.col("digest_a") < F.col("digest_b")))
+        .groupBy("digest_a", "digest_b")
+        .agg(F.count("*").alias("n_minutes"))
+    )
+    w = W.orderBy(
+        F.col("n_minutes").desc(),
+        F.col("digest_a").asc(),
+        F.col("digest_b").asc(),
+    )
+    return pairs.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 20
+    )

@@ -218,6 +218,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_null_skew_isolation",
     "slowlog_top_tables",
     "mm_duplicate_frames",
+    "qan_digest_cooccurrence",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
