@@ -685,3 +685,49 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(lag_s, 0.9)").alias("p90_lag_s"),
         F.max("lag_s").alias("max_lag_s"),
     )
+
+
+@op(
+    "events_trigram_paths",
+    # the path window is deterministic via the unique (ts, event_id)
+    # tiebreak; top-20 with full lexical tiebreak
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS prev1,
+             lag(event_type, 2) OVER w AS prev2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    tri AS (
+      SELECT prev2 || '>' || prev1 || '>' || event_type AS path,
+             count(*) AS n
+      FROM s WHERE prev2 IS NOT NULL GROUP BY 1)
+    SELECT path, cast(n AS BIGINT) AS n,
+           cast(row_number() OVER (ORDER BY n DESC, path ASC) AS INTEGER)
+             AS rk
+    FROM tri QUALIFY rk <= 20
+    """,
+)
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the top-20 three-step event sequences
+    across user streams — the "view>click>purchase vs
+    view>view>view" breakdown product analytics reads before funnel
+    design (events_markov_transitions is the 1st-order model; this is
+    the raw 3-gram evidence it summarizes).
+
+    Scale: ONE window shuffle on user_id computes both lags; the
+    trigram count groupBy has an |event_types|³-bounded key domain, so
+    everything after the window is tiny. Same plan family as the
+    Markov matrix — deliberately, so the two reconcile."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    s = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    ).where(F.col("prev2").isNotNull())
+    tri = s.groupBy(
+        F.concat_ws(">", "prev2", "prev1", "event_type").alias("path")
+    ).agg(F.count("*").alias("n"))
+    wr = W.orderBy(F.col("n").desc(), F.col("path").asc())
+    return tri.withColumn("rk", F.row_number().over(wr)).where(F.col("rk") <= 20)

@@ -925,3 +925,50 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "common", score.alias("containment"))
         .where(F.col("containment") > 0.5)
     )
+
+
+@op(
+    "dedup_prefix",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice({_TOK_DUCK}, 1, 16), ' '))
+               AS prefix_md5,
+             length(text) AS n_chars
+      FROM documents
+      WHERE len({_TOK_DUCK}) >= 16)
+    SELECT prefix_md5,
+           cast(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keeper_doc_id,
+           cast(max(n_chars) AS BIGINT) AS longest_chars
+    FROM p GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-hash near-dup: documents sharing their first 16 tokens —
+    the truncated/extended-variant duplicate a crawl produces when the
+    same article is cut at different lengths (exact dedup misses it
+    because the tails differ; minhash can miss it when the shared
+    prefix is a small fraction of the longer doc). Reported as
+    clusters with the min-id keeper and the longest variant's size
+    (the usual policy keeps the LONGEST — both facts are emitted).
+
+    Scale: one md5 over a bounded prefix per doc (cost independent of
+    doc length), one fixed-width-key groupBy — the cheapest near-dup
+    pass in the family, which is why crawl pipelines run it FIRST."""
+    d = load_table(spark, sf_dir, "documents")
+    t = _tokens_col()
+    p = d.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(t, 1, 16), " ")).alias("prefix_md5"),
+        F.length("text").alias("n_chars"),
+    ).where(F.size(t) >= 16)
+    return (
+        p.groupBy("prefix_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.max("n_chars").cast("long").alias("longest_chars"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

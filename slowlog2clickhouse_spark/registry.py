@@ -219,6 +219,8 @@ _PRIORITY: tuple[str, ...] = (
     "slowlog_top_tables",
     "mm_duplicate_frames",
     "qan_digest_cooccurrence",
+    "dedup_prefix",
+    "events_trigram_paths",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
