@@ -79,6 +79,7 @@ ALLOW_NESTED_LOOP = {
     "text_idf_keywords",  # broadcast 1-row corpus-size factor (idf)
     "events_ab_lift",  # 2-row group stats folded to one wide row
     "ann_nprobe_sweep",  # brute-force truth pass on the fixed probe panel
+    "slowlog_top_tables",  # broadcast 1-row grand-total factor
 }
 
 LAZY_OPS = sorted(set(OPS) - EAGER)
