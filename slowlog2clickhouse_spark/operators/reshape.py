@@ -164,3 +164,62 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@op(
+    "reshape_transpose",
+    # transpose of the 5-row region rollup: the oracle restates it as
+    # the classic conditional-aggregation pivot — metric rows, one
+    # column per region name
+    oracle="""
+    WITH agg AS (
+      SELECT r_name,
+             round(sum(s_acctbal), 4) AS bal_sum,
+             cast(count(*) AS BIGINT) * 1.0 AS n_suppliers
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1)
+    SELECT 'bal_sum' AS key,
+           max(CASE WHEN r_name = 'AFRICA' THEN bal_sum END) AS AFRICA,
+           max(CASE WHEN r_name = 'AMERICA' THEN bal_sum END) AS AMERICA,
+           max(CASE WHEN r_name = 'ASIA' THEN bal_sum END) AS ASIA,
+           max(CASE WHEN r_name = 'EUROPE' THEN bal_sum END) AS EUROPE,
+           max(CASE WHEN r_name = 'MIDDLE EAST' THEN bal_sum END)
+             AS "MIDDLE EAST"
+    FROM agg
+    UNION ALL
+    SELECT 'n_suppliers',
+           max(CASE WHEN r_name = 'AFRICA' THEN n_suppliers END),
+           max(CASE WHEN r_name = 'AMERICA' THEN n_suppliers END),
+           max(CASE WHEN r_name = 'ASIA' THEN n_suppliers END),
+           max(CASE WHEN r_name = 'EUROPE' THEN n_suppliers END),
+           max(CASE WHEN r_name = 'MIDDLE EAST' THEN n_suppliers END)
+    FROM agg
+    """,
+)
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (new in Spark 4): flip a small metrics
+    table so metrics become rows and entities become columns — the
+    report-rendering reshape every dashboard does last (pivot_wide
+    turns values into columns; transpose turns the WHOLE frame).
+    Uniform metric types are required (doubles here) since each old
+    row becomes a typed column.
+
+    Scale: transpose collects the frame's first column to name the
+    output columns — driver-bounded by design, so it belongs strictly
+    AFTER aggregation (here: a 5-row region rollup). Never transpose
+    a fact table; the plan pins the aggregate below it."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    agg = (
+        sup.join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("s_acctbal"), 4).alias("bal_sum"),
+            (F.count("*") * 1.0).alias("n_suppliers"),
+        )
+    )
+    return agg.transpose()

@@ -221,6 +221,7 @@ _PRIORITY: tuple[str, ...] = (
     "qan_digest_cooccurrence",
     "dedup_prefix",
     "events_trigram_paths",
+    "reshape_transpose",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
