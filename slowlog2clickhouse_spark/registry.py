@@ -149,8 +149,11 @@ _PRIORITY: tuple[str, ...] = (
     "join_bucketed_colocated",
     "stream_stateful_counter",
     # --- round-6 rotation head: oracle ops converted/added in the
-    # round-5 session, never driver-scored (replica-green at sf0.01
-    # and sf0.1) — next round, move this block into positions 1-N.
+    # round-5 session, never driver-scored (replica-green at sf0.01;
+    # the second-wave additions through reshape_transpose are also
+    # sf0.1-verified) — this block now exceeds one 50-op window, so
+    # round 6 should promote its first 50 entries to positions 1-50
+    # and round 7 the remainder.
     "qan_anomaly_mad",
     "text_ngram_topk",
     "vec_knn_ivf",
