@@ -828,3 +828,61 @@ def qan_load_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("load_sum"),
     )
+
+
+@op(
+    "events_bounce_rate",
+    # sessionization restated with the islands technique (the same
+    # equivalence agg_session_window_builtin pins); bounce_rate is
+    # exact int/int
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 10 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g),
+    sess AS (
+      SELECT user_id, sid,
+             CAST(min(ts) AS DATE) AS day,
+             count(*) AS n_events
+      FROM s GROUP BY 1, 2)
+    SELECT day,
+           cast(count(*) AS BIGINT) AS n_sessions,
+           cast(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)
+             AS bounce_rate
+    FROM sess GROUP BY 1
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of sessions containing exactly one
+    event — the engagement headline metric, built ON the built-in
+    session_window aggregation (one definition of "session" across
+    this op, the batch sessionizer and the streaming path; the oracle
+    restates it via the islands technique their equivalence test
+    already pins).
+
+    Scale: session_window's single user-keyed aggregate shuffle, then
+    a tiny |days| rollup. Sessions are attributed to the day they
+    START (min ts), so midnight-spanning sessions count once."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id", F.session_window("ts", "10 minutes").alias("w")
+    ).agg(F.count("*").alias("n_events"))
+    by_day = sess.select(
+        F.to_date("w.start").alias("day"), "n_events"
+    )
+    bounce = F.sum((F.col("n_events") == 1).cast("long"))
+    return by_day.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        (bounce * 1.0 / F.count("*")).alias("bounce_rate"),
+    )
