@@ -731,3 +731,75 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
     wr = W.orderBy(F.col("n").desc(), F.col("path").asc())
     return tri.withColumn("rk", F.row_number().over(wr)).where(F.col("rk") <= 20)
+
+
+@op(
+    "supplier_balance_outliers",
+    # variance from ROUND-RECOVERED sums, not var_samp: the builtin's
+    # aggregation-state accumulation is partition-order dependent,
+    # while (ssq - n·mean²)/(n-1) over recovered decimal sums is a
+    # deterministic scalar formula on both engines
+    oracle="""
+    WITH stats AS (
+      SELECT s_nationkey,
+             cast(count(*) AS BIGINT) AS n,
+             round(sum(s_acctbal), 4) AS s1,
+             round(sum(s_acctbal * s_acctbal), 4) AS s2
+      FROM supplier GROUP BY 1 HAVING count(*) >= 3),
+    z AS (
+      SELECT s.s_suppkey, s.s_nationkey, round(s.s_acctbal, 4) AS bal,
+             st.s1 / st.n AS mean_bal,
+             sqrt((st.s2 - st.s1 * st.s1 / st.n) / (st.n - 1)) AS sd
+      FROM supplier s JOIN stats st USING (s_nationkey))
+    SELECT s_suppkey, s_nationkey, bal,
+           round(mean_bal, 4) AS mean_bal,
+           round((bal - mean_bal) / sd, 4) AS z_score
+    FROM z
+    WHERE abs(bal - mean_bal) > 2 * sd
+    """,
+)
+def supplier_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier detection: suppliers whose account balance
+    sits more than 2 standard deviations from their nation's mean —
+    the anomalous-entity screen (fraud/typo/stale-record triage)
+    every warehouse runs on master data.
+
+    Float discipline worth copying: the variance comes from
+    round-recovered Σx and Σx² via (s2 − s1²/n)/(n−1) — the builtin
+    stddev's aggregation-state accumulation is partition-order
+    dependent and would flake the hash; the explicit formula over
+    recovered decimal sums is deterministic on both engines.
+
+    Scale: per-nation stats partial-aggregate (25 groups) and
+    broadcast back onto the supplier scan — one shuffle, one
+    map-side filter."""
+    sup = load_table(spark, sf_dir, "supplier")
+    stats = sup.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("s_acctbal"), 4).alias("s1"),
+        F.round(F.sum(F.col("s_acctbal") * F.col("s_acctbal")), 4).alias("s2"),
+    ).where(F.col("n") >= 3)
+    mean = F.col("s1") / F.col("n")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    bal = F.round("s_acctbal", 4)
+    joined = sup.join(F.broadcast(stats), "s_nationkey").select(
+        "s_suppkey",
+        "s_nationkey",
+        bal.alias("bal"),
+        mean.alias("mean_bal_raw"),
+        sd.alias("sd"),
+    )
+    return joined.where(
+        F.abs(F.col("bal") - F.col("mean_bal_raw")) > 2 * F.col("sd")
+    ).select(
+        "s_suppkey",
+        "s_nationkey",
+        "bal",
+        F.round("mean_bal_raw", 4).alias("mean_bal"),
+        F.round(
+            (F.col("bal") - F.col("mean_bal_raw")) / F.col("sd"), 4
+        ).alias("z_score"),
+    )

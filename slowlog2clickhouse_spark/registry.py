@@ -226,6 +226,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_trigram_paths",
     "reshape_transpose",
     "events_bounce_rate",
+    "supplier_balance_outliers",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
