@@ -803,3 +803,95 @@ def supplier_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bal") - F.col("mean_bal_raw")) / F.col("sd"), 4
         ).alias("z_score"),
     )
+
+
+@op(
+    "part_price_dispersion",
+    # IQR from exact percentiles (bit-identical interpolation); CV
+    # from round-recovered sums via the explicit formula (same
+    # discipline as supplier_balance_outliers)
+    oracle="""
+    WITH s AS (
+      SELECT p_brand,
+             cast(count(*) AS BIGINT) AS n,
+             round(sum(p_retailprice), 4) AS s1,
+             round(sum(p_retailprice * p_retailprice), 4) AS s2,
+             quantile_cont(p_retailprice, 0.25) AS p25,
+             quantile_cont(p_retailprice, 0.75) AS p75
+      FROM part GROUP BY 1 HAVING count(*) >= 2)
+    SELECT p_brand, n, p25, p75,
+           p75 - p25 AS iqr,
+           round(sqrt((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n), 6)
+             AS coeff_var
+    FROM s
+    """,
+)
+def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-consistency screen: per-brand retail-price IQR and
+    coefficient of variation — the catalog-quality check that flags a
+    brand whose prices are all over the map (usually a unit or
+    data-entry problem upstream).
+
+    Scale: one partial-agg'd groupBy carries counts, recovered sums
+    AND the exact percentiles; IQR is a difference of bit-identical
+    interpolations, CV uses the explicit deterministic variance
+    formula — no builtin stddev state anywhere."""
+    p = load_table(spark, sf_dir, "part")
+    s = p.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("p_retailprice"), 4).alias("s1"),
+        F.round(
+            F.sum(F.col("p_retailprice") * F.col("p_retailprice")), 4
+        ).alias("s2"),
+        F.expr("percentile(p_retailprice, 0.25)").alias("p25"),
+        F.expr("percentile(p_retailprice, 0.75)").alias("p75"),
+    ).where(F.col("n") >= 2)
+    mean = F.col("s1") / F.col("n")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return s.select(
+        "p_brand",
+        "n",
+        "p25",
+        "p75",
+        (F.col("p75") - F.col("p25")).alias("iqr"),
+        F.round(sd / mean, 6).alias("coeff_var"),
+    )
+
+
+@op(
+    "events_user_lifetime",
+    oracle="""
+    SELECT user_id,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen,
+           cast(date_diff('day', CAST(min(ts) AS DATE),
+                          CAST(max(ts) AS DATE)) AS BIGINT) AS span_days,
+           cast(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+           cast(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime profile: first/last activity, calendar span,
+    distinct active days and event volume — the base table every
+    engagement analysis (churn windows, tenure cohorts, RFM) joins
+    against first.
+
+    Scale: a single partial-agg'd groupBy on user_id; the distinct
+    active-day count rides the same shuffle as the min/max (Spark
+    plans the distinct aggregate with a partial expand, still one
+    exchange round on the user key)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts")))
+        .cast("long")
+        .alias("span_days"),
+        F.countDistinct(d).alias("active_days"),
+        F.count("*").alias("n_events"),
+    )

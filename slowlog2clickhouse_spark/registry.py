@@ -227,6 +227,8 @@ _PRIORITY: tuple[str, ...] = (
     "reshape_transpose",
     "events_bounce_rate",
     "supplier_balance_outliers",
+    "part_price_dispersion",
+    "events_user_lifetime",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
