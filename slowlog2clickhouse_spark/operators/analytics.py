@@ -895,3 +895,53 @@ def events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(d).alias("active_days"),
         F.count("*").alias("n_events"),
     )
+
+
+@op(
+    "orders_running_share",
+    # monthly sums are round-recovered decimals; the running sum adds
+    # them in the unique month order; the grand total is the
+    # round-recovered sum of the same values (slowlog_load_share's
+    # divisor rule)
+    oracle="""
+    WITH m AS (
+      SELECT cast(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             round(sum(o_totalprice), 4) AS rev
+      FROM orders GROUP BY 1),
+    tot AS (SELECT round(sum(rev), 4) AS grand FROM m)
+    SELECT month, rev,
+           round(sum(rev) OVER (ORDER BY month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS cum_rev,
+           round(sum(rev) OVER (ORDER BY month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             / tot.grand AS cum_share
+    FROM m, tot
+    """,
+)
+def orders_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue share by month — the year-to-date progress
+    panel ("we're at 63% of trailing revenue by August"): monthly
+    rollup, running sum, share of the grand total.
+
+    Scale: the month rollup is the only full-data shuffle; the
+    running window walks |months| post-agg rows (the
+    single-partition window is fine at that cardinality, per the
+    orders_pareto rule), and the grand total broadcasts as one row."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+    tot = m.agg(F.round(F.sum("rev"), 4).alias("grand"))
+    w = W.orderBy("month").rowsBetween(W.unboundedPreceding, 0)
+    # round-recover the running sum: windowed sums accumulate
+    # pairwise in DuckDB vs sequentially in Spark (last-ulp drift
+    # measured); the true cumulative of 4-decimal values IS a
+    # 4-decimal value, so round() restores the exact decimal on both
+    cum = F.round(F.sum("rev").over(w), 4)
+    return m.crossJoin(F.broadcast(tot)).select(
+        "month",
+        "rev",
+        cum.alias("cum_rev"),
+        (cum / F.col("grand")).alias("cum_share"),
+    )

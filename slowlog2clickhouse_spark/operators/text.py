@@ -1224,3 +1224,42 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").alias("n_chars"),
         F.round(entropy, 6).alias("entropy_bits"),
     )
+
+
+@op(
+    "text_lang_mismatch",
+    # same stopword vote as text_langid (whose confusion MATRIX this
+    # op drills into row-level); int hit counts, no floats
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN ({_HITS_SQL}) >= 2 THEN 'en' ELSE 'other' END
+             AS predicted,
+           cast(({_HITS_SQL}) AS BIGINT) AS stopword_hits
+    FROM documents
+    WHERE (CASE WHEN ({_HITS_SQL}) >= 2 THEN 'en' ELSE 'other' END)
+          <> (CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END)
+    """,
+)
+def text_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-disagreement drill-down: the DOCUMENTS where the stopword
+    heuristic and the metadata lang label disagree — text_langid shows
+    the confusion matrix; this emits the actionable row list (either
+    the label is wrong — fix the metadata — or the doc is the kind
+    the classifier fumbles — improve the classifier; both start from
+    this list, the standard label-audit loop of corpus curation).
+
+    Scale: pure map-side predicate over the scan — the disagreement
+    set streams out with zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    hits = sum(
+        F.when(padded.like(f"% {w} %"), 1).otherwise(0) for w in _STOPWORDS
+    )
+    pred = F.when(hits >= 2, "en").otherwise("other")
+    label = F.when(F.col("lang") == "en", "en").otherwise("other")
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted"),
+        hits.cast("long").alias("stopword_hits"),
+    ).where(pred != label)

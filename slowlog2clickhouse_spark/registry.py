@@ -229,6 +229,8 @@ _PRIORITY: tuple[str, ...] = (
     "supplier_balance_outliers",
     "part_price_dispersion",
     "events_user_lifetime",
+    "text_lang_mismatch",
+    "orders_running_share",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
