@@ -945,3 +945,66 @@ def orders_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.alias("cum_rev"),
         (cum / F.col("grand")).alias("cum_share"),
     )
+
+
+@op(
+    "customer_wallet_share",
+    # revenue sums are round-recovered; the nation total divides its
+    # own round-recovered sum (slowlog_load_share's divisor rule);
+    # top-3 rides the rank pushdown
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             round(sum(o.o_totalprice), 4) AS rev
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    nat AS (
+      SELECT c_nationkey, round(sum(rev), 4) AS nation_rev
+      FROM rev GROUP BY 1),
+    ranked AS (
+      SELECT r.c_custkey, r.c_nationkey, r.rev,
+             r.rev / n.nation_rev AS wallet_share,
+             row_number() OVER (
+               PARTITION BY r.c_nationkey
+               ORDER BY r.rev DESC, r.c_custkey ASC) AS rk
+      FROM rev r JOIN nat n USING (c_nationkey))
+    SELECT c_custkey, c_nationkey, rev, wallet_share,
+           CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def customer_wallet_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wallet-share concentration: each nation's top-3 customers by
+    revenue and the fraction of the nation's total they hold — the
+    account-management panel ("two accounts are 60% of this region")
+    that pairs with orders_pareto's global view.
+
+    Scale: one fact-side join + per-customer rollup (the only
+    full-data shuffles), a 25-row nation total broadcast back, and
+    the per-nation top-3 on WindowGroupLimit rank pushdown."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+    )
+    nat = rev.groupBy("c_nationkey").agg(
+        F.round(F.sum("rev"), 4).alias("nation_rev")
+    )
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("rev").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        rev.join(F.broadcast(nat), "c_nationkey")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "rev",
+            (F.col("rev") / F.col("nation_rev")).alias("wallet_share"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )

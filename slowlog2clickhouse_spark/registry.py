@@ -231,6 +231,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_user_lifetime",
     "text_lang_mismatch",
     "orders_running_share",
+    "customer_wallet_share",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
