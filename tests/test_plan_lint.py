@@ -80,6 +80,7 @@ ALLOW_NESTED_LOOP = {
     "events_ab_lift",  # 2-row group stats folded to one wide row
     "ann_nprobe_sweep",  # brute-force truth pass on the fixed probe panel
     "slowlog_top_tables",  # broadcast 1-row grand-total factor
+    "orders_running_share",  # broadcast 1-row grand-total factor
 }
 
 LAZY_OPS = sorted(set(OPS) - EAGER)
