@@ -886,3 +886,44 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounce.alias("n_bounces"),
         (bounce * 1.0 / F.count("*")).alias("bounce_rate"),
     )
+
+
+@op(
+    "events_props_band_stats",
+    # typed JSON extraction feeding integer banding: k and its band
+    # are exact ints, value sums round-recovered per band
+    oracle="""
+    WITH x AS (
+      SELECT cast(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             value
+      FROM events)
+    SELECT CAST(k // 10 AS BIGINT) AS k_band,
+           cast(count(*) AS BIGINT) AS n,
+           min(k) AS k_min,
+           max(k) AS k_max,
+           round(sum(value), 4) AS value_sum
+    FROM x WHERE k IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_props_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured drill-down: extract a TYPED numeric field from
+    the JSON props column, band it, and aggregate — the everyday
+    "group by a property buried in the payload" query that decides
+    whether a pipeline promotes a JSON field to a real column (if
+    this panel is hot, promote; scan_json_props is the promotion).
+
+    Scale: extraction is a map-side expression (Spark's JSON path
+    evaluation inside codegen — no UDF); the band groupBy
+    partial-aggregates onto a ≤|k-range|/10 key domain."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    x = ev.select(k.alias("k"), "value").where(F.col("k").isNotNull())
+    return x.groupBy(
+        F.floor(F.col("k") / 10).cast("long").alias("k_band")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )

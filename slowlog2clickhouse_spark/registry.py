@@ -232,6 +232,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_lang_mismatch",
     "orders_running_share",
     "customer_wallet_share",
+    "events_props_band_stats",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)
