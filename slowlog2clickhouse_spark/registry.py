@@ -59,64 +59,10 @@ def op(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # regenerations. tests/test_coverage.py asserts the list stays ⊆
 # registry; all_ops() appends any unlisted registry ops at the end.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-5 window positions 1-40: every oracle-checked op the
-    # driver has NEVER scored (all replica-green in round 4's session).
-    # Green rows here close the biggest scoreboard gap (VERDICT r4 #1).
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "dq_profile",
-    "dq_constraints",
-    "dq_fk_integrity",
-    "events_pipeline",
-    "xml_funcs",
-    "fuzzy_match_levenshtein",
-    "agg_corr_cov",
-    "ansi_try_funcs",
-    "agg_string_concat",
-    "agg_median_mode",
-    "win_ratio_to_report",
-    "date_month_arith",
-    "fn_digest_sha256",
-    "array_clean_funcs",
-    "agg_grouping_id",
-    "agg_regression",
-    "str_split_part",
-    "map_transform_funcs",
-    "fn_from_csv",
-    "grouped_apply_arrow",
-    "scan_jdbc",
-    "scan_orc",
-    "scan_jsonl",
-    "mm_binary_chunks",
-    # --- positions 41-50: flagship conversions from rows-only to
-    # oracle-checked this round (slowlog golden-IR family, portable
-    # md5 LSH dedup, batch-equivalent streaming)
-    "slowlog_classes",
-    "slowlog_global",
-    "slowlog_top_digests",
-    "slowlog_parse_stats",
-    "udtf_parse_slowlog",
-    "udf_fingerprint_py",
-    "dedup_minhash",
-    "dedup_simhash",
-    "stream_tumbling_agg",
-    "stream_static_join",
-    # --- round-6 queue: the remaining round-5 oracle conversions
-    # (driver scores 50/round; these are next in line)
+    # --- round-6 window positions 1-50: every oracle op the driver
+    # has NEVER scored (VERDICT r5 #1). First the remaining round-5
+    # oracle conversions, then the head of the round-5 second-wave
+    # additions; all replica-green at sf0.01 in the round-5 session.
     "map_in_pandas_chunker",
     "pandas_udf_fingerprint",
     "scan_text_multiline",
@@ -148,12 +94,9 @@ _PRIORITY: tuple[str, ...] = (
     "udf_arrow_optimized",
     "join_bucketed_colocated",
     "stream_stateful_counter",
-    # --- round-6 rotation head: oracle ops converted/added in the
-    # round-5 session, never driver-scored (replica-green at sf0.01;
-    # the second-wave additions through reshape_transpose are also
-    # sf0.1-verified) — this block now exceeds one 50-op window, so
-    # round 6 should promote its first 50 entries to positions 1-50
-    # and round 7 the remainder.
+    # --- round-7 queue: rest of the never-driver-scored block
+    # (~48 ops remain after the r6 window; next rotation promotes
+    # these to positions 1-50).
     "qan_anomaly_mad",
     "text_ngram_topk",
     "vec_knn_ivf",
@@ -322,6 +265,58 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_curation",
     "join_salted_skew",
     "time_gapfill_locf",
+    # --- round-5 window (all 50 driver-green in CORRECTNESS_r05):
+    # rotated to the back of the re-confirmation queue.
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "dq_profile",
+    "dq_constraints",
+    "dq_fk_integrity",
+    "events_pipeline",
+    "xml_funcs",
+    "fuzzy_match_levenshtein",
+    "agg_corr_cov",
+    "ansi_try_funcs",
+    "agg_string_concat",
+    "agg_median_mode",
+    "win_ratio_to_report",
+    "date_month_arith",
+    "fn_digest_sha256",
+    "array_clean_funcs",
+    "agg_grouping_id",
+    "agg_regression",
+    "str_split_part",
+    "map_transform_funcs",
+    "fn_from_csv",
+    "grouped_apply_arrow",
+    "scan_jdbc",
+    "scan_orc",
+    "scan_jsonl",
+    "mm_binary_chunks",
+    "slowlog_classes",
+    "slowlog_global",
+    "slowlog_top_digests",
+    "slowlog_parse_stats",
+    "udtf_parse_slowlog",
+    "udf_fingerprint_py",
+    "dedup_minhash",
+    "dedup_simhash",
+    "stream_tumbling_agg",
+    "stream_static_join",
 )
 
 
