@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.operators.stitched import ranked_topk
 from slowlog2clickhouse_spark.registry import op
 
 N_FEATURES = 16
@@ -780,5 +781,6 @@ def mm_duplicate_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .where(F.col("n_docs") >= 2)
     )
-    w = W.orderBy(F.col("n_docs").desc(), F.col("frame_md5").asc())
-    return freq.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 50)
+    return ranked_topk(
+        freq, [F.col("n_docs").desc(), F.col("frame_md5").asc()], 50
+    )

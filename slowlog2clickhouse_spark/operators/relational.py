@@ -23,6 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.operators.stitched import ranked_topk
 from slowlog2clickhouse_spark.registry import op
 
 
@@ -950,11 +951,12 @@ def qan_sparkline(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = ev.groupBy("event_type").agg(
         F.round(F.sum("value"), 4).alias("total_value")
     )
-    w = W.orderBy(F.col("total_value").desc_nulls_last(), F.col("event_type").asc())
-    top3 = (
-        totals.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= 3)
-    )
+    top3 = ranked_topk(
+        totals,
+        [F.col("total_value").desc_nulls_last(), F.col("event_type").asc()],
+        3,
+        rank_col="rnk",
+    ).withColumn("rnk", F.col("rnk").cast("long"))
     return (
         ev.join(F.broadcast(top3), "event_type")
         .groupBy(

@@ -32,6 +32,7 @@ from slowlog2clickhouse_spark.plans.pipeline import (
     sink_classes_parquet,
     top_digests,
 )
+from slowlog2clickhouse_spark.operators.stitched import ranked_topk
 from slowlog2clickhouse_spark.registry import op
 from slowlog2clickhouse_spark.sources.slowlog import (
     BOOL_METRICS,
@@ -946,11 +947,12 @@ def qan_digest_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digest_a", "digest_b")
         .agg(F.count("*").alias("n_minutes"))
     )
-    w = W.orderBy(
-        F.col("n_minutes").desc(),
-        F.col("digest_a").asc(),
-        F.col("digest_b").asc(),
-    )
-    return pairs.withColumn("rk", F.row_number().over(w)).where(
-        F.col("rk") <= 20
+    return ranked_topk(
+        pairs,
+        [
+            F.col("n_minutes").desc(),
+            F.col("digest_a").asc(),
+            F.col("digest_b").asc(),
+        ],
+        20,
     )

@@ -20,6 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from slowlog2clickhouse_spark.io import load_table
+from slowlog2clickhouse_spark.operators.stitched import ranked_topk
 from slowlog2clickhouse_spark.registry import op
 
 
@@ -984,8 +985,7 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair")
         .agg(F.count("*").alias("n"))
     )
-    w = W.orderBy(F.col("n").desc(), F.col("pair").asc())
-    return cnt.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 20)
+    return ranked_topk(cnt, [F.col("n").desc(), F.col("pair").asc()], 20)
 
 
 @op(
@@ -1094,8 +1094,9 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .where(F.col("n_docs") >= 2)
     )
-    w = W.orderBy(F.col("n_docs").desc(), F.col("span_md5").asc())
-    return freq.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 50)
+    return ranked_topk(
+        freq, [F.col("n_docs").desc(), F.col("span_md5").asc()], 50
+    )
 
 
 @op(

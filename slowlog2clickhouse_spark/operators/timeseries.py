@@ -891,10 +891,13 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "events_props_band_stats",
     # typed JSON extraction feeding integer banding: k and its band
-    # are exact ints, value sums round-recovered per band
+    # are exact ints, value sums round-recovered per band. TRY_CAST,
+    # not CAST: Spark's cast('long') yields NULL on a non-numeric k
+    # and the filter drops it — DuckDB must degrade the same way
+    # instead of raising (ADVICE r5)
     oracle="""
     WITH x AS (
-      SELECT cast(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
              value
       FROM events)
     SELECT CAST(k // 10 AS BIGINT) AS k_band,

@@ -88,9 +88,14 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each stage is the registered operator's plan shape —
     map-side quality filter, fixed-width-key dedup shuffle, band
-    equi-join (never all-pairs), shuffle-free chunk fan-out — and
-    survivor sets flow as DataFrames (no driver round-trips). The
-    five counts are tiny aggregates unioned at the end."""
+    equi-join (never all-pairs). The exact-dedup survivor set is
+    localCheckpoint'ed (ONE eager action — gotcha #13's
+    evaluation-count trap makes lineage truncation mandatory here);
+    every count then folds into ONE lazy plan: total+quality share a
+    single corpus scan (conditional count), near+chunks share a
+    single pass over the survivor leaf, and the chunk inventory is a
+    closed-form per-doc expression (floor((stop-1)/24)+1), not an
+    explode — nothing fans out just to be counted (ADVICE r5)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     quality = docs.where(
         (F.length("text") >= MIN_CHARS) & (F.size(_tokens()) >= MIN_TOKENS)
@@ -127,22 +132,34 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     near = exact.join(near_drop, "doc_id", "left_anti")
 
-    def _n_chunks():
-        return near.select(
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.lit(1), F.size(_tokens()) - F.lit(31)),
-                F.lit(24),
-            )
-        ).alias("s")
-    ).count()
+    # chunk inventory without the fan-out: |sequence(1, stop, 24)| =
+    # floor((stop-1)/24) + 1 for stop >= 1 — count chunks as a scalar
+    # per-doc expression and sum
+    stop = F.greatest(F.lit(1), F.size(_tokens()) - F.lit(31))
+    n_chunks = F.floor((stop - F.lit(1)) / F.lit(24)) + F.lit(1)
 
-    counts = [
-        ("total", docs.count()),
-        ("quality", quality.count()),
-        ("exact_dedup", exact.count()),
-        ("near_dedup", near.count()),
-        ("chunks", _n_chunks()),
-    ]
-    return spark.createDataFrame(counts, "stage string, n bigint")
+    low = docs.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(
+            F.when(
+                (F.length("text") >= MIN_CHARS)
+                & (F.size(_tokens()) >= MIN_TOKENS),
+                1,
+            )
+        ).alias("n_quality"),
+    )
+    ex = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    up = near.agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.coalesce(F.sum(n_chunks), F.lit(0)).alias("n_chunks"),
+    )
+    # fold the three 1-row aggregates into ONE row (each subtree —
+    # corpus scan, survivor leaf, band join — evaluates exactly once;
+    # a per-stage union would re-execute its agg subtree per branch),
+    # then unpivot with stack to the (stage, n) report shape
+    wide = low.crossJoin(ex).crossJoin(up)
+    return wide.selectExpr(
+        "stack(5, 'total', n_total, 'quality', n_quality, "
+        "'exact_dedup', n_exact, 'near_dedup', n_near, "
+        "'chunks', n_chunks) AS (stage, n)"
+    )

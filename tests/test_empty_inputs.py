@@ -70,7 +70,6 @@ PROBE = [
     "sql_lateral_alias",
     "sql_identifier_clause",
     "agg_percentile_disc",
-    "time_rolling_distinct",
 ]
 SINGLE_ROW_OK = {"funnel_events", "cte_recursive_spine"}
 

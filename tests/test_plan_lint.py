@@ -131,6 +131,68 @@ def test_no_row_python_udf_outside_api_surface_ops(plans):
     assert not bad, f"row-at-a-time Python UDF in hot path: {bad}"
 
 
+# global (partition-less) windows whose input is a PROVABLY-BOUNDED
+# aggregate — the only shape where `WindowExec: No Partition Defined`
+# is acceptable at 100 TB. Limit-bounded windows (ranked_topk) are
+# auto-recognized; everything else must be justified here.
+ALLOW_GLOBAL_WINDOW = {
+    "dq_sequence_gaps",  # lag over per-range (min,max) stats: |ids|/4096 rows
+    "events_rfm",  # stitched_order bucket offsets: ≤ shuffle-partitions rows ×3
+    "orders_pareto",  # stitched_order bucket offsets: ≤ shuffle-partitions rows
+    "orders_running_share",  # running share over the month rollup: |months| rows
+    "slowlog_load_share",  # rank over QAN digest classes: class-domain-bounded
+    "slowlog_top_tables",  # rank over referenced table names: schema-bounded
+}
+
+
+def _subtree_has_limit(node) -> bool:
+    if "Limit" in node.nodeName():
+        return True
+    it = node.children().iterator()
+    while it.hasNext():
+        if _subtree_has_limit(it.next()):
+            return True
+    return False
+
+
+def _unbounded_global_windows(df) -> int:
+    """Count partition-less logical Window nodes NOT sitting over a
+    Limit subtree (py4j walk of the optimized plan — partitionSpec is
+    invisible in the formatted text once AQE wraps the plan)."""
+    n = 0
+
+    def walk(node):
+        nonlocal n
+        if node.nodeName() == "Window" and node.partitionSpec().size() == 0:
+            if not _subtree_has_limit(node):
+                n += 1
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return n
+
+
+def test_no_unbounded_global_window(spark, sf_dir):
+    """A global window over an unbounded-cardinality domain is the
+    one-task scale-killer VERDICT r5 flagged (events_rfm/orders_pareto/
+    dq_sequence_gaps, since rewritten). Any new op must either rank
+    over a Limit (ranked_topk), stitch with bounded bucket offsets
+    (stitched_order), or justify a bounded aggregate input above."""
+    bad = {}
+    for name in LAZY_OPS:
+        if name in ALLOW_GLOBAL_WINDOW:
+            continue
+        n = _unbounded_global_windows(OPS[name].fn(spark, sf_dir))
+        if n:
+            bad[name] = n
+    assert not bad, (
+        f"unbounded global window (single-partition WindowExec) in: {bad} — "
+        "use ranked_topk/stitched_order or justify in ALLOW_GLOBAL_WINDOW"
+    )
+
+
 def test_parquet_scans_prune_columns(plans):
     """Every lazy op that scans lineitem must NOT read all 11 columns
     unless it genuinely projects them (spot-check: ops over lineitem
