@@ -309,6 +309,38 @@ _MINHASH_BANDS_DUCK = f"""
 """
 
 
+# hot-band guard (VERDICT r5 #4): a band bucket holding B docs emits
+# B²/2 candidate pairs — one degenerate signature (empty docs, a
+# boilerplate header shared by millions of pages) turns the band
+# equi-join quadratic at 100 TB. Buckets over the cap are dropped from
+# candidate generation: their members still meet through their other
+# bands, and a genuinely hot bucket is near-certainly exact-duplicate
+# content that dedup_exact already collapses. The cap NEVER fires at
+# test scale (tests/test_dedup.py pins max bucket ≪ cap at sf0.1 and
+# exercises the capped path on a synthetic skewed corpus), so the
+# uncapped DuckDB oracle stays exact.
+MAX_BAND_BUCKET = 1024
+
+
+def cap_band_buckets(
+    banded: DataFrame, keys: tuple[str, ...], cap: int | None = None
+) -> DataFrame:
+    """Drop rows of band buckets with more than ``cap`` members.
+
+    Scale: the bucket-size aggregate rides the band-key Exchange the
+    self-join already created (same grouping keys — no extra
+    shuffle); hot buckets number at most n/cap, so the anti-join side
+    broadcasts; the filter itself is map-side."""
+    cap = MAX_BAND_BUCKET if cap is None else cap
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") > cap)
+        .select(*keys)
+    )
+    return banded.join(F.broadcast(hot), list(keys), "left_anti")
+
+
 @op(
     "dedup_minhash",
     oracle=_MINHASH_BANDS_DUCK
@@ -340,6 +372,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ^ explicit shuffle on the band key: without it AQE broadcasts one
     # side of the self-join and the signature map runs TWICE; with it
     # both sides canonicalize to the same Exchange → computed once
+    banded = cap_band_buckets(banded, ("band", "band_sig"))
     a = banded.alias("a")
     b2 = banded.alias("b")
     cand = (
@@ -498,6 +531,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "simhash", F.posexplode_outer(band_vals).alias("band", "band_val")
     ).repartition("band", "band_val")
     # ^ shared Exchange — see dedup_minhash; signature map runs once
+    banded = cap_band_buckets(banded, ("band", "band_val"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from slowlog2clickhouse_spark.io import load_table
 from slowlog2clickhouse_spark.operators.dedup import (
     _MINHASH_BANDS_DUCK,
+    cap_band_buckets,
     minhash_band_keys,
 )
 from slowlog2clickhouse_spark.operators.text import _tokens
@@ -119,6 +120,7 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = minhash_band_keys(exact).select(
         "doc_id", F.posexplode_outer("band_sigs").alias("band", "band_sig")
     ).repartition("band", "band_sig")
+    banded = cap_band_buckets(banded, ("band", "band_sig"))
     a, b = banded.alias("a"), banded.alias("b")
     near_drop = (
         a.join(

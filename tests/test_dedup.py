@@ -177,3 +177,77 @@ def test_containment_dominates_jaccard_and_respects_threshold(spark, sf_dir):
     for pair, j in jac.items():
         if j > 0.5:
             assert pair in cont, pair
+
+
+def test_band_bucket_cap_never_fires_at_test_scale(spark, sf_dir):
+    """The uncapped DuckDB oracle stays exact because no fixture band
+    bucket approaches MAX_BAND_BUCKET — pin that precondition."""
+    from slowlog2clickhouse_spark.io import load_table
+    from slowlog2clickhouse_spark.operators.dedup import (
+        MAX_BAND_BUCKET,
+        minhash_band_keys,
+    )
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    banded = minhash_band_keys(d).select(
+        "doc_id", F.posexplode_outer("band_sigs").alias("band", "band_sig")
+    )
+    mx = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert mx < MAX_BAND_BUCKET / 4, mx
+
+
+def test_band_bucket_cap_drops_hot_bucket_keeps_cold(spark):
+    """cap_band_buckets on a skewed synthetic corpus: a 50-doc
+    identical-signature bucket is dropped while a small bucket
+    survives untouched — the quadratic hot band never reaches the
+    self-join."""
+    import pyspark.sql.functions as F
+
+    from slowlog2clickhouse_spark.operators.dedup import cap_band_buckets
+
+    rows = [(i, 0, 777) for i in range(50)] + [
+        (100, 1, 5),
+        (101, 1, 5),
+    ]
+    banded = spark.createDataFrame(
+        rows, "doc_id long, band int, band_sig long"
+    )
+    capped = cap_band_buckets(banded, ("band", "band_sig"), cap=10)
+    out = {(r["band"], r["band_sig"]) for r in capped.collect()}
+    assert (0, 777) not in out
+    assert (1, 5) in out
+    assert capped.count() == 2
+
+
+def test_capped_minhash_still_finds_pairs_via_other_bands(spark):
+    """Members of a dropped bucket still pair through their OTHER
+    bands — the overflow routing the cap relies on."""
+    import pyspark.sql.functions as F
+
+    from slowlog2clickhouse_spark.operators.dedup import cap_band_buckets
+
+    # docs 1,2 share a cold bucket in band 1 AND sit in band 0's hot bucket
+    rows = [(i, 0, 777) for i in range(1, 30)] + [(1, 1, 9), (2, 1, 9)]
+    banded = spark.createDataFrame(
+        rows, "doc_id long, band int, band_sig long"
+    )
+    capped = cap_band_buckets(banded, ("band", "band_sig"), cap=10)
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .collect()
+    )
+    assert [(r[0], r[1]) for r in pairs] == [(1, 2)]
