@@ -96,6 +96,9 @@ EXTRA_OPS = (
     # distinct-counting plan) and span-level boilerplate detection
     "agg_bitmap_distinct",
     "text_dup_spans",
+    # round-6: the flagship curation cascade (single most expensive
+    # registered plan — regressions in any stage surface here)
+    "llm_curation_funnel",
 )
 
 
@@ -140,6 +143,9 @@ def main() -> None:
             spark, sf_dir
         ),
         "text_dup_spans": lambda: ops["text_dup_spans"].fn(spark, sf_dir),
+        "llm_curation_funnel": lambda: ops["llm_curation_funnel"].fn(
+            spark, sf_dir
+        ),
     }
     for name in EXTRA_OPS:
         results[name] = round(time_df(extra_builders[name]), 4)

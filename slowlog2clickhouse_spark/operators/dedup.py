@@ -23,6 +23,7 @@ only to keep the oracle evaluable — the LSH ops are the 100 TB path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from slowlog2clickhouse_spark.io import load_table
@@ -327,18 +328,22 @@ def cap_band_buckets(
 ) -> DataFrame:
     """Drop rows of band buckets with more than ``cap`` members.
 
-    Scale: the bucket-size aggregate rides the band-key Exchange the
-    self-join already created (same grouping keys — no extra
-    shuffle); hot buckets number at most n/cap, so the anti-join side
-    broadcasts; the filter itself is map-side."""
+    Implemented as a PARTITIONED count-over-window + filter, not an
+    aggregate + anti-join: the window rides the band-key Exchange the
+    self-join already created (same partition keys — no new shuffle,
+    just a per-partition sort), and critically the caller's a/b
+    self-join sides stay IDENTICAL subplans, so ReuseExchange still
+    evaluates the expensive signature scan exactly once. (The
+    agg+anti-join form column-prunes doc_id out of its branch, the
+    Exchanges stop being equal, and the signature chain re-evaluates
+    per consumer — measured 1.5× on dedup_minhash at sf0.1.)"""
     cap = MAX_BAND_BUCKET if cap is None else cap
-    hot = (
-        banded.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .where(F.col("_bn") > cap)
-        .select(*keys)
+    w = W.partitionBy(*[F.col(k) for k in keys])
+    return (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .where(F.col("_bn") <= cap)
+        .drop("_bn")
     )
-    return banded.join(F.broadcast(hot), list(keys), "left_anti")
 
 
 @op(
