@@ -65,6 +65,7 @@ ALLOW_NESTED_LOOP = {
     "agg_hll_daily_merge",  # broadcast 1-row exact-total factor
     "vec_quantize_int8",  # broadcast 1-row dim-stats arrays
     "funnel_events",  # 1-row × 1-row × 1-row stage-count join
+    "llm_curation_funnel",  # 1-row × 1-row × 1-row stage-count fold (stack unpivot)
     "agg_histogram",  # broadcast 1-row min/max stats
     "text_unigram_logprob",  # broadcast 1-row corpus-total factor
     "corpus_mix_rebalance",  # broadcast 1-row min-source-count factor
