@@ -87,22 +87,25 @@ def main() -> None:
     fixtures = os.path.join(repo, "tests", "fixtures")
     golden = os.path.join(fixtures, "golden")
     os.makedirs(golden, exist_ok=True)
-    log = os.path.join(fixtures, "slowlog_small.log")
     spark = ensure_compat(get_session())
+    # every *.log fixture gets a golden event IR (round 6 widened the
+    # corpus toward upstream go-mysql's test/slow-logs breadth:
+    # admin-command mixes, mid-file use-db switching, '# ' inside
+    # string literals, 5.1/5.6/5.7 header mixes in one file, a
+    # many-record file); tests/test_slowlog.py pins parser == golden
+    # for each, so parser changes are reviewed events
+    import glob
+
+    for log in sorted(glob.glob(os.path.join(fixtures, "*.log"))):
+        name = os.path.splitext(os.path.basename(log))[0]
+        _write_single_file(
+            golden_events_df(spark, log),
+            os.path.join(golden, f"{name}_events.parquet"),
+        )
+    # the record-assembly contract golden (scan_text_multiline oracle)
     _write_single_file(
-        golden_events_df(spark, log),
-        os.path.join(golden, "slowlog_small_events.parquet"),
-    )
-    _write_single_file(
-        golden_records_df(spark, log),
+        golden_records_df(spark, os.path.join(fixtures, "slowlog_small.log")),
         os.path.join(golden, "slowlog_small_records.parquet"),
-    )
-    # rate-limited fixture: the sampled-log estimation op's oracle
-    _write_single_file(
-        golden_events_df(
-            spark, os.path.join(fixtures, "slowlog_ratelimit.log")
-        ),
-        os.path.join(golden, "slowlog_ratelimit_events.parquet"),
     )
 
 

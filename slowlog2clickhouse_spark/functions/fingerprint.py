@@ -114,7 +114,12 @@ def fingerprint_py(query: str) -> str:
     Handles what the regex chain can't: backslash-escaped and doubled
     quotes inside strings, ``#`` line comments, multi-line block
     comments, and numbers adjacent to operators.
+
+    NULL-safe like the SQL chain: a header-only record carries no
+    statement (query IS NULL) and fingerprints to NULL.
     """
+    if query is None:
+        return None
     out: list[str] = []
     i, n = 0, len(query)
     while i < n:
@@ -187,4 +192,6 @@ def fingerprint_py(query: str) -> str:
 def digest_py(fingerprint: str) -> str:
     import hashlib
 
+    if fingerprint is None:
+        return None
     return hashlib.md5(fingerprint.encode("utf-8")).hexdigest()[16:32].upper()

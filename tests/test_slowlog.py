@@ -200,6 +200,114 @@ class TestFixtureCorpus:
             is None
         )
 
+    # ---- round-6 corpus widening (upstream go-mysql test/slow-logs
+    # breadth: admin mixes, use-db switching, '# ' in literals,
+    # version mixes, many-record file) ----
+
+    def test_admin_command_mix(self, spark):
+        """Admin commands (Quit/Ping/Refresh) interleaved with queries:
+        flagged admin, command text as the query, neighbors clean."""
+        ev = parse_slowlog(spark, os.path.join(FIXTURE_DIR, "slowlog_admin.log"))
+        rows = ev.orderBy("ts").collect()
+        assert [r["admin"] for r in rows] == [False, True, True, False, True, False]
+        assert [r["query"] for r in rows if r["admin"]] == ["Quit", "Ping", "Refresh"]
+        # admin records keep their metric headers
+        quit_row = rows[1]
+        assert quit_row["query_time"] == pytest.approx(0.00002)
+        # neighboring real queries unpolluted
+        assert rows[3]["db"] == "shop"
+        assert rows[3]["query"].startswith("SELECT sku")
+
+    def test_use_db_switching_is_per_record(self, spark):
+        """`use db;` attribution: applies to ITS record (and a `use`
+        beats an earlier Schema header it follows); records without
+        either carry NULL. Deliberately per-record-stateless — carrying
+        connection state across records would serialize the 100 TB
+        split-parallel parse (documented divergence from a tailing
+        parser, which sees one connection stream)."""
+        ev = parse_slowlog(spark, os.path.join(FIXTURE_DIR, "slowlog_usedb.log"))
+        rows = ev.orderBy("ts").collect()
+        assert [r["db"] for r in rows] == [
+            "shop",       # use shop;
+            None,         # no use/Schema in this record
+            "warehouse",  # USE warehouse; (case-insensitive)
+            "analytics",  # Schema: header only
+            "reporting",  # use beats the Schema: analytics header
+        ]
+        # the use-line never leaks into the statement text
+        assert all("use " not in (r["query"] or "").lower()[:4] for r in rows)
+
+    def test_hash_inside_string_literals(self, spark):
+        """'# ' inside string literals: single-line literals with
+        header-lookalike content parse whole; the multi-line literal
+        containing the actual record delimiter shears (pinned sheared
+        semantics) and its fragment parses as a header-only event, not
+        a crash."""
+        ev = parse_slowlog(spark, os.path.join(FIXTURE_DIR, "slowlog_strlit.log"))
+        rows = ev.collect()
+        assert len(rows) == 5
+        by_id = {r["query"]: r for r in rows if r["ts"] is not None}
+        like = next(q for q in by_id if "LIKE" in (q or ""))
+        assert "# administrator command: Quit" in like
+        assert by_id[like]["admin"] is False  # literal, not a real admin rec
+        marker = next(q for q in by_id if "marker" in (q or ""))
+        assert "# Query_time: 1.0" in marker
+        assert by_id[marker]["query_time"] == pytest.approx(0.07)
+        trailing = next(q for q in by_id if "trailing" in (q or ""))
+        assert by_id[trailing]["query_time"] == pytest.approx(0.08)
+        # the sheared fragment: no ts, headers from the lookalike lines
+        frag = [r for r in rows if r["ts"] is None]
+        assert len(frag) == 1 and frag[0]["user"] == "fake"
+
+    def test_mixed_header_versions_in_one_file(self, spark):
+        """5.1 compact, 5.6 compact, 5.7 ISO and Percona-extended
+        headers in ONE file — every record lands with its own format
+        parsed (the corpus a decade of rotated logs actually is)."""
+        ev = parse_slowlog(
+            spark, os.path.join(FIXTURE_DIR, "slowlog_mixed_versions.log")
+        )
+        rows = ev.orderBy("ts").collect()
+        assert len(rows) == 5
+        assert rows[0]["ts"].isoformat() == "2011-01-07T13:26:19"
+        assert rows[1]["db"] == "legacydb"  # 5.1-style with use
+        assert rows[2]["ts"].isoformat() == "2024-04-01T11:00:10"
+        percona = rows[3]
+        assert percona["db"] == "shop"
+        assert percona["tmp_tables"] == 1
+        assert percona["full_scan"] is True
+        assert rows[4]["rate_limit"] == 50
+
+    def test_edge_cases_killed_empty_unknown(self, spark):
+        """Killed/errno records, a header-only record (query NULL,
+        fingerprint NULL — no crash), unknown future metrics into
+        extra_metrics, block comments spanning lines."""
+        ev = parse_slowlog(spark, os.path.join(FIXTURE_DIR, "slowlog_edge.log"))
+        rows = ev.orderBy("ts").collect()
+        assert len(rows) == 4
+        assert rows[0]["query_time"] == pytest.approx(50.0)
+        assert rows[1]["query"] is None
+        assert rows[2]["extra_metrics"] == {
+            "Unknown_future_metric": "42",
+            "Another_new_one": "abc",
+        }
+        assert "multi\n   line comment" in rows[3]["query"]
+        fp = with_fingerprint(ev)
+        assert fp.where(F.col("query").isNull()).count() == 1
+        assert fp.where(F.col("query").isNull()).collect()[0]["digest"] is None
+
+    def test_many_record_file_parses_parallel(self, spark):
+        """The 5000-record file (multi-GB layout stand-in): record
+        count conserved, globally-unique record ids, and the text scan
+        actually splits (>1 partition) so a 100 TB file would too."""
+        path = os.path.join(FIXTURE_DIR, "slowlog_many.log")
+        ev = parse_slowlog(spark, path).cache()
+        n = ev.count()
+        admin = ev.where("admin").count()
+        assert n == 5000
+        assert 0 < admin < 250  # ~2% admin mix from the generator
+        assert ev.select("record_no").distinct().count() == n
+        assert ev.where(F.col("ts").isNull()).count() == 0
+
 
 class TestParseFixture:
     @pytest.fixture(scope="class")
@@ -475,6 +583,34 @@ class TestGoldenParquet:
         gc, gr = [c.lower() for c in gold.columns], [tuple(r) for r in gold.collect()]
         assert len(lr) == len(gr) > 900
         assert canon_rows(lc, lr) == canon_rows(gc, gr)
+
+    def test_all_fixture_goldens_fresh(self, spark):
+        """Round 6 widened the fixture corpus to 12 logs (toward the
+        upstream go-mysql test/slow-logs breadth); every one has a
+        committed golden event IR, and all must match the live parser."""
+        import glob
+        import os
+
+        from scripts.gen_slowlog_golden import golden_events_df
+        from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG
+        from tests.parity import canon_rows
+
+        fixture_dir = os.path.dirname(FIXTURE_LOG)
+        logs = sorted(glob.glob(os.path.join(fixture_dir, "*.log")))
+        assert len(logs) >= 12, logs
+        for log in logs:
+            name = os.path.splitext(os.path.basename(log))[0]
+            gold_path = os.path.join(fixture_dir, "golden", f"{name}_events.parquet")
+            assert os.path.exists(gold_path), f"missing golden for {name}"
+            live = golden_events_df(spark, log)
+            gold = spark.read.parquet(gold_path)
+            assert sorted(live.columns) == sorted(gold.columns), name
+            lc = [c.lower() for c in live.columns]
+            lr = [tuple(r) for r in live.collect()]
+            gc = [c.lower() for c in gold.columns]
+            gr = [tuple(r) for r in gold.collect()]
+            assert len(lr) == len(gr), name
+            assert canon_rows(lc, lr) == canon_rows(gc, gr), name
 
     def test_records_golden_fresh(self, spark):
         from scripts.gen_slowlog_golden import golden_records_df
