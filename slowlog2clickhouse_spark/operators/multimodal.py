@@ -62,16 +62,43 @@ def attach_binary(docs: DataFrame) -> DataFrame:
 def decode_image_stub(payload: bytes, codec: str = "fake/v1") -> np.ndarray:
     """Deterministic fake decoder: 16-bin byte histogram, L1-normalized.
 
-    A real deployment swaps this for PIL/torchvision decode; the
-    surrounding mapInPandas plumbing is unchanged.
+    The oracle path — DuckDB re-derives it in SQL. Real codecs go
+    through :func:`decode_image`, which dispatches here for "fake/v1".
     """
     if codec != "fake/v1":
         raise NotImplementedError(
-            f"real codec {codec!r} unavailable in this environment; "
-            "swap decode_image_stub for a PIL/ffmpeg decoder"
+            f"decode_image_stub only speaks 'fake/v1' (got {codec!r}); "
+            "use decode_image, which dispatches real codecs to PIL"
         )
     arr = np.frombuffer(payload, dtype=np.uint8)
     hist = np.bincount(arr % N_FEATURES, minlength=N_FEATURES).astype("float64")
+    total = hist.sum()
+    return hist / total if total else hist
+
+
+def decode_image(payload: bytes, codec: str = "fake/v1") -> np.ndarray:
+    """Codec seam (VERDICT r5 #6): "fake/v1" → the deterministic
+    oracle stub; any real codec (png/jpeg/webp/...) → PIL grayscale
+    decode to the SAME contract (16-bin luminance histogram,
+    L1-normalized), so downstream ANN/dedup stages are codec-agnostic.
+    Raises NotImplementedError when a real codec is requested and PIL
+    is not installed — the documented stub fallback."""
+    if codec == "fake/v1":
+        return decode_image_stub(payload)
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            f"real codec {codec!r} needs PIL, which is not installed; "
+            "the fake/v1 oracle path remains available"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    arr = np.asarray(img, dtype=np.uint8).ravel()
+    hist = np.bincount(
+        arr // (256 // N_FEATURES), minlength=N_FEATURES
+    ).astype("float64")
     total = hist.sum()
     return hist / total if total else hist
 
@@ -313,6 +340,30 @@ def resize_stub(payload: bytes, w: int, h: int, dst=RESIZE_TARGET) -> bytes:
     xs = np.minimum((np.arange(dw) * w) // dw, w - 1) if w else np.zeros(dw, int)
     idx = (ys[:, None] * w + xs[None, :]) % n
     return arr[idx].tobytes()
+
+
+def resize_image(
+    payload: bytes, w: int, h: int, dst=RESIZE_TARGET, codec: str = "fake/v1"
+) -> bytes:
+    """Resize seam, same dispatch contract as decode_image: "fake/v1"
+    → resize_stub (oracle path); real codecs → PIL nearest-neighbor
+    resize re-encoded as PNG, or NotImplementedError without PIL."""
+    if codec == "fake/v1":
+        return resize_stub(payload, w, h, dst)
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            f"real codec {codec!r} needs PIL, which is not installed; "
+            "the fake/v1 oracle path remains available"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    out = img.resize(dst, Image.NEAREST)
+    buf = io.BytesIO()
+    out.save(buf, format="PNG")
+    return buf.getvalue()
 
 
 @op(
