@@ -40,11 +40,26 @@ def sink_jdbc_clickhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact DDL + writer options that ``sinks.jdbc.write_jdbc`` would
     execute for the class table (main.go insertSQL analog [R:M]) so the
     sink's type mapping and batching contract are inspectable and
-    tested without a server."""
+    tested without a server. Two DDL rows since r6: the default
+    5-metric battery AND the full D5 ``m_*`` family (all 20 time+number
+    metrics → 8-stat batteries + 15 bool sums — the README DDL [R:M]
+    surface). scripts/clickhouse_integration.py is the one-command
+    live test once a server exists."""
+    from slowlog2clickhouse_spark.sources.slowlog import (
+        NUMBER_METRICS,
+        TIME_METRICS,
+    )
+
     classes = ingest_slowlog(spark, FIXTURE_LOG)
-    ddl = clickhouse_ddl(classes, "slowlog.queries")
+    full = ingest_slowlog(
+        spark, FIXTURE_LOG, metrics=TIME_METRICS + NUMBER_METRICS
+    )
     opts = jdbc_options("jdbc:clickhouse://localhost:8123/slowlog", "slowlog.queries")
-    rows = [("ddl", ddl)] + [(f"option:{k}", v) for k, v in sorted(opts.items())]
+    rows = (
+        [("ddl", clickhouse_ddl(classes, "slowlog.queries"))]
+        + [("ddl_full", clickhouse_ddl(full, "slowlog.queries_full"))]
+        + [(f"option:{k}", v) for k, v in sorted(opts.items())]
+    )
     return spark.createDataFrame(rows, "item string, value string")
 
 

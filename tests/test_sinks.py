@@ -125,3 +125,34 @@ def test_jsonl_corrupt_quarantine_counts(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     assert sum(r["n_good"] for r in rows.values()) == d.count()
     assert corrupt["n_good"] == d.where(F.col("doc_id") % 10 == 0).count()
+
+
+def test_full_battery_ddl_covers_every_d5_metric(spark):
+    """The ddl_full contract row must type every m_<metric>_<stat>
+    column of the full D5 family (5 time + 15 number metrics × 8
+    stats + 15 bool sums) plus the dimension columns — the README
+    MergeTree surface, checkable without a server."""
+    from slowlog2clickhouse_spark.registry import all_ops
+    from slowlog2clickhouse_spark.sources.slowlog import (
+        BOOL_METRICS,
+        NUMBER_METRICS,
+        TIME_METRICS,
+    )
+
+    rows = {
+        r["item"]: r["value"]
+        for r in all_ops()["sink_jdbc_clickhouse"].fn(spark, "").collect()
+    }
+    ddl = rows["ddl_full"]
+    for m in TIME_METRICS + NUMBER_METRICS:
+        for stat in ("cnt", "sum", "min", "max", "avg", "med", "p95", "p99"):
+            assert f"`m_{m}_{stat}`" in ddl, (m, stat)
+    for b in BOOL_METRICS:
+        assert f"`{b}_sum`" in ddl, b
+    for dim in ("digest", "period_start", "example", "num_queries"):
+        assert f"`{dim}`" in ddl
+    assert "ENGINE = MergeTree" in ddl
+    assert "ORDER BY (digest, period_start)" in ddl
+    # type-mapping spot checks: DateTime64 for ts, LowCardinality dims
+    assert "`period_start` DateTime64(6)" in ddl.replace("Nullable(DateTime64(6))", "DateTime64(6)")
+    assert "LowCardinality" in ddl
