@@ -197,14 +197,17 @@ def test_tpch_q9_part_filter_prunes_before_fact_join(spark, sf_dir):
     assert any("Contains(p_name,red)" in s for s in scans), p[:2000]
 
 
-def test_tpch_q21_semi_anti_pair_stays_hash(spark, sf_dir):
-    """Q21's EXISTS/NOT-EXISTS pair must be one semi + one anti hash
-    join on orderkey — the different-supplier inequality rides the
-    join condition without forcing a nested loop."""
+def test_tpch_q21_single_scan_window_pipeline(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair folds into per-order counts over a
+    window PARTITIONED by l_orderkey (r6 rewrite): ONE lineitem scan,
+    no self-join, no nested loop — the semi+anti form re-ran the base
+    join per consumer (SCALING.md round-6 case study)."""
     p = plan_of(spark, sf_dir, "tpch_q21")
-    assert "LeftSemi" in p
-    assert "LeftAnti" in p
+    assert p.count("lineitem.parquet") == 1
     assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
+    # the window is partitioned (basket-sized groups), never global
+    assert "LeftSemi" not in p and "LeftAnti" not in p
 
 
 def test_tpch_q13_outer_join_preserves_zero_order_customers(spark, sf_dir):
