@@ -194,7 +194,9 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1
     """,
 )
-def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sink_partition_overwrite(
+    spark: SparkSession, sf_dir: str, day=None
+) -> DataFrame:
     """Backfill/replay: recompute ONE day of a date-partitioned table
     and overwrite only that partition (dynamic partitionOverwriteMode),
     leaving every other day's files untouched — the operational
@@ -204,6 +206,11 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Writes the events table day-partitioned, then re-writes the first
     day with a marker value; returns per-day counts + marker totals so
     the driver row proves the other days survived.
+
+    ``day`` is the production parameter (the backfill job KNOWS its
+    day — passing it keeps the plan scan-free, like sql_parameterized);
+    the None default fetches min(d) once so the demo stays
+    self-contained. At 100 TB always pass the day.
     """
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     out = os.path.join(tempfile.mkdtemp(prefix="sink_povw_"), "t")
@@ -211,7 +218,7 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "value", F.to_date("ts").alias("d")
     )
     ev.write.partitionBy("d").mode("overwrite").parquet(out)
-    first_day = ev.agg(F.min("d")).collect()[0][0]
+    first_day = day or ev.agg(F.min("d")).collect()[0][0]
     backfill = ev.where(F.col("d") == F.lit(first_day)).withColumn(
         "value", F.lit(-1.0)
     )
@@ -347,7 +354,9 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
 )
-def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scan_partition_pruned(
+    spark: SparkSession, sf_dir: str, day=None
+) -> DataFrame:
     """Partition-pruned scan — THE 100 TB read-path optimization: write
     the events table date-partitioned (the MergeTree-mirroring layout
     every sink here uses), then read back exactly one day; the literal
@@ -356,9 +365,9 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py). At 100 TB this is the difference between
     scanning one day and scanning three years.
 
-    The one ``collect`` fetches a single scalar (min date) to build
-    the literal predicate — the same driver-side-scalar pattern as the
-    backfill demo (sinks_ops.py sink_partition_overwrite).
+    ``day`` is the production parameter (the consumer knows which day
+    it wants — passing it keeps the build scan-free); the None default
+    fetches min(event_date) once so the demo stays self-contained.
     """
     part_dir = os.path.join(
         tempfile.mkdtemp(prefix="scan_pruned_"), "events_by_day"
@@ -367,7 +376,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", "event_type", "value", F.to_date("ts").alias("event_date")
     )
     ev.write.mode("overwrite").partitionBy("event_date").parquet(part_dir)
-    first_day = ev.agg(F.min("event_date")).collect()[0][0]
+    first_day = day or ev.agg(F.min("event_date")).collect()[0][0]
     back = spark.read.parquet(part_dir).where(
         F.col("event_date") == F.lit(first_day)
     )
