@@ -70,8 +70,24 @@ PROBE = [
     "sql_lateral_alias",
     "sql_identifier_clause",
     "agg_percentile_disc",
+    # round-6 scale-safe rewrites (stitched_order / ranked_topk paths)
+    "orders_pareto",
+    "events_trigram_paths",
+    "text_bpe_pairs",
+    "text_dup_spans",
+    "mm_duplicate_frames",
+    "qan_sparkline",
+    "fn_hash64",
+    "agg_percentile_approx",
 ]
-SINGLE_ROW_OK = {"funnel_events", "cte_recursive_spine"}
+SINGLE_ROW_OK = {
+    "funnel_events",
+    "cte_recursive_spine",
+    # global aggregates legitimately emit their one row of zero/NULL
+    # stats on empty input (r6 partial-oracle conversions)
+    "agg_approx_count_distinct",
+    "agg_hll_daily_merge",
+}
 
 
 @pytest.fixture(scope="module")
