@@ -1,0 +1,107 @@
+"""stitched_order / ranked_topk / ntile_from_rn must be row-for-row
+identical to the naive single-partition-window forms they replace —
+checked on seeded-random data with duplicates, skew, and sizes around
+the bucket and tile boundaries (the r6 scale-safe rewrites stand or
+fall on this equivalence)."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window as W
+
+from slowlog2clickhouse_spark.operators.stitched import (
+    ntile_from_rn,
+    ranked_topk,
+    stitched_order,
+)
+
+
+def _random_df(spark, n, seed, dup_every=3):
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randint(0, max(1, n // dup_every)), rng.randint(0, 10**6))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "id long, v long, w long")
+
+
+def test_stitched_order_matches_global_window(spark):
+    for n, buckets in ((0, 4), (1, 4), (7, 4), (100, 8), (1000, 32)):
+        df = _random_df(spark, n, seed=n)
+        order = [F.col("v").desc(), F.col("id").asc()]
+        got = {
+            r["id"]: (r["rn"], r["cum_w"])
+            for r in stitched_order(
+                df, order, cum_cols=("w",), num_buckets=buckets
+            ).collect()
+        }
+        w = W.orderBy(*order)
+        want = {
+            r["id"]: (r["rn"], r["cum"])
+            for r in df.select(
+                "id",
+                F.row_number().over(w).cast("long").alias("rn"),
+                F.sum("w")
+                .over(w.rowsBetween(W.unboundedPreceding, 0))
+                .alias("cum"),
+            ).collect()
+        }
+        assert got == want, (n, buckets)
+
+
+def test_stitched_order_skewed_single_value(spark):
+    """All rows share one sort value — every row lands in one range
+    bucket; the tiebreak column must still produce the exact ranks."""
+    df = spark.createDataFrame(
+        [(i, 42, 1) for i in range(500)], "id long, v long, w long"
+    )
+    out = stitched_order(
+        df, [F.col("v").desc(), F.col("id").asc()], cum_cols=("w",), num_buckets=8
+    ).collect()
+    assert sorted((r["id"], r["rn"], r["cum_w"]) for r in out) == [
+        (i, i + 1, i + 1) for i in range(500)
+    ]
+
+
+def test_ntile_from_rn_matches_builtin(spark):
+    for n in (1, 2, 3, 4, 5, 7, 8, 100, 101, 102, 103):
+        for k in (2, 4, 7):
+            df = _random_df(spark, n, seed=n * 31 + k)
+            order = [F.col("v").asc(), F.col("id").asc()]
+            w = W.orderBy(*order)
+            want = {
+                r["id"]: r["t"]
+                for r in df.select(
+                    "id", F.ntile(k).over(w).alias("t")
+                ).collect()
+            }
+            ranked = stitched_order(df, order, num_buckets=4)
+            ntab = df.agg(F.count(F.lit(1)).alias("n"))
+            got = {
+                r["id"]: r["t"]
+                for r in ranked.crossJoin(F.broadcast(ntab))
+                .select(
+                    "id", ntile_from_rn(F.col("rn"), F.col("n"), k).alias("t")
+                )
+                .collect()
+            }
+            assert got == want, (n, k)
+
+
+def test_ranked_topk_matches_windowed_filter(spark):
+    for n, k in ((0, 5), (3, 5), (200, 20)):
+        df = _random_df(spark, n, seed=n + k)
+        order = [F.col("v").desc(), F.col("id").asc()]
+        got = sorted(
+            (r["id"], r["rk"]) for r in ranked_topk(df, order, k).collect()
+        )
+        w = W.orderBy(*order)
+        want = sorted(
+            (r["id"], r["rk"])
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .collect()
+        )
+        assert got == want, (n, k)
