@@ -295,6 +295,38 @@ class TestFixtureCorpus:
         assert fp.where(F.col("query").isNull()).count() == 1
         assert fp.where(F.col("query").isNull()).collect()[0]["digest"] is None
 
+    def test_preamble_only_file_yields_zero_events(self, spark):
+        """A just-rotated log holding only the server banner parses to
+        an EMPTY frame (not a crash, not a garbage event)."""
+        ev = parse_slowlog(
+            spark, os.path.join(FIXTURE_DIR, "slowlog_preamble_only.log")
+        )
+        assert ev.count() == 0
+
+    def test_crlf_file_fixture(self, spark):
+        """A whole file with CRLF line endings (Windows-exported log):
+        records split and queries come out without stray carriage
+        returns (complements the inline-string CRLF test)."""
+        ev = parse_slowlog(spark, os.path.join(FIXTURE_DIR, "slowlog_crlf.log"))
+        rows = ev.orderBy("ts").collect()
+        assert [r["query"] for r in rows] == [
+            "SELECT a FROM crlf_table WHERE id = 1",
+            "SELECT b FROM crlf_table WHERE id = 2",
+        ]
+        assert rows[0]["query_time"] == pytest.approx(0.025)
+
+    def test_everything_mixed_in_one_file(self, spark):
+        """Preamble + 5.1 header + use-db + admin + rate-limit +
+        mid-file rotation + '# ' in a literal, all in ONE file — the
+        shape a real years-old log directory concatenates to."""
+        ev = parse_slowlog(spark, os.path.join(FIXTURE_DIR, "slowlog_allmix.log"))
+        rows = ev.orderBy("ts").collect()
+        assert len(rows) == 4
+        assert rows[0]["db"] == "oldschema"
+        assert rows[1]["admin"] is True and rows[1]["query"] == "Ping"
+        assert rows[2]["rate_limit"] == 10 and rows[2]["db"] == "shop"
+        assert "post-rotation # not a header" in rows[3]["query"]
+
     def test_many_record_file_parses_parallel(self, spark):
         """The 5000-record file (multi-GB layout stand-in): record
         count conserved, globally-unique record ids, and the text scan
