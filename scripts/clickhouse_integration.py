@@ -46,7 +46,13 @@ def main() -> int:
 
     builder = SparkSession.builder.master("local[8]").appName("ch-integration")
     if jar:
-        builder = builder.config("spark.jars", jar)
+        # spark.jars alone ships the jar to executors but NOT onto the
+        # driver JVM's system classloader — py4j's Class.forName below
+        # would throw ClassNotFoundException. extraClassPath puts it on
+        # the driver; spark.jars keeps the executor side covered.
+        builder = builder.config("spark.jars", jar).config(
+            "spark.driver.extraClassPath", jar
+        )
     spark = builder.getOrCreate()
 
     import pyspark.sql.functions as F

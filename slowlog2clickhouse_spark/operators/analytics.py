@@ -435,8 +435,9 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-repartition + per-bucket window + broadcast offsets) — no
     single-partition window over |customers|. Revenue runs in
     fixed-point BIGINT (×10^4), so the stitched sums are bit-exact
-    and engine-portable; overflow headroom to ~9.2e14 currency units
-    summed (switch rev_c to DECIMAL(38,4) beyond that)."""
+    and engine-portable; the threshold compare multiplies cum_c by 10,
+    so overflow headroom is ~9.2e13 currency units of total revenue
+    ((2^63−1)/10^5) — switch rev_c to DECIMAL(38,4) beyond that."""
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice") * 10000, 0)
@@ -535,6 +536,14 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
+    # LAZY localCheckpoint: the three stitched passes + ntab all hang
+    # off this one DataFrame, but column pruning makes their aggregate
+    # subplans non-canonical (no exchange reuse) — without the
+    # checkpoint the per-user aggregate re-evaluates per branch
+    # (measured: 7 events scans in the executed plan). eager=False
+    # keeps the builder action-free (plan lint explains it); the RDD
+    # materializes once on first action and every branch shares it.
+    base = base.localCheckpoint(eager=False)
     ntab = base.agg(F.count(F.lit(1)).alias("_n"))
 
     def tiles(order_cols: list, alias: str, keep: list[str]) -> DataFrame:

@@ -166,10 +166,11 @@ def fn_digest_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "fn_hash64",
     # r6 partial oracle (VERDICT r5 #7): the md5-derived portable
-    # 60-bit hash is value-checked; the engine hashes (xxhash64/hash/
+    # 64-bit hash is value-checked; the engine hashes (xxhash64/hash/
     # crc32) stay IN the plan but surface only as a non-null witness
     # (their raw values are engine-specific by design — G8);
-    # tests/test_properties.py pins xxhash64 partition-invariance
+    # tests/test_stitched.py::test_xxhash64_value_pins_and_partition_invariance
+    # pins xxhash64's actual values and partitioning-independence
     oracle="""
     SELECT doc_id,
            CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h64_portable,

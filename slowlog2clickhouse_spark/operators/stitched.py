@@ -44,9 +44,14 @@ def stitched_order(
     (must include a unique tiebreak; ``cum_cols`` should be integral
     for bit-exact stitching).
 
-    Scale: two shuffles of the input (range repartition + the tiny
-    per-bucket aggregate), one broadcast of ≤ num_buckets offset rows.
-    No single-partition pass over the data itself.
+    Scale: THREE shuffles — two full-data (the range repartition, then
+    the Exchange hashpartitioning(_pid) the per-bucket window inserts:
+    Spark cannot prove range partitioning satisfies the window's
+    required distribution) plus the tiny per-bucket aggregate — and
+    one broadcast of ≤ num_buckets offset rows. The second full-data
+    exchange is the price of the pattern; what it buys is that NO
+    stage is single-partition — every pass keeps num_buckets-way
+    parallelism, unlike the naive global window it replaces.
     """
     spark = df.sparkSession
     n = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
