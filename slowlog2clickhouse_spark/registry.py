@@ -176,6 +176,7 @@ _PRIORITY: tuple[str, ...] = (
     "orders_running_share",
     "customer_wallet_share",
     "events_props_band_stats",
+    "stream_dedup_minhash",
     # --- re-confirmation queue: previously driver-green ops, oldest
     # greens first as they were ordered in earlier rounds, then the
     # genuinely rows-only ops (sketches, rate source, progress metrics)

@@ -601,3 +601,88 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [row], "batch_id long, input_rows long, state_rows long, out_rows long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup dedup (round 6) — the ingest-time dedup stage of a
+# training-data pipeline: documents ARRIVE as a stream and must be
+# checked against the already-ingested corpus before they are admitted.
+# ---------------------------------------------------------------------------
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file stream (schema sniffed from a
+    footer-only batch read, same pattern as read_events_stream)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.option("pathGlobFilter", "documents.parquet")
+        .schema(schema)
+        .parquet(sf_dir)
+    )
+
+
+from slowlog2clickhouse_spark.operators.dedup import _MINHASH_BANDS_DUCK
+
+
+@op(
+    "stream_dedup_minhash",
+    # batch-exact oracle: the stream halves the corpus by doc_id parity
+    # (odd = arriving stream, even = already-ingested static index), so
+    # DuckDB reproduces the survivor set from the shared md5-portable
+    # band CTE — a doc survives iff NO band (position-aware struct)
+    # collides with any static doc's band
+    oracle=_MINHASH_BANDS_DUCK
+    + """
+    , sb AS (
+      SELECT doc_id, unnest(bs) AS u FROM bands WHERE doc_id % 2 = 1),
+    si AS (
+      SELECT DISTINCT unnest(bs) AS u FROM bands WHERE doc_id % 2 = 0),
+    clean AS (
+      SELECT sb.doc_id FROM sb
+      LEFT JOIN si ON sb.u = si.u
+      WHERE si.u IS NULL)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_clean_bands
+    FROM clean GROUP BY 1 HAVING count(*) = 4
+    """,
+)
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH dedup against the ingested corpus: the
+    arriving documents stream (doc_id odd) computes its 4 band keys
+    with the SAME portable signature chain as dedup_minhash, explodes
+    to band rows, and a stream-static LEFT ANTI equi-join drops every
+    band that collides with the static index (doc_id even, distinct
+    (band, band_sig) — at 100 TB this index is the compact artifact a
+    nightly job refreshes). A doc is admitted iff all 4 of its band
+    rows survive (count == 4 under a complete-mode aggregate — no
+    watermark needed: the state is |arriving docs| keys, bounded per
+    ingest window).
+
+    Scale: signature math is stateless per micro-batch; the only
+    state is the admission count per in-flight doc; the static side is
+    the deduplicated band index, not the corpus."""
+    from slowlog2clickhouse_spark.io import load_table
+    from slowlog2clickhouse_spark.operators.dedup import minhash_band_keys
+
+    static_docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 0
+    )
+    static_idx = (
+        minhash_band_keys(static_docs)
+        .select(F.posexplode_outer("band_sigs").alias("band", "band_sig"))
+        .distinct()
+    )
+    arriving = read_documents_stream(spark, sf_dir).where(
+        F.col("doc_id") % 2 == 1
+    )
+    banded = minhash_band_keys(arriving).select(
+        "doc_id", F.posexplode_outer("band_sigs").alias("band", "band_sig")
+    )
+    clean = banded.join(static_idx, ["band", "band_sig"], "left_anti")
+    admitted = (
+        clean.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_clean_bands"))
+        .where(F.col("n_clean_bands") == 4)
+    )
+    return run_to_memory(admitted, "complete")
+
+

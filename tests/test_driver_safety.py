@@ -31,6 +31,7 @@ HEAVY = {
     "sink_stream_foreachbatch",
     "stream_slowlog_classes",
     "stream_stateful_counter",
+    "stream_dedup_minhash",
 }
 
 

@@ -36,6 +36,7 @@ EAGER = {
     "stream_static_join",
     "stream_stream_join",
     "stream_transform_with_state",
+    "stream_dedup_minhash",
     "stream_rate_source",
     "stream_progress_metrics",
     "scan_orc",

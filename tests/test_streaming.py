@@ -185,3 +185,41 @@ def test_transform_with_state_totals_equal_batch(spark, sf_dir):
     }
     assert final == batch
     assert got.select("api").distinct().count() == 1
+
+
+def test_stream_dedup_minhash_batch_equivalence_and_admission(spark, sf_dir):
+    """The streaming admission decision must equal the batch
+    formulation exactly: survivors = arriving (odd) docs none of whose
+    band keys collide with the static (even) corpus index — and every
+    admitted doc carries all 4 clean bands."""
+    import pyspark.sql.functions as F
+
+    from slowlog2clickhouse_spark.io import load_table
+    from slowlog2clickhouse_spark.operators.dedup import minhash_band_keys
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    got = {
+        r["doc_id"]: r["n_clean_bands"]
+        for r in all_ops()["stream_dedup_minhash"].fn(spark, sf_dir).collect()
+    }
+    assert all(v == 4 for v in got.values())
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = minhash_band_keys(docs).select(
+        "doc_id", F.posexplode_outer("band_sigs").alias("band", "band_sig")
+    )
+    static_idx = banded.where(F.col("doc_id") % 2 == 0).select(
+        "band", "band_sig"
+    ).distinct()
+    batch = (
+        banded.where(F.col("doc_id") % 2 == 1)
+        .join(static_idx, ["band", "band_sig"], "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 4)
+    )
+    want = {r["doc_id"] for r in batch.collect()}
+    assert set(got) == want
+    # sanity: the stream admits most docs but not all (near-dups exist)
+    n_arriving = docs.where(F.col("doc_id") % 2 == 1).count()
+    assert 0 < len(got) < n_arriving
