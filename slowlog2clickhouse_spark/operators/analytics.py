@@ -60,7 +60,13 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance math is float add on exact inputs — IEEE-identical
     cross-engine, no rounding needed.
     """
-    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    # lazy checkpoint: the base snapshot feeds multiple derived
+    # branches — without it the customer scan re-runs per branch
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .localCheckpoint(eager=False)
+    )
     k = F.col("c_custkey")
     upd = base.where(k % 10 == 0).select(
         k.alias("k"),
@@ -166,10 +172,15 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg of three tiny tables.
     """
     e = load_table(spark, sf_dir, "events")
+    # lazy checkpoints: each stage feeds BOTH the next stage's join and
+    # its own count branch — without them the whole chain re-derives per
+    # branch (5 fact scans in the executed plan; 3 after, one per stage
+    # filter, which is the honest floor for min-timestamp chaining)
     s1 = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     s2 = (
         e.where(F.col("event_type") == "click")
@@ -177,6 +188,7 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False)
     )
     s3 = (
         e.where(F.col("event_type") == "purchase")
@@ -223,7 +235,13 @@ def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     with bucketed snapshots it's shuffle-free), change classification
     is map-side. Float equality is safe: both sides compute the same
     IEEE expression on identical inputs."""
-    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    # lazy checkpoint: the base snapshot feeds multiple derived
+    # branches — without it the customer scan re-runs per branch
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .localCheckpoint(eager=False)
+    )
     k = F.col("c_custkey")
     now = (
         base.where(k % 10 != 1)

@@ -68,7 +68,13 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so it broadcasts at any scale)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # lazy checkpoint: tf feeds both the df aggregate and the join —
+    # without it the tokenize/explode pass re-runs per consumer
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
     return (
@@ -848,7 +854,13 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB (N mixtures = N map-side filters over one cached scan).
     """
     d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    # lazy checkpoint: counts feeds BOTH rates and the min — without it
+    # each branch re-scans the corpus for its own copy of the aggregate
+    counts = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .localCheckpoint(eager=False)
+    )
     mn = counts.agg(F.min("n_docs").alias("mn"))
     rates = counts.crossJoin(F.broadcast(mn)).select(
         "source",
@@ -1139,9 +1151,17 @@ def text_idf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k BEFORE the window shuffle). Nothing touches raw text twice."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # ONE tokenize pass, then everything derives from the checkpointed
+    # (doc, token) rollup: df = count of tf rows per token (each row is
+    # a distinct doc), n = distinct docs in tf — the docstring's
+    # 'nothing touches raw text twice' made true in the executed plan
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "token")
         .crossJoin(F.broadcast(n))

@@ -145,9 +145,16 @@ def agg_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. Output is day-grain rows plus one total row (day NULL).
     """
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("exact_users"),
+    # lazy checkpoint: daily feeds the per-day rows AND the union-merge
+    # — without it the day-grain aggregate scans events once per branch
+    # (the docstring's 'no second scan' promise, made true in the plan)
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .localCheckpoint(eager=False)
     )
 
     def est_ok(est: F.Column, exact: F.Column) -> F.Column:
