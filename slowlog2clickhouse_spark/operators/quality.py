@@ -213,17 +213,19 @@ def dq_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
 
     def edge(fk_name, child, parent, ck, pk, broadcast_parent):
+        # one child pass: left-outer + conditional count folds the
+        # row count and the orphan count into a single aggregate (the
+        # anti-join + crossJoin form scanned the child twice per edge)
         p = parent.select(pk).distinct()
         if broadcast_parent:
             p = F.broadcast(p)
-        orphans = child.join(p, child[ck] == p[pk], "left_anti")
-        return (
-            child.agg(F.count("*").alias("n_child_rows"))
-            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
-            .select(
-                F.lit(fk_name).alias("fk"), "n_child_rows", "n_orphans"
-            )
+        j = child.select(F.col(ck).alias("_ck")).join(
+            p, F.col("_ck") == p[pk], "left_outer"
         )
+        return j.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.count(F.when(F.col(pk).isNull(), 1)).alias("n_orphans"),
+        ).select(F.lit(fk_name).alias("fk"), "n_child_rows", "n_orphans")
 
     return (
         edge("orders.o_custkey->customer", o, c, "o_custkey", "c_custkey", True)

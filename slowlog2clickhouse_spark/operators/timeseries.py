@@ -634,8 +634,14 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the error spine (zero-match errors keep count 0)."""
     ev = load_table(spark, sf_dir, "events")
     bin_of = (F.unix_timestamp("ts") / 600).cast("long")
-    err = ev.where(F.col("event_type") == "error").select(
-        "event_id", "user_id", F.col("ts").alias("e_ts"), bin_of.alias("b")
+    # lazy checkpoint: err is both the probe side and the left spine of
+    # the final join — share the filtered scan instead of re-running it
+    err = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            "event_id", "user_id", F.col("ts").alias("e_ts"), bin_of.alias("b")
+        )
+        .localCheckpoint(eager=False)
     )
     probe = err.select(
         "event_id",

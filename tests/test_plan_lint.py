@@ -74,7 +74,6 @@ ALLOW_NESTED_LOOP = {
     "qan_slo_burn",  # broadcast 1-row stream-head timestamp
     "tpch_q11",  # broadcast 1-row total-value threshold
     "tpch_q22",  # broadcast 1-row avg-balance threshold
-    "dq_fk_integrity",  # 1-row total × 1-row orphan-count join per edge
     "events_rfm",  # broadcast 1-row stream-head timestamp (recency anchor)
     "orders_pareto",  # broadcast 1-row grand-total + 3-row threshold table
     "slowlog_load_share",  # broadcast 1-row grand-total factor
