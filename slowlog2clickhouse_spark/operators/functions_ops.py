@@ -189,10 +189,14 @@ def fn_hash64(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10)
         .cast("long")
         .alias("h64_portable"),
-        (
+        # coalesce → FALSE: crc32(NULL) is NULL and would propagate
+        # through the conjunction, while the oracle's (text IS NOT
+        # NULL) is FALSE for a NULL row (ADVICE r6, low)
+        F.coalesce(
             F.xxhash64("text").isNotNull()
             & F.hash("text").isNotNull()
-            & F.crc32(F.col("text").cast("binary")).isNotNull()
+            & F.crc32(F.col("text").cast("binary")).isNotNull(),
+            F.lit(False),
         ).alias("engine_hashes_ok"),
     )
 

@@ -58,6 +58,21 @@ def stitched_order(
     parts = df.repartitionByRange(n, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # `_pid` is NON-DETERMINISTIC (spark_partition_id over a sampled
+    # RangePartitioner) and `parts` is consumed by TWO plan branches
+    # (the window side and the bucket-totals side). If column pruning
+    # makes the branches non-identical, ReuseExchange cannot dedupe
+    # them, each branch re-samples range bounds independently, and the
+    # two `_pid` assignments disagree — silently corrupting every rank
+    # (ADVICE r6, high). localCheckpoint materializes the ranged data
+    # ONCE (lazily, at the first action) and truncates lineage, so both
+    # consumers read the same frozen `_pid`. Scale note: this is one
+    # extra materialization of the ranged dataset to executor-local
+    # storage (memory+disk) — the price of correctness, not reliant on
+    # spark.sql.exchange.reuse staying enabled or on AQE planner
+    # details; on a long-lived production cluster where executor loss
+    # matters, swap for `.checkpoint()` to reliable storage.
+    parts = parts.localCheckpoint(eager=False)
     wloc = W.partitionBy("_pid").orderBy(*order_cols)
     out = parts.withColumn("_lrn", F.row_number().over(wloc))
     aggs = [F.count(F.lit(1)).alias("_cnt")]

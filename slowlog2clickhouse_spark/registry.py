@@ -51,18 +51,88 @@ def op(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Driver-facing iteration order. The external correctness driver scores
-# ops in queries() dict order under a finite budget (50 rows per round;
-# r01-r04 each scored their window's first 50, all green). The window is
-# re-rotated every round so never-scored oracle ops reach the driver
-# first, newly-converted oracles queue right behind for the next round,
-# and older greens cycle back for re-confirmation after testdata
-# regenerations. tests/test_coverage.py asserts the list stays ⊆
-# registry; all_ops() appends any unlisted registry ops at the end.
+# ops in queries() dict order under a finite budget (50 rows per round).
+# Round-7 rotation: positions 1-2 are the two r6 harness-fails
+# (mm_resize / mm_frame_sample, now hex-projected and driver-safe);
+# positions 3-50 are 48 of the 65 never-driver-scored ops, flagship
+# composites first (VERDICT r6 #2); positions 51-67 the 17 deferred
+# never-scored ops (r8 window head), then the 3 partial-oracle
+# re-scores (fn_hash64, agg_approx_count_distinct,
+# agg_percentile_approx), then the re-confirmation queue in prior
+# order. tests/test_coverage.py asserts the list stays ⊆ registry and
+# that no op waits more than 2 rotations to reach the window;
+# all_ops() appends any unlisted registry ops at the end.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-6 window positions 1-50: every oracle op the driver
-    # has NEVER scored (VERDICT r5 #1). First the remaining round-5
-    # oracle conversions, then the head of the round-5 second-wave
-    # additions; all replica-green at sf0.01 in the round-5 session.
+    "mm_resize",
+    "mm_frame_sample",
+    "orders_pareto",
+    "events_rfm",
+    "stream_dedup_minhash",
+    "join_dynamic_partition_pruning",
+    "udtf_table_arg",
+    "dedup_containment",
+    "mm_phash_dedup",
+    "llm_curation_funnel",
+    "qan_latency_histogram",
+    "qan_load_heatmap",
+    "qan_digest_examples",
+    "qan_digest_cooccurrence",
+    "agg_bitmap_distinct",
+    "doc_chunk_sliding",
+    "time_rolling_distinct",
+    "text_bpe_pairs",
+    "join_interval_binned",
+    "slowlog_efficiency",
+    "text_oov_rate",
+    "win_rolling_median",
+    "text_dup_spans",
+    "agg_session_window_builtin",
+    "scan_binary_files",
+    "events_attribution",
+    "scan_jsonl_corrupt",
+    "dq_drift",
+    "mm_scene_cut",
+    "slowlog_dimensions_matrix",
+    "events_markov_transitions",
+    "basket_part_pairs",
+    "time_resample_ohlc",
+    "slowlog_load_share",
+    "text_idf_keywords",
+    "dq_sequence_gaps",
+    "text_entropy",
+    "events_ab_lift",
+    "slowlog_rate_adjusted",
+    "ann_nprobe_sweep",
+    "events_conversion_lag",
+    "join_null_skew_isolation",
+    "slowlog_top_tables",
+    "mm_duplicate_frames",
+    "text_lang_mismatch",
+    "orders_running_share",
+    "customer_wallet_share",
+    "events_props_band_stats",
+    "slowlog_classes_approx",
+    "agg_hll_daily_merge",
+    "scan_xml",
+    "str_collation",
+    "sql_pipe_syntax",
+    "agg_percentile_disc",
+    "agg_filter_clause",
+    "sql_lateral_alias",
+    "sql_identifier_clause",
+    "scan_csv_multiline",
+    "dedup_prefix",
+    "events_trigram_paths",
+    "reshape_transpose",
+    "events_bounce_rate",
+    "supplier_balance_outliers",
+    "part_price_dispersion",
+    "events_user_lifetime",
+    "stream_rate_source",
+    "stream_progress_metrics",
+    "fn_hash64",
+    "agg_approx_count_distinct",
+    "agg_percentile_approx",
     "map_in_pandas_chunker",
     "pandas_udf_fingerprint",
     "scan_text_multiline",
@@ -89,14 +159,10 @@ _PRIORITY: tuple[str, ...] = (
     "cache_branch_reuse",
     "observe_metrics",
     "vec_quantize_int8",
-    "mm_frame_sample",
     "dedup_cluster",
     "udf_arrow_optimized",
     "join_bucketed_colocated",
     "stream_stateful_counter",
-    # --- round-7 queue: rest of the never-driver-scored block
-    # (~48 ops remain after the r6 window; next rotation promotes
-    # these to positions 1-50).
     "qan_anomaly_mad",
     "text_ngram_topk",
     "vec_knn_ivf",
@@ -111,75 +177,10 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_mix_rebalance",
     "dedup_minhash_verified",
     "mm_decode_features",
-    "mm_resize",
     "mm_feature_knn",
     "mm_audio_energy",
     "qan_new_digests",
     "scan_partition_pruned",
-    "agg_bitmap_distinct",
-    "doc_chunk_sliding",
-    "time_rolling_distinct",
-    "qan_latency_histogram",
-    "mm_phash_dedup",
-    "dedup_containment",
-    "text_bpe_pairs",
-    "join_interval_binned",
-    "slowlog_efficiency",
-    "text_oov_rate",
-    "win_rolling_median",
-    "text_dup_spans",
-    "agg_session_window_builtin",
-    "scan_binary_files",
-    "events_attribution",
-    "scan_jsonl_corrupt",
-    "dq_drift",
-    "mm_scene_cut",
-    "slowlog_dimensions_matrix",
-    "events_markov_transitions",
-    "basket_part_pairs",
-    "scan_xml",
-    "str_collation",
-    "time_resample_ohlc",
-    "orders_pareto",
-    "sql_pipe_syntax",
-    "slowlog_load_share",
-    "join_dynamic_partition_pruning",
-    "text_idf_keywords",
-    "dq_sequence_gaps",
-    "text_entropy",
-    "qan_digest_examples",
-    "events_rfm",
-    "agg_percentile_disc",
-    "events_ab_lift",
-    "llm_curation_funnel",
-    "agg_filter_clause",
-    "sql_lateral_alias",
-    "sql_identifier_clause",
-    "scan_csv_multiline",
-    "qan_load_heatmap",
-    "udtf_table_arg",
-    "slowlog_rate_adjusted",
-    "ann_nprobe_sweep",
-    "events_conversion_lag",
-    "join_null_skew_isolation",
-    "slowlog_top_tables",
-    "mm_duplicate_frames",
-    "qan_digest_cooccurrence",
-    "dedup_prefix",
-    "events_trigram_paths",
-    "reshape_transpose",
-    "events_bounce_rate",
-    "supplier_balance_outliers",
-    "part_price_dispersion",
-    "events_user_lifetime",
-    "text_lang_mismatch",
-    "orders_running_share",
-    "customer_wallet_share",
-    "events_props_band_stats",
-    "stream_dedup_minhash",
-    # --- re-confirmation queue: previously driver-green ops, oldest
-    # greens first as they were ordered in earlier rounds, then the
-    # genuinely rows-only ops (sketches, rate source, progress metrics)
     "win_moving_avg_time",
     "win_sessionize",
     "qan_compare_periods",
@@ -230,10 +231,6 @@ _PRIORITY: tuple[str, ...] = (
     "qan_slo_burn",
     "date_try_parse",
     "str_regex_backref",
-    "slowlog_classes_approx",
-    "agg_hll_daily_merge",
-    "stream_rate_source",
-    "stream_progress_metrics",
     "mm_metadata_filter",
     "win_running_sum",
     "win_first_last_value",
@@ -261,13 +258,10 @@ _PRIORITY: tuple[str, ...] = (
     "vec_cosine_pairs",
     "vec_knn_topk",
     "vec_centroid",
-    "agg_percentile_approx",
     "join_semi_anti_rewrite",
     "corpus_curation",
     "join_salted_skew",
     "time_gapfill_locf",
-    # --- round-5 window (all 50 driver-green in CORRECTNESS_r05):
-    # rotated to the back of the re-confirmation queue.
     "tpch_q2",
     "tpch_q4",
     "tpch_q7",
@@ -318,6 +312,52 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "stream_tumbling_agg",
     "stream_static_join",
+    # r1-green foundational ops (previously reached the driver via the
+    # append-at-end fallback; listed explicitly so the rotation guard
+    # can assert every op has a deliberate queue position)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "str_basic",
+    "str_regex_extract",
+    "fn_fingerprint_sql",
+    "fn_digest_md5",
+    "date_parse",
+    "date_parts",
+    "date_trunc_bucket",
+    "math_funcs",
+    "json_funcs",
+    "array_funcs",
+    "higher_order_fns",
+    "null_funcs",
+    "project_select",
+    "project_case",
+    "filter_pred",
+    "filter_null",
+    "join_broadcast_inner",
+    "join_shuffle_inner",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_asof",
+    "agg_global",
+    "agg_groupby_stats",
+    "agg_time_bucket",
+    "agg_percentile",
+    "agg_count_distinct",
+    "agg_having",
+    "agg_conditional",
+    "agg_argmax_example",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_collect_sorted",
+    "win_topk_per_group",
+    "win_rank_dense_ntile",
+    "win_lag_lead",
 )
 
 

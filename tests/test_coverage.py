@@ -58,6 +58,38 @@ def test_survey_coverage_note_count_is_exact():
     )
 
 
+def test_driver_window_rotation_guard():
+    """The external driver scores the first 50 entries of queries()
+    order per round. Guard the rotation discipline (VERDICT r6 #8): (a)
+    every registered op is listed EXPLICITLY in _PRIORITY — nothing
+    relies on the silent append-at-end fallback; (b) every op the
+    driver has never scored (absent from all committed
+    CORRECTNESS_r*.json) sits within the first 100 positions, i.e. is
+    guaranteed a driver window within 2 rounds of registration."""
+    import glob
+    import json
+
+    from slowlog2clickhouse_spark.registry import _PRIORITY
+
+    ops = all_ops()
+    unlisted = [n for n in ops if n not in set(_PRIORITY)]
+    assert not unlisted, f"ops not explicitly placed in _PRIORITY: {unlisted}"
+
+    scored: set[str] = set()
+    root = os.path.dirname(SURVEY)
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        d = json.load(open(path))
+        if "results" in d:
+            d = d["results"]
+        scored |= {k for k, v in d.items() if isinstance(v, dict)}
+    window2 = set(_PRIORITY[:100])
+    stranded = sorted(set(ops) - scored - window2)
+    assert not stranded, (
+        "never-driver-scored ops parked beyond the next 2 windows "
+        f"(rotate _PRIORITY): {stranded}"
+    )
+
+
 def test_operator_index_in_sync():
     """OPERATORS.md is generated; it must list exactly the registry."""
     import re as _re

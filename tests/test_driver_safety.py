@@ -1,8 +1,10 @@
 """Driver-compat guard: the external driver canonicalizes EVERY result
 (including rows-only ops) with pandas sort/factorize, which crashes on
 unhashable cells — so no registered op may emit array/map/struct
-columns. Round 1 lost two ops to exactly this; this test makes the
-class of bug unrepresentable."""
+columns, nor BINARY (pandas materializes it as unhashable bytearray —
+r6's only two red rows, mm_resize/mm_frame_sample). Round 1 lost two
+ops to the complex-type form; this test makes the class of bug
+unrepresentable."""
 
 from __future__ import annotations
 
@@ -41,11 +43,14 @@ def test_no_complex_typed_output_columns(spark, name):
     bad = [
         (f.name, f.dataType.simpleString())
         for f in df.schema.fields
-        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        if isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+        )
     ]
     assert not bad, (
-        f"{name} emits driver-unhashable columns {bad}; JSON-encode or "
-        "explode them in the registered op (keep the typed form internal)"
+        f"{name} emits driver-unhashable columns {bad}; JSON-encode, "
+        "hex(), or explode them in the registered op (keep the typed "
+        "form internal)"
     )
 
 

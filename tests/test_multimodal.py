@@ -14,7 +14,10 @@ def test_resize_deterministic_and_fixed_dims(spark, sf_dir):
     assert len(rows) > 0
     for r in rows[:20]:
         assert (r["dst_w"], r["dst_h"]) == RESIZE_TARGET
-        assert len(r["resized"]) == RESIZE_TARGET[0] * RESIZE_TARGET[1]
+        # driver-facing column is the hex image of the resized bytes
+        # (2 hex chars per byte); raw binary crashes the driver's
+        # pandas canonicalizer
+        assert len(r["resized_hex"]) == 2 * RESIZE_TARGET[0] * RESIZE_TARGET[1]
     rerun = {(r["doc_id"], r["resized_md5"]) for r in OPS["mm_resize"].fn(spark, sf_dir).collect()}
     assert rerun == {(r["doc_id"], r["resized_md5"]) for r in rows}
 
@@ -116,19 +119,19 @@ class TestCodecSeam:
         with _pytest.raises(NotImplementedError):
             resize_image(b"\x89PNG...", 4, 4, codec="image/png")
 
-    def test_pil_branch_on_generated_png(self):
-        """Exercises the REAL decode on a generated PNG (skipped when
-        PIL is absent, as in this container): histogram contract holds
-        (16 bins, L1-normalized) and resize emits a decodable PNG at
-        the target size."""
-        import pytest as _pytest
-
-        PIL = _pytest.importorskip("PIL")  # noqa: F841
-        import io
-
+    def test_real_codec_branch_via_vendored_pgm(self):
+        """Exercises the REAL-pixels decode branch fully in-sandbox via
+        the vendored pure-Python PGM codec (no PIL needed): histogram
+        contract holds (16 bins of DECODED pixels, L1-normalized) and
+        resize emits a decodable PGM at the target size with the exact
+        nearest-neighbor gather."""
         import numpy as np
-        from PIL import Image
 
+        from slowlog2clickhouse_spark.codecs import (
+            PGM_CODEC,
+            decode_pgm,
+            encode_pgm,
+        )
         from slowlog2clickhouse_spark.operators.multimodal import (
             RESIZE_TARGET,
             decode_image,
@@ -137,17 +140,41 @@ class TestCodecSeam:
 
         rng = np.random.default_rng(42)
         arr = rng.integers(0, 256, size=(48, 64), dtype=np.uint8)
-        buf = io.BytesIO()
-        Image.fromarray(arr, mode="L").save(buf, format="PNG")
-        png = buf.getvalue()
+        pgm = encode_pgm(arr)
+        assert np.array_equal(decode_pgm(pgm), arr)  # exact round-trip
 
-        feats = decode_image(png, codec="image/png")
+        feats = decode_image(pgm, codec=PGM_CODEC)
         assert feats.shape == (16,)
         assert abs(feats.sum() - 1.0) < 1e-9
-        # the histogram is of DECODED pixels, not the compressed bytes
+        # the histogram is of DECODED pixels, not the encoded container
+        # bytes (header + raster ≠ pixels)
         expect = np.bincount(arr.ravel() // 16, minlength=16) / arr.size
         assert np.allclose(feats, expect)
 
-        resized = resize_image(png, 64, 48, codec="image/png")
-        out = Image.open(io.BytesIO(resized))
-        assert out.size == RESIZE_TARGET
+        resized = resize_image(pgm, 64, 48, codec=PGM_CODEC)
+        out = decode_pgm(resized)
+        assert out.shape == (RESIZE_TARGET[1], RESIZE_TARGET[0])
+        # pin the gather: dst pixel (y, x) samples src (y*h//dh, x*w//dw)
+        dh, dw = RESIZE_TARGET[1], RESIZE_TARGET[0]
+        ys = np.minimum((np.arange(dh) * 48) // dh, 47)
+        xs = np.minimum((np.arange(dw) * 64) // dw, 63)
+        assert np.array_equal(out, arr[ys[:, None], xs[None, :]])
+
+    def test_pgm_header_edge_cases(self):
+        """Vendored decoder: comments and arbitrary whitespace in the
+        netpbm header; truncation and bad magic raise cleanly."""
+        import numpy as np
+        import pytest as _pytest
+
+        from slowlog2clickhouse_spark.codecs import decode_pgm
+
+        arr = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        with_comments = (
+            b"P5 # binary graymap\n# another comment\n 4\t3 # dims\n255\n"
+            + arr.tobytes()
+        )
+        assert np.array_equal(decode_pgm(with_comments), arr)
+        with _pytest.raises(ValueError, match="magic"):
+            decode_pgm(b"P6\n4 3\n255\n" + arr.tobytes())
+        with _pytest.raises(ValueError, match="truncated"):
+            decode_pgm(b"P5\n4 3\n255\n" + arr.tobytes()[:-1])

@@ -51,6 +51,47 @@ def test_stitched_order_matches_global_window(spark):
         assert got == want, (n, buckets)
 
 
+def test_stitched_order_large_with_keep_columns(spark):
+    """Exercise the probabilistic-sampling regime the small cases never
+    reach (rows ≫ 100×num_buckets, where RangePartitioner SAMPLES
+    rather than seeing the full data) AND carry extra non-order columns
+    through, mirroring events_rfm's keep-columns shape — the exact
+    combination where ADVICE r6 showed the pre-localCheckpoint version
+    corrupting 52k of 60k ranks: column pruning made the two plan
+    branches non-identical, each re-sampled range bounds, and the two
+    `_pid` assignments disagreed."""
+    rng = random.Random(60)
+    rows = [
+        (i, rng.randint(0, 20000), rng.randint(0, 10**6),
+         rng.random(), rng.randint(0, 5), f"u{i % 997}")
+        for i in range(60_000)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, v long, w long, extra_a double, extra_b long, extra_c string"
+    )
+    order = [F.col("v").desc(), F.col("id").asc()]
+    out = stitched_order(df, order, cum_cols=("w",), num_buckets=8)
+    # keep-columns survive untouched alongside the stitched rank
+    got = {
+        r["id"]: (r["rn"], r["cum_w"], r["extra_b"], r["extra_c"])
+        for r in out.collect()
+    }
+    w = W.orderBy(*order)
+    want = {
+        r["id"]: (r["rn"], r["cum"], r["extra_b"], r["extra_c"])
+        for r in df.select(
+            "id", "extra_b", "extra_c",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.sum("w").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        ).collect()
+    }
+    assert len(got) == 60_000
+    # rn must be an exact permutation of 1..n (the corruption mode was
+    # duplicates/gaps, not just wrong order)
+    assert sorted(rn for rn, _, _, _ in got.values()) == list(range(1, 60_001))
+    assert got == want
+
+
 def test_stitched_order_skewed_single_value(spark):
     """All rows share one sort value — every row lands in one range
     bucket; the tiebreak column must still produce the exact ranks."""
