@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from slowlog2clickhouse_spark.io import load_table
-from slowlog2clickhouse_spark.operators.stitched import ranked_topk
+from slowlog2clickhouse_spark.operators.stitched import ranked_topk, stitched_order
 from slowlog2clickhouse_spark.registry import op
 
 
@@ -1486,6 +1486,26 @@ def cache_branch_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.unpersist()
 
 
+def rolling_median_naive(ev: DataFrame) -> DataFrame:
+    """The textbook form: exact `percentile` as a window aggregate over
+    a trailing 5-row frame partitioned by class. Kept as the
+    equivalence reference (tests/test_timeseries.py pins the stitched
+    form against it) — NOT registered, because `event_type` has only a
+    handful of distinct values, so each window partition holds
+    |rows|/|classes| rows in ONE task: measured 4.1× wall at 100× data
+    (SCALING.md r6), a genuine scale-killer at 100 TB."""
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.expr("percentile(value, 0.5)").over(w).alias("med5"),
+    )
+
+
 @op(
     "win_rolling_median",
     # deterministic frame: unique (ts, event_id) ordering; exact
@@ -1502,22 +1522,53 @@ def cache_branch_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling median over the trailing 5 events per class — robust
     latency smoothing (a single spike can't drag the trend the way a
-    rolling mean lets it). Spark allows any aggregate as a window
-    function, so exact `percentile` rides the same frame machinery as
-    sum/avg — no UDF, no self-join.
+    rolling mean lets it) — in the SCALE-SAFE exact form (r7, VERDICT
+    r6 #6): `event_type` has ~5 distinct values, so the naive
+    per-class window (rolling_median_naive above) serializes each
+    class into one task and measured 4.1× wall at 100× data.
 
-    Scale: one window shuffle on the class key; the 5-row frame is
-    O(1) state per row. The 100 TB caveat is per-class row volume in
-    one partition — for truly hot classes the production form adds a
-    (class, time-bucket) sub-key the way win_sessionize documents."""
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("event_type")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(-4, 0)
+    The rewrite makes the frame an equi-join key instead of a window:
+
+      1. global rank `rn` over the total order (class, ts, id) via the
+         distributed prefix-sum (stitched_order — every stage keeps
+         full parallelism);
+      2. each row fans out to the ≤5 target ranks whose trailing frame
+         it belongs to (map-side explode, ×5 rows);
+      3. groupBy (class, target_rn): percentile(value, 0.5) over the
+         group = EXACTLY the window frame's multiset (classes are
+         contiguous in the total order, so same-class rows with rn in
+         [t−4, t] are precisely the frame; other-class neighbors land
+         in different groups; groups whose rank-t row belongs to
+         another class have no k=0 member and are dropped).
+
+    Row-for-row identical to the naive window (equivalence pinned in
+    tests/test_timeseries.py). Scale: the shuffle key (class,
+    target_rn) has full-data cardinality — parallelism scales with
+    data, not |classes|; the ×5 fan-out is the price, map-side and
+    proportional to frame width, not data².
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
     )
-    return ev.select(
-        "event_id",
+    ranked = stitched_order(
+        ev,
+        [F.col("event_type").asc(), F.col("ts").asc(), F.col("event_id").asc()],
+    )
+    fan = ranked.select(
         "event_type",
-        F.expr("percentile(value, 0.5)").over(w).alias("med5"),
+        "event_id",
+        "value",
+        "rn",
+        F.explode(F.sequence(F.col("rn"), F.col("rn") + 4)).alias("target_rn"),
+    )
+    return (
+        fan.groupBy("event_type", "target_rn")
+        .agg(
+            F.max(
+                F.when(F.col("target_rn") == F.col("rn"), F.col("event_id"))
+            ).alias("event_id"),
+            F.expr("percentile(value, 0.5)").alias("med5"),
+        )
+        .where(F.col("event_id").isNotNull())
+        .select("event_id", "event_type", "med5")
     )

@@ -115,10 +115,10 @@ def test_global_row_ops_emit_one_row_on_empty(spark, empty_sf_dir, name):
 
 
 def test_recall_gate_reports_all_methods_on_empty(spark, empty_sf_dir):
-    """ann_recall_eval keeps its 3 method rows on an empty corpus
+    """ann_recall_eval keeps its 4 method rows on an empty corpus
     (hits 0, truth_n 0, recall NULL) — a monitoring row that vanishes
     on empty input is how a recall regression hides."""
     rows = {r["method"]: r for r in OPS["ann_recall_eval"].fn(spark, empty_sf_dir).collect()}
-    assert set(rows) == {"lsh", "ivf", "lsh_mp"}
+    assert set(rows) == {"lsh", "ivf", "lsh_mp", "lsh_8p_single"}
     for r in rows.values():
         assert r["hits"] == 0 and r["truth_n"] == 0 and r["recall"] is None

@@ -140,6 +140,7 @@ ALLOW_GLOBAL_WINDOW = {
     "dq_sequence_gaps",  # lag over per-range (min,max) stats: |ids|/4096 rows
     "events_rfm",  # stitched_order bucket offsets: ≤ shuffle-partitions rows ×3
     "orders_pareto",  # stitched_order bucket offsets: ≤ shuffle-partitions rows
+    "win_rolling_median",  # stitched_order bucket offsets (r7 scale-safe form)
     "orders_running_share",  # running share over the month rollup: |months| rows
     "slowlog_load_share",  # rank over QAN digest classes: class-domain-bounded
     "slowlog_top_tables",  # rank over referenced table names: schema-bounded

@@ -273,3 +273,74 @@ def test_rfm_tiles_partition_users_evenly(spark, sf_dir):
         assert max(c.values()) - min(c.values()) <= 1, (dim, c)
     for r in rows:
         assert r["rfm_code"] == r["r_tile"] * 100 + r["f_tile"] * 10 + r["m_tile"]
+
+
+def test_rolling_median_stitched_equals_naive_window(spark, sf_dir):
+    """The r7 scale-safe win_rolling_median (stitched rank + frame
+    fan-out equi-join) must be row-for-row identical to the naive
+    per-class window form it replaced — on the real events table AND
+    on a synthetic set big enough (10k rows, 4 classes, 8 stitch
+    buckets) to exercise multi-bucket rank stitching and frame spans
+    across bucket boundaries."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from slowlog2clickhouse_spark.io import load_table
+    from slowlog2clickhouse_spark.operators.relational import (
+        rolling_median_naive,
+    )
+
+    got = {
+        r["event_id"]: (r["event_type"], r["med5"])
+        for r in OPS["win_rolling_median"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    want = {
+        r["event_id"]: (r["event_type"], r["med5"])
+        for r in rolling_median_naive(ev).collect()
+    }
+    assert got == want and len(got) > 0
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"class_{rng.randint(0, 3)}", rng.randint(0, 10**7),
+         round(rng.uniform(0, 100), 2))
+        for i in range(10_000)
+    ]
+    syn = spark.createDataFrame(
+        rows, "event_id long, event_type string, tsl long, value double"
+    ).select(
+        "event_id", "event_type",
+        F.timestamp_seconds("tsl").alias("ts"), "value",
+    )
+    from slowlog2clickhouse_spark.operators.stitched import stitched_order
+
+    ranked = stitched_order(
+        syn,
+        [F.col("event_type").asc(), F.col("ts").asc(), F.col("event_id").asc()],
+        num_buckets=8,
+    )
+    fan = ranked.select(
+        "event_type", "event_id", "value", "rn",
+        F.explode(F.sequence(F.col("rn"), F.col("rn") + 4)).alias("target_rn"),
+    )
+    got_syn = {
+        r["event_id"]: (r["event_type"], r["med5"])
+        for r in fan.groupBy("event_type", "target_rn")
+        .agg(
+            F.max(
+                F.when(F.col("target_rn") == F.col("rn"), F.col("event_id"))
+            ).alias("event_id"),
+            F.expr("percentile(value, 0.5)").alias("med5"),
+        )
+        .where(F.col("event_id").isNotNull())
+        .collect()
+    }
+    want_syn = {
+        r["event_id"]: (r["event_type"], r["med5"])
+        for r in rolling_median_naive(syn).collect()
+    }
+    assert got_syn == want_syn and len(got_syn) == 10_000
