@@ -377,15 +377,17 @@ def _lsh_bucket_col(col, planes):
     return sum(bits)
 
 
-def _lsh_knn_df(
-    spark: SparkSession,
-    sf_dir: str,
-    planes: list[list[float]],
+def _lsh_knn_from_bucketed(
+    with_bucket: DataFrame,
+    n_planes: int,
     multiprobe: bool,
 ) -> DataFrame:
-    """Shared LSH k-NN plan: bucket both sides, equi-join probe buckets
-    (optionally fanned out to the Hamming-1 neighborhood) against the
-    corpus, top-3 per probe.
+    """LSH k-NN join stage over a PRE-BUCKETED corpus
+    ``(vec_id, ed, bucket)``: equi-join probe buckets (optionally
+    fanned out to the Hamming-1 neighborhood over ``n_planes`` sign
+    bits) against the corpus, top-3 per probe. Split out (r7) so
+    ann_recall_eval can feed several arms from ONE bucketing pass —
+    the 5-plane bucket is the low-5-bit mask of the 8-plane bucket.
 
     Scale contract (identical for every config): the corpus side is
     bucketed ONCE and only ever equi-joined -- never self-shuffled and
@@ -394,11 +396,6 @@ def _lsh_knn_df(
     exactly one bucket and the probe's query keys are distinct, so the
     join emits no duplicate (probe, cand) pairs -- no dedup shuffle.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    emb = _emb_double()
-    with_bucket = e.select(
-        "vec_id", emb.alias("ed"), _lsh_bucket_col(emb, planes).alias("bucket")
-    )
     probes = with_bucket.where(F.col("vec_id") < 20)
     if multiprobe:
         probes = probes.select(
@@ -409,7 +406,7 @@ def _lsh_knn_df(
                     F.col("bucket"),
                     *[
                         F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                        for p in range(len(planes))
+                        for p in range(n_planes)
                     ],
                 )
             ).alias("qb"),
@@ -436,6 +433,22 @@ def _lsh_knn_df(
         F.col("cos_sim").desc(), F.col("cand_id").asc()
     )
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+
+
+def _lsh_knn_df(
+    spark: SparkSession,
+    sf_dir: str,
+    planes: list[list[float]],
+    multiprobe: bool,
+) -> DataFrame:
+    """Standalone LSH k-NN: one scan, bucket with exactly `planes`,
+    then the shared join stage (_lsh_knn_from_bucketed)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_double()
+    with_bucket = e.select(
+        "vec_id", emb.alias("ed"), _lsh_bucket_col(emb, planes).alias("bucket")
+    )
+    return _lsh_knn_from_bucketed(with_bucket, len(planes), multiprobe)
 
 
 _KNN_LSH_DUCK = _lsh_knn_duck(PLANES[:N_PLANES_DEFAULT], multiprobe=True)
@@ -810,11 +823,22 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALING.md records the numbers.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    with_e = e.select("vec_id", _emb_double().alias("ed"))
-    probes = with_e.where(F.col("vec_id") < 20).select(
+    # ONE scan + ONE 8-plane bucketing pass feeds the truth pass AND
+    # all three LSH arms (r7): the 5-plane bucket is exactly the
+    # low-5-bit mask of the 8-plane bucket (plane p contributes bit p),
+    # so no arm recomputes the 8×64 sign-bit dot products.
+    # localCheckpoint materializes the tiny (corpus × [ed, bucket])
+    # table once; at 100 TB this is "build the index once, evaluate
+    # many configs against it" — the production sweep shape.
+    base = e.select(
+        "vec_id",
+        _emb_double().alias("ed"),
+        _lsh_bucket_col(_emb_double(), PLANES).alias("b8"),
+    ).localCheckpoint(eager=False)
+    probes = base.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("probe_id"), F.col("ed").alias("pe")
     )
-    cands = with_e.where(F.col("vec_id") >= 20).select(
+    cands = base.where(F.col("vec_id") >= 20).select(
         F.col("vec_id").alias("cand_id"), F.col("ed").alias("ce")
     )
     w = W.partitionBy("probe_id").orderBy(
@@ -831,8 +855,14 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("probe_id", "cand_id")
     )
+    b5 = base.select(
+        "vec_id",
+        "ed",
+        F.col("b8").bitwiseAND(F.lit((1 << N_PLANES_DEFAULT) - 1)).alias("bucket"),
+    )
+    b8 = base.select("vec_id", "ed", F.col("b8").alias("bucket"))
     tagged = (
-        vec_knn_lsh(spark, sf_dir)
+        _lsh_knn_from_bucketed(b5, N_PLANES_DEFAULT, multiprobe=True)
         .select(F.lit("lsh").alias("method"), "probe_id", "cand_id")
         .unionByName(
             vec_knn_ivf(spark, sf_dir).select(
@@ -840,7 +870,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            vec_knn_lsh_multiprobe(spark, sf_dir).select(
+            _lsh_knn_from_bucketed(b8, N_PLANES, multiprobe=True).select(
                 F.lit("lsh_mp").alias("method"), "probe_id", "cand_id"
             )
         )
@@ -848,7 +878,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cautionary arm: the old r5 default (8 planes, own bucket
             # only) — kept measured so the recall cliff of over-fine
             # sign-bit bucketing stays visible in the evaluation
-            _lsh_knn_df(spark, sf_dir, PLANES, multiprobe=False).select(
+            _lsh_knn_from_bucketed(b8, N_PLANES, multiprobe=False).select(
                 F.lit("lsh_8p_single").alias("method"), "probe_id", "cand_id"
             )
         )

@@ -115,17 +115,19 @@ def test_ann_recall_eval_bounds_and_truth_size(spark, sf_dir):
     """Recall rows exist for both methods, recall ∈ [0,1], hits ≤ truth,
     and the truth panel is exactly 20 probes × top-3."""
     rows = {r["method"]: r for r in OPS["ann_recall_eval"].fn(spark, sf_dir).collect()}
-    assert set(rows) == {"lsh", "ivf", "lsh_mp"}
+    assert set(rows) == {"lsh", "ivf", "lsh_mp", "lsh_8p_single"}
     for m, r in rows.items():
         assert 0 <= r["hits"] <= r["truth_n"], m
         assert 0.0 <= r["recall"] <= 1.0, m
-    assert rows["lsh"]["truth_n"] == rows["ivf"]["truth_n"] == 60
-    assert rows["lsh_mp"]["truth_n"] == 60
-    # IVF(nprobe=4) dominates single-probe 8-plane LSH on this corpus —
-    # the documented trade the op exists to surface — and Hamming-1
-    # multi-probe strictly widens the single-probe candidate set
+    assert all(r["truth_n"] == 60 for r in rows.values())
+    # Hamming-1 multi-probe strictly widens the 8-plane single-probe
+    # candidate set, so its recall cannot be lower; and the r7 default
+    # (5 planes + multi-probe) must beat the old 8p-single default —
+    # the measured cliff that motivated the re-tune (0.40 vs 0.03)
+    assert rows["lsh_mp"]["recall"] >= rows["lsh_8p_single"]["recall"]
+    assert rows["lsh"]["recall"] >= rows["lsh_8p_single"]["recall"]
+    # IVF(nprobe=4) still leads on this corpus (≈0.65 vs 0.40)
     assert rows["ivf"]["recall"] >= rows["lsh"]["recall"]
-    assert rows["lsh_mp"]["recall"] >= rows["lsh"]["recall"]
 
 
 def test_nprobe_sweep_recall_is_monotone_in_nprobe(spark, sf_dir):
@@ -139,3 +141,41 @@ def test_nprobe_sweep_recall_is_monotone_in_nprobe(spark, sf_dir):
         assert cur["hits"] >= prev["hits"], rows
     assert all(0 <= r["recall"] <= 1 for r in rows)
     assert rows[-1]["hits"] > 0
+
+
+def test_masked_bucket_equals_direct_plane_bucketing(spark, sf_dir):
+    """ann_recall_eval's shared-bucketing shortcut: the 5-plane LSH arm
+    derives its bucket as the low-5-bit mask of the 8-plane bucket
+    (plane p contributes bit p). Pin that the mask-derived k-NN output
+    is row-for-row the registered vec_knn_lsh (direct 5-plane) output."""
+    import pyspark.sql.functions as F
+
+    from slowlog2clickhouse_spark.io import load_table
+    from slowlog2clickhouse_spark.operators.vector import (
+        N_PLANES_DEFAULT,
+        PLANES,
+        _emb_double,
+        _lsh_bucket_col,
+        _lsh_knn_from_bucketed,
+        vec_knn_lsh,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    masked = e.select(
+        "vec_id",
+        _emb_double().alias("ed"),
+        _lsh_bucket_col(_emb_double(), PLANES)
+        .bitwiseAND(F.lit((1 << N_PLANES_DEFAULT) - 1))
+        .alias("bucket"),
+    )
+    got = {
+        (r["probe_id"], r["cand_id"], r["rn"])
+        for r in _lsh_knn_from_bucketed(
+            masked, N_PLANES_DEFAULT, multiprobe=True
+        ).collect()
+    }
+    want = {
+        (r["probe_id"], r["cand_id"], r["rn"])
+        for r in vec_knn_lsh(spark, sf_dir).collect()
+    }
+    assert got == want and want
