@@ -1222,7 +1222,11 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: char fan-out is map-side; the (doc, char) count groupBy
     partial-aggregates (≤ alphabet rows per doc partial); the fold
-    runs over ≤|alphabet| elements per doc."""
+    runs over ≤|alphabet| elements per doc. The r6 sweep's 2.4× wall
+    at 100× data is the map-side explode itself — entropy must touch
+    every character, so the work is honestly char-proportional (same
+    class as text_bpe_pairs) and scales linearly with cores; shuffle
+    volume stays |docs| × |alphabet|, never raw-char-proportional."""
     d = load_table(spark, sf_dir, "documents")
     ch = d.select(
         "doc_id",
