@@ -1011,3 +1011,96 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+@op(
+    "dedup_minhash_accuracy",
+    # fully exact cross-engine: sig_agree is an integer count over the
+    # md5-portable signatures, est = k/16.0 (exact binary fraction),
+    # the estimator's TARGET is the distinct-SHINGLE-set Jaccard
+    # (int/int) — the quantity minhash actually estimates, NOT the
+    # token-set Jaccard dedup_minhash_verified scores with — and the
+    # error is one subtraction of identically-derived doubles
+    oracle=_MINHASH_BANDS_DUCK
+    + f"""
+    , cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)),
+    sh AS (SELECT doc_id, list_distinct(xs) AS s, ms
+           FROM xm JOIN mins USING (doc_id)),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(range(1, {N_HASHES} + 1),
+                             i -> a.ms[i] = b.ms[i])) AS sig_agree,
+             len(list_intersect(a.s, b.s)) AS common,
+             len(a.s) AS sza, len(b.s) AS szb
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b)
+    SELECT doc_a, doc_b,
+           CAST(sig_agree AS BIGINT) AS sig_agree,
+           sig_agree / {N_HASHES}.0 AS est_jaccard,
+           common * 1.0 / (sza + szb - common) AS shingle_jaccard,
+           round(abs(sig_agree / {N_HASHES}.0
+                     - common * 1.0 / (sza + szb - common)), 6) AS abs_err
+    FROM scored
+    """,
+)
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "measure, don't guess" gate for MinHash — what ann_recall_eval
+    is for ANN: on every LSH band-candidate pair, compare the signature
+    estimate (agreeing positions / 16) against the EXACT quantity the
+    estimator targets, the distinct-shingle-set Jaccard. The per-pair
+    absolute error tells you whether 16 hashes are enough for your
+    dedup threshold BEFORE you trust the estimate at corpus scale
+    (E[err] ~ sqrt(J(1-J)/16) ≈ 0.12 worst-case; tests pin the
+    corpus-level mean against that bound).
+
+    Scale: candidate pairs come from the LSH band join (near-linear in
+    true dups, never all-pairs); signatures and shingle sets are built
+    in the SAME single map pass (one md5 per token — the xm column
+    feeds both array_distinct and the signature fold, multiple refs
+    blocking CollapseProject per the EVALUATION-COUNT RULE); the pair
+    join is doc_id-keyed against that compact table. At 100 TB this is
+    the estimator-calibration job you run on a SAMPLE partition before
+    a full dedup sweep."""
+    cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents")
+    xm = _with_shingle_hashes(d)
+    base = xm.select(
+        "doc_id",
+        F.array_distinct("xm").alias("s"),
+        F.aggregate(F.col("xm"), _mins_init(), _family_min_merge).alias("ms"),
+    )
+    a = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("s").alias("sa"),
+        F.col("ms").alias("msa"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("sb"),
+        F.col("ms").alias("msb"),
+    )
+    agree = F.aggregate(
+        F.zip_with("msa", "msb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("long")
+    common = F.size(F.array_intersect("sa", "sb")).cast("long")
+    exact = common * 1.0 / (F.size("sa") + F.size("sb") - common)
+    est = F.col("sig_agree") / float(N_HASHES)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", agree.alias("sig_agree"), common, exact.alias("shingle_jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "sig_agree",
+            est.alias("est_jaccard"),
+            "shingle_jaccard",
+            F.round(F.abs(est - F.col("shingle_jaccard")), 6).alias("abs_err"),
+        )
+    )

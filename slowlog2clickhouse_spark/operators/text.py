@@ -1288,3 +1288,80 @@ def text_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("predicted"),
         hits.cast("long").alias("stopword_hits"),
     ).where(pred != label)
+
+
+TOKEN_BUDGET = 100_000  # bpe-ish tokens the training run may consume
+
+
+@op(
+    "corpus_token_budget",
+    # all arithmetic is deterministic IEEE in an identical evaluation
+    # order on both engines: sqrt of an exact integer, one division by
+    # the broadcast total, least() against 1.0; integer token counts
+    # are exact; outputs rounded at 6 as the module discipline
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             cast(list_aggregate(list_transform({_TOKENS_DUCK},
+                    t -> cast(ceil(length(t) / 4.0) AS BIGINT)), 'sum')
+                  AS BIGINT) AS toks
+      FROM documents),
+    per_src AS (
+      SELECT source, count(*) AS n_docs, sum(toks) AS tokens
+      FROM per_doc GROUP BY 1),
+    tot AS (SELECT sum(sqrt(tokens)) AS z FROM per_src)
+    SELECT source,
+           cast(n_docs AS BIGINT) AS n_docs,
+           cast(tokens AS BIGINT) AS tokens,
+           round({TOKEN_BUDGET} * sqrt(tokens) / z, 6) AS alloc_tokens,
+           round(least(1.0, {TOKEN_BUDGET} * sqrt(tokens) / z / tokens), 6)
+             AS sample_rate,
+           round(least(cast(tokens AS DOUBLE),
+                       {TOKEN_BUDGET} * sqrt(tokens) / z), 6)
+             AS expected_tokens
+    FROM per_src, tot
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources — the planning step
+    between corpus_mix_rebalance (equalize doc counts) and an actual
+    training run: given a global token budget, split it over sources
+    by temperature-scaled sampling (alpha = 0.5, the standard
+    multilingual-LM mixing rule: weight ∝ tokens^alpha, boosting small
+    sources without letting the largest crawl dominate), cap each
+    source's allocation at its actual token supply, and report the
+    per-source sampling rate that realizes the allocation.
+
+    Scale: one map-side per-doc token count (the bpe-ish estimator of
+    text_token_count), a |sources|-row aggregate, and a 1-row
+    sqrt-total broadcast — the corpus never shuffles; re-planning for
+    a different budget or alpha is a driver-side constant change, the
+    same sweep-cheap property corpus_mix_rebalance documents."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.aggregate(
+            F.transform(
+                _tokens(), lambda t: F.ceil(F.length(t) / 4.0).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("toks"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("toks").alias("tokens")
+    )
+    tot = per_src.agg(F.sum(F.sqrt("tokens")).alias("z"))
+    alloc = F.lit(float(TOKEN_BUDGET)) * F.sqrt("tokens") / F.col("z")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("tokens").cast("long").alias("tokens"),
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(F.least(F.lit(1.0), alloc / F.col("tokens")), 6).alias(
+            "sample_rate"
+        ),
+        F.round(
+            F.least(F.col("tokens").cast("double"), alloc), 6
+        ).alias("expected_tokens"),
+    )

@@ -1003,3 +1003,58 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@op(
+    "vec_dim_stats",
+    # mean/std are computed from avg(v) and avg(v*v) with the SAME
+    # closed formula on both engines (no engine-native stddev, whose
+    # accumulation algorithms differ) and rounded at 6 per the
+    # vec_centroid precedent; min/max are exact; zero_frac and n are
+    # integer-derived
+    oracle="""
+    WITH comp AS (
+      SELECT generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings)
+    SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(v), 6) AS mean,
+           round(sqrt(greatest(avg(v * v) - avg(v) * avg(v), 0.0)), 6)
+             AS std,
+           round(min(v), 6) AS vmin,
+           round(max(v), 6) AS vmax,
+           count(CASE WHEN v = 0.0 THEN 1 END) * 1.0 / count(*)
+             AS zero_frac
+    FROM comp GROUP BY 1
+    """,
+)
+def vec_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health profile: per-dimension mean / std / min / max /
+    zero fraction across the corpus — the pre-index sanity check every
+    vector pipeline needs (a dead dimension shows as std ≈ 0, a scale
+    drift between embedding-model versions shows as per-dim mean/std
+    shift, an accidental ReLU output shows as zero_frac spikes) BEFORE
+    quantization (vec_quantize_int8 assumes sane per-dim ranges) or
+    LSH bucketing (hyperplanes assume roughly centered dims).
+
+    Scale: posexplode is map-side; the groupBy key domain is |dims|
+    (64), so partial aggregation shrinks the shuffle to
+    |dims| × partitions rows no matter the corpus size — the same
+    elementwise-agg shape as vec_centroid."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(F.posexplode(_emb_double())).select(
+        (F.col("pos") + 1).cast("long").alias("pos"), F.col("col").alias("v")
+    )
+    mean = F.avg("v")
+    var = F.greatest(F.avg(F.col("v") * F.col("v")) - mean * mean, F.lit(0.0))
+    return comp.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("std"),
+        F.round(F.min("v"), 6).alias("vmin"),
+        F.round(F.max("v"), 6).alias("vmax"),
+        (
+            F.count(F.when(F.col("v") == 0.0, 1)) * 1.0 / F.count("*")
+        ).alias("zero_frac"),
+    )

@@ -130,6 +130,11 @@ _PRIORITY: tuple[str, ...] = (
     "events_user_lifetime",
     "stream_rate_source",
     "stream_progress_metrics",
+    # r7 additions (SURVEY §2 L): queued directly behind the deferred
+    # never-scored block so they reach a driver window within 2 rounds
+    "dedup_minhash_accuracy",
+    "corpus_token_budget",
+    "vec_dim_stats",
     "fn_hash64",
     "agg_approx_count_distinct",
     "agg_percentile_approx",

@@ -251,3 +251,37 @@ def test_capped_minhash_still_finds_pairs_via_other_bands(spark):
         .collect()
     )
     assert [(r[0], r[1]) for r in pairs] == [(1, 2)]
+
+
+def test_minhash_accuracy_error_within_estimator_bound(spark, sf_dir):
+    """dedup_minhash_accuracy: estimates are k/16 grid values, the
+    exact target is a valid Jaccard, per-pair error is consistent with
+    |est - exact|, and the corpus-level MEAN error stays within 2x the
+    theoretical minhash std bound sqrt(J(1-J)/16) <= 0.125 — the
+    calibration claim the op exists to verify."""
+    rows = OPS["dedup_minhash_accuracy"].fn(spark, sf_dir).collect()
+    assert rows, "band candidates exist at every committed SF"
+    for r in rows:
+        assert 0 <= r["sig_agree"] <= 16
+        assert abs(r["est_jaccard"] - r["sig_agree"] / 16.0) < 1e-12
+        assert 0.0 <= r["shingle_jaccard"] <= 1.0
+        assert abs(
+            r["abs_err"] - abs(r["est_jaccard"] - r["shingle_jaccard"])
+        ) <= 5e-7  # rounded at 6
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err <= 0.25, mean_err
+
+
+def test_minhash_accuracy_pairs_are_band_candidates(spark, sf_dir):
+    """The scored pair set is exactly dedup_minhash's candidate set —
+    the accuracy gate measures the estimator on the pairs production
+    dedup would actually score."""
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in OPS["dedup_minhash_accuracy"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in OPS["dedup_minhash"].fn(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -231,3 +231,25 @@ def test_curation_funnel_is_monotone_and_consistent(spark, sf_dir):
     assert rows["total"] >= rows["quality"] >= rows["exact_dedup"] >= rows["near_dedup"] > 0
     # every surviving doc yields at least one chunk
     assert rows["chunks"] >= rows["near_dedup"]
+
+
+def test_token_budget_allocation_invariants(spark, sf_dir):
+    """corpus_token_budget: allocations sum to the budget (nothing lost
+    by the temperature split), every rate is in (0, 1], expected tokens
+    never exceed supply, and smaller sources get a HIGHER sampling rate
+    than larger ones (the point of alpha < 1 temperature mixing)."""
+    from slowlog2clickhouse_spark.operators.text import TOKEN_BUDGET
+
+    rows = OPS["corpus_token_budget"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["alloc_tokens"] for r in rows) - TOKEN_BUDGET) < 1e-3
+    by_tokens = sorted(rows, key=lambda r: r["tokens"])
+    for r in rows:
+        assert 0.0 < r["sample_rate"] <= 1.0
+        assert r["expected_tokens"] <= r["tokens"] + 1e-6
+        assert (
+            abs(r["expected_tokens"] - min(r["tokens"], r["alloc_tokens"]))
+            < 1e-3
+        )
+    for small, big in zip(by_tokens, by_tokens[1:]):
+        assert small["sample_rate"] >= big["sample_rate"] - 1e-9

@@ -179,3 +179,35 @@ def test_masked_bucket_equals_direct_plane_bucketing(spark, sf_dir):
         for r in vec_knn_lsh(spark, sf_dir).collect()
     }
     assert got == want and want
+
+
+def test_dim_stats_health_profile_invariants(spark, sf_dir):
+    """vec_dim_stats: one row per dimension, n = corpus size, bounds
+    ordered (min <= mean <= max), std consistent with the per-dim
+    values recomputed locally, zero_frac in [0,1]."""
+    import math
+
+    from collections import defaultdict
+
+    from slowlog2clickhouse_spark.io import load_table
+
+    rows = {r["pos"]: r for r in OPS["vec_dim_stats"].fn(spark, sf_dir).collect()}
+    emb = [
+        r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    ]
+    dims = len(emb[0])
+    assert set(rows) == set(range(1, dims + 1))
+    by_dim = defaultdict(list)
+    for e in emb:
+        for i, v in enumerate(e):
+            by_dim[i + 1].append(float(v))
+    for pos, r in rows.items():
+        vals = by_dim[pos]
+        assert r["n"] == len(vals)
+        assert r["vmin"] <= r["mean"] <= r["vmax"]
+        assert 0.0 <= r["zero_frac"] <= 1.0
+        m = sum(vals) / len(vals)
+        var = sum((v - m) ** 2 for v in vals) / len(vals)
+        assert abs(r["mean"] - m) < 1e-5
+        assert abs(r["std"] - math.sqrt(var)) < 1e-4
