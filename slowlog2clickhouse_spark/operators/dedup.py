@@ -1068,11 +1068,14 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     d = load_table(spark, sf_dir, "documents")
     xm = _with_shingle_hashes(d)
+    # lazy checkpoint: base feeds BOTH pair-join sides — without it
+    # each side re-runs the md5 + shingle + signature chain (the
+    # shared-subtree discipline of c490559)
     base = xm.select(
         "doc_id",
         F.array_distinct("xm").alias("s"),
         F.aggregate(F.col("xm"), _mins_init(), _family_min_merge).alias("ms"),
-    )
+    ).localCheckpoint(eager=False)
     a = base.select(
         F.col("doc_id").alias("doc_a"),
         F.col("s").alias("sa"),

@@ -79,6 +79,10 @@ PROBE = [
     "qan_sparkline",
     "fn_hash64",
     "agg_percentile_approx",
+    # round-7 additions
+    "dedup_minhash_accuracy",
+    "corpus_token_budget",
+    "vec_dim_stats",
 ]
 SINGLE_ROW_OK = {
     "funnel_events",

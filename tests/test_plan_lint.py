@@ -82,6 +82,7 @@ ALLOW_NESTED_LOOP = {
     "ann_nprobe_sweep",  # brute-force truth pass on the fixed probe panel
     "slowlog_top_tables",  # broadcast 1-row grand-total factor
     "orders_running_share",  # broadcast 1-row grand-total factor
+    "corpus_token_budget",  # broadcast 1-row sqrt-token-total factor
 }
 
 LAZY_OPS = sorted(set(OPS) - EAGER)
