@@ -1076,3 +1076,153 @@ def customer_wallet_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
     )
+
+
+@op(
+    "agg_weighted_percentile",
+    # the cumulative weight is a BIGINT prefix sum (gotcha #12b: integer
+    # stitching has zero accumulation-order drift), the thresholds
+    # p * tot are one IEEE multiply of a double literal by an integer
+    # total (bit-identical cross-engine), and only min() — an
+    # order-independent exact aggregate — touches the double values, so
+    # no rounding is needed anywhere
+    oracle="""
+    WITH w AS (
+      SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS wt,
+             l_orderkey AS ok, l_linenumber AS ln
+      FROM lineitem),
+    c AS (
+      SELECT v,
+             sum(wt) OVER (ORDER BY v, ok, ln
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cw,
+             (SELECT sum(wt) FROM w) AS tot
+      FROM w)
+    SELECT min(CASE WHEN cw >= 0.50 * tot THEN v END) AS p50,
+           min(CASE WHEN cw >= 0.90 * tot THEN v END) AS p90,
+           min(CASE WHEN cw >= 0.99 * tot THEN v END) AS p99,
+           CAST(max(tot) AS BIGINT) AS total_weight
+    FROM c
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED percentiles (lower/inverse-CDF definition): the
+    smallest value whose cumulative weight reaches p of the total —
+    here P50/P90/P99 of l_extendedprice weighted by l_quantity. The
+    QAN use case: a metrics table stores PRE-AGGREGATED per-class rows
+    (avg latency + query count); the corpus-level latency percentile
+    must weight each class row by its count, which no built-in
+    percentile() does. Neither Spark nor DuckDB has a weighted
+    quantile, so both sides spell the same definition.
+
+    Scale: the global cumulative weight uses stitched_order (the
+    distributed prefix-sum — num_buckets-way parallel, no
+    single-partition window); weights are summed as BIGINT so the
+    prefix is bit-exact under any partitioning. The percentile
+    extraction is ONE conditional aggregate over the stitched rows
+    (no per-percentile re-scan, no crossJoin fan-out of the data);
+    the total weight is a separate 1-row columnar-scan aggregate
+    broadcast in. At 100 TB: two full-data shuffles (the stitched
+    range + window exchanges) and a 1-row broadcast — the minimum any
+    exact global quantile pays."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    st = stitched_order(
+        li, [F.col("v"), F.col("ok"), F.col("ln")], cum_cols=("wt",)
+    )
+    tot = li.agg(F.sum("wt").alias("tot"))
+    cw = F.col("cum_wt")
+    return (
+        st.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(F.when(cw >= 0.50 * F.col("tot"), F.col("v"))).alias("p50"),
+            F.min(F.when(cw >= 0.90 * F.col("tot"), F.col("v"))).alias("p90"),
+            F.min(F.when(cw >= 0.99 * F.col("tot"), F.col("v"))).alias("p99"),
+            F.max("tot").cast("long").alias("total_weight"),
+        )
+    )
+
+
+@op(
+    "events_journey_pattern",
+    # journey strings are deterministic via the unique (ts, event_id)
+    # sort; pattern counting is non-overlapping left-to-right findall,
+    # which Java regex (Spark) and RE2 (DuckDB) agree on for this
+    # backtrack-free pattern; all outputs are strings/ints — no floats
+    oracle="""
+    WITH sym AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p'
+                  WHEN 'error' THEN 'e' ELSE 'x' END AS sym
+      FROM events),
+    j AS (
+      SELECT user_id,
+             string_agg(sym, '' ORDER BY ts ASC, event_id ASC) AS journey
+      FROM sym GROUP BY 1)
+    SELECT user_id,
+           CAST(length(journey) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(journey, 'vc+p')) AS BIGINT)
+             AS n_conversions,
+           CAST(len(regexp_extract_all(journey, 'ec*e')) AS BIGINT)
+             AS n_error_loops,
+           md5(journey) AS journey_md5
+    FROM j
+    """,
+)
+def events_journey_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern matching, which Spark
+    has no native operator for: compress each user's ordered event
+    stream into a one-char-per-event symbol string, then count
+    regex-expressible behavioral patterns over it — here
+    ``vc+p`` (view, ≥1 click, purchase: an engaged conversion) and
+    ``ec*e`` (error rebounding into error: a rage loop). The symbol
+    string IS the per-user sequence model; any MATCH_RECOGNIZE
+    PATTERN clause that doesn't need measures from inner steps
+    compiles to a regex over it.
+
+    Scale: one shuffle (groupBy user_id) building the journey via
+    sort_array(collect_list(struct(ts, event_id, sym))) — per-user
+    state is the user's own history (the same bound any sessionizer
+    carries); the regex runs once per user JVM-side. Journeys are
+    md5-projected rather than emitted raw so the driver row stays
+    narrow even for power users."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("x")
+        .alias("sym"),
+    )
+    j = sym.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "sym"))
+                ),
+                lambda s: s["sym"],
+            ),
+        ).alias("journey")
+    )
+    return j.select(
+        "user_id",
+        F.length("journey").cast("long").alias("n_events"),
+        F.size(F.regexp_extract_all(F.col("journey"), F.lit("vc+p"), F.lit(0)))
+        .cast("long")
+        .alias("n_conversions"),
+        F.size(F.regexp_extract_all(F.col("journey"), F.lit("ec*e"), F.lit(0)))
+        .cast("long")
+        .alias("n_error_loops"),
+        F.md5(F.col("journey")).alias("journey_md5"),
+    )

@@ -1058,3 +1058,77 @@ def vec_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("v") == 0.0, 1)) * 1.0 / F.count("*")
         ).alias("zero_frac"),
     )
+
+
+@op(
+    "vec_contamination_probe",
+    # both engines compute the dot/norms with in-index-order
+    # accumulation (Spark aggregate/zip_with HOFs, DuckDB
+    # list_cosine_similarity's sequential loop) so the doubles are
+    # bit-identical; ranking happens on the ROUNDED cosine with a
+    # probe_id tiebreak so the winner is deterministic cross-engine
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, emb AS pemb FROM e
+               WHERE vec_id < 20),
+    corpus AS (SELECT vec_id, emb FROM e WHERE vec_id >= 20),
+    cos AS (
+      SELECT c.vec_id, p.probe_id,
+             round(list_cosine_similarity(c.emb, p.pemb), 6) AS cos_sim
+      FROM corpus c CROSS JOIN probes p),
+    best AS (
+      SELECT vec_id, probe_id, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, probe_id ASC)
+               AS rn
+      FROM cos)
+    SELECT vec_id, probe_id AS best_probe, cos_sim AS best_cos,
+           (cos_sim >= 0.35) AS contaminated
+    FROM best WHERE rn = 1
+    """,
+)
+def vec_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag corpus vectors
+    whose cosine to ANY held-out benchmark probe exceeds a threshold —
+    the semantic complement of text_decontaminate's n-gram overlap
+    (catches paraphrased benchmark rows that share no 8-gram). Probe
+    set = vec_id < 20 (stands in for an embedded eval set); every
+    corpus vector reports its nearest probe, the similarity, and the
+    contamination verdict at τ = 0.35.
+
+    Scale: the probe set is SMALL BY DEFINITION (an eval benchmark —
+    thousands at most), so it broadcasts and the corpus never
+    shuffles for the comparison: |corpus| × |probes| cosine evals are
+    pure map-side HOF math, and the only exchange is the per-vector
+    argmax (partitionBy vec_id — data-proportional key). The same
+    plan at 100 TB streams the corpus once; contrast with
+    dedup_embedding_cosine, which needs LSH bucketing because BOTH
+    sides are corpus-sized."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double().alias("emb")
+    )
+    probes = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("pemb")
+    )
+    corpus = e.where(F.col("vec_id") >= 20)
+    cos = corpus.crossJoin(F.broadcast(probes)).select(
+        "vec_id",
+        "probe_id",
+        F.round(cosine(F.col("emb"), F.col("pemb")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("probe_id").asc()
+    )
+    return (
+        cos.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("probe_id").alias("best_probe"),
+            F.col("cos_sim").alias("best_cos"),
+            (F.col("cos_sim") >= 0.35).alias("contaminated"),
+        )
+    )
