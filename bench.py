@@ -7,8 +7,11 @@ Prints ONE JSON line:
 Query set = the 8 BASELINE.md queries verbatim (the 2× gate is judged
 against BASELINE.md's PySpark column, warm medians) + engine-specific
 headliners (slow-log ingest pipeline, minhash dedup, knn) reported in
-the same map. Protocol matches BASELINE.md: median of 3 warm runs,
-collect() timed, boot excluded.
+the same map. Protocol matches BASELINE.md: warm medians (5 runs for
+the gate queries with [min, median, max] emitted under "variance",
+3 for headliners), collect() timed, boot excluded. A load guard waits
+for the 1-min loadavg to settle and stamps the start value into the
+JSON (r7's +26% was machine load — now measurable, not arguable).
 """
 
 from __future__ import annotations
@@ -102,25 +105,52 @@ EXTRA_OPS = (
 )
 
 
-def time_df(build, runs: int = 3) -> float:
+def time_df(build, runs: int = 3) -> list[float]:
     build().collect()  # warmup (plans cached, files known)
     times = []
     for _ in range(runs):
         t0 = time.time()
         build().collect()
         times.append(time.time() - t0)
-    return statistics.median(times)
+    return times
+
+
+def wait_for_idle(max_load: float = 4.0, timeout_s: float = 120.0) -> float:
+    """Load guard (VERDICT r7 #4): the r7 bench ran ~26% slow across
+    25 rows INCLUDING verbatim baseline SQL — machine load, not plan
+    regression. Don't silently measure a loaded box: wait for the
+    1-min loadavg to drop below `max_load`, then proceed; if it never
+    does, proceed anyway (an aborted bench records nothing) but the
+    starting loadavg is emitted in the JSON so the numbers carry their
+    own health flag. SPARK_GRAFT_LOAD_ABORT=1 makes a hot box fatal."""
+    deadline = time.time() + timeout_s
+    load = os.getloadavg()[0]
+    while load > max_load and time.time() < deadline:
+        time.sleep(5)
+        load = os.getloadavg()[0]
+    if load > max_load and os.environ.get("SPARK_GRAFT_LOAD_ABORT") == "1":
+        print(
+            json.dumps({"error": f"loadavg {load:.1f} > {max_load}, aborting"})
+        )
+        sys.exit(3)
+    return load
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load0 = wait_for_idle()
     spark = get_session(app_name="bench")
     register_views(spark, sf_dir)
     ops = all_ops()
 
+    # 5 warm runs for the gate queries (variance proves noise vs
+    # regression round-over-round); 3 for the wider headliner set
     results: dict[str, float] = {}
+    variance: dict[str, list[float]] = {}
     for name, sql in BASELINE_QUERIES.items():
-        results[name] = round(time_df(lambda: spark.sql(sql)), 4)
+        ts = time_df(lambda: spark.sql(sql), runs=5)
+        results[name] = round(statistics.median(ts), 4)
+        variance[name] = [round(min(ts), 4), results[name], round(max(ts), 4)]
 
     extra_builders = {
         "slowlog_pipeline": lambda: ingest_slowlog(spark, FIXTURE_LOG),
@@ -148,7 +178,7 @@ def main() -> None:
         ),
     }
     for name in EXTRA_OPS:
-        results[name] = round(time_df(extra_builders[name]), 4)
+        results[name] = round(statistics.median(time_df(extra_builders[name])), 4)
 
     gate_total = round(sum(results[q] for q in BASELINE_QUERIES), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -159,6 +189,8 @@ def main() -> None:
                 "value": gate_total,
                 "unit": "sec",
                 "queries": results,
+                "variance": variance,
+                "loadavg_start": round(load0, 2),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

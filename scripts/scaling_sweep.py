@@ -47,6 +47,15 @@ def main() -> None:
     for name in args:
         meds = []
         for sf in SFS:
+            # drop blocks left by prior iterations (cached plans +
+            # stitched_order's lazy localCheckpoints accumulate across
+            # a sweep loop — ADVICE r7; RDD cleanup guards the sweep's
+            # memory, not any measured plan)
+            spark.catalog.clearCache()
+            jsc = spark.sparkContext._jsc.sc()
+            it = jsc.getPersistentRDDs().values().iterator()
+            while it.hasNext():
+                it.next().unpersist(False)
             ops[name].fn(spark, sf).count()  # warmup, unrecorded
             times = []
             for _ in range(runs):

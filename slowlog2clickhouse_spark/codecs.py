@@ -60,6 +60,11 @@ def decode_pgm(payload: bytes) -> np.ndarray:
     h_tok, pos = _read_token(payload, pos)
     max_tok, pos = _read_token(payload, pos)
     w, h, maxval = int(w_tok), int(h_tok), int(max_tok)
+    if w <= 0 or h <= 0:
+        # a 0-dim image passes the raster-length check with 0 bytes but
+        # crashes every consumer (resize reshapes a fixed 32x32) — fail
+        # here with a codec error, not downstream with a numpy one
+        raise ValueError(f"degenerate PGM dimensions {w}x{h}")
     if not (0 < maxval <= 255):
         raise ValueError(f"only 8-bit PGM supported (maxval {maxval})")
     pos += 1  # exactly ONE whitespace byte separates header from raster

@@ -402,12 +402,12 @@ SIMHASH_BANDS = 4  # 4 bands × 15 bits; hamming ≤ 3 ⟹ some band intact
 SIMHASH_MAX_HAMMING = 3  # the classic near-dup radius
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → 60-bit simhash (per-bit majority vote over portable
-    md5-derived token hashes). Shuffle-free: ONE `aggregate` whose
-    input is the single md5 pass (HOF inputs evaluate once per row —
-    EVALUATION-COUNT RULE above) carrying a 60-slot vote accumulator;
-    the finish lambda assembles the sign bits into the signature."""
+def simhash_col() -> F.Column:
+    """The 60-bit simhash as a COLUMN over ``text`` (per-bit majority
+    vote over portable md5-derived token hashes) — exposed separately
+    so callers that also need other per-doc columns (token sets, the
+    calibration op) compute everything in ONE projection instead of
+    joining two scans."""
     hashes = F.transform(_tokens_col(), lambda t: portable_hash60(t))
     # F.shiftright/shiftleft type their bit count as a Python int;
     # call_function reaches the SQL builtin, which takes a Column
@@ -441,7 +441,16 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     # whole signature chain into an interpreted per-row Filter (the
     # EVALUATION-COUNT RULE above; pinned by
     # tests/test_plans.py::test_lsh_band_explode_no_inferred_filter_duplication)
-    return docs.select("doc_id", F.coalesce(sim, F.lit(0).cast("long")).alias("simhash"))
+    return F.coalesce(sim, F.lit(0).cast("long"))
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → 60-bit simhash; see simhash_col for the expression.
+    Shuffle-free: ONE `aggregate` whose input is the single md5 pass
+    (HOF inputs evaluate once per row — EVALUATION-COUNT RULE above)
+    carrying a 60-slot vote accumulator; the finish lambda assembles
+    the sign bits into the signature."""
+    return docs.select("doc_id", simhash_col().alias("simhash"))
 
 
 _SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
@@ -1105,5 +1114,118 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             est.alias("est_jaccard"),
             "shingle_jaccard",
             F.round(F.abs(est - F.col("shingle_jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
+@op(
+    "dedup_simhash_accuracy",
+    # fully exact cross-engine: hamming is an integer bit_count over
+    # md5-portable signatures, the token-set Jaccard is int/int (one
+    # IEEE division of exact integers — deterministic, no rounding
+    # needed), and the flag is an integer comparison
+    oracle=_SIMHASH_SIGS_DUCK
+    + f"""
+    , toks AS (
+      SELECT doc_id, list_distinct({_TOK_DUCK}) AS s FROM documents),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM bands a JOIN bands b
+        ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)),
+    j AS (
+      SELECT c.doc_a, c.doc_b, c.hamming,
+             len(list_intersect(ta.s, tb.s)) AS common,
+             len(ta.s) AS sza, len(tb.s) AS szb
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b,
+           CAST(hamming AS INTEGER) AS hamming,
+           common * 1.0 / nullif(sza + szb - common, 0) AS token_jaccard,
+           (hamming <= {SIMHASH_MAX_HAMMING}) AS flagged
+    FROM j
+    """,
+)
+def dedup_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third leg of the calibration suite (VERDICT r7 #7) — what
+    dedup_minhash_accuracy is for MinHash and ann_recall_eval for ANN:
+    on every simhash band-candidate pair, score the hamming distance
+    (the quantity the ≤ SIMHASH_MAX_HAMMING=3 dedup threshold cuts on)
+    against the EXACT distinct-token-set Jaccard, WITHOUT the hamming
+    filter — the full candidate spectrum, so the curve shows both what
+    the threshold keeps and what it discards. ``flagged`` marks the
+    pairs production dedup_simhash would emit; tests pin that flagged
+    pairs have systematically higher Jaccard than rejected candidates
+    (the separation IS the calibration — if it collapses, the 60-bit
+    signature or the 4-band radius is mis-sized for the corpus).
+
+    Scale: same band-bucketed candidate generation as dedup_simhash
+    (never all-pairs; hot buckets capped); the signature + distinct
+    token set are built in ONE map pass shared by the band explode and
+    BOTH pair-join sides via a lazy localCheckpoint (the shared-subtree
+    discipline of c490559). At 100 TB this runs on a sample partition
+    before trusting the hamming threshold corpus-wide."""
+    d = load_table(spark, sf_dir, "documents")
+    # signature + distinct token set in ONE projection over one scan
+    # (simhash_col exists for exactly this); the lazy checkpoint
+    # freezes the result for the three consumers (band explode + the
+    # two pair-join sides)
+    base = d.select(
+        "doc_id",
+        simhash_col().alias("simhash"),
+        F.array_distinct(_tokens_col()).alias("s"),
+    ).localCheckpoint(eager=False)
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), bnd * band_width).bitwiseAND(
+                F.lit((1 << band_width) - 1)
+            )
+            for bnd in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = base.select(
+        "doc_id", F.posexplode_outer(band_vals).alias("band", "band_val")
+    ).repartition("band", "band_val")
+    banded = cap_band_buckets(banded, ("band", "band_val"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sha"),
+        F.col("s").alias("sa"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("shb"),
+        F.col("s").alias("sb"),
+    )
+    common = F.size(F.array_intersect("sa", "sb")).cast("long")
+    denom = F.size("sa") + F.size("sb") - common
+    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("int")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming.alias("hamming"),
+            (common * F.lit(1.0) / F.nullif(denom, F.lit(0))).alias(
+                "token_jaccard"
+            ),
+            (hamming <= SIMHASH_MAX_HAMMING).alias("flagged"),
         )
     )

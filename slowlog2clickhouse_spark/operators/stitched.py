@@ -72,6 +72,13 @@ def stitched_order(
     # spark.sql.exchange.reuse staying enabled or on AQE planner
     # details; on a long-lived production cluster where executor loss
     # matters, swap for `.checkpoint()` to reliable storage.
+    # Lifecycle (ADVICE r7): the checkpointed blocks live until the
+    # session ends — a driver that rebuilds stitched plans in a loop
+    # (bench/scaling sweeps) accumulates them. Spark exposes no
+    # unpersist hook on a localCheckpoint'd *plan* (only the action
+    # materializes it); loop drivers should call
+    # spark.catalog.clearCache() / SparkContext cleanup between
+    # sweeps, which scripts/scaling_sweep.py does per scale factor.
     parts = parts.localCheckpoint(eager=False)
     wloc = W.partitionBy("_pid").orderBy(*order_cols)
     out = parts.withColumn("_lrn", F.row_number().over(wloc))

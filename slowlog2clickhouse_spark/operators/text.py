@@ -1295,10 +1295,13 @@ TOKEN_BUDGET = 100_000  # bpe-ish tokens the training run may consume
 
 @op(
     "corpus_token_budget",
-    # all arithmetic is deterministic IEEE in an identical evaluation
-    # order on both engines: sqrt of an exact integer, one division by
-    # the broadcast total, least() against 1.0; integer token counts
-    # are exact; outputs rounded at 6 as the module discipline
+    # z = Σ sqrt(tokens) is an ORDER-DEPENDENT double sum, so both
+    # engines fold the per-source sqrt terms in SORTED token order
+    # (the text_entropy float discipline) — exact integer token counts
+    # sort identically cross-engine, so the summation sequence is
+    # deterministic, not rounded-and-hopeful; everything downstream is
+    # scalar IEEE math on that z; outputs rounded at 6 as the module
+    # discipline
     oracle=f"""
     WITH per_doc AS (
       SELECT source,
@@ -1309,7 +1312,10 @@ TOKEN_BUDGET = 100_000  # bpe-ish tokens the training run may consume
     per_src AS (
       SELECT source, count(*) AS n_docs, sum(toks) AS tokens
       FROM per_doc GROUP BY 1),
-    tot AS (SELECT sum(sqrt(tokens)) AS z FROM per_src)
+    tot AS (SELECT list_reduce(
+              list_prepend(CAST(0 AS DOUBLE),
+                list_transform(list_sort(list(tokens)), t -> sqrt(t))),
+              (a, x) -> a + x) AS z FROM per_src)
     SELECT source,
            cast(n_docs AS BIGINT) AS n_docs,
            cast(tokens AS BIGINT) AS tokens,
@@ -1351,7 +1357,17 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("toks").alias("tokens")
     )
-    tot = per_src.agg(F.sum(F.sqrt("tokens")).alias("z"))
+    # order-fixed float fold (see oracle comment): sort the exact
+    # integer token totals, then sqrt+fold sequentially
+    tot = per_src.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list("tokens")), lambda t: F.sqrt(t)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("z")
+    )
     alloc = F.lit(float(TOKEN_BUDGET)) * F.sqrt("tokens") / F.col("z")
     return per_src.crossJoin(F.broadcast(tot)).select(
         "source",

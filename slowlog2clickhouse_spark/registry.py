@@ -50,19 +50,23 @@ def op(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Driver-facing iteration order. The external correctness driver scores
-# ops in queries() dict order under a finite budget (50 rows per round).
-# Round-7 rotation: positions 1-2 are the two r6 harness-fails
-# (mm_resize / mm_frame_sample, now hex-projected and driver-safe);
-# positions 3-50 are 48 of the 65 never-driver-scored ops, flagship
-# composites first (VERDICT r6 #2); positions 51-67 the 17 deferred
-# never-scored ops (r8 window head), then the 3 partial-oracle
-# re-scores (fn_hash64, agg_approx_count_distinct,
-# agg_percentile_approx), then the re-confirmation queue in prior
-# order. tests/test_coverage.py asserts the list stays ⊆ registry and
-# that no op waits more than 2 rotations to reach the window;
-# all_ops() appends any unlisted registry ops at the end.
+# Deterministic rotation tiebreak. The external correctness driver
+# scores ops in queries() dict order under a finite budget (50 rows
+# per round). Since round 8 the order is COMPUTED, not hand-curated
+# (VERDICT r7 #5): all_ops() sorts by (latest round the driver scored
+# the op, position in this tuple). Never-scored ops — and the ops in
+# _STALE_RESCORE, whose only scores predate their current oracles —
+# sort to the head automatically, so a newly registered op reaches a
+# driver window the round it lands and stale scores age out
+# round-robin: with ~300 ops and 50 rows/round, max staleness is
+# ceil(300/50) = 6 rounds (tests/test_coverage.py simulates and pins
+# this). This tuple is the tiebreak WITHIN a staleness class and the
+# explicit-placement contract (every op listed exactly once).
 _PRIORITY: tuple[str, ...] = (
+    "agg_weighted_percentile",
+    "events_journey_pattern",
+    "vec_contamination_probe",
+    "dedup_simhash_accuracy",
     "mm_resize",
     "mm_frame_sample",
     "orders_pareto",
@@ -366,16 +370,66 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 
+# Ops whose ONLY driver scores predate their current oracle (scored
+# rows-only at r1/r3; partial value-oracles landed r6 and have never
+# been driver-exercised). Treated as never-scored so the rotation
+# re-runs them under the oracle they now carry (VERDICT r7 #3).
+_STALE_RESCORE: frozenset[str] = frozenset(
+    {"fn_hash64", "agg_approx_count_distinct", "agg_percentile_approx"}
+)
+
+
+def latest_scored(root: str | None = None) -> dict[str, int]:
+    """op id -> latest round number with a CORRECTNESS_r*.json row.
+
+    Reads the committed driver artifacts at the repo root; absent files
+    (fresh checkout) degrade to 'nothing ever scored', i.e. pure
+    _PRIORITY order. _STALE_RESCORE ops are reported as unscored."""
+    import glob
+    import json
+    import os
+    import re
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            d = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        if "results" in d:
+            d = d["results"]
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out[k] = max(out.get(k, 0), rnd)
+    for k in _STALE_RESCORE:
+        # their partial oracles landed in round 6 — any score from an
+        # earlier round never exercised the oracle and doesn't count
+        if out.get(k, 0) < 6:
+            out.pop(k, None)
+    return out
+
+
+def rotation_order(
+    names: list[str], scored: dict[str, int]
+) -> list[str]:
+    """Least-recently-scored first; _PRIORITY position breaks ties.
+    Pure function so tests can simulate future rounds."""
+    pos = {n: i for i, n in enumerate(_PRIORITY)}
+    return sorted(
+        names, key=lambda n: (scored.get(n, 0), pos.get(n, len(pos)))
+    )
+
+
 def all_ops() -> dict[str, Op]:
     _load_all()
-    ordered: dict[str, Op] = {}
-    for name in _PRIORITY:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
-    for name, o in _REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = o
-    return ordered
+    order = rotation_order(list(_REGISTRY), latest_scored())
+    return {name: _REGISTRY[name] for name in order}
 
 
 _LOADED = False

@@ -60,12 +60,13 @@ def test_survey_coverage_note_count_is_exact():
 
 def test_driver_window_rotation_guard():
     """The external driver scores the first 50 entries of queries()
-    order per round. Guard the rotation discipline (VERDICT r6 #8): (a)
-    every registered op is listed EXPLICITLY in _PRIORITY — nothing
-    relies on the silent append-at-end fallback; (b) every op the
-    driver has never scored (absent from all committed
-    CORRECTNESS_r*.json) sits within the first 100 positions, i.e. is
-    guaranteed a driver window within 2 rounds of registration."""
+    order per round. Since r8 the order is COMPUTED (least-recently-
+    scored first, _PRIORITY as tiebreak). Guard: (a) every registered
+    op is listed EXPLICITLY in _PRIORITY — the tiebreak is deliberate,
+    nothing relies on the sort-to-end fallback; (b) every op the
+    driver has never scored sits within the first 100 positions of the
+    ACTUAL driver-facing order, i.e. is guaranteed a window within 2
+    rounds of registration."""
     import glob
     import json
 
@@ -74,6 +75,8 @@ def test_driver_window_rotation_guard():
     ops = all_ops()
     unlisted = [n for n in ops if n not in set(_PRIORITY)]
     assert not unlisted, f"ops not explicitly placed in _PRIORITY: {unlisted}"
+    dangling = [n for n in _PRIORITY if n not in ops]
+    assert not dangling, f"_PRIORITY names unregistered ops: {dangling}"
 
     scored: set[str] = set()
     root = os.path.dirname(SURVEY)
@@ -82,12 +85,34 @@ def test_driver_window_rotation_guard():
         if "results" in d:
             d = d["results"]
         scored |= {k for k, v in d.items() if isinstance(v, dict)}
-    window2 = set(_PRIORITY[:100])
+    window2 = set(list(ops)[:100])
     stranded = sorted(set(ops) - scored - window2)
     assert not stranded, (
-        "never-driver-scored ops parked beyond the next 2 windows "
-        f"(rotate _PRIORITY): {stranded}"
+        "never-driver-scored ops parked beyond the next 2 windows: "
+        f"{stranded}"
     )
+
+
+def test_rotation_max_staleness_bounded():
+    """Simulate the driver's 50-op windows forward from the committed
+    CORRECTNESS history using the registry's own rotation function:
+    every op must be (re)scored within ceil(N/50) ≤ 6 rounds, so no
+    score can ever go staler than 6 rounds once the rotation is purely
+    least-recently-scored (VERDICT r7 #5)."""
+    import math
+
+    from slowlog2clickhouse_spark.registry import latest_scored, rotation_order
+
+    names = list(all_ops())
+    scored = dict(latest_scored())
+    horizon = math.ceil(len(names) / 50)
+    assert horizon <= 6, f"registry grew past 300 ops: {len(names)}"
+    start = 8
+    for rnd in range(start, start + horizon):
+        for n in rotation_order(names, scored)[:50]:
+            scored[n] = rnd
+    stale = [n for n in names if scored.get(n, 0) < start]
+    assert not stale, f"ops not rescored within {horizon} rounds: {stale}"
 
 
 def test_operator_index_in_sync():

@@ -285,3 +285,40 @@ def test_minhash_accuracy_pairs_are_band_candidates(spark, sf_dir):
         for r in OPS["dedup_minhash"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_simhash_accuracy_flag_matches_production_pairs(spark, sf_dir):
+    """flagged=True rows are EXACTLY dedup_simhash's emitted pair set
+    (same candidates, same hamming, same threshold), and every row's
+    hamming/jaccard are internally consistent."""
+    rows = OPS["dedup_simhash_accuracy"].fn(spark, sf_dir).collect()
+    assert rows, "band candidates exist at every committed SF"
+    for r in rows:
+        assert 0 <= r["hamming"] <= 60
+        assert r["token_jaccard"] is None or 0.0 <= r["token_jaccard"] <= 1.0
+        assert r["flagged"] == (r["hamming"] <= 3)
+    got = {(r["doc_a"], r["doc_b"]) for r in rows if r["flagged"]}
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in OPS["dedup_simhash"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_simhash_accuracy_threshold_separates_jaccard(spark, sf_dir):
+    """The calibration claim: pairs the hamming<=3 threshold KEEPS have
+    systematically higher exact token-set Jaccard than candidates it
+    REJECTS. If this separation collapses, the signature width or band
+    radius is mis-sized — exactly what the op exists to measure."""
+    rows = [
+        r
+        for r in OPS["dedup_simhash_accuracy"].fn(spark, sf_dir).collect()
+        if r["token_jaccard"] is not None
+    ]
+    kept = [r["token_jaccard"] for r in rows if r["flagged"]]
+    rejected = [r["token_jaccard"] for r in rows if not r["flagged"]]
+    assert kept, "threshold keeps at least the true near-dup pairs"
+    if rejected:  # tiny SFs may band-bucket only true dups together
+        mean_kept = sum(kept) / len(kept)
+        mean_rej = sum(rejected) / len(rejected)
+        assert mean_kept > mean_rej, (mean_kept, mean_rej)

@@ -83,6 +83,8 @@ ALLOW_NESTED_LOOP = {
     "slowlog_top_tables",  # broadcast 1-row grand-total factor
     "orders_running_share",  # broadcast 1-row grand-total factor
     "corpus_token_budget",  # broadcast 1-row sqrt-token-total factor
+    "agg_weighted_percentile",  # broadcast 1-row total-weight factor
+    "vec_contamination_probe",  # broadcast probe panel (eval set: small by definition)
 }
 
 LAZY_OPS = sorted(set(OPS) - EAGER)
@@ -139,9 +141,6 @@ def test_no_row_python_udf_outside_api_surface_ops(plans):
 # auto-recognized; everything else must be justified here.
 ALLOW_GLOBAL_WINDOW = {
     "dq_sequence_gaps",  # lag over per-range (min,max) stats: |ids|/4096 rows
-    "events_rfm",  # stitched_order bucket offsets: ≤ shuffle-partitions rows ×3
-    "orders_pareto",  # stitched_order bucket offsets: ≤ shuffle-partitions rows
-    "win_rolling_median",  # stitched_order bucket offsets (r7 scale-safe form)
     "orders_running_share",  # running share over the month rollup: |months| rows
     "slowlog_load_share",  # rank over QAN digest classes: class-domain-bounded
     "slowlog_top_tables",  # rank over referenced table names: schema-bounded
@@ -158,16 +157,40 @@ def _subtree_has_limit(node) -> bool:
     return False
 
 
+def _subtree_has_pid_bucket_agg(node) -> bool:
+    """stitched_order's offsets window runs over an Aggregate grouped
+    SOLELY by `_pid` = spark_partition_id() — ≤ num_buckets rows by
+    construction, bounded regardless of data volume. Recognize that
+    shape structurally (the r7 localCheckpoint truncates lineage below
+    the Aggregate, so a Limit-style lineage proof is impossible; the
+    grouping key IS the proof)."""
+    if node.nodeName() == "Aggregate":
+        ge = node.groupingExpressions()
+        if ge.size() >= 1 and all(
+            "_pid" in ge.apply(i).toString() for i in range(ge.size())
+        ):
+            return True
+    it = node.children().iterator()
+    while it.hasNext():
+        if _subtree_has_pid_bucket_agg(it.next()):
+            return True
+    return False
+
+
 def _unbounded_global_windows(df) -> int:
     """Count partition-less logical Window nodes NOT sitting over a
-    Limit subtree (py4j walk of the optimized plan — partitionSpec is
-    invisible in the formatted text once AQE wraps the plan)."""
+    provably-bounded subtree — a Limit (ranked_topk) or a
+    spark_partition_id-keyed bucket aggregate (stitched_order). Py4j
+    walk of the optimized plan — partitionSpec is invisible in the
+    formatted text once AQE wraps the plan."""
     n = 0
 
     def walk(node):
         nonlocal n
         if node.nodeName() == "Window" and node.partitionSpec().size() == 0:
-            if not _subtree_has_limit(node):
+            if not _subtree_has_limit(node) and not _subtree_has_pid_bucket_agg(
+                node
+            ):
                 n += 1
         it = node.children().iterator()
         while it.hasNext():
