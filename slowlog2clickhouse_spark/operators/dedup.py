@@ -1229,3 +1229,141 @@ def dedup_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hamming <= SIMHASH_MAX_HAMMING).alias("flagged"),
         )
     )
+
+
+@op(
+    "dedup_keep_best",
+    # same recursive-CTE reachability as dedup_cluster; the survivor
+    # choice adds only exact integers (token counts) and integer
+    # tiebreaks, so the verdict is bit-identical cross-engine
+    oracle=_MINHASH_BANDS_DUCK.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + f"""
+    , cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)),
+    und AS (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand),
+    reach AS (
+      SELECT DISTINCT s AS v, s AS r FROM und
+      UNION
+      SELECT reach.v, und.d FROM reach JOIN und ON und.s = reach.r),
+    labels AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+    q AS (SELECT doc_id,
+                 coalesce(len({_TOK_DUCK}), 0) AS n_tokens
+          FROM documents),
+    r AS (
+      SELECT l.doc_id, l.cluster_id,
+             CAST(q.n_tokens AS BIGINT) AS n_tokens,
+             row_number() OVER w AS rn,
+             first_value(l.doc_id) OVER (PARTITION BY l.cluster_id
+               ORDER BY q.n_tokens DESC, l.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS kept_doc
+      FROM labels l JOIN q ON q.doc_id = l.doc_id
+      WINDOW w AS (PARTITION BY l.cluster_id
+                   ORDER BY q.n_tokens DESC, l.doc_id ASC))
+    SELECT doc_id, cluster_id, n_tokens, (rn = 1) AS keep, kept_doc
+    FROM r
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster resolution — the production KEEP/DROP rule
+    dedup_cluster's smallest-id convention approximates: within each
+    near-dup cluster keep the MOST COMPLETE copy (max whitespace-token
+    count, doc_id tiebreak), not the lowest id. This is what corpus
+    pipelines actually ship: near-dups are usually truncations /
+    boilerplate-wrapped variants of one best document, and dropping
+    the long one because its id is larger throws away content. Every
+    involved doc reports its cluster, its own size, its verdict, and
+    the id of the copy that survives in its place.
+
+    Scale: same minhash-band + label-propagation path as dedup_cluster
+    (near-linear candidates, O(diameter) bounded iterations); the
+    survivor choice is ONE window over cluster_id — a data-
+    proportional key (clusters), no global ordering; token counts ride
+    the documents scan map-side. Like dedup_cluster, the builder runs
+    the propagation jobs eagerly (plan-linted under EAGER)."""
+    cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(cand)
+    d = load_table(spark, sf_dir, "documents")
+    qual = d.select(
+        "doc_id",
+        F.coalesce(F.size(_tokens_col()), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    lj = labels.join(qual, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return lj.select(
+        "doc_id",
+        "cluster_id",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("keep"),
+        F.first("doc_id")
+        .over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("kept_doc"),
+    )
+
+
+@op(
+    "corpus_dedup_rate_by_source",
+    # md5 text keys are cross-engine stable; every output is an exact
+    # integer or an int/int IEEE division — no rounding needed
+    oracle="""
+    WITH h AS (
+      SELECT source, doc_id, md5(coalesce(text, '')) AS hh
+      FROM documents),
+    marked AS (
+      SELECT source, doc_id,
+             count(*) OVER (PARTITION BY hh) AS copies,
+             min(doc_id) OVER (PARTITION BY hh) AS first_doc
+      FROM h)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_dup_groups,
+           CAST(sum(CASE WHEN doc_id <> first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_redundant,
+           sum(CASE WHEN doc_id <> first_doc THEN 1 ELSE 0 END) * 1.0
+             / count(*) AS dup_rate
+    FROM marked GROUP BY 1
+    """,
+)
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup OBSERVABILITY — the per-source duplicate scorecard a
+    curation pipeline reads before deciding where to spend near-dup
+    budget: for each source, how many docs sit in exact-duplicate
+    groups (md5 of full text) and how many are redundant copies
+    (everything but the min-doc_id survivor — dedup_exact's
+    convention), as an absolute count and a rate. A crawl source with
+    30% redundancy gets MinHash attention; one at 0.1% doesn't.
+
+    Scale: one window over the md5 key (the same data-proportional
+    hash-key shuffle dedup_exact pays — fixed-width keys, never text
+    payloads) followed by a |sources|-row aggregate; nothing global,
+    nothing all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "source", "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("hh")
+    )
+    w = W.partitionBy("hh")
+    marked = h.select(
+        "source",
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("copies"),
+        F.min("doc_id").over(w).alias("first_doc"),
+    )
+    redundant = F.when(F.col("doc_id") != F.col("first_doc"), 1).otherwise(0)
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("copies") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_in_dup_groups"),
+        F.sum(redundant).cast("long").alias("n_redundant"),
+        (F.sum(redundant) * F.lit(1.0) / F.count(F.lit(1))).alias("dup_rate"),
+    )

@@ -1381,3 +1381,67 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("tokens").cast("double"), alloc), 6
         ).alias("expected_tokens"),
     )
+
+
+@op(
+    "text_zipf_fit",
+    # the fitted points are exact (log of integer counts / ranks —
+    # scalar IEEE, bit-identical); the corpus totals are exact
+    # integers broadcast from a 1-row aggregate (allowlisted bounded
+    # crossJoin); regr sums over the FIXED top-100 rows, rounded at 6
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKENS_DUCK}) AS token FROM documents),
+    freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+    totals AS (SELECT count(*) AS n_vocab, sum(cnt) AS n_tokens FROM freq),
+    top AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+      FROM freq ORDER BY cnt DESC, token ASC LIMIT 100),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_top,
+             round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+             round(regr_r2(ln(cnt), ln(rank)), 6) AS fit_r2
+      FROM top)
+    SELECT CAST(n_vocab AS BIGINT) AS n_vocab,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           n_top, zipf_slope, fit_r2
+    FROM fit, totals
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health statistics via Zipf's law: natural text follows
+    freq ∝ rank^(-s) with s ≈ 1, so the slope of log(freq) over
+    log(rank) for the top tokens is a one-number corpus fingerprint —
+    machine-generated spam, template farms and over-deduplicated
+    corpora bend it visibly (|slope| too small = suspiciously flat
+    head; r² collapse = not Zipfian at all). The gate a data-mixing
+    pipeline runs per source BEFORE trusting token-budget math.
+
+    Scale: token counting is the vocab-bounded shuffle every text op
+    here pays; the top-100 head comes from orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps, no global sort) and
+    the regression runs over those 100 points; corpus totals are a
+    1-row aggregate broadcast in."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = freq.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+    )
+    top = ranked_topk(
+        freq, [F.col("cnt").desc(), F.col("token").asc()], 100, rank_col="rank"
+    )
+    fit = top.agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.round(F.regr_slope(F.log("cnt"), F.log("rank")), 6).alias(
+            "zipf_slope"
+        ),
+        F.round(F.regr_r2(F.log("cnt"), F.log("rank")), 6).alias("fit_r2"),
+    )
+    return fit.crossJoin(F.broadcast(totals)).select(
+        "n_vocab", "n_tokens", "n_top", "zipf_slope", "fit_r2"
+    )

@@ -979,3 +979,55 @@ def events_props_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("k_max"),
         F.round(F.sum("value"), 4).alias("value_sum"),
     )
+
+
+@op(
+    "qan_trend_regression",
+    # the regression INPUTS are made bit-identical first (integer day
+    # index; daily mean rounded at 4), then regr_* runs over ≤|days|
+    # points per class — the agg_regression G8 discipline, rounded at
+    # 6 on the way out; the verdict coalesces NULL (single-point
+    # classes) to false on both sides
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS day_idx,
+             round(avg(value), 4) AS avg_value
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(regr_slope(avg_value, day_idx), 6) AS slope_per_day,
+           round(regr_r2(avg_value, day_idx), 6) AS fit_r2,
+           coalesce(regr_slope(avg_value, day_idx) > 0, false) AS degrading
+    FROM daily GROUP BY 1
+    """,
+)
+def qan_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Which query classes are getting slower?" — the QAN triage
+    question qan_compare_periods answers pairwise, answered as a
+    single trend line: per class, fit latency-proxy vs calendar day
+    (least squares over the DAILY mean series, not raw rows, so one
+    noisy burst can't masquerade as a trend) and flag classes with a
+    positive slope. slope_per_day is the drift rate a capacity planner
+    multiplies out ("at +0.8/day this class doubles in a quarter");
+    fit_r2 says whether the line is believable.
+
+    Scale: one |classes|×|days| pre-aggregate (partial map-side), then
+    regr_* moment sums over that tiny series — mergeable, so the final
+    shuffle is |classes| rows. The daily mean is rounded BEFORE the
+    fit so both engines regress identical IEEE inputs."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01").cast("date")
+        ).alias("day_idx"),
+    ).agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    slope = F.regr_slope("avg_value", "day_idx")
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(F.regr_r2("avg_value", "day_idx"), 6).alias("fit_r2"),
+        F.coalesce(slope > 0, F.lit(False)).alias("degrading"),
+    )

@@ -67,6 +67,10 @@ _PRIORITY: tuple[str, ...] = (
     "events_journey_pattern",
     "vec_contamination_probe",
     "dedup_simhash_accuracy",
+    "dedup_keep_best",
+    "corpus_dedup_rate_by_source",
+    "qan_trend_regression",
+    "text_zipf_fit",
     "mm_resize",
     "mm_frame_sample",
     "orders_pareto",

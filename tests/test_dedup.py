@@ -322,3 +322,46 @@ def test_simhash_accuracy_threshold_separates_jaccard(spark, sf_dir):
         mean_kept = sum(kept) / len(kept)
         mean_rej = sum(rejected) / len(rejected)
         assert mean_kept > mean_rej, (mean_kept, mean_rej)
+
+
+def test_keep_best_one_survivor_per_cluster_max_tokens(spark, sf_dir):
+    """Exactly one keeper per cluster; it is the max-token (doc_id
+    tiebreak) member; kept_doc points at it from every member; and the
+    cluster partition matches dedup_cluster's."""
+    rows = OPS["dedup_keep_best"].fn(spark, sf_dir).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1
+        best = max(members, key=lambda r: (r["n_tokens"], -r["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
+        assert all(r["kept_doc"] == best["doc_id"] for r in members)
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in OPS["dedup_cluster"].fn(spark, sf_dir).collect()
+    }
+    assert {(r["doc_id"], r["cluster_id"]) for r in rows} == want
+
+
+def test_dedup_rate_by_source_consistent_with_exact(spark, sf_dir):
+    """Summed redundant copies equal the rows dedup_exact would drop
+    corpus-wide, and every rate is a valid fraction."""
+    rows = OPS["corpus_dedup_rate_by_source"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_redundant"] <= r["n_in_dup_groups"] <= r["n_docs"]
+        assert abs(r["dup_rate"] - r["n_redundant"] / r["n_docs"]) < 1e-12
+    from slowlog2clickhouse_spark.io import load_table
+
+    total_docs = load_table(spark, sf_dir, "documents").count()
+    distinct_texts = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5(F.coalesce("text", F.lit(""))))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_redundant"] for r in rows) == total_docs - distinct_texts
+    assert sum(r["n_docs"] for r in rows) == total_docs

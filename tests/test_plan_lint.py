@@ -50,6 +50,8 @@ EAGER = {
     "events_pipeline",
     "cache_branch_reuse",
     "dedup_cluster",  # iterative: builder runs label-propagation jobs
+    "dedup_keep_best",  # iterative: same label-propagation path
+
     "vec_kmeans",  # iterative: builder runs Lloyd assignment jobs
     "graph_pagerank",  # iterative: builder runs rank-propagation jobs
 }
@@ -85,6 +87,7 @@ ALLOW_NESTED_LOOP = {
     "corpus_token_budget",  # broadcast 1-row sqrt-token-total factor
     "agg_weighted_percentile",  # broadcast 1-row total-weight factor
     "vec_contamination_probe",  # broadcast probe panel (eval set: small by definition)
+    "text_zipf_fit",  # broadcast 1-row corpus-totals aggregate
 }
 
 LAZY_OPS = sorted(set(OPS) - EAGER)

@@ -350,3 +350,35 @@ def test_dpp_injects_runtime_partition_filter(spark, sf_dir):
     df = OPS["join_dynamic_partition_pruning"].fn(spark, sf_dir)
     s = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in s.lower(), s[:2000]
+
+
+def test_zipf_fit_head_is_take_ordered(spark, sf_dir):
+    # the top-100 head must come from per-partition heaps + one k-row
+    # merge, never a full global sort of the vocabulary
+    p = plan_of(spark, sf_dir, "text_zipf_fit")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p  # the 1-row totals side broadcasts
+
+
+def test_trend_regression_shuffles_are_partial_aggregated(spark, sf_dir):
+    # two aggregation levels (daily rollup, then per-class moments) —
+    # each partial-aggregates map-side so shuffle volume is
+    # |classes|x|days| then |classes|, never |rows|
+    p = plan_of(spark, sf_dir, "qan_trend_regression")
+    assert p.count("HashAggregate") >= 4
+
+
+def test_dedup_rate_window_rides_hash_key_exchange(spark, sf_dir):
+    # the copies/first_doc window partitions on the md5 key: exactly
+    # one data-proportional Exchange (hashpartitioning on hh); the
+    # per-source rollup partial-aggregates on top of it
+    import re
+
+    p = plan_of(spark, sf_dir, "corpus_dedup_rate_by_source")
+    assert "hashpartitioning(hh" in p
+    # two Exchanges total (formatted output lists each node once in
+    # the tree and once in the details — count the detail entries):
+    # the hh window key (data-proportional) and the |sources|-row
+    # final agg above its map-side partial
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2
+    assert "Window" in p and p.count("HashAggregate") >= 2

