@@ -274,9 +274,9 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     )
 
 
-# DuckDB mirror of the signature + banding chain (shared by the
-# dedup_minhash oracle; sf0.01's corpus is small enough for the
-# oracle's all-pairs band compare via list_has_any)
+# DuckDB mirror of the signature + banding chain (shared by every
+# minhash-family oracle; candidates come from the bx band equi-join
+# below — see _CAND_EQUI_DUCK)
 _MINHASH_BANDS_DUCK = f"""
     WITH tok AS (
       SELECT doc_id, {_TOK_DUCK} AS t FROM documents),
@@ -306,7 +306,24 @@ _MINHASH_BANDS_DUCK = f"""
              list_transform(range(0, {N_HASHES // BAND_SIZE}), b ->
                {{'b': b, 's': ((ms[b*4+1] * 31 + ms[b*4+2]) * 31
                                + ms[b*4+3]) * 31 + ms[b*4+4]}}) AS bs
-      FROM mins)
+      FROM mins),
+    bx AS MATERIALIZED (
+      SELECT doc_id, unnest(bs) AS bv FROM bands)
+"""
+
+# Candidate pairs via the unnested band EQUI-join — the same plan
+# shape the Spark side uses. The list_has_any(a.bs, b.bs) form this
+# replaces is an inequality predicate, which DuckDB executes as a
+# nested loop that re-inlines the md5 signature chain into every
+# probe: measured 287 s for 5000 docs at sf0.1 vs 0.32 s for this
+# equi-join (identical 2320 pairs). MATERIALIZED pins the signature
+# evaluation to once even when the CTE is referenced twice or sits
+# under a recursive CTE. DISTINCT collapses multi-band agreements to
+# one pair, matching the pair-level list_has_any semantics.
+_CAND_EQUI_DUCK = """
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bx a JOIN bx b ON a.bv = b.bv AND a.doc_id < b.doc_id)
 """
 
 
@@ -349,10 +366,10 @@ def cap_band_buckets(
 @op(
     "dedup_minhash",
     oracle=_MINHASH_BANDS_DUCK
+    + ", "
+    + _CAND_EQUI_DUCK
     + """
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)
+    SELECT doc_a, doc_b FROM cand
     """,
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,7 +494,9 @@ _SIMHASH_SIGS_DUCK = f"""
                {{'b': b,
                  'v': (simhash >> (b * {_SIMHASH_BAND_BITS}))
                       & {_SIMHASH_BAND_MASK}}}) AS bs
-      FROM sigs)
+      FROM sigs),
+    bx AS MATERIALIZED (
+      SELECT doc_id, simhash, unnest(bs) AS bv FROM bands)
 """
 
 
@@ -508,10 +527,9 @@ def simhash_candidates_windowed(sigs: DataFrame, window: int = 5) -> DataFrame:
     "dedup_simhash",
     oracle=_SIMHASH_SIGS_DUCK
     + f"""
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-    FROM bands a JOIN bands b
-      ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)
+    FROM bx a JOIN bx b ON a.bv = b.bv AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     """,
 )
@@ -652,12 +670,10 @@ def connected_components(
     # is the cluster label — O(Σ component²) pairs, fine at oracle SF
     # because near-dup clusters are tiny.
     oracle=_MINHASH_BANDS_DUCK.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + ", "
+    + _CAND_EQUI_DUCK
     + """
-    , cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)),
-    und AS (
+    , und AS MATERIALIZED (
       SELECT doc_a AS s, doc_b AS d FROM cand
       UNION ALL
       SELECT doc_b, doc_a FROM cand),
@@ -815,12 +831,10 @@ _PAGERANK_ITER = """,
 
 _PAGERANK_DUCK = (
     _MINHASH_BANDS_DUCK
+    + ", "
+    + _CAND_EQUI_DUCK
     + """
-    , cand AS MATERIALIZED (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)),
-    e AS MATERIALIZED (
+    , e AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM cand
       UNION ALL
       SELECT doc_b, doc_a FROM cand),
@@ -855,12 +869,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # followed by the exact-Jaccard PRECISION stage; jaccard is
     # int/int → bit-identical cross-engine, no rounding
     oracle=_MINHASH_BANDS_DUCK
+    + ", "
+    + _CAND_EQUI_DUCK
     + f"""
-    , cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)),
-    tk AS (SELECT doc_id, list_distinct({_TOK_DUCK}) AS toks FROM documents),
+    , tk AS (SELECT doc_id, list_distinct({_TOK_DUCK}) AS toks FROM documents),
     j AS (
       SELECT c.doc_a, c.doc_b,
              len(list_intersect(ta.toks, tb.toks)) AS common,
@@ -1031,12 +1043,10 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token-set Jaccard dedup_minhash_verified scores with — and the
     # error is one subtraction of identically-derived doubles
     oracle=_MINHASH_BANDS_DUCK
+    + ", "
+    + _CAND_EQUI_DUCK
     + f"""
-    , cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)),
-    sh AS (SELECT doc_id, list_distinct(xs) AS s, ms
+    , sh AS (SELECT doc_id, list_distinct(xs) AS s, ms
            FROM xm JOIN mins USING (doc_id)),
     scored AS (
       SELECT c.doc_a, c.doc_b,
@@ -1128,11 +1138,10 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
     , toks AS (
       SELECT doc_id, list_distinct({_TOK_DUCK}) AS s FROM documents),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              bit_count(xor(a.simhash, b.simhash)) AS hamming
-      FROM bands a JOIN bands b
-        ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)),
+      FROM bx a JOIN bx b ON a.bv = b.bv AND a.doc_id < b.doc_id),
     j AS (
       SELECT c.doc_a, c.doc_b, c.hamming,
              len(list_intersect(ta.s, tb.s)) AS common,
@@ -1237,12 +1246,10 @@ def dedup_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # choice adds only exact integers (token counts) and integer
     # tiebreaks, so the verdict is bit-identical cross-engine
     oracle=_MINHASH_BANDS_DUCK.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + ", "
+    + _CAND_EQUI_DUCK
     + f"""
-    , cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)),
-    und AS (
+    , und AS MATERIALIZED (
       SELECT doc_a AS s, doc_b AS d FROM cand
       UNION ALL
       SELECT doc_b, doc_a FROM cand),

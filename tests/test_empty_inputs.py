@@ -83,6 +83,13 @@ PROBE = [
     "dedup_minhash_accuracy",
     "corpus_token_budget",
     "vec_dim_stats",
+    # round-8 additions
+    "events_journey_pattern",
+    "vec_contamination_probe",
+    "dedup_simhash_accuracy",
+    "dedup_keep_best",
+    "corpus_dedup_rate_by_source",
+    "qan_trend_regression",
 ]
 SINGLE_ROW_OK = {
     "funnel_events",
@@ -91,6 +98,9 @@ SINGLE_ROW_OK = {
     # stats on empty input (r6 partial-oracle conversions)
     "agg_approx_count_distinct",
     "agg_hll_daily_merge",
+    # r8: global-aggregate shapes — one row of zero/NULL stats
+    "agg_weighted_percentile",
+    "text_zipf_fit",
 }
 
 
