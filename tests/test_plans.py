@@ -382,3 +382,14 @@ def test_dedup_rate_window_rides_hash_key_exchange(spark, sf_dir):
     # final agg above its map-side partial
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2
     assert "Window" in p and p.count("HashAggregate") >= 2
+
+
+def test_journey_pattern_single_shuffle_bounded_buffer(spark, sf_dir):
+    # the 10k cap happens UPSTREAM of collect_list (window filter), and
+    # the window's user_id Exchange satisfies the aggregate's required
+    # distribution: exactly one Exchange in the whole plan
+    import re
+
+    p = plan_of(spark, sf_dir, "events_journey_pattern")
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert "Window" in p
