@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_journey_pattern",
     "vec_contamination_probe",
     "dedup_simhash_accuracy",
+    "stream_journey_state",
     "dedup_keep_best",
     "corpus_dedup_rate_by_source",
     "qan_trend_regression",

@@ -686,3 +686,163 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(admitted, "complete")
 
 
+
+
+@op(
+    "stream_journey_state",
+    # parity-split batch formulation (the stream_dedup_minhash
+    # pattern): one availableNow micro-batch over the same file makes
+    # the stateful stream's answer equal the batch journey op
+    # row-for-row, so the batch SQL IS the oracle; the api column
+    # mirrors the same import-try gate stream_transform_with_state
+    # documents
+    oracle=f"""
+    WITH sym AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p'
+                  WHEN 'error' THEN 'e' ELSE 'x' END AS sym
+      FROM events),
+    ranked AS (
+      SELECT user_id, sym,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rdesc,
+             count(*) OVER (PARTITION BY user_id) AS n_total
+      FROM sym),
+    j AS (
+      SELECT user_id,
+             CAST(max(n_total) AS BIGINT) AS n_events,
+             (max(n_total) > 10000) AS truncated,
+             string_agg(CASE WHEN rdesc <= 10000 THEN sym END, ''
+                        ORDER BY rdesc DESC) AS journey
+      FROM ranked GROUP BY 1)
+    SELECT user_id, n_events, truncated,
+           CAST(len(regexp_extract_all(journey, 'vc+p')) AS BIGINT)
+             AS n_conversions,
+           CAST(len(regexp_extract_all(journey, 'ec*e')) AS BIGINT)
+             AS n_error_loops,
+           md5(journey) AS journey_md5,
+           '{_TWS_API}' AS api
+    FROM j
+    """,
+)
+def stream_journey_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE-lite: the per-user journey tracker
+    (events_journey_pattern) as a custom stateful operator — each
+    micro-batch appends its users' new symbols to a ValueState
+    carrying (total count, last-10k symbol tail) and re-emits the
+    updated pattern metrics. This is the deployment shape of
+    behavioral-pattern monitoring: conversions and rage-loops
+    detected AS EVENTS ARRIVE, not in a nightly batch.
+
+    State is BOUNDED BY CONSTRUCTION: 10k chars + one long per user
+    (the same cap as the batch op, enforced on every update), on the
+    RocksDB store when the Spark-4 transformWithStateInPandas API is
+    available, else through applyInPandasWithState — same import-try
+    gate and `api` honesty column as stream_transform_with_state.
+    Within a batch, rows are sorted by (ts, event_id) before
+    appending; across batches the append order is arrival order (the
+    file stream delivers event-time-ordered files; a production
+    deployment fronts this with a watermarked sort the way
+    stream_late_data documents)."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    cap = 10000
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("truncated", T.BooleanType()),
+            T.StructField("n_conversions", T.LongType()),
+            T.StructField("n_error_loops", T.LongType()),
+            T.StructField("journey_md5", T.StringType()),
+        ]
+    )
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("x")
+        .alias("sym"),
+    )
+
+    def _advance(n, tail, pdfs):
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            n += len(pdf)
+            tail = (tail + "".join(pdf["sym"]))[-cap:]
+        return n, tail
+
+    def _emit(key, n, tail):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "truncated": [n > cap],
+                "n_conversions": [len(_re.findall("vc+p", tail))],
+                "n_error_loops": [len(_re.findall("ec*e", tail))],
+                "journey_md5": [hashlib.md5(tail.encode()).hexdigest()],
+            }
+        )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401 — state server dep
+
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class JourneyTracker(StatefulProcessor):
+            def init(self, handle):
+                self._state = handle.getValueState(
+                    "journey",
+                    T.StructType(
+                        [
+                            T.StructField("n", T.LongType()),
+                            T.StructField("tail", T.StringType()),
+                        ]
+                    ),
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, tail = (
+                    self._state.get() if self._state.exists() else (0, "")
+                )
+                n, tail = _advance(n, tail, rows)
+                self._state.update((n, tail))
+                yield _emit(key, n, tail)
+
+            def close(self):
+                pass
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        result = ev.groupBy("user_id").transformWithStateInPandas(
+            JourneyTracker(), out_schema, "Update", "None"
+        )
+    except ImportError:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def tracker(key, pdfs, state):
+            n, tail = state.get if state.exists else (0, "")
+            n, tail = _advance(n, tail, pdfs)
+            state.update((n, tail))
+            yield _emit(key, n, tail)
+
+        result = ev.groupBy("user_id").applyInPandasWithState(
+            tracker,
+            outputStructType=out_schema,
+            stateStructType="n long, tail string",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    return run_to_memory(result, "update").withColumn("api", F.lit(_TWS_API))

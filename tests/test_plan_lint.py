@@ -39,6 +39,7 @@ EAGER = {
     "stream_dedup_minhash",
     "stream_rate_source",
     "stream_progress_metrics",
+    "stream_journey_state",
     "scan_orc",
     "scan_jsonl",
     "sink_compact",

@@ -223,3 +223,33 @@ def test_stream_dedup_minhash_batch_equivalence_and_admission(spark, sf_dir):
     # sanity: the stream admits most docs but not all (near-dups exist)
     n_arriving = docs.where(F.col("doc_id") % 2 == 1).count()
     assert 0 < len(got) < n_arriving
+
+
+def test_stream_journey_state_equals_batch_journey(spark, sf_dir):
+    """The stateful streaming journey tracker's final state must equal
+    events_journey_pattern row-for-row (same symbols, same 10k cap,
+    same pattern counts), and the api column reports exactly one
+    execution path."""
+    got = OPS["stream_journey_state"].fn(spark, sf_dir)
+    stream_rows = {
+        r["user_id"]: (
+            r["n_events"],
+            r["truncated"],
+            r["n_conversions"],
+            r["n_error_loops"],
+            r["journey_md5"],
+        )
+        for r in got.collect()
+    }
+    batch_rows = {
+        r["user_id"]: (
+            r["n_events"],
+            r["truncated"],
+            r["n_conversions"],
+            r["n_error_loops"],
+            r["journey_md5"],
+        )
+        for r in OPS["events_journey_pattern"].fn(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+    assert got.select("api").distinct().count() == 1
