@@ -90,6 +90,9 @@ PROBE = [
     "dedup_keep_best",
     "corpus_dedup_rate_by_source",
     "qan_trend_regression",
+    # streaming: the stateful journey tracker survives an empty stream
+    # (file-source sniff + availableNow over zero rows)
+    "stream_journey_state",
 ]
 SINGLE_ROW_OK = {
     "funnel_events",
