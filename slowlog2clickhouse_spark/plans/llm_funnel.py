@@ -48,9 +48,11 @@ MIN_TOKENS = 20
           PARTITION BY md5(lower(text)) ORDER BY doc_id ASC) AS rn
         FROM quality) t WHERE rn = 1),
     near_drop AS (
+      -- band equi-join on the MATERIALIZED unnested bands (gotcha
+      -- #21: the list_has_any inequality form nested-loops and
+      -- re-inlines the signature chain per probe — 449 s at sf0.1)
       SELECT DISTINCT b.doc_id
-      FROM bands a JOIN bands b
-        ON a.doc_id < b.doc_id AND list_has_any(a.bs, b.bs)
+      FROM bx a JOIN bx b ON a.bv = b.bv AND a.doc_id < b.doc_id
       WHERE a.doc_id IN (SELECT doc_id FROM exact)
         AND b.doc_id IN (SELECT doc_id FROM exact)),
     near AS (
