@@ -102,6 +102,11 @@ EXTRA_OPS = (
     # round-6: the flagship curation cascade (single most expensive
     # registered plan — regressions in any stage surface here)
     "llm_curation_funnel",
+    # round-8: quality-aware cluster resolution (label propagation +
+    # cluster-keyed survivor window) and the stateful streaming
+    # journey tracker (bounded per-user state)
+    "dedup_keep_best",
+    "stream_journey_state",
 )
 
 
@@ -174,6 +179,10 @@ def main() -> None:
         ),
         "text_dup_spans": lambda: ops["text_dup_spans"].fn(spark, sf_dir),
         "llm_curation_funnel": lambda: ops["llm_curation_funnel"].fn(
+            spark, sf_dir
+        ),
+        "dedup_keep_best": lambda: ops["dedup_keep_best"].fn(spark, sf_dir),
+        "stream_journey_state": lambda: ops["stream_journey_state"].fn(
             spark, sf_dir
         ),
     }
