@@ -990,3 +990,95 @@ def qan_digest_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         20,
     )
+
+
+@op(
+    "qan_overview",
+    # per-digest sums round-6-recovered (the log's own precision);
+    # grand total round-recovered too (gotcha #12 — the raw sum of 30
+    # rounded doubles drifts in the last ulp); p95 is an exact sorted
+    # percentile (G6: Spark percentile == quantile_cont on doubles —
+    # interpolation over identical sorted values, no accumulation
+    # order); apdex is integer counting + /2.0; rank tiebreaks digest
+    oracle=f"""
+    WITH per AS (
+      SELECT digest,
+             min(fingerprint) AS fingerprint,
+             cast(count(*) AS BIGINT) AS cnt,
+             round(coalesce(sum(query_time), 0), 6) AS qt_sum,
+             max(query_time) AS worst,
+             quantile_cont(query_time, 0.95) AS p95,
+             cast(sum(CASE WHEN query_time <= 0.1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_sat,
+             cast(sum(CASE WHEN query_time > 0.1 AND query_time <= 0.4
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_tol
+      FROM {_GOLD}
+      WHERE NOT admin AND query IS NOT NULL
+      GROUP BY 1),
+    tot AS (SELECT round(sum(qt_sum), 6) AS grand FROM per)
+    SELECT digest, fingerprint, cnt, qt_sum, worst, p95,
+           (n_sat + n_tol / 2.0) / cnt AS apdex,
+           qt_sum / tot.grand AS load_share,
+           cast(row_number() OVER (
+             ORDER BY qt_sum DESC, digest ASC) AS INTEGER) AS load_rank
+    FROM per, tot
+    """,
+)
+def qan_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE QAN landing page as ONE plan — the composite a reference
+    user actually renders: every digest's query count, total and
+    worst time, exact p95, apdex (T = 0.1 s, classic 4T tolerating
+    band), share of total server load, and load rank, in a single
+    wide row per class. The separate ops (slowlog_top_digests,
+    slowlog_load_share, qan_apdex shapes) each answer one column;
+    this is the llm_curation_funnel of the QAN side — the proof the
+    building blocks compose without re-scanning.
+
+    Scale: ONE full-data pass — a single per-digest aggregate carries
+    every metric (count/sum/max/percentile/conditional counts partial-
+    aggregate together; shuffle volume is |digests|); the grand total
+    is a 1-row broadcast back onto the 30-row class table and the
+    rank is a window over that class-domain-bounded aggregate (both
+    allowlisted shapes, same as slowlog_load_share). Four separate
+    dashboard queries would parse the log four times; the composite
+    parses once."""
+    from pyspark.sql import Window as W
+
+    from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
+
+    events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        (~F.col("admin")) & F.col("query").isNotNull()
+    )
+    sat = (F.col("query_time") <= 0.1).cast("long")
+    tol = ((F.col("query_time") > 0.1) & (F.col("query_time") <= 0.4)).cast(
+        "long"
+    )
+    per = events.groupBy("digest").agg(
+        F.min("fingerprint").alias("fingerprint"),
+        F.count("*").alias("cnt"),
+        F.round(F.coalesce(F.sum("query_time"), F.lit(0.0)), 6).alias(
+            "qt_sum"
+        ),
+        F.max("query_time").alias("worst"),
+        F.percentile("query_time", 0.95).alias("p95"),
+        F.sum(sat).alias("n_sat"),
+        F.sum(tol).alias("n_tol"),
+    )
+    tot = per.agg(F.round(F.sum("qt_sum"), 6).alias("grand"))
+    w = W.orderBy(F.col("qt_sum").desc(), F.col("digest").asc())
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digest",
+            "fingerprint",
+            "cnt",
+            "qt_sum",
+            "worst",
+            "p95",
+            ((F.col("n_sat") + F.col("n_tol") / 2.0) / F.col("cnt")).alias(
+                "apdex"
+            ),
+            (F.col("qt_sum") / F.col("grand")).alias("load_share"),
+            F.row_number().over(w).alias("load_rank"),
+        )
+    )

@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "vec_contamination_probe",
     "dedup_simhash_accuracy",
     "stream_journey_state",
+    "qan_overview",
     "dedup_keep_best",
     "corpus_dedup_rate_by_source",
     "qan_trend_regression",

@@ -77,6 +77,11 @@ def test_driver_window_rotation_guard():
     assert not unlisted, f"ops not explicitly placed in _PRIORITY: {unlisted}"
     dangling = [n for n in _PRIORITY if n not in ops]
     assert not dangling, f"_PRIORITY names unregistered ops: {dangling}"
+    assert len(set(_PRIORITY)) == len(_PRIORITY), (
+        "duplicate _PRIORITY entries would silently skew the rotation "
+        "tiebreak: "
+        f"{[n for n in set(_PRIORITY) if _PRIORITY.count(n) > 1]}"
+    )
 
     scored: set[str] = set()
     root = os.path.dirname(SURVEY)

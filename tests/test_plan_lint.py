@@ -86,6 +86,7 @@ ALLOW_NESTED_LOOP = {
     "slowlog_top_tables",  # broadcast 1-row grand-total factor
     "orders_running_share",  # broadcast 1-row grand-total factor
     "corpus_token_budget",  # broadcast 1-row sqrt-token-total factor
+    "qan_overview",  # broadcast 1-row grand-total factor (load_share)
     "agg_weighted_percentile",  # broadcast 1-row total-weight factor
     "vec_contamination_probe",  # broadcast probe panel (eval set: small by definition)
     "text_zipf_fit",  # broadcast 1-row corpus-totals aggregate
@@ -148,6 +149,7 @@ ALLOW_GLOBAL_WINDOW = {
     "orders_running_share",  # running share over the month rollup: |months| rows
     "slowlog_load_share",  # rank over QAN digest classes: class-domain-bounded
     "slowlog_top_tables",  # rank over referenced table names: schema-bounded
+    "qan_overview",  # rank over QAN digest classes: class-domain-bounded
 }
 
 

@@ -722,3 +722,33 @@ def test_rate_adjusted_upscales_by_sampling_factor(spark, sf_dir):
         assert abs(r["qt_estimated"] - r["qt_logged"] * r["rate_limit"]) < 1e-9
     # the fixture's sampled class is logged at 1/100
     assert any(r["rate_limit"] == 100 for r in rows)
+
+
+def test_qan_overview_consistent_with_component_ops(spark, sf_dir):
+    """The one-plan composite must agree column-for-column with the
+    single-metric ops it subsumes: load share/rank with
+    slowlog_load_share, the top digests' totals with
+    slowlog_top_digests, and internal invariants (shares sum to 1,
+    apdex in [0,1], p95 <= worst)."""
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    ops = all_ops()
+    rows = {r["digest"]: r for r in ops["qan_overview"].fn(spark, sf_dir).collect()}
+    assert rows
+    share_sum = sum(r["load_share"] for r in rows.values())
+    assert abs(share_sum - 1.0) < 1e-9
+    for r in rows.values():
+        assert 0.0 <= r["apdex"] <= 1.0
+        assert r["p95"] <= r["worst"] + 1e-12
+        assert r["qt_sum"] >= r["worst"] - 1e-12 or r["cnt"] == 1
+    ls = {r["digest"]: r for r in ops["slowlog_load_share"].fn(spark, sf_dir).collect()}
+    assert set(ls) == set(rows)
+    for d, r in rows.items():
+        assert r["cnt"] == ls[d]["cnt"]
+        assert abs(r["qt_sum"] - ls[d]["qt_sum"]) < 1e-12
+        assert abs(r["load_share"] - ls[d]["load_share"]) < 1e-12
+        assert r["load_rank"] == ls[d]["load_rank"]
+    top = ops["slowlog_top_digests"].fn(spark, sf_dir).collect()
+    for t in top:
+        assert abs(rows[t["digest"]]["qt_sum"] - t["total_query_time"]) < 1e-12
+        assert rows[t["digest"]]["cnt"] == t["total_queries"]
