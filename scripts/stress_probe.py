@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""×10 scale stress probe: replicate sf0.1 into an ~sf1-equivalent
+corpus under /tmp and time flagship ops against both.
+
+The per-round scaling sweep measures 0.001→0.1 (100× growth while 32
+cores are still underutilized — wall stays near-flat for healthy
+plans). This probe pushes past core saturation: at ×10 the ideal wall
+grows ≈ linearly with data, so the signal is the RATIO — a healthy op
+lands near 10×/spindle-bound, a candidate explosion or bounded-domain
+key lands at 50×+.
+
+Replication keeps semantics realistic:
+  * keys are shifted per replica (doc_id/event_id/user_id/orderkey/
+    custkey) so uniqueness and per-key volumes are preserved;
+  * document text gets a per-replica suffix token, so replicas are
+    NEAR-duplicates of each other (shingle sets overlap heavily) —
+    the dedup family sees a realistic 10-copy near-dup corpus, not a
+    degenerate exact-dup one;
+  * embeddings keep their values; probe panel (vec_id < 20) stays in
+    replica 0, so ANN ops scan a 10× corpus for the same probes.
+
+Usage:
+    python scripts/stress_probe.py [op ...]        # default flagships
+    SPARK_GRAFT_STRESS_DIR=/tmp/... to relocate the generated corpus
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+DEST = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/spark_graft_stress_x10")
+REPS = 10
+
+DEFAULT_OPS = [
+    "dedup_minhash",
+    "dedup_cluster",
+    "dedup_keep_best",
+    "dedup_simhash_accuracy",
+    "llm_curation_funnel",
+    "text_tfidf",
+    "events_journey_pattern",
+    "agg_weighted_percentile",
+    "win_rolling_median",
+    "tpch_q9",
+    "vec_knn_lsh_multiprobe",
+    "corpus_dedup_rate_by_source",
+]
+
+# key columns shifted by replica_index * (max+1); all other columns
+# pass through, so joins stay consistent within a replica
+KEY_SHIFTS = {
+    "documents": ["doc_id"],
+    "events": ["event_id", "user_id"],
+    "embeddings": ["vec_id"],
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "nation": [],
+    "region": [],
+}
+
+
+def build_corpus(spark) -> None:
+    if os.path.exists(os.path.join(DEST, "_DONE")):
+        return
+    os.makedirs(DEST, exist_ok=True)
+    from slowlog2clickhouse_spark.io import load_table
+
+    for t, keys in KEY_SHIFTS.items():
+        df = load_table(spark, BASE, t)
+        if not keys:  # tiny dims: copy once, no replication needed
+            df.write.mode("overwrite").parquet(f"{DEST}/{t}.parquet")
+            continue
+        spans = {
+            k: int(df.agg(F.max(k)).collect()[0][0] or 0) + 1 for k in keys
+        }
+        reps = []
+        for i in range(REPS):
+            r = df
+            for k in keys:
+                r = r.withColumn(k, F.col(k) + F.lit(i * spans[k]))
+            if t == "documents" and i > 0:
+                # near-dup replicas: same text + one extra token
+                r = r.withColumn(
+                    "text", F.concat("text", F.lit(f" rep{i}"))
+                )
+            reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(f"{DEST}/{t}.parquet")
+    open(os.path.join(DEST, "_DONE"), "w").write("ok\n")
+
+
+def main() -> None:
+    from slowlog2clickhouse_spark.registry import all_ops
+    from slowlog2clickhouse_spark.session import get_session
+
+    names = sys.argv[1:] or DEFAULT_OPS
+    spark = get_session(app_name="stress_probe")
+    t0 = time.time()
+    build_corpus(spark)
+    print(f"corpus ready in {time.time() - t0:.0f}s at {DEST}", flush=True)
+    ops = all_ops()
+    print("| op | sf0.1 | x10 | ratio |", flush=True)
+    print("|---|---|---|---|", flush=True)
+    for name in names:
+        times = {}
+        for label, d in (("base", BASE), ("x10", DEST)):
+            spark.catalog.clearCache()
+            jsc = spark.sparkContext._jsc.sc()
+            it = jsc.getPersistentRDDs().values().iterator()
+            while it.hasNext():
+                it.next().unpersist(False)
+            ops[name].fn(spark, d).count()  # warmup
+            t0 = time.time()
+            ops[name].fn(spark, d).count()
+            times[label] = time.time() - t0
+        ratio = times["x10"] / times["base"] if times["base"] else float("inf")
+        print(
+            f"| {name} | {times['base']:.2f} | {times['x10']:.2f} "
+            f"| {ratio:.1f}x |",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
