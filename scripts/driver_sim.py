@@ -26,8 +26,13 @@ from tests.parity import canon_rows, duck_result, spark_result  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    # --reverse: run ops in reversed name order — smokes out run-order
+    # state leaks (a conf set by op A that op B silently depends on)
+    reverse = "--reverse" in args
+    args = [a for a in args if a != "--reverse"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     # vanilla session, exactly what an external driver would build
     spark = (
@@ -55,7 +60,7 @@ def main() -> int:
         )
 
     n_pass = n_fail = 0
-    for name in sorted(q):
+    for name in sorted(q, reverse=reverse):
         if only and name not in only:
             continue
         t0 = time.time()
