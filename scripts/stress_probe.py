@@ -53,19 +53,36 @@ DEFAULT_OPS = [
     "corpus_dedup_rate_by_source",
 ]
 
-# key columns shifted by replica_index * (max+1); all other columns
-# pass through, so joins stay consistent within a replica
-KEY_SHIFTS = {
-    "documents": ["doc_id"],
-    "events": ["event_id", "user_id"],
-    "embeddings": ["vec_id"],
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "nation": [],
-    "region": [],
+# Every key column is shifted by replica_index * span, where span is
+# max+1 of the REFERENCED table's primary key — so a foreign key moves
+# in lockstep with the dimension it points at and replica i's facts
+# join replica i's dimensions (r8 ADVICE: l_partkey/l_suppkey were
+# previously unshifted and o_custkey used its own span, so replicas
+# 1-9's dims dangled and all facts joined replica-0 dims). nation/
+# region stay single-copy shared dims (nationkeys unshifted) — the
+# realistic shape: tiny dims don't grow with fact volume.
+#   table -> {column: (span_table, span_col)}
+SHIFT_SPEC: dict[str, dict[str, tuple[str, str]]] = {
+    "documents": {"doc_id": ("documents", "doc_id")},
+    "events": {
+        "event_id": ("events", "event_id"),
+        "user_id": ("events", "user_id"),
+    },
+    "embeddings": {"vec_id": ("embeddings", "vec_id")},
+    "lineitem": {
+        "l_orderkey": ("orders", "o_orderkey"),
+        "l_partkey": ("part", "p_partkey"),
+        "l_suppkey": ("supplier", "s_suppkey"),
+    },
+    "orders": {
+        "o_orderkey": ("orders", "o_orderkey"),
+        "o_custkey": ("customer", "c_custkey"),
+    },
+    "customer": {"c_custkey": ("customer", "c_custkey")},
+    "supplier": {"s_suppkey": ("supplier", "s_suppkey")},
+    "part": {"p_partkey": ("part", "p_partkey")},
+    "nation": {},
+    "region": {},
 }
 
 
@@ -75,19 +92,26 @@ def build_corpus(spark) -> None:
     os.makedirs(DEST, exist_ok=True)
     from slowlog2clickhouse_spark.io import load_table
 
-    for t, keys in KEY_SHIFTS.items():
+    # primary-key spans, computed ONCE from the owning tables so FK
+    # columns shift identically to the keys they reference
+    span_cache: dict[tuple[str, str], int] = {}
+
+    def span(tbl: str, col: str) -> int:
+        if (tbl, col) not in span_cache:
+            v = load_table(spark, BASE, tbl).agg(F.max(col)).collect()[0][0]
+            span_cache[(tbl, col)] = int(v or 0) + 1
+        return span_cache[(tbl, col)]
+
+    for t, keys in SHIFT_SPEC.items():
         df = load_table(spark, BASE, t)
         if not keys:  # tiny dims: copy once, no replication needed
             df.write.mode("overwrite").parquet(f"{DEST}/{t}.parquet")
             continue
-        spans = {
-            k: int(df.agg(F.max(k)).collect()[0][0] or 0) + 1 for k in keys
-        }
         reps = []
         for i in range(REPS):
             r = df
-            for k in keys:
-                r = r.withColumn(k, F.col(k) + F.lit(i * spans[k]))
+            for k, (stbl, scol) in keys.items():
+                r = r.withColumn(k, F.col(k) + F.lit(i * span(stbl, scol)))
             if t == "documents" and i > 0:
                 # near-dup replicas: same text + one extra token
                 r = r.withColumn(

@@ -411,8 +411,26 @@ def latest_scored(root: str | None = None) -> dict[str, int]:
         if "results" in d:
             d = d["results"]
         for k, v in d.items():
-            if isinstance(v, dict):
-                out[k] = max(out.get(k, 0), rnd)
+            if not isinstance(v, dict):
+                continue
+            # A row that FAILED scoring (err set, or an oracle hash
+            # mismatch) must not push the op to the back of the
+            # rotation — treat it like never-scored so it re-sorts to
+            # the head of the next window instead of waiting ~6 rounds
+            # (r8 ADVICE). Exception: err='no_oracle' is the DECLARED
+            # contract for rows-only ops (oracle=None) — for those it
+            # IS a successful score; for an op that carries an oracle
+            # today it's a stale pre-oracle row and doesn't count
+            # (generalizes _STALE_RESCORE).
+            err = v.get("err")
+            if err == "no_oracle":
+                _load_all()
+                reg = _REGISTRY.get(k)
+                if reg is not None and reg.oracle is not None:
+                    continue
+            elif err is not None or v.get("hash_match") is False:
+                continue
+            out[k] = max(out.get(k, 0), rnd)
     for k in _STALE_RESCORE:
         # their partial oracles landed in round 6 — any score from an
         # earlier round never exercised the oracle and doesn't count

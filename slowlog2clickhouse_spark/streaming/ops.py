@@ -27,6 +27,7 @@ foreachBatch → parquet/JDBC (sink_stream_foreachbatch).
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 import os
 import shutil
@@ -79,6 +80,32 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_batch == "timestamp":  # tz-annotated vintage: no repair needed
         return reader.schema(_events_raw_schema(T.TimestampType())).parquet(sf_dir)
     raise ValueError(f"unrecognized events.ts parquet vintage: {ts_batch!r}")
+
+
+@contextlib.contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """Scope the RocksDB state-store provider to ONE query start.
+
+    The provider class is a session conf read at query start — there is
+    no per-query writeStream option for it — so the only way to use
+    RocksDB for one op without leaking the choice into every later
+    streaming op in the session (run-order dependence, the class of bug
+    driver_sim --reverse exists to catch) is save/set/restore around
+    the start (r8 ADVICE)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
@@ -420,9 +447,16 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # environment gate mirrored into the oracle: the op's `api` column
 # reports which state API executed, and the oracle string is built by
-# the same import-try in the same interpreter the query will run in
+# the same import-try in the same interpreter the query will run in.
+# The gate attempts the SAME combined imports as the runtime branches
+# (protobuf AND StatefulProcessor) so an environment where protobuf
+# exists but the Spark-4 processor class doesn't still reports the
+# fallback honestly (r8 ADVICE).
 try:
     from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+        StatefulProcessor as _sp_gate,
+    )
 
     _TWS_API = "transformWithStateInPandas"
 except ImportError:
@@ -494,11 +528,6 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             def close(self):
                 pass
 
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
         result = ev.groupBy("user_id").transformWithStateInPandas(
             RunningTotals(), out_schema, "Update", "None"
         )
@@ -524,12 +553,19 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
         api = "applyInPandasWithState-fallback"
+    # RocksDB only for the Spark-4 API branch; conf scoped to this one
+    # query start (no session leak). The api column reports the branch
+    # that ACTUALLY ran — if it ever diverged from the module-level
+    # _TWS_API the oracle would fail loudly instead of lying.
+    if api == "transformWithStateInPandas":
+        with _rocksdb_state_store(spark):
+            out = run_to_memory(result, "update")
+    else:
+        out = run_to_memory(result, "update")
     # round the pandas-accumulated running sum to the testdata's own
     # 2-decimal precision so the row hashes against the batch oracle
-    return (
-        run_to_memory(result, "update")
-        .withColumn("sum_value", F.round("sum_value", 4))
-        .withColumn("api", F.lit(api))
+    return out.withColumn("sum_value", F.round("sum_value", 4)).withColumn(
+        "api", F.lit(api)
     )
 
 
@@ -775,10 +811,24 @@ def stream_journey_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _advance(n, tail, pdfs):
+        # The state APIs deliver one key's micro-batch as ~10k-row Arrow
+        # chunks in ARBITRARY shuffle order, so sorting each chunk alone
+        # would interleave out-of-order symbol runs for any user larger
+        # than one chunk (exactly the >cap regime the truncation path
+        # targets). Global-sort the batch instead, memory-bounded: only
+        # the cap largest (ts, event_id) rows can survive into the tail,
+        # so keep a rolling cap-row buffer — O(cap + chunk) per step,
+        # never O(whole batch).
+        buf = None
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
             n += len(pdf)
-            tail = (tail + "".join(pdf["sym"]))[-cap:]
+            chunk = pdf[["ts", "event_id", "sym"]]
+            buf = chunk if buf is None else pd.concat(
+                [buf, chunk], ignore_index=True
+            )
+            buf = buf.sort_values(["ts", "event_id"]).tail(cap)
+        if buf is not None:
+            tail = (tail + "".join(buf["sym"]))[-cap:]
         return n, tail
 
     def _emit(key, n, tail):
@@ -821,14 +871,10 @@ def stream_journey_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             def close(self):
                 pass
 
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
         result = ev.groupBy("user_id").transformWithStateInPandas(
             JourneyTracker(), out_schema, "Update", "None"
         )
+        api_used = "transformWithStateInPandas"
     except ImportError:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -845,4 +891,14 @@ def stream_journey_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    return run_to_memory(result, "update").withColumn("api", F.lit(_TWS_API))
+        api_used = "applyInPandasWithState-fallback"
+    # api column reports the branch that ACTUALLY ran (r8 ADVICE); the
+    # module gate attempts the same imports, so oracle parity holds —
+    # and if they ever diverge the driver fails loudly, not silently.
+    # RocksDB conf is query-scoped via save/restore (no session leak).
+    if api_used == "transformWithStateInPandas":
+        with _rocksdb_state_store(spark):
+            out = run_to_memory(result, "update")
+    else:
+        out = run_to_memory(result, "update")
+    return out.withColumn("api", F.lit(api_used))
