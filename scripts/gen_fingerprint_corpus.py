@@ -1,0 +1,176 @@
+"""Generate the committed adversarial fingerprint-parity corpus.
+
+The engine ships two fingerprint implementations (SURVEY.md §2 H/K):
+the JVM ``regexp_replace`` chain (``fingerprint_col`` — THE 100 TB
+path) and the full-grammar Python state machine (``fingerprint_py`` —
+the source of truth, reference anchor [go-mysql]
+query/query.go:~40-400 [R:H]).  The chain's header documents KNOWN
+divergences (apostrophes inside comments, escaped quotes); this script
+turns that prose into a MEASURED per-construct agreement rate, the way
+dedup_minhash_accuracy / ann_recall_eval calibrate their approximate
+paths against exact truth (VERDICT r8 #2).
+
+Output: tests/fixtures/golden/fingerprint_corpus.parquet with columns
+  construct  grammar-category label (the GROUP BY axis)
+  stmt_id    stable int id within the corpus
+  query      the raw adversarial statement
+  fp_py      fingerprint_py(query) — committed state-machine truth
+
+tests/test_fingerprint.py pins live fingerprint_py == committed fp_py,
+so a grammar change that shifts this file is a deliberate, reviewed
+event: rerun this script and re-commit.
+
+Usage: python scripts/gen_fingerprint_corpus.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from slowlog2clickhouse_spark.functions.fingerprint import fingerprint_py  # noqa: E402
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "golden", "fingerprint_corpus.parquet",
+)
+
+# construct -> statements. Every category is either a regime the chain
+# handles (expected agreement 1.0 — a regression here is a chain bug)
+# or a documented divergence regime (the rate quantifies the gap the
+# chain header only described in prose).
+CORPUS: dict[str, list[str]] = {
+    # -- regimes the chain must get right (expect 1.0) ----------------
+    "plain": [
+        "SELECT id, name FROM users WHERE id = 42",
+        "select count(*) from orders group by status",
+        "UPDATE t SET a = 1, b = 2 WHERE c = 3",
+        "DELETE FROM sessions WHERE expires < 1700000000",
+        "SELECT a.x, b.y FROM a JOIN b ON a.id = b.id",
+    ],
+    "string_simple": [
+        "SELECT * FROM t WHERE name = 'alice'",
+        'SELECT * FROM t WHERE name = "bob"',
+        "INSERT INTO log (msg) VALUES ('hello world')",
+        "SELECT 'a', 'b', 'c' FROM dual",
+        "SELECT * FROM t WHERE a = 'x' AND b = \"y\"",
+    ],
+    "string_comment_chars": [
+        "SELECT * FROM t WHERE note = '-- not a comment'",
+        "SELECT * FROM t WHERE note = '# not a comment either'",
+        "SELECT '/* not a block comment */' FROM t",
+        "SELECT * FROM t WHERE a = 'semi; colon'",
+    ],
+    "numbers_int_float": [
+        "SELECT * FROM t WHERE a = 5 AND b > 3.14",
+        "SELECT * FROM t LIMIT 10 OFFSET 200",
+        "SELECT 0.5 + 100.25 FROM t",
+        "SELECT * FROM t WHERE ts > 1699999999.999",
+    ],
+    "numbers_sci_hex_bin": [
+        "SELECT * FROM t WHERE a = 1.5e10",
+        "SELECT * FROM t WHERE a = 2E-5 OR b = 3e+7",
+        "SELECT * FROM t WHERE flags = 0xDEADbeef",
+        "SELECT * FROM t WHERE bits = 0b1010",
+        "SELECT * FROM t WHERE h = 0XFF AND v = 1E6",
+    ],
+    "ident_with_digits": [
+        "SELECT t1.col2 FROM t1 JOIN t2 ON t1.id = t2.id",
+        "SELECT md5col, sha256sum FROM hashes2",
+        "SELECT * FROM db2.tbl3 WHERE k9 = 7",
+    ],
+    "in_list": [
+        "SELECT * FROM t WHERE id IN (1, 2, 3)",
+        "SELECT * FROM t WHERE id IN (1,2,3,4,5,6,7,8)",
+        "SELECT * FROM t WHERE name IN ('a', 'b', 'c')",
+        "SELECT * FROM t WHERE id IN ( 1 , 2 )",
+    ],
+    "values_multirow": [
+        "INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')",
+        "INSERT INTO t (x, y) VALUES (1, 2)",
+        "insert into t values (1,'a')",
+    ],
+    "comment_line_plain": [
+        "SELECT 1 -- trailing note\nFROM t",
+        "SELECT 2 # hash note\nFROM t",
+        "-- leading comment\nSELECT 3 FROM t",
+        "# leading hash\nSELECT 4 FROM t",
+    ],
+    "comment_block_oneline": [
+        "/* hint */ SELECT 5 FROM t",
+        "SELECT /* mid */ 6 FROM t",
+        "SELECT 7 FROM t /* tail */",
+    ],
+    "version_hint": [
+        "SELECT /*! STRAIGHT_JOIN */ a FROM t JOIN u ON t.id = u.id",
+        "INSERT /*! IGNORE */ INTO t VALUES (1, 2)",
+    ],
+    "whitespace_case": [
+        "SELECT    a,\n\tb\nFROM     t   WHERE a   =   1",
+        "SeLeCt A, B fRoM T wHeRe C = 2",
+    ],
+    # -- documented divergence regimes (rate measures the gap) --------
+    "comment_apostrophe": [
+        # the phantom-string regime: the chain masks strings BEFORE
+        # comments, so a comment apostrophe pairs with a later real
+        # quote and swallows the text between them
+        "SELECT 1 -- don't\nFROM t WHERE name = 'alice'",
+        "SELECT 2 # it's\nFROM t WHERE x = 'y'",
+        "SELECT 3 /* can't */ FROM t WHERE s = 'z'",
+        # no later string: the lone apostrophe never matches and the
+        # comment strip wins — the benign half of the same regime
+        "SELECT 4 -- don't do this\nFROM t",
+        "SELECT 5 # it's fine\nFROM t",
+    ],
+    "string_escaped_backslash": [
+        r"SELECT * FROM t WHERE name = 'it\'s'",
+        r"SELECT * FROM t WHERE path = 'C:\\dir\\file'",
+        r'SELECT * FROM t WHERE s = "say \"hi\""',
+    ],
+    "string_doubled_quote": [
+        "SELECT * FROM t WHERE name = 'it''s'",
+        'SELECT * FROM t WHERE s = "a""b"',
+        "SELECT 'o''reilly', 'x' FROM t",
+    ],
+    "comment_block_multiline": [
+        "/* line one\nline two */ SELECT 8 FROM t",
+        "SELECT 9 /* a\nb\nc */ FROM t",
+    ],
+    "unterminated_string": [
+        "SELECT * FROM t WHERE name = 'oops",
+        'SELECT * FROM t WHERE s = "dangling',
+    ],
+}
+
+
+def build_rows() -> list[tuple[str, int, str, str]]:
+    rows = []
+    sid = 0
+    for construct, stmts in sorted(CORPUS.items()):
+        for q in stmts:
+            rows.append((construct, sid, q, fingerprint_py(q)))
+            sid += 1
+    return rows
+
+
+def main() -> None:
+    rows = build_rows()
+    tbl = pa.table(
+        {
+            "construct": pa.array([r[0] for r in rows], pa.string()),
+            "stmt_id": pa.array([r[1] for r in rows], pa.int64()),
+            "query": pa.array([r[2] for r in rows], pa.string()),
+            "fp_py": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, OUT)
+    print(f"wrote {tbl.num_rows} rows / {len(CORPUS)} constructs -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()

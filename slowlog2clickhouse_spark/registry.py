@@ -63,6 +63,7 @@ def op(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # this). This tuple is the tiebreak WITHIN a staleness class and the
 # explicit-placement contract (every op listed exactly once).
 _PRIORITY: tuple[str, ...] = (
+    "fn_fingerprint_parity",
     "agg_weighted_percentile",
     "events_journey_pattern",
     "vec_contamination_probe",

@@ -285,3 +285,44 @@ def test_arrow_optimized_udf_equals_row_udf(spark, sf_dir):
         for r in ops["pandas_udf_fingerprint"].fn(spark, sf_dir).collect()
     }
     assert arrow == pandas_v and arrow
+
+
+def test_parity_corpus_golden_pinned():
+    """The committed fingerprint_corpus.parquet fp_py column is the
+    live state machine's output — a grammar change that shifts it is a
+    deliberate event (rerun scripts/gen_fingerprint_corpus.py)."""
+    import pyarrow.parquet as pq
+
+    from slowlog2clickhouse_spark.operators.udfs import FINGERPRINT_CORPUS
+
+    tbl = pq.read_table(FINGERPRINT_CORPUS)
+    queries = tbl.column("query").to_pylist()
+    committed = tbl.column("fp_py").to_pylist()
+    assert [fingerprint_py(q) for q in queries] == committed
+    assert len(queries) >= 50 and len(set(tbl.column("construct").to_pylist())) >= 15
+
+
+def test_parity_supported_regimes_fully_agree(spark, sf_dir):
+    """fn_fingerprint_parity: every chain-SUPPORTED construct must
+    agree 1.0 with the state machine; the documented-divergence
+    regimes must each diverge (a 1.0 there means the corpus stopped
+    being adversarial). Divergence rates are recorded in SCALING.md."""
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    rows = {
+        r["construct"]: r
+        for r in all_ops()["fn_fingerprint_parity"].fn(spark, sf_dir).collect()
+    }
+    divergent = {
+        "comment_apostrophe",
+        "string_escaped_backslash",
+        "string_doubled_quote",
+        "comment_block_multiline",
+        "unterminated_string",
+    }
+    for construct, r in rows.items():
+        if construct in divergent:
+            assert r["agreement"] < 1.0, construct
+        else:
+            assert r["agreement"] == 1.0, (construct, r["agreement"])
+    assert divergent <= set(rows)
