@@ -149,15 +149,19 @@ def _driver_safe(events: DataFrame) -> DataFrame:
 
 
 # the parse-op oracle: the committed golden IR, column-for-column
-_EVENTS_SQL = (
-    "SELECT "
-    + ", ".join(
-        f'"{f.name}"'
-        for f in EVENT_SCHEMA.fields
-        if f.name not in ("record_no", "extra_metrics")
+def _events_sql(gold_expr: str) -> str:
+    return (
+        "SELECT "
+        + ", ".join(
+            f'"{f.name}"'
+            for f in EVENT_SCHEMA.fields
+            if f.name not in ("record_no", "extra_metrics")
+        )
+        + f", extra_metrics_json AS extra_metrics FROM {gold_expr}"
     )
-    + f", extra_metrics_json AS extra_metrics FROM {_GOLD}"
-)
+
+
+_EVENTS_SQL = _events_sql(_GOLD)
 
 
 @op("map_in_pandas_chunker", oracle=_EVENTS_SQL)
@@ -191,6 +195,65 @@ def udtf_parse_slowlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT t.* FROM slowlog_records r, LATERAL parse_slowlog_udtf(r.value) t"
         )
     )
+
+
+FIXTURE_80_LOG = os.path.join(_REPO_ROOT, "tests", "fixtures", "slowlog_80.log")
+FIXTURE_GZ_DIR = os.path.join(_REPO_ROOT, "tests", "fixtures", "gz")
+_GOLD_80 = (
+    "read_parquet('"
+    + os.path.join(
+        _REPO_ROOT, "tests", "fixtures", "golden", "slowlog_80_events.parquet"
+    )
+    + "')"
+)
+_GOLD_GZ = (
+    "read_parquet('"
+    + os.path.join(
+        _REPO_ROOT, "tests", "fixtures", "golden",
+        "slowlog_rot_gz_events.parquet",
+    )
+    + "')"
+)
+
+
+@op("scan_slowlog_mysql80", oracle=_events_sql(_GOLD_80))
+def scan_slowlog_mysql80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL 8.0 slow-log ingest with ``log_slow_extra=ON`` (8.0.14+)
+    — the format vintage after the 5.1/5.6/5.7/Percona headers the
+    rest of the corpus covers ([go-mysql] log/slow/parser.go
+    time-format dispatch [R:H]). Same parser, new key dispatch: 8.0
+    RENAMES a handful of extended keys onto the Percona columns
+    (Errno->last_errno, Created_tmp_tables->tmp_tables,
+    Created_tmp_disk_tables->tmp_disk_tables,
+    Sort_merge_passes->merge_passes) and REUSES bool-family names as
+    counters (``Sort_rows: 12``) — those route to extra_metrics
+    instead of being coerced to a false boolean; the genuinely new
+    8.0 counters (Bytes_received, Read_*, Start/End) flow into
+    extra_metrics. Oracle = the committed golden event IR
+    (scripts/gen_slowlog_80_fixture.py)."""
+    return _driver_safe(parse_slowlog(spark, FIXTURE_80_LOG))
+
+
+@op("scan_text_gzip", oracle=_events_sql(_GOLD_GZ))
+def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped rotated-log ingest: a directory of ``*.log.N.gz``
+    segments (the logrotate layout) parsed as one DataFrame — Spark's
+    text source decompresses by extension, and the ``lineSep`` record
+    split applies to the DECOMPRESSED stream, so record assembly is
+    identical to the plain-text path.
+
+    THE NON-SPLITTABLE TRADE (same class of documented trade as
+    scan_csv_multiline's): a .gz stream cannot be split, so each
+    archive is exactly one task regardless of size — parallelism
+    comes from FILE COUNT, not file size. Rotated slow logs are the
+    good case (many bounded segments, one task each: at 100 TB the
+    scan parallelizes across the rotation set); a single monolithic
+    .gz is the bad case — one task decompresses everything, and the
+    right move is recompressing to a splittable codec or landing the
+    parsed IR to parquet once (sink_parquet) and never re-reading
+    the archive. Oracle = the committed golden event IR over the
+    3-segment fixture set (scripts/gen_slowlog_80_fixture.py)."""
+    return _driver_safe(parse_slowlog(spark, FIXTURE_GZ_DIR))
 
 
 @op(

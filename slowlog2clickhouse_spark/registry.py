@@ -64,6 +64,8 @@ def op(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # explicit-placement contract (every op listed exactly once).
 _PRIORITY: tuple[str, ...] = (
     "fn_fingerprint_parity",
+    "scan_slowlog_mysql80",
+    "scan_text_gzip",
     "agg_weighted_percentile",
     "events_journey_pattern",
     "vec_contamination_probe",

@@ -119,6 +119,16 @@ for _col, _fam in _KNOWN.items():
         for p in _col.split("_")
     )
     _KNOWN_EXACT[_canonical] = (_fam, _col)
+# MySQL 8.0 log_slow_extra spellings ([go-mysql] log/slow/parser.go
+# time-format/key dispatch [R:H]; 8.0.14+ renames a handful of the
+# Percona extended keys — map them onto the same typed columns so 5.x
+# and 8.0 logs aggregate together; the genuinely new 8.0 counters
+# (Bytes_received, Read_*, Sort_*_count, Start/End) flow into
+# extra_metrics, the same dynamic escape hatch the reference uses)
+_KNOWN_EXACT["Errno"] = ("number", "last_errno")
+_KNOWN_EXACT["Created_tmp_tables"] = ("number", "tmp_tables")
+_KNOWN_EXACT["Created_tmp_disk_tables"] = ("number", "tmp_disk_tables")
+_KNOWN_EXACT["Sort_merge_passes"] = ("number", "merge_passes")
 _KNOWN_EXACT["InnoDB_IO_r_ops"] = ("number", "innodb_io_r_ops")
 _KNOWN_EXACT["InnoDB_IO_r_bytes"] = ("number", "innodb_io_r_bytes")
 _KNOWN_EXACT["InnoDB_IO_r_wait"] = ("time", "innodb_io_r_wait")
@@ -232,8 +242,14 @@ def parse_record(rec: str, record_no: int = 0) -> dict | None:
                         ev[col] = float(val)
                     elif fam == "number":
                         ev[col] = int(val)
-                    else:
+                    elif val in ("Yes", "No") or val.lower() in ("yes", "no"):
                         ev[col] = val == "Yes" or val.lower() == "yes"
+                    else:
+                        # a bool-family key carrying a non-Yes/No value
+                        # (MySQL 8.0 reuses e.g. Sort_rows as a COUNT
+                        # under log_slow_extra) — don't coerce a number
+                        # to False; keep the raw value in extra
+                        extra[key] = val
                 except ValueError:
                     extra[key] = val
             continue

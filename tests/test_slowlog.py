@@ -752,3 +752,65 @@ def test_qan_overview_consistent_with_component_ops(spark, sf_dir):
     for t in top:
         assert abs(rows[t["digest"]]["qt_sum"] - t["total_query_time"]) < 1e-12
         assert rows[t["digest"]]["cnt"] == t["total_queries"]
+
+
+class TestMySQL80AndGzip:
+    """MySQL 8.0 log_slow_extra vintage + gzipped rotation set (r9;
+    [go-mysql] log/slow/parser.go time-format dispatch [R:H])."""
+
+    def test_80_key_renames_map_to_percona_columns(self, spark):
+        ev = parse_slowlog(spark, os.path.join(FIXTURE_DIR, "slowlog_80.log"))
+        rows = {r["thread_id"]: r for r in ev.where(~F.col("admin")).collect()}
+        assert set(rows) == {81, 82, 83, 84}
+        # Errno -> last_errno, Created_tmp_* -> tmp_*, Sort_merge_passes
+        # -> merge_passes
+        assert rows[82]["last_errno"] == 1205
+        assert rows[83]["tmp_tables"] == 8
+        assert rows[83]["tmp_disk_tables"] == 4
+        assert rows[83]["merge_passes"] == 5
+
+    def test_80_bool_family_numeric_value_goes_to_extra(self, spark):
+        ev = parse_slowlog(spark, os.path.join(FIXTURE_DIR, "slowlog_80.log"))
+        r = ev.where(F.col("thread_id") == 83).collect()[0]
+        # 8.0 reuses the bool-family name Sort_rows as a COUNT — it must
+        # NOT be coerced to boolean false; it lands in extra_metrics raw
+        assert r["sort_rows"] is None
+        assert r["extra_metrics"]["Sort_rows"] == "100000"
+        assert r["extra_metrics"]["Bytes_received"] == "2048"
+        assert "Start" in r["extra_metrics"] and "End" in r["extra_metrics"]
+
+    def test_80_set_timestamp_overrides_iso_header(self, spark):
+        ev = parse_slowlog(spark, os.path.join(FIXTURE_DIR, "slowlog_80.log"))
+        r = ev.where(F.col("thread_id") == 81).collect()[0]
+        # SET timestamp=1709251205 -> 2024-03-01T00:00:05 UTC (the ISO
+        # header's sub-second part is dropped by the authoritative epoch)
+        assert r["ts"].isoformat() == "2024-03-01T00:00:05"
+        assert r["db"] == "shop"
+
+    def test_gzip_rotation_set_parses_as_one_frame(self, spark):
+        gz_dir = os.path.join(FIXTURE_DIR, "gz")
+        ev = parse_slowlog(spark, gz_dir).cache()
+        assert ev.count() == 6  # 2 events per archive, 3 archives
+        # per-segment preambles (FLUSH LOGS rewrites them) never leak
+        assert ev.where(F.col("query").contains("mysqld")).count() == 0
+        # record ids unique across archives (same contract as plain
+        # multi-file directories)
+        rn = [r["record_no"] for r in ev.select("record_no").collect()]
+        assert len(set(rn)) == 6
+        # each .gz is one input task: non-splittable codec => exactly
+        # one partition per archive, parallelism == file count
+        assert ev.rdd.getNumPartitions() >= 3
+
+    def test_gzip_equals_plaintext_parse(self, spark, tmp_path):
+        import gzip as _gzip
+
+        gz_dir = os.path.join(FIXTURE_DIR, "gz")
+        for name in sorted(os.listdir(gz_dir)):
+            with _gzip.open(os.path.join(gz_dir, name), "rb") as f:
+                (tmp_path / name.replace(".gz", "")).write_bytes(f.read())
+        plain = parse_slowlog(spark, str(tmp_path))
+        gzipped = parse_slowlog(spark, gz_dir)
+        cols = [c for c in plain.columns if c not in ("record_no", "extra_metrics")]
+        assert sorted(map(tuple, plain.select(cols).collect())) == sorted(
+            map(tuple, gzipped.select(cols).collect())
+        )
