@@ -19,8 +19,20 @@ Replication keeps semantics realistic:
   * embeddings keep their values; probe panel (vec_id < 20) stays in
     replica 0, so ANN ops scan a 10× corpus for the same probes.
 
+A second, HOT-KEY leg (--skew; VERDICT r8 #4): the uniform ×10 corpus
+is Zipf-blind — every doc has exactly 9 near-copies. Real boilerplate
+is one template with 10⁴+ copies, and THAT is the band-join
+catastrophe shape: a single band bucket holding B docs emits B²/2
+pairs (10⁴ copies → 2·10⁸ candidate pairs across 4 bands) unless the
+hot-band guard drops it. The skew corpus = the ×10 corpus plus 10,000
+exact copies of one template doc (fresh doc_ids); the gate is
+dedup_minhash / dedup_cluster / dedup_keep_best at < 2× the
+uniform-×10 wall — proving cap_band_buckets (MAX_BAND_BUCKET=1024)
+absorbs the spike instead of letting the equi-join go quadratic.
+
 Usage:
     python scripts/stress_probe.py [op ...]        # default flagships
+    python scripts/stress_probe.py --skew [op ...] # hot-key leg
     SPARK_GRAFT_STRESS_DIR=/tmp/... to relocate the generated corpus
 """
 
@@ -125,21 +137,67 @@ def build_corpus(spark) -> None:
     open(os.path.join(DEST, "_DONE"), "w").write("ok\n")
 
 
+DEST_SKEW = os.environ.get(
+    "SPARK_GRAFT_STRESS_SKEW_DIR", "/tmp/spark_graft_stress_skew"
+)
+SKEW_COPIES = 10_000
+SKEW_OPS = ["dedup_minhash", "dedup_cluster", "dedup_keep_best"]
+
+
+def build_skew_corpus(spark) -> None:
+    """The hot-key corpus: ×10 documents + 10⁴ EXACT copies of one
+    template (fresh doc_ids above the ×10 span — all 4 minhash bands
+    collide for every pair of copies, the worst case for the band
+    join). Non-document tables are symlinked to the ×10 corpus."""
+    if os.path.exists(os.path.join(DEST_SKEW, "_DONE")):
+        return
+    build_corpus(spark)
+    os.makedirs(DEST_SKEW, exist_ok=True)
+    from slowlog2clickhouse_spark.io import load_table
+
+    docs = load_table(spark, DEST, "documents")
+    base_max = docs.agg(F.max("doc_id")).collect()[0][0]
+    template = docs.orderBy("doc_id").limit(1)
+    hot = (
+        spark.range(SKEW_COPIES)
+        .crossJoin(F.broadcast(template.drop("doc_id")))
+        .withColumn("doc_id", F.col("id") + F.lit(int(base_max) + 1))
+        .drop("id")
+        .select(*docs.columns)
+    )
+    docs.unionByName(hot).write.mode("overwrite").parquet(
+        f"{DEST_SKEW}/documents.parquet"
+    )
+    for t in SHIFT_SPEC:
+        if t == "documents":
+            continue
+        link = os.path.join(DEST_SKEW, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(DEST, f"{t}.parquet"), link)
+    open(os.path.join(DEST_SKEW, "_DONE"), "w").write("ok\n")
+
+
 def main() -> None:
     from slowlog2clickhouse_spark.registry import all_ops
     from slowlog2clickhouse_spark.session import get_session
 
-    names = sys.argv[1:] or DEFAULT_OPS
+    argv = sys.argv[1:]
+    skew = "--skew" in argv
+    argv = [a for a in argv if a != "--skew"]
+    names = argv or (SKEW_OPS if skew else DEFAULT_OPS)
     spark = get_session(app_name="stress_probe")
     t0 = time.time()
     build_corpus(spark)
+    if skew:
+        build_skew_corpus(spark)
     print(f"corpus ready in {time.time() - t0:.0f}s at {DEST}", flush=True)
     ops = all_ops()
-    print("| op | sf0.1 | x10 | ratio |", flush=True)
+    alt_label, alt_dir = ("skew", DEST_SKEW) if skew else ("x10", DEST)
+    print(f"| op | {'x10' if skew else 'sf0.1'} | {alt_label} | ratio |", flush=True)
     print("|---|---|---|---|", flush=True)
     for name in names:
         times = {}
-        for label, d in (("base", BASE), ("x10", DEST)):
+        for label, d in (("base", DEST if skew else BASE), ("x10", alt_dir)):
             spark.catalog.clearCache()
             jsc = spark.sparkContext._jsc.sc()
             it = jsc.getPersistentRDDs().values().iterator()
