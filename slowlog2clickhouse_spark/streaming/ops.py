@@ -710,16 +710,28 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     arriving = read_documents_stream(spark, sf_dir).where(
         F.col("doc_id") % 2 == 1
     )
+    return run_to_memory(
+        build_stream_dedup_admission(arriving, static_idx), "complete"
+    )
+
+
+def build_stream_dedup_admission(
+    arriving: DataFrame, static_idx: DataFrame
+) -> DataFrame:
+    """Band → anti-join → all-4-bands-clean admission over an arriving
+    documents stream (extracted so the multi-micro-batch soak test in
+    tests/test_streaming.py drives the identical pipeline)."""
+    from slowlog2clickhouse_spark.operators.dedup import minhash_band_keys
+
     banded = minhash_band_keys(arriving).select(
         "doc_id", F.posexplode_outer("band_sigs").alias("band", "band_sig")
     )
     clean = banded.join(static_idx, ["band", "band_sig"], "left_anti")
-    admitted = (
+    return (
         clean.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_clean_bands"))
         .where(F.col("n_clean_bands") == 4)
     )
-    return run_to_memory(admitted, "complete")
 
 
 
@@ -781,6 +793,43 @@ def stream_journey_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     file stream delivers event-time-ordered files; a production
     deployment fronts this with a watermarked sort the way
     stream_late_data documents)."""
+    ev = journey_symbols(read_events_stream(spark, sf_dir))
+    result, api_used = build_journey_state_transform(ev)
+    # api column reports the branch that ACTUALLY ran (r8 ADVICE); the
+    # module gate attempts the same imports, so oracle parity holds —
+    # and if they ever diverge the driver fails loudly, not silently.
+    # RocksDB conf is query-scoped via save/restore (no session leak).
+    if api_used == "transformWithStateInPandas":
+        with _rocksdb_state_store(spark):
+            out = run_to_memory(result, "update")
+    else:
+        out = run_to_memory(result, "update")
+    return out.withColumn("api", F.lit(api_used))
+
+
+def journey_symbols(events: DataFrame) -> DataFrame:
+    """The journey symbol projection (shared with the soak test:
+    tests/test_streaming.py drives the SAME transform over a
+    rate-limited multi-micro-batch source)."""
+    return events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("x")
+        .alias("sym"),
+    )
+
+
+def build_journey_state_transform(ev: DataFrame):
+    """The stateful journey tracker over a symbol-projected stream —
+    returns (streaming DataFrame, api_used). Extracted from
+    stream_journey_state so the multi-micro-batch soak test exercises
+    the identical state machinery."""
     import hashlib
     import re as _re
 
@@ -796,18 +845,6 @@ def stream_journey_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_error_loops", T.LongType()),
             T.StructField("journey_md5", T.StringType()),
         ]
-    )
-    ev = read_events_stream(spark, sf_dir).select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(F.col("event_type") == "view", "v")
-        .when(F.col("event_type") == "click", "c")
-        .when(F.col("event_type") == "signup", "s")
-        .when(F.col("event_type") == "purchase", "p")
-        .when(F.col("event_type") == "error", "e")
-        .otherwise("x")
-        .alias("sym"),
     )
 
     def _advance(n, tail, pdfs):
@@ -892,13 +929,4 @@ def stream_journey_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
         api_used = "applyInPandasWithState-fallback"
-    # api column reports the branch that ACTUALLY ran (r8 ADVICE); the
-    # module gate attempts the same imports, so oracle parity holds —
-    # and if they ever diverge the driver fails loudly, not silently.
-    # RocksDB conf is query-scoped via save/restore (no session leak).
-    if api_used == "transformWithStateInPandas":
-        with _rocksdb_state_store(spark):
-            out = run_to_memory(result, "update")
-    else:
-        out = run_to_memory(result, "update")
-    return out.withColumn("api", F.lit(api_used))
+    return result, api_used

@@ -253,3 +253,178 @@ def test_stream_journey_state_equals_batch_journey(spark, sf_dir):
     }
     assert stream_rows == batch_rows
     assert got.select("api").distinct().count() == 1
+
+
+def test_stream_journey_state_soak_multi_batch(spark, sf_dir, tmp_path):
+    """Soak (VERDICT r8 #5): drive the SAME stateful journey transform
+    across >=3 triggered micro-batches (maxFilesPerTrigger=1 over a
+    ts-split 3-file source), state carried between batches; the final
+    per-user update must equal the single-batch op / batch recompute,
+    and the state store must hold at most one row per user."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from slowlog2clickhouse_spark.streaming.ops import (
+        _rocksdb_state_store,
+        build_journey_state_transform,
+        journey_symbols,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # 3 event-time-ordered segments (the file stream's arrival order
+    # contract documented on the op), one parquet file each, mtimes
+    # forced monotone so the source triggers them in order
+    w = Window.orderBy("ts", "event_id")
+    bucketed = ev.withColumn("b", F.ntile(3).over(w))
+    src = tmp_path / "journey_src"
+    os.makedirs(src)
+    for i in (1, 2, 3):
+        part = tmp_path / f"seg{i}"
+        bucketed.where(F.col("b") == i).drop("b").coalesce(1).write.parquet(
+            str(part)
+        )
+        f = glob.glob(str(part / "*.parquet"))[0]
+        dst = src / f"batch_{i}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (1700000000 + i, 1700000000 + i))
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    result, api_used = build_journey_state_transform(journey_symbols(sdf))
+    name = "soak_journey_result"
+
+    def _run():
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    if api_used == "transformWithStateInPandas":
+        with _rocksdb_state_store(spark):
+            q = _run()
+    else:
+        q = _run()
+
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 3, f"expected >=3 micro-batches, got {len(fed)}"
+
+    n_users = ev.select("user_id").distinct().count()
+    state_rows = max(
+        op["numRowsTotal"] for p in fed for op in p["stateOperators"]
+    )
+    assert 0 < state_rows <= n_users  # bounded: <= one row per user
+
+    # final update per user = the row with the largest n_events (the
+    # running count is monotone across batches)
+    upd = spark.table(name)
+    wu = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        upd.withColumn("rn", F.row_number().over(wu))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["truncated"],
+            r["n_conversions"],
+            r["n_error_loops"],
+            r["journey_md5"],
+        )
+        for r in final.collect()
+    }
+    want = {
+        r["user_id"]: (
+            r["n_events"],
+            r["truncated"],
+            r["n_conversions"],
+            r["n_error_loops"],
+            r["journey_md5"],
+        )
+        for r in OPS["events_journey_pattern"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # every user spanning multiple segments proves cross-batch state
+    # carry: it must appear in >1 update
+    multi = upd.groupBy("user_id").count().where(F.col("count") > 1).count()
+    assert multi > 0
+
+
+def test_stream_dedup_minhash_soak_multi_batch(spark, sf_dir, tmp_path):
+    """Soak: the admission aggregate's state must carry across >=3
+    micro-batches (maxFilesPerTrigger=1 over a 3-file arriving split)
+    and the final complete-mode table must equal the single-batch op."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from slowlog2clickhouse_spark.operators.dedup import minhash_band_keys
+    from slowlog2clickhouse_spark.streaming.ops import (
+        build_stream_dedup_admission,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    static_idx = (
+        minhash_band_keys(docs.where(F.col("doc_id") % 2 == 0))
+        .select(F.posexplode_outer("band_sigs").alias("band", "band_sig"))
+        .distinct()
+    )
+    arriving = docs.where(F.col("doc_id") % 2 == 1)
+    w = Window.orderBy("doc_id")
+    bucketed = arriving.withColumn("b", F.ntile(3).over(w))
+    src = tmp_path / "docs_src"
+    os.makedirs(src)
+    for i in (1, 2, 3):
+        part = tmp_path / f"dseg{i}"
+        bucketed.where(F.col("b") == i).drop("b").coalesce(1).write.parquet(
+            str(part)
+        )
+        f = glob.glob(str(part / "*.parquet"))[0]
+        dst = src / f"batch_{i}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (1700000000 + i, 1700000000 + i))
+
+    sdf = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    admitted = build_stream_dedup_admission(sdf, static_idx)
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName("soak_dedup_result")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 3, f"expected >=3 micro-batches, got {len(fed)}"
+    # complete-mode aggregate state: at most one row per arriving doc
+    state_rows = max(
+        op["numRowsTotal"] for p in fed for op in p["stateOperators"]
+    )
+    assert 0 < state_rows <= arriving.count()
+
+    got = {
+        r["doc_id"]: r["n_clean_bands"]
+        for r in spark.table("soak_dedup_result").collect()
+    }
+    want = {
+        r["doc_id"]: r["n_clean_bands"]
+        for r in OPS["stream_dedup_minhash"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and all(v == 4 for v in got.values())
