@@ -22,6 +22,7 @@ end to end. tests/test_multimodal.py adds shape/determinism pins.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -37,7 +38,7 @@ from slowlog2clickhouse_spark.registry import op
 
 N_FEATURES = 16
 FRAME_BYTES = 256
-_MM_TMP = "/tmp/slowlog2clickhouse_spark"
+_MM_TMP = os.environ.get("SPARK_GRAFT_TMP", "/tmp/slowlog2clickhouse_spark")  # per-shard override: scripts/ptest.py
 
 
 def attach_binary(docs: DataFrame) -> DataFrame:

@@ -14,7 +14,7 @@ from slowlog2clickhouse_spark.plans.pipeline import ingest_slowlog
 from slowlog2clickhouse_spark.registry import op
 from slowlog2clickhouse_spark.sinks.jdbc import clickhouse_ddl, jdbc_options, write_jdbc
 
-_TMP = "/tmp/slowlog2clickhouse_spark"
+_TMP = os.environ.get("SPARK_GRAFT_TMP", "/tmp/slowlog2clickhouse_spark")  # per-shard override: scripts/ptest.py
 
 
 _SINK_CONTRACT_GOLDEN = os.path.join(

@@ -54,7 +54,7 @@ GOLDEN_EVENTS = os.path.join(
 GOLDEN_RECORDS = os.path.join(
     _REPO_ROOT, "tests", "fixtures", "golden", "slowlog_small_records.parquet"
 )
-_TMP = "/tmp/slowlog2clickhouse_spark"
+_TMP = os.environ.get("SPARK_GRAFT_TMP", "/tmp/slowlog2clickhouse_spark")  # per-shard override: scripts/ptest.py
 
 # the golden IR as a DuckDB table expression (absolute path: the driver
 # runs DuckDB wherever it likes; the parquet is committed in-repo)

@@ -39,7 +39,10 @@ from pyspark.sql import types as T
 from slowlog2clickhouse_spark.registry import op
 
 _counter = itertools.count()
-_TMP = "/tmp/slowlog2clickhouse_spark/streaming"
+_TMP = (
+    os.environ.get("SPARK_GRAFT_TMP", "/tmp/slowlog2clickhouse_spark")
+    + "/streaming"
+)  # per-shard override: scripts/ptest.py
 
 def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
