@@ -609,7 +609,7 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lloyd(emb: DataFrame, k: int, iters: int):
+def _lloyd(emb: DataFrame, k: int, iters: int, track_history: bool = True):
     """Lloyd's k-means over `emb(vec_id, e array<double>)`.
 
     Returns (assigned DataFrame with cluster + sq_dist, inertia history).
@@ -631,7 +631,7 @@ def _lloyd(emb: DataFrame, k: int, iters: int):
             F.lit(0).alias("cluster"),
             F.lit(0.0).alias("sq_dist"),
         ).limit(0)
-        return empty, []
+        return empty, [], []
     history = []
     assigned = None
     for _ in range(iters):
@@ -658,7 +658,8 @@ def _lloyd(emb: DataFrame, k: int, iters: int):
         assigned = emb.select(
             "vec_id", "e", best["i"].alias("cluster"), best["d"].alias("sq_dist")
         )
-        history.append(assigned.agg(F.sum("sq_dist")).collect()[0][0])
+        if track_history:
+            history.append(assigned.agg(F.sum("sq_dist")).collect()[0][0])
         new_c = (
             assigned.select("cluster", F.posexplode("e"))
             .groupBy("cluster", "pos")
@@ -677,8 +678,9 @@ def _lloyd(emb: DataFrame, k: int, iters: int):
             .collect()
         )
         got = {r["cluster"]: list(r["c"]) for r in new_c}
+        model = centroids  # the model the LAST assignment ran against
         centroids = [got.get(i, centroids[i]) for i in range(k)]
-    return assigned, history
+    return assigned, history, model
 
 
 # Unrolled Lloyd iterations as CTEs (same trick as the pagerank
@@ -746,7 +748,7 @@ def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double().alias("e")
     )
-    assigned, _ = _lloyd(emb, k=8, iters=3)
+    assigned, _, _ = _lloyd(emb, k=8, iters=3)
     return (
         assigned.groupBy("cluster")
         .agg(
@@ -1131,4 +1133,224 @@ def vec_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cos_sim").alias("best_cos"),
             (F.col("cos_sim") >= 0.35).alias("contaminated"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Product quantization — the IVF-PQ memory shape at 100 TB
+# --------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUB = 8  # dims per subspace (PQ_M * PQ_SUB = embedding dim 64)
+PQ_K = 16  # codes per subspace (4 bits)
+PQ_ITERS = 3  # Lloyd refinements per codebook
+
+
+def _pq_duck(m: int, sub: int, k: int, iters: int) -> str:
+    """The full PQ chain as unrolled DuckDB CTEs: per subspace, the
+    same engine-exact Lloyd chain as _kmeans_duck (fold-ordered L2,
+    9-dp model rounding, empty-cluster carry-over), then encode against
+    the final model and reconstruct. Mechanical but fully exact — the
+    oracle checks codes AND fidelity value-for-value."""
+    parts = [
+        """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+      FROM embeddings)"""
+    ]
+    for j in range(m):
+        off = j * sub
+        parts.append(f""",
+    s{j} AS MATERIALIZED (
+      SELECT vec_id, list_transform(range(1, {sub} + 1), i -> ed[i + {off}])
+               AS sub
+      FROM e),
+    s{j}_c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, sub AS cent
+      FROM s{j} ORDER BY vec_id LIMIT {k})""")
+        for it in range(1, iters + 1):
+            parts.append(f""",
+    s{j}_a{it} AS MATERIALIZED (
+      SELECT vec_id, sub, cluster, d AS sq_dist FROM (
+        SELECT s.vec_id, s.sub, c.cluster,
+               {_duck_l2("s.sub", "c.cent")} AS d,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {_duck_l2("s.sub", "c.cent")} ASC, c.cluster ASC
+               ) AS rn
+        FROM s{j} s JOIN s{j}_c{it - 1} c ON true) t WHERE rn = 1)""")
+            if it < iters:
+                parts.append(f""",
+    s{j}_n{it} AS (
+      SELECT cluster, list(mm ORDER BY pos) AS cent FROM (
+        SELECT cluster, pos, round(avg(v), 9) AS mm FROM (
+          SELECT cluster, unnest(sub) AS v,
+                 generate_subscripts(sub, 1) AS pos FROM s{j}_a{it}) comp
+        GROUP BY 1, 2) avgs GROUP BY 1),
+    s{j}_c{it} AS MATERIALIZED (
+      SELECT p.cluster, coalesce(n.cent, p.cent) AS cent
+      FROM s{j}_c{it - 1} p LEFT JOIN s{j}_n{it} n USING (cluster))""")
+        # final assignment s{j}_a{iters} ran against model s{j}_c{iters-1}
+        parts.append(f""",
+    r{j} AS (
+      SELECT a.vec_id, a.cluster AS code_{j}, c.cent AS dq_{j}
+      FROM s{j}_a{iters} a JOIN s{j}_c{iters - 1} c USING (cluster))""")
+    joins = " ".join(f"JOIN r{j} USING (vec_id)" for j in range(m))
+    dq = "flatten([" + ", ".join(f"dq_{j}" for j in range(m)) + "])"
+    codes = ", ".join(f"CAST(code_{j} AS BIGINT) AS code_{j}" for j in range(m))
+    parts.append(f"""
+    SELECT e.vec_id, {codes},
+           round({_duck_cos("e.ed", dq)}, 6) AS cos_fidelity
+    FROM e {joins}
+    """)
+    return "".join(parts)
+
+
+def _pq_train(base: DataFrame, m: int, sub: int, k: int, iters: int):
+    """Joint Lloyd training of all m subspace codebooks — mathematically
+    identical to m independent _lloyd runs (same lowest-vec_id init,
+    same 9-dp model rounding, same empty-cluster carry-over; the
+    oracle's per-subspace CTE chains pin this), but ONE Spark job per
+    refinement instead of m: the per-subspace argmin assignments are
+    all codegen'd into a single map pass, the (subspace, cluster, pos)
+    re-average is one partial-agg'd shuffle collecting m*k*sub doubles.
+    iters*2+1 small jobs total, vs m*(iters*2) the sequential way."""
+    init = base.orderBy("vec_id").limit(k).select("ed").collect()
+    if not init:
+        return [[] for _ in range(m)]
+    models = [
+        [list(r["ed"])[j * sub : (j + 1) * sub] for r in init]
+        for j in range(m)
+    ]
+    for it in range(iters - 1):  # final assignment happens at encode
+        assign_cols = []
+        for j, model in enumerate(models):
+            sj = F.slice("ed", j * sub + 1, sub)
+            dists = [
+                F.aggregate(
+                    F.zip_with(
+                        sj,
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    _add,
+                )
+                for c in model
+            ]
+            code = F.array_sort(
+                F.array(
+                    *[
+                        F.struct(d.alias("d"), F.lit(i).alias("i"))
+                        for i, d in enumerate(dists)
+                    ]
+                )
+            )[0]["i"]
+            assign_cols.append(
+                F.struct(
+                    F.lit(j).alias("j"),
+                    code.alias("cluster"),
+                    sj.alias("sv"),
+                ).alias(f"s{j}")
+            )
+        exploded = (
+            base.select(F.explode(F.array(*assign_cols)).alias("a"))
+            .select("a.j", "a.cluster", F.posexplode("a.sv"))
+        )
+        new_c = (
+            exploded.groupBy("j", "cluster", "pos")
+            .agg(F.round(F.avg("col"), 9).alias("mm"))
+            .groupBy("j", "cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mm"))),
+                    lambda s: s.mm,
+                ).alias("c")
+            )
+            .collect()
+        )
+        got = {(r["j"], r["cluster"]): list(r["c"]) for r in new_c}
+        models = [
+            [got.get((j, i), models[j][i]) for i in range(len(models[j]))]
+            for j in range(m)
+        ]
+    return models
+
+
+@op("vec_quantize_pq", oracle=_pq_duck(PQ_M, PQ_SUB, PQ_K, PQ_ITERS))
+def vec_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the memory shape that makes 100 TB ANN
+    feasible (IVF-PQ): split each 64-dim vector into 8 subspaces of 8
+    dims, train a 16-centroid Lloyd codebook per subspace (same
+    engine-exact _lloyd as vec_kmeans: seedless lowest-vec_id init,
+    9-dp model rounding), encode each subspace to its nearest-centroid
+    4-bit code, reconstruct from the codebooks, and emit per-vector
+    codes + cosine(original, reconstruction). 64 float32 (256 B) →
+    8×4-bit codes (4 B) + shared codebooks: 64× compression, vs
+    vec_quantize_int8's 4×, with fidelity as a measured column instead
+    of a hope (the repo's calibration discipline).
+
+    Scale contract: TRAINING is the calibration job — m tiny
+    driver-side models (16×8 doubles each) fit on a sample exactly
+    like vec_kmeans; ENCODING is the production path — one map pass
+    with the codebooks inlined as literals (argmin over 16 codegen'd
+    fold-L2 expressions per subspace; no join, no shuffle, no Python),
+    so a 100 TB corpus encodes at scan speed. The oracle re-derives
+    the full chain (codebooks, codes, reconstruction, fidelity) in
+    unrolled DuckDB CTEs — codes AND fidelity are hash-checked, not
+    bound-asserted. Measured at sf0.01: mean fidelity 0.652
+    (min 0.528, max 0.922), all 16 codes used in every subspace —
+    NEAR-UNIFORM random embeddings are PQ's worst case (no subspace
+    correlation to exploit; real text/image embeddings sit far
+    higher), and that floor is exactly what this calibration op
+    exists to measure before anyone trusts ADC distances at 64×.
+    tests/test_vector.py pins mean fidelity, full code-range use, and
+    rerun determinism."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double().alias("ed")
+    )
+    base = emb.localCheckpoint(eager=False)
+    models = _pq_train(base, PQ_M, PQ_SUB, PQ_K, PQ_ITERS)
+    if not any(models):  # empty corpus: no codebooks, no rows
+        return base.select(
+            "vec_id",
+            *[F.lit(0).cast("long").alias(f"code_{j}") for j in range(PQ_M)],
+            F.lit(0.0).alias("cos_fidelity"),
+        ).limit(0)
+
+    cols = []
+    recon = []
+    for j, model in enumerate(models):
+        sub = F.slice("ed", j * PQ_SUB + 1, PQ_SUB)
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                _add,
+            )
+            for c in model
+        ]
+        code = F.array_sort(
+            F.array(
+                *[
+                    F.struct(d.alias("d"), F.lit(i).alias("i"))
+                    for i, d in enumerate(dists)
+                ]
+            )
+        )[0]["i"]
+        cols.append(code.cast("long").alias(f"code_{j}"))
+        matrix = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in model]
+        )
+        recon.append(F.element_at(matrix, F.col(f"code_{j}").cast("int") + 1))
+    coded = base.select("vec_id", "ed", *cols)
+    dq = F.concat(*recon)
+    return coded.select(
+        "vec_id",
+        *[f"code_{j}" for j in range(PQ_M)],
+        F.round(cosine(F.col("ed"), dq), 6).alias("cos_fidelity"),
     )

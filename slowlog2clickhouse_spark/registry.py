@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "fn_fingerprint_parity",
     "scan_slowlog_mysql80",
     "scan_text_gzip",
+    "vec_quantize_pq",
     "agg_weighted_percentile",
     "events_journey_pattern",
     "vec_contamination_probe",

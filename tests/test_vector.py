@@ -103,7 +103,7 @@ def test_kmeans_partitions_corpus_and_inertia_decreases(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double().alias("e")
     )
-    assigned, history = _lloyd(emb, k=8, iters=3)
+    assigned, history, _ = _lloyd(emb, k=8, iters=3)
     assert assigned.count() == emb.count()
     assert all(a >= b - 1e-9 for a, b in zip(history, history[1:])), history
     sizes = OPS["vec_kmeans"].fn(spark, sf_dir).collect()
@@ -211,3 +211,29 @@ def test_dim_stats_health_profile_invariants(spark, sf_dir):
         var = sum((v - m) ** 2 for v in vals) / len(vals)
         assert abs(r["mean"] - m) < 1e-5
         assert abs(r["std"] - math.sqrt(var)) < 1e-4
+
+
+def test_pq_quantize_fidelity_and_codes(spark, sf_dir):
+    """vec_quantize_pq: codes cover the full 4-bit range, fidelity
+    matches the measured floor for near-uniform embeddings (PQ's worst
+    case), and the seedless trainer is rerun-deterministic."""
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    ops = all_ops()
+    df = ops["vec_quantize_pq"].fn(spark, sf_dir).cache()
+    n = df.count()
+    assert n == spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    stats = df.agg(
+        F.min("cos_fidelity").alias("mn"),
+        F.avg("cos_fidelity").alias("av"),
+        *[F.min(f"code_{j}").alias(f"lo{j}") for j in range(8)],
+        *[F.max(f"code_{j}").alias(f"hi{j}") for j in range(8)],
+        *[F.countDistinct(f"code_{j}").alias(f"k{j}") for j in range(8)],
+    ).collect()[0]
+    assert stats["av"] > 0.55 and stats["mn"] > 0.3
+    for j in range(8):
+        assert 0 <= stats[f"lo{j}"] and stats[f"hi{j}"] <= 15
+        assert stats[f"k{j}"] >= 8  # codebook actually in use
+    # deterministic: seedless init + 9dp model rounding => identical rerun
+    again = ops["vec_quantize_pq"].fn(spark, sf_dir)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, again.collect()))
