@@ -1146,12 +1146,11 @@ PQ_K = 16  # codes per subspace (4 bits)
 PQ_ITERS = 3  # Lloyd refinements per codebook
 
 
-def _pq_duck(m: int, sub: int, k: int, iters: int) -> str:
-    """The full PQ chain as unrolled DuckDB CTEs: per subspace, the
-    same engine-exact Lloyd chain as _kmeans_duck (fold-ordered L2,
-    9-dp model rounding, empty-cluster carry-over), then encode against
-    the final model and reconstruct. Mechanical but fully exact — the
-    oracle checks codes AND fidelity value-for-value."""
+def _pq_cte_prefix(m: int, sub: int, k: int, iters: int) -> str:
+    """Shared CTE prefix for the PQ oracles: per subspace, the same
+    engine-exact Lloyd chain as _kmeans_duck (fold-ordered L2, 9-dp
+    model rounding, empty-cluster carry-over), ending in r{j}
+    (vec_id, code_j, dq_j) reconstruction CTEs."""
     parts = [
         """
     WITH e AS (
@@ -1195,15 +1194,49 @@ def _pq_duck(m: int, sub: int, k: int, iters: int) -> str:
     r{j} AS (
       SELECT a.vec_id, a.cluster AS code_{j}, c.cent AS dq_{j}
       FROM s{j}_a{iters} a JOIN s{j}_c{iters - 1} c USING (cluster))""")
+    return "".join(parts)
+
+
+def _pq_duck(m: int, sub: int, k: int, iters: int) -> str:
+    """vec_quantize_pq oracle: codes + reconstruction fidelity."""
     joins = " ".join(f"JOIN r{j} USING (vec_id)" for j in range(m))
     dq = "flatten([" + ", ".join(f"dq_{j}" for j in range(m)) + "])"
     codes = ", ".join(f"CAST(code_{j} AS BIGINT) AS code_{j}" for j in range(m))
-    parts.append(f"""
+    return (
+        _pq_cte_prefix(m, sub, k, iters)
+        + f"""
     SELECT e.vec_id, {codes},
            round({_duck_cos("e.ed", dq)}, 6) AS cos_fidelity
     FROM e {joins}
-    """)
-    return "".join(parts)
+    """
+    )
+
+
+def _pq_adc_duck(m: int, sub: int, k: int, iters: int, n_probe: int, topk: int) -> str:
+    """vec_knn_pq_adc oracle: asymmetric-distance top-k over the same
+    PQ chain — probes full-precision, candidates reconstructed from
+    codes; sum-of-subspace L2 == fold L2(pe, dq), ranked rounded with
+    cand_id tiebreak."""
+    joins = " ".join(f"JOIN r{j} USING (vec_id)" for j in range(m))
+    dq = "flatten([" + ", ".join(f"dq_{j}" for j in range(m)) + "])"
+    return (
+        _pq_cte_prefix(m, sub, k, iters)
+        + f""",
+    coded AS MATERIALIZED (
+      SELECT e.vec_id AS cand_id, {dq} AS dq
+      FROM e {joins} WHERE e.vec_id >= {n_probe}),
+    probes AS (
+      SELECT vec_id AS probe_id, ed AS pe FROM e WHERE vec_id < {n_probe})
+    SELECT probe_id, cand_id, adc_dist, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT p.probe_id, c.cand_id,
+             round({_duck_l2("p.pe", "c.dq")}, 6) AS adc_dist,
+             row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY round({_duck_l2("p.pe", "c.dq")}, 6) ASC,
+                        c.cand_id ASC) AS rn
+      FROM probes p JOIN coded c ON true) t WHERE rn <= {topk}
+    """
+    )
 
 
 def _pq_train(base: DataFrame, m: int, sub: int, k: int, iters: int):
@@ -1353,4 +1386,94 @@ def vec_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[f"code_{j}" for j in range(PQ_M)],
         F.round(cosine(F.col("ed"), dq), 6).alias("cos_fidelity"),
+    )
+
+
+PQ_N_PROBE = 5  # same probe split as vec_knn_topk — recall is comparable
+PQ_TOPK = 5
+
+
+@op(
+    "vec_knn_pq_adc",
+    oracle=_pq_adc_duck(PQ_M, PQ_SUB, PQ_K, PQ_ITERS, PQ_N_PROBE, PQ_TOPK),
+)
+def vec_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance kNN over the PQ codes — how a 100 TB corpus
+    is actually searched once vec_quantize_pq shrank it 64×: probes
+    stay full-precision, candidates exist ONLY as 4-bit codes, and the
+    distance is Σ_j ||probe_j − codebook_j[code_j]||² — algebraically
+    the fold-L2 between the probe and the reconstruction, so the scan
+    reads 4 B/vector instead of 256 B (in production the per-probe
+    subspace→centroid distances become a 16-entry LUT per subspace;
+    the algebra here is identical, the LUT is just memoization).
+
+    Same probe/corpus split as vec_knn_topk (vec_id < 5), so recall of
+    ADC vs the exact baseline is directly measurable —
+    tests/test_vector.py pins it and SCALING.md records it: the
+    compression/recall trade as numbers, completing the calibration
+    triangle (vec_quantize_pq = fidelity, this op = retrieval impact,
+    ann_recall_eval = the bucketing side). Fully hash-checked: the
+    oracle re-derives codebooks, codes, reconstructions AND the ranked
+    ADC lists in unrolled DuckDB CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double().alias("ed")
+    )
+    base = emb.localCheckpoint(eager=False)
+    models = _pq_train(base, PQ_M, PQ_SUB, PQ_K, PQ_ITERS)
+    if not any(models):
+        return base.select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("vec_id").alias("cand_id"),
+            F.lit(0.0).alias("adc_dist"),
+            F.lit(0).cast("long").alias("rn"),
+        ).limit(0)
+    cols, recon = [], []
+    for j, model in enumerate(models):
+        sub = F.slice("ed", j * PQ_SUB + 1, PQ_SUB)
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                _add,
+            )
+            for c in model
+        ]
+        code = F.array_sort(
+            F.array(
+                *[
+                    F.struct(d.alias("d"), F.lit(i).alias("i"))
+                    for i, d in enumerate(dists)
+                ]
+            )
+        )[0]["i"]
+        cols.append(code.cast("int").alias(f"code_{j}"))
+        matrix = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in model]
+        )
+        recon.append(F.element_at(matrix, F.col(f"code_{j}") + 1))
+    cands = (
+        base.where(F.col("vec_id") >= PQ_N_PROBE)
+        .select(F.col("vec_id").alias("cand_id"), "ed", *cols)
+        .select("cand_id", F.concat(*recon).alias("dq"))
+    )
+    probes = base.where(F.col("vec_id") < PQ_N_PROBE).select(
+        F.col("vec_id").alias("probe_id"), F.col("ed").alias("pe")
+    )
+    l2 = F.aggregate(
+        F.zip_with("pe", "dq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        _add,
+    )
+    scored = cands.join(F.broadcast(probes)).select(
+        "probe_id", "cand_id", F.round(l2, 6).alias("adc_dist")
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(
+        F.col("rn") <= PQ_TOPK
     )

@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_slowlog_mysql80",
     "scan_text_gzip",
     "vec_quantize_pq",
+    "vec_knn_pq_adc",
     "agg_weighted_percentile",
     "events_journey_pattern",
     "vec_contamination_probe",
