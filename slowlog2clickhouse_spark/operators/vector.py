@@ -1239,6 +1239,29 @@ def _pq_adc_duck(m: int, sub: int, k: int, iters: int, n_probe: int, topk: int) 
     )
 
 
+def _pq_matrix(model):
+    """Codebook as a literal array<array<double>> column."""
+    return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in model])
+
+
+def _pq_code(sub_col, matrix):
+    """Nearest-centroid code via ONE transform lambda over the literal
+    codebook matrix (fold-ordered L2 per centroid, first-minimum
+    tiebreak == lowest cluster index — identical values and ties to the
+    16-way unrolled argmin, but a ~16× smaller expression tree, which
+    is what dominated wall at toy scale: whole-stage codegen COMPILE,
+    not evaluation)."""
+    dists = F.transform(
+        matrix,
+        lambda c: F.aggregate(
+            F.zip_with(sub_col, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            _add,
+        ),
+    )
+    return F.array_position(dists, F.array_min(dists)) - 1
+
+
 def _pq_train(base: DataFrame, m: int, sub: int, k: int, iters: int):
     """Joint Lloyd training of all m subspace codebooks — mathematically
     identical to m independent _lloyd runs (same lowest-vec_id init,
@@ -1259,26 +1282,7 @@ def _pq_train(base: DataFrame, m: int, sub: int, k: int, iters: int):
         assign_cols = []
         for j, model in enumerate(models):
             sj = F.slice("ed", j * sub + 1, sub)
-            dists = [
-                F.aggregate(
-                    F.zip_with(
-                        sj,
-                        F.array(*[F.lit(float(v)) for v in c]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    _add,
-                )
-                for c in model
-            ]
-            code = F.array_sort(
-                F.array(
-                    *[
-                        F.struct(d.alias("d"), F.lit(i).alias("i"))
-                        for i, d in enumerate(dists)
-                    ]
-                )
-            )[0]["i"]
+            code = _pq_code(sj, _pq_matrix(model))
             assign_cols.append(
                 F.struct(
                     F.lit(j).alias("j"),
@@ -1355,30 +1359,8 @@ def vec_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     recon = []
     for j, model in enumerate(models):
         sub = F.slice("ed", j * PQ_SUB + 1, PQ_SUB)
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    sub,
-                    F.array(*[F.lit(float(v)) for v in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                _add,
-            )
-            for c in model
-        ]
-        code = F.array_sort(
-            F.array(
-                *[
-                    F.struct(d.alias("d"), F.lit(i).alias("i"))
-                    for i, d in enumerate(dists)
-                ]
-            )
-        )[0]["i"]
-        cols.append(code.cast("long").alias(f"code_{j}"))
-        matrix = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in model]
-        )
+        matrix = _pq_matrix(model)
+        cols.append(_pq_code(sub, matrix).cast("long").alias(f"code_{j}"))
         recon.append(F.element_at(matrix, F.col(f"code_{j}").cast("int") + 1))
     coded = base.select("vec_id", "ed", *cols)
     dq = F.concat(*recon)
@@ -1430,30 +1412,8 @@ def vec_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols, recon = [], []
     for j, model in enumerate(models):
         sub = F.slice("ed", j * PQ_SUB + 1, PQ_SUB)
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    sub,
-                    F.array(*[F.lit(float(v)) for v in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                _add,
-            )
-            for c in model
-        ]
-        code = F.array_sort(
-            F.array(
-                *[
-                    F.struct(d.alias("d"), F.lit(i).alias("i"))
-                    for i, d in enumerate(dists)
-                ]
-            )
-        )[0]["i"]
-        cols.append(code.cast("int").alias(f"code_{j}"))
-        matrix = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in model]
-        )
+        matrix = _pq_matrix(model)
+        cols.append(_pq_code(sub, matrix).cast("int").alias(f"code_{j}"))
         recon.append(F.element_at(matrix, F.col(f"code_{j}") + 1))
     cands = (
         base.where(F.col("vec_id") >= PQ_N_PROBE)
