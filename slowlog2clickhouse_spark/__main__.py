@@ -1,0 +1,186 @@
+"""Command-line interface — the reference's binary surface, Spark-run.
+
+The reference is invoked as a CLI (parse a slow log, aggregate query
+classes, load ClickHouse — main.go flag surface [R:M]); this module is
+the drop-in shape over the same plan functions the operator registry
+uses, so "a user of the reference" can run the pipeline without
+writing Python:
+
+    python -m slowlog2clickhouse_spark ingest --log slow.log \\
+        --out /data/classes                      # parquet MergeTree-layout sink
+    python -m slowlog2clickhouse_spark ingest --log slow.log \\
+        --jdbc-url jdbc:clickhouse://ch:8123/db --table queries
+    python -m slowlog2clickhouse_spark digest --log slow.log --top 10
+    python -m slowlog2clickhouse_spark ingest --log slow.log --print-ddl \\
+        --table queries                          # ClickHouse DDL, no write
+    python -m slowlog2clickhouse_spark stream --log-dir /var/log/slow/ \\
+        --out /data/classes_stream --checkpoint /data/_ckpt
+
+`ingest` = parse → fingerprint → per-(digest, period) stat battery →
+sink (exactly plans/pipeline.ingest_slowlog — the oracle-checked path).
+`digest` = the pt-query-digest-style report: global rollup + top-K
+classes by total query time, printed to stdout.
+`stream` = the same aggregation as an availableNow/continuous
+foreachBatch stream over a growing log directory (idempotent parquet
+appends keyed by epoch; checkpointed, so restarts resume).
+
+Everything here is a THIN argument parser over tested library
+functions — no query logic lives in this module.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="slowlog2clickhouse_spark",
+        description="MySQL slow-log -> query-class analytics on Spark",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="batch ingest: log -> classes -> sink")
+    ing.add_argument("--log", required=True, help="slow-log file or directory")
+    ing.add_argument("--out", help="output parquet directory")
+    ing.add_argument("--jdbc-url", help="JDBC URL (e.g. jdbc:clickhouse://host:8123/db)")
+    ing.add_argument("--table", default="queries", help="target table name")
+    ing.add_argument(
+        "--jdbc-driver", default="com.clickhouse.jdbc.ClickHouseDriver"
+    )
+    ing.add_argument(
+        "--period", default="minute", choices=("minute", "hour", "day")
+    )
+    ing.add_argument(
+        "--percentiles", default="exact", choices=("exact", "approx"),
+        help="exact buffers per-group values; approx = sketch (100 TB)",
+    )
+    ing.add_argument(
+        "--print-ddl", action="store_true",
+        help="print the ClickHouse MergeTree DDL for the class schema and exit",
+    )
+
+    dig = sub.add_parser("digest", help="pt-query-digest-style stdout report")
+    dig.add_argument("--log", required=True)
+    dig.add_argument("--top", type=int, default=10)
+    dig.add_argument(
+        "--period", default="minute", choices=("minute", "hour", "day")
+    )
+
+    st = sub.add_parser("stream", help="streaming ingest of a growing log dir")
+    st.add_argument("--log-dir", required=True)
+    st.add_argument("--out", required=True, help="output parquet directory")
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument(
+        "--follow", action="store_true",
+        help="keep running (default: availableNow — drain and exit)",
+    )
+    return p
+
+
+def _get_spark():
+    from slowlog2clickhouse_spark.session import get_session
+
+    return get_session(app_name="slowlog2clickhouse_spark_cli")
+
+
+def cmd_ingest(args) -> int:
+    from slowlog2clickhouse_spark.plans.pipeline import (
+        ingest_slowlog,
+        sink_classes_parquet,
+    )
+    from slowlog2clickhouse_spark.sinks.jdbc import clickhouse_ddl, write_jdbc
+
+    if not args.print_ddl and not args.out and not args.jdbc_url:
+        print("ingest: need --out and/or --jdbc-url (or --print-ddl)", file=sys.stderr)
+        return 2
+    spark = _get_spark()
+    classes = ingest_slowlog(
+        spark, args.log, period=args.period, percentiles=args.percentiles
+    )
+    if args.print_ddl:
+        print(clickhouse_ddl(classes, args.table))
+        return 0
+    n = None
+    if args.out:
+        sink_classes_parquet(classes, args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"wrote {n} class rows -> {args.out}")
+    if args.jdbc_url:
+        write_jdbc(classes, args.jdbc_url, args.table, driver=args.jdbc_driver)
+        print(f"wrote class rows -> {args.jdbc_url} {args.table}")
+    return 0
+
+
+def cmd_digest(args) -> int:
+    from slowlog2clickhouse_spark.plans.pipeline import (
+        aggregate_global,
+        ingest_slowlog,
+        top_digests,
+    )
+    from slowlog2clickhouse_spark.sources.slowlog import (
+        parse_slowlog,
+        with_fingerprint,
+    )
+
+    spark = _get_spark()
+    events = with_fingerprint(parse_slowlog(spark, args.log))
+    g = (
+        aggregate_global(events)
+        .agg(
+            {"num_queries": "sum", "m_query_time_sum": "sum"},
+        )
+        .collect()[0]
+    )
+    total_n = g["sum(num_queries)"] or 0
+    total_qt = g["sum(m_query_time_sum)"] or 0.0
+    print(f"# {total_n} queries, {total_qt:.3f}s total query time")
+    print(f"# Rank  Calls      Time(s)   Worst(s)  Fingerprint")
+    classes = ingest_slowlog(spark, args.log, period=args.period)
+    for i, r in enumerate(top_digests(classes, k=args.top).collect(), start=1):
+        fp = (r["fingerprint"] or "")[:70]
+        print(
+            f"{i:6d} {r['total_queries']:6d} {r['total_query_time']:12.4f}"
+            f" {r['worst_query_time']:10.4f}  {fp}"
+        )
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from slowlog2clickhouse_spark.streaming.slowlog_stream import (
+        read_slowlog_stream,
+        stream_classes,
+    )
+
+    spark = _get_spark()
+    events = read_slowlog_stream(spark, args.log_dir)
+    classes = stream_classes(events)
+
+    def sink_batch(batch_df, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(args.out)
+
+    writer = (
+        classes.writeStream.outputMode("update")
+        .foreachBatch(sink_batch)
+        .option("checkpointLocation", args.checkpoint)
+    )
+    if args.follow:
+        q = writer.start()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        print(f"drained -> {args.out}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    return {"ingest": cmd_ingest, "digest": cmd_digest, "stream": cmd_stream}[
+        args.cmd
+    ](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,77 @@
+"""CLI surface (python -m slowlog2clickhouse_spark) — the reference's
+binary shape as a thin parser over the tested plan functions."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from slowlog2clickhouse_spark.__main__ import main
+from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG
+
+
+def test_cli_print_ddl(spark, capsys):
+    rc = main(["ingest", "--log", FIXTURE_LOG, "--print-ddl", "--table", "q"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.startswith("CREATE TABLE IF NOT EXISTS q")
+    assert "ENGINE = MergeTree" in out
+    assert "PARTITION BY toDate(period_start)" in out
+    assert "ORDER BY (digest, period_start)" in out
+
+
+def test_cli_ingest_parquet_equals_library(spark, tmp_path):
+    out = str(tmp_path / "classes")
+    rc = main(["ingest", "--log", FIXTURE_LOG, "--out", out])
+    assert rc == 0
+    from slowlog2clickhouse_spark.plans.pipeline import ingest_slowlog
+
+    lib = ingest_slowlog(spark, FIXTURE_LOG)
+    got = spark.read.parquet(out)
+    assert got.count() == lib.count()
+    # MergeTree-mirroring layout: partitioned by period_date
+    assert any(
+        d.startswith("period_date=") for d in os.listdir(out) if not d.startswith("_")
+    )
+    assert {r["digest"] for r in got.select("digest").collect()} == {
+        r["digest"] for r in lib.select("digest").collect()
+    }
+
+
+def test_cli_ingest_requires_a_sink(capsys):
+    rc = main(["ingest", "--log", FIXTURE_LOG])
+    assert rc == 2
+    assert "need --out" in capsys.readouterr().err
+
+
+def test_cli_digest_report(spark, capsys):
+    rc = main(["digest", "--log", FIXTURE_LOG, "--top", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert lines[0].startswith("#") and "queries" in lines[0]
+    assert len([ln for ln in lines if not ln.startswith("#")]) == 3
+
+
+def test_cli_stream_drains_to_batch_equivalent(spark, tmp_path):
+    import shutil
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    shutil.copy(FIXTURE_LOG, src / "slow.log")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rc = main(["stream", "--log-dir", str(src), "--out", out, "--checkpoint", ckpt])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    from slowlog2clickhouse_spark.plans.pipeline import ingest_slowlog
+
+    lib = ingest_slowlog(spark, FIXTURE_LOG)
+    assert got.count() == lib.count()
+    assert got.agg(F.sum("num_queries")).collect()[0][0] == lib.agg(
+        F.sum("num_queries")
+    ).collect()[0][0]
+    # idempotent restart: re-draining the same checkpoint appends nothing
+    rc = main(["stream", "--log-dir", str(src), "--out", out, "--checkpoint", ckpt])
+    assert rc == 0
+    assert spark.read.parquet(out).count() == lib.count()
