@@ -62,6 +62,7 @@ EAGER = {
 ALLOW_NESTED_LOOP = {
     "join_cross",  # small×small cartesian by definition
     "vec_knn_topk",  # broadcast probe set (brute-force baseline)
+    "vec_knn_pq_adc",  # broadcast 5-probe panel × coded corpus (ADC scan)
     "ann_recall_eval",  # brute-force truth pass on the fixed probe panel
     "mm_feature_knn",  # broadcast probe panel (brute-force baseline shape)
     "vec_knn_ivf",  # broadcast 16-row centroid table
