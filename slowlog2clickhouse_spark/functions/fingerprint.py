@@ -195,3 +195,25 @@ def digest_py(fingerprint: str) -> str:
     if fingerprint is None:
         return None
     return hashlib.md5(fingerprint.encode("utf-8")).hexdigest()[16:32].upper()
+
+
+def fingerprint_chain_py(query: str) -> str:
+    """The regexp chain rendered in Python ``re`` — the FUZZ MIRROR of
+    :func:`fingerprint_col` (tests/test_properties.py drives thousands
+    of hypothesis examples through it against :func:`fingerprint_py`
+    without a JVM round-trip per example). Valid because the chain
+    sticks to the regex subset whose semantics agree across Java, RE2
+    AND Python ``re`` (no backrefs/lookaround; `.` stops at newline in
+    all three) — the Java↔RE2 half of that claim is hash-checked per
+    row by fn_fingerprint_parity's DuckDB oracle, and
+    test_chain_mirror_matches_spark pins the Python third against the
+    live Spark chain on the committed adversarial corpus."""
+    if query is None:
+        return None
+    c = query
+    for pat, rep in PRE_LOWER_STEPS:
+        c = re.sub(pat, rep, c)
+    c = c.lower()
+    for pat, rep in POST_LOWER_STEPS:
+        c = re.sub(pat, rep, c)
+    return c.strip()

@@ -326,3 +326,23 @@ def test_parity_supported_regimes_fully_agree(spark, sf_dir):
         else:
             assert r["agreement"] == 1.0, (construct, r["agreement"])
     assert divergent <= set(rows)
+
+
+def test_chain_mirror_matches_spark(spark):
+    """fingerprint_chain_py (the hypothesis fuzz mirror) must equal the
+    LIVE Spark regexp chain row-for-row on the committed adversarial
+    corpus — including the divergence regimes, where mirror and chain
+    must be wrong IDENTICALLY (Python-re vs Java-regex portability of
+    the restricted pattern subset; the Java↔RE2 half is pinned by
+    fn_fingerprint_parity's oracle)."""
+    import pyarrow.parquet as pq
+
+    from slowlog2clickhouse_spark.functions.fingerprint import (
+        fingerprint_chain_py,
+    )
+    from slowlog2clickhouse_spark.operators.udfs import FINGERPRINT_CORPUS
+
+    queries = pq.read_table(FINGERPRINT_CORPUS).column("query").to_pylist()
+    df = spark.createDataFrame([(q,) for q in queries], ["q"])
+    spark_chain = [r[0] for r in df.select(fingerprint_col(F.col("q"))).collect()]
+    assert spark_chain == [fingerprint_chain_py(q) for q in queries]

@@ -148,3 +148,57 @@ def test_datasource_record_split_roundtrip(bodies):
     got = list(_records(text))
     assert len(got) == len(recs)
     assert got == recs
+
+
+# ---------------------------------------------------------------------------
+# Chain ↔ state-machine agreement fuzz (r9): fn_fingerprint_parity
+# measures the divergence REGIMES on a fixed corpus; this fuzzes the
+# SUPPORTED grammar — thousands of generated statements on which the
+# two implementations must agree exactly. Supported = no backslash
+# escapes, no doubled quotes, no newline inside strings/block
+# comments, no unterminated quotes (the five documented divergence
+# regimes, excluded by construction below).
+# ---------------------------------------------------------------------------
+from slowlog2clickhouse_spark.functions.fingerprint import fingerprint_chain_py
+
+_ident = st.text(alphabet=string.ascii_letters + "_", min_size=1, max_size=8)
+_str_body = st.text(
+    alphabet=string.ascii_letters + string.digits + " _-#;*,.()=<>!/",
+    max_size=12,
+)
+supported_atom = st.one_of(
+    _ident,
+    st.integers(0, 10**12).map(str),
+    st.floats(0, 1e9, allow_nan=False).map(lambda f: f"{f:.4f}"),
+    st.integers(0, 2**31).map(lambda n: f"0x{n:X}"),
+    st.integers(0, 255).map(lambda n: f"0b{n:b}"),
+    st.floats(0.1, 9.9, allow_nan=False).map(lambda f: f"{f:.2f}e7"),
+    _str_body.map(lambda s: f"'{s}'"),
+    _str_body.map(lambda s: f'"{s}"'),
+    _str_body.filter(lambda s: "!" not in s and "*" not in s and "/" not in s)
+    .map(lambda s: f"/* {s} */"),
+    st.sampled_from(
+        [
+            ",", "=", "<", ">", "(", ")", "*", "SELECT", "FROM", "WHERE",
+            "AND", "OR", "NOT", "JOIN", "ON", "GROUP", "BY", "LIMIT",
+            "IN (1, 2, 3)", "IN ( 0 )", "VALUES (1, 'a')",
+            "VALUES (1,2), (3,4)",
+        ]
+    ),
+)
+supported_sql = st.lists(supported_atom, min_size=1, max_size=25).map(" ".join)
+
+
+@given(supported_sql)
+@settings(max_examples=500, deadline=None)
+def test_chain_agrees_with_state_machine_on_supported_grammar(q):
+    assert fingerprint_chain_py(q) == fingerprint_py(q), q
+
+
+@given(supported_sql, st.sampled_from(["-- note", "# note"]))
+@settings(max_examples=200, deadline=None)
+def test_chain_agrees_with_trailing_line_comment(q, comment):
+    # a trailing line comment (no apostrophe — that's the documented
+    # phantom-string regime) must strip identically
+    full = f"{q} {comment}"
+    assert fingerprint_chain_py(full) == fingerprint_py(full), full
