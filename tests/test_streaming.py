@@ -428,3 +428,89 @@ def test_stream_dedup_minhash_soak_multi_batch(spark, sf_dir, tmp_path):
         for r in OPS["stream_dedup_minhash"].fn(spark, sf_dir).collect()
     }
     assert got == want and all(v == 4 for v in got.values())
+
+
+def test_stream_journey_state_over_cap_user_chunk_order(spark, tmp_path):
+    """The r8-advice regime the sf0.1 corpus never reaches: ONE user
+    with 25k events (> the 10k cap AND > the ~10k-row Arrow chunk
+    size, so the state API delivers the key's batch as MULTIPLE chunks
+    in arbitrary order). The journey tail must still be the last-10k
+    symbols in (ts, event_id) order — the rolling cap-row buffer in
+    _advance, not per-chunk sorting."""
+    import hashlib
+    import os
+
+    from pyspark.sql import types as T
+
+    from slowlog2clickhouse_spark.streaming.ops import (
+        _rocksdb_state_store,
+        build_journey_state_transform,
+        journey_symbols,
+    )
+
+    n, cap = 25_000, 10_000
+    types = ["view", "click", "signup", "purchase", "error"]
+    syms = "vcspe"
+    # duplicate timestamps every 7 rows stress the event_id tiebreak
+    rows = [
+        (1, 1_000_000 + i, i // 7, types[(i * 13) % 5]) for i in range(n)
+    ] + [(2, 2_000_000 + i, 10_000_000 + i, types[i % 5]) for i in range(40)]
+    # shuffled write order: arrival order != event order
+    import random
+
+    rnd = random.Random(42)
+    rnd.shuffle(rows)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_sec", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "hot_user_events")
+    (
+        spark.createDataFrame(rows, schema)
+        .select(
+            "user_id",
+            "event_id",
+            F.timestamp_seconds("ts_sec").alias("ts"),
+            "event_type",
+        )
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    sdf = spark.readStream.schema(
+        "user_id long, event_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    result, api_used = build_journey_state_transform(journey_symbols(sdf))
+
+    def _run():
+        q = (
+            result.writeStream.format("memory")
+            .queryName("hot_user_journey")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if api_used == "transformWithStateInPandas":
+        with _rocksdb_state_store(spark):
+            _run()
+    else:
+        _run()
+    got = {r["user_id"]: r for r in spark.table("hot_user_journey").collect()}
+
+    # ground truth: last `cap` symbols in (ts, event_id) order
+    def truth(user_rows):
+        ordered = sorted(user_rows, key=lambda r: (r[2], r[1]))
+        tail = "".join(syms[types.index(r[3])] for r in ordered)[-cap:]
+        return hashlib.md5(tail.encode()).hexdigest()
+
+    hot = [r for r in rows if r[0] == 1]
+    assert got[1]["n_events"] == n and got[1]["truncated"]
+    assert got[1]["journey_md5"] == truth(hot)
+    small = [r for r in rows if r[0] == 2]
+    assert got[2]["n_events"] == 40 and not got[2]["truncated"]
+    assert got[2]["journey_md5"] == truth(small)
