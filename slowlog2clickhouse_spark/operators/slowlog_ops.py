@@ -1145,3 +1145,104 @@ def qan_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("load_rank"),
         )
     )
+
+
+# literal-extraction pattern for workload compression: tokenizes the
+# SAME constructs the fingerprint chain masks — strings, comments
+# (matched so their inner digits never count as bindings, then
+# filtered out), hex/bin/sci/plain numbers — restricted to the
+# Java/RE2-agreeing regex subset so the DuckDB oracle extracts
+# identical lists. A binding = a token the template replaced with `?`.
+_WORKLOAD_TOK_PAT = (
+    r"'[^']*'|\"[^\"]*\"|/\*[^!].*?\*/|--[^\n]*|#[^\n]*"
+    r"|\b0[xX][0-9a-fA-F]+\b|\b0b[01]+\b"
+    r"|\b\d+(?:\.\d+)?(?:[eE][+-]?\d+)?\b"
+)
+# the same pattern as a DuckDB SQL string literal (quotes doubled)
+_WORKLOAD_TOK_SQL = _WORKLOAD_TOK_PAT.replace("'", "''")
+
+
+@op(
+    "qan_workload_compress",
+    # counts/lengths are integers (exact cross-engine); the ratio is a
+    # scalar bigint/bigint division of identical operands — IEEE
+    # bit-deterministic, emitted UNROUNDED (registry convention)
+    oracle=f"""
+    WITH lits AS (
+      SELECT digest, fingerprint, query,
+             list_filter(regexp_extract_all(query, '{_WORKLOAD_TOK_SQL}'),
+               x -> NOT (starts_with(x, '--') OR starts_with(x, '#')
+                         OR starts_with(x, '/*'))) AS ls
+      FROM {_GOLD}
+      WHERE NOT admin AND query IS NOT NULL)
+    SELECT digest,
+           min(fingerprint) AS template,
+           CAST(count(*) AS BIGINT) AS n_calls,
+           CAST(max(len(ls)) AS BIGINT) AS n_params,
+           CAST(sum(len(ls)) AS BIGINT) AS n_literals,
+           CAST(count(DISTINCT CASE WHEN len(ls) > 0 THEN ls END)
+                AS BIGINT) AS n_distinct_bindings,
+           CAST(sum(length(query)) AS BIGINT) AS raw_bytes,
+           CAST(sum(coalesce(list_sum(list_transform(ls, x -> length(x))), 0))
+                AS BIGINT) AS param_bytes,
+           CAST(length(min(fingerprint)) AS BIGINT) AS template_bytes,
+           CAST(sum(length(query)) AS BIGINT)
+             / (CAST(length(min(fingerprint)) AS BIGINT)
+                + CAST(sum(coalesce(list_sum(list_transform(ls, x -> length(x))), 0))
+                       AS BIGINT)) AS compression_x
+    FROM lits GROUP BY digest
+    """,
+)
+def qan_workload_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workload compression by template + parameter bindings — the
+    core representation of "Query Log Compression for Workload
+    Analytics" (VLDB 2018; see PAPERS.md): a query log is (digest →
+    template stored ONCE) + (per call: the literal bindings), which
+    preserves replay/analytics semantics at a fraction of the bytes.
+    Per digest: calls, parameter positions, total + distinct bindings
+    (distinct bindings ≈ the parameter-distribution support the paper
+    models), raw vs template+param bytes, and the compression factor.
+
+    The columns answer real workload questions: HIGH n_distinct_
+    bindings/n_calls = data-carrying parameters (cache-hostile, model
+    the distribution); ≈1 = constant-bound template (a prepared
+    statement in disguise); compression_x = what a template-aware log
+    store (or ClickHouse LowCardinality digest column) saves over raw
+    text.
+
+    Scale: one map pass extracts literals (regexp_extract_all — the
+    portable subset both engines split identically, verified
+    list-for-list), one digest-keyed partial-agg'd shuffle. The ratio
+    is bigint/bigint scalar division — IEEE-deterministic, unrounded."""
+    from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
+
+    events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        (~F.col("admin")) & F.col("query").isNotNull()
+    )
+    toks = F.regexp_extract_all("query", F.lit(_WORKLOAD_TOK_PAT), F.lit(0))
+    not_comment = lambda x: ~(
+        x.startswith("--") | x.startswith("#") | x.startswith("/*")
+    )  # noqa: E731
+    lits = events.select(
+        "digest",
+        "fingerprint",
+        "query",
+        F.filter(toks, not_comment).alias("ls"),
+    )
+    lit_bytes = F.expr("aggregate(transform(ls, x -> length(x)), 0, (a, x) -> a + x)")
+    per = lits.groupBy("digest").agg(
+        F.min("fingerprint").alias("template"),
+        F.count("*").alias("n_calls"),
+        F.max(F.size("ls")).cast("bigint").alias("n_params"),
+        F.sum(F.size("ls")).cast("bigint").alias("n_literals"),
+        F.count_distinct(
+            F.when(F.size("ls") > 0, F.col("ls"))
+        ).cast("bigint").alias("n_distinct_bindings"),
+        F.sum(F.length("query")).cast("bigint").alias("raw_bytes"),
+        F.sum(lit_bytes).cast("bigint").alias("param_bytes"),
+        F.length(F.min("fingerprint")).cast("bigint").alias("template_bytes"),
+    )
+    return per.withColumn(
+        "compression_x",
+        F.col("raw_bytes") / (F.col("template_bytes") + F.col("param_bytes")),
+    )

@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_text_gzip",
     "vec_quantize_pq",
     "vec_knn_pq_adc",
+    "qan_workload_compress",
     "agg_weighted_percentile",
     "events_journey_pattern",
     "vec_contamination_probe",

@@ -814,3 +814,21 @@ class TestMySQL80AndGzip:
         assert sorted(map(tuple, plain.select(cols).collect())) == sorted(
             map(tuple, gzipped.select(cols).collect())
         )
+
+
+def test_qan_workload_compress_invariants(spark, sf_dir):
+    """Template+bindings decomposition invariants: bindings never
+    exceed calls, params always compress (ratio > 1 on this corpus),
+    and for templates without collapsed IN/VALUES lists the template's
+    placeholder count equals the extracted parameter count."""
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    rows = all_ops()["qan_workload_compress"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 20
+    for r in rows:
+        assert 1 <= r["n_distinct_bindings"] <= r["n_calls"]
+        assert r["param_bytes"] < r["raw_bytes"]
+        assert r["compression_x"] > 1.0, r["digest"]
+        t = r["template"]
+        if "(?+)" not in t:
+            assert t.count("?") == r["n_params"], t
