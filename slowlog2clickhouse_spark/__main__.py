@@ -15,6 +15,8 @@ writing Python:
         --table queries                          # ClickHouse DDL, no write
     python -m slowlog2clickhouse_spark stream --log-dir /var/log/slow/ \\
         --out /data/classes_stream --checkpoint /data/_ckpt
+    python -m slowlog2clickhouse_spark dedup --data-dir /data/sf --out /data/keep
+    python -m slowlog2clickhouse_spark curate --data-dir /data/sf --out /data/report
 
 `ingest` = parse → fingerprint → per-(digest, period) stat battery →
 sink (exactly plans/pipeline.ingest_slowlog — the oracle-checked path).
@@ -76,6 +78,27 @@ def _build_parser() -> argparse.ArgumentParser:
         "--follow", action="store_true",
         help="keep running (default: availableNow — drain and exit)",
     )
+
+    dd = sub.add_parser(
+        "dedup", help="near-dup resolution over a documents table"
+    )
+    dd.add_argument(
+        "--data-dir", required=True,
+        help="directory holding documents.parquet",
+    )
+    dd.add_argument("--out", required=True, help="output parquet directory")
+    dd.add_argument(
+        "--method", default="keep_best",
+        choices=("exact", "minhash", "keep_best"),
+        help="exact = hash-groupBy survivors; minhash = LSH candidate "
+        "pairs; keep_best = cluster + quality-keep decision per doc",
+    )
+
+    cu = sub.add_parser(
+        "curate", help="corpus curation report over a documents table"
+    )
+    cu.add_argument("--data-dir", required=True)
+    cu.add_argument("--out", required=True)
     return p
 
 
@@ -175,11 +198,44 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    op_id = {
+        "exact": "dedup_exact",
+        "minhash": "dedup_minhash",
+        "keep_best": "dedup_keep_best",
+    }[args.method]
+    spark = _get_spark()
+    df = all_ops()[op_id].fn(spark, args.data_dir)
+    df.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{op_id}: wrote {n} rows -> {args.out}")
+    return 0
+
+
+def cmd_curate(args) -> int:
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    spark = _get_spark()
+    ops = all_ops()
+    report = ops["corpus_curation"].fn(spark, args.data_dir)
+    report.write.mode("overwrite").parquet(args.out)
+    print(f"corpus_curation: wrote {report.count()} rows -> {args.out}")
+    for r in ops["llm_curation_funnel"].fn(spark, args.data_dir).collect():
+        print(f"  funnel {r['stage']}: {r['n']}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
-    return {"ingest": cmd_ingest, "digest": cmd_digest, "stream": cmd_stream}[
-        args.cmd
-    ](args)
+    return {
+        "ingest": cmd_ingest,
+        "digest": cmd_digest,
+        "stream": cmd_stream,
+        "dedup": cmd_dedup,
+        "curate": cmd_curate,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -75,3 +75,24 @@ def test_cli_stream_drains_to_batch_equivalent(spark, tmp_path):
     rc = main(["stream", "--log-dir", str(src), "--out", out, "--checkpoint", ckpt])
     assert rc == 0
     assert spark.read.parquet(out).count() == lib.count()
+
+
+def test_cli_dedup_keep_best(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "keep")
+    rc = main(["dedup", "--data-dir", sf_dir, "--out", out])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    lib = all_ops()["dedup_keep_best"].fn(spark, sf_dir)
+    assert got.count() == lib.count()
+    assert set(got.columns) == set(lib.columns)
+
+
+def test_cli_curate_report(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "report")
+    rc = main(["curate", "--data-dir", sf_dir, "--out", out])
+    assert rc == 0
+    assert spark.read.parquet(out).count() >= 1
+    text = capsys.readouterr().out
+    assert "funnel" in text
