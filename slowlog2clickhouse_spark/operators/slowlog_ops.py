@@ -1246,3 +1246,89 @@ def qan_workload_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compression_x",
         F.col("raw_bytes") / (F.col("template_bytes") + F.col("param_bytes")),
     )
+
+
+@op(
+    "qan_workload_sample",
+    # hash-threshold sampling: md5(query||ts) is per-row deterministic
+    # (no rank, no tie risk), so kept-set and both share columns are
+    # exact cross-engine; sums round-6-recovered, shares = scalar
+    # division of round-recovered operands (gotcha #12 family)
+    oracle=f"""
+    WITH ev AS (
+      SELECT digest, query_time,
+             (CAST(('0x' || substr(md5(query || CAST(ts AS VARCHAR)), 1, 4))
+                   AS BIGINT) % 10 = 0) AS kept
+      FROM {_GOLD}
+      WHERE NOT admin AND query IS NOT NULL),
+    per AS (
+      SELECT digest,
+             CAST(count(*) AS BIGINT) AS n_calls,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             round(coalesce(sum(query_time), 0), 6) AS qt_sum,
+             round(coalesce(sum(CASE WHEN kept THEN query_time END), 0), 6)
+               AS kept_qt_sum
+      FROM ev GROUP BY 1),
+    tot AS (
+      SELECT round(sum(qt_sum), 6) AS grand,
+             round(sum(kept_qt_sum), 6) AS kept_grand
+      FROM per)
+    SELECT digest, n_calls, n_kept, qt_sum, kept_qt_sum,
+           qt_sum / tot.grand AS true_share,
+           CASE WHEN tot.kept_grand > 0
+                THEN kept_qt_sum / tot.kept_grand END AS kept_share
+    FROM per, tot
+    """,
+)
+def qan_workload_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workload sampling with load-share fidelity — the replay half of
+    the VLDB-2018 workload-compression story (PAPERS.md): keep a
+    deterministic ~10% hash sample of the event stream (md5 threshold
+    on query||ts — the hash-mod sampling every production profiler
+    uses, so the same rows are kept on EVERY engine and every rerun;
+    no rank, no tie hazards) and report, per digest, the true
+    query-time load share beside the share the SAMPLE would estimate.
+    |true_share − kept_share| is the per-class distortion a 10× log
+    cost-cut buys — tests pin the corpus-wide distortion small, which
+    is the paper's claim (per-template sampling preserves workload
+    analytics).
+
+    Scale: one map pass computes the keep bit (md5 on the row — no
+    state), one digest-keyed partial-agg'd shuffle, one 1-row grand-
+    total broadcast. The sample RATE generalizes by widening the hash
+    modulus; stratified-exact sampling lives in sample_stratified."""
+    from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
+
+    events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        (~F.col("admin")) & F.col("query").isNotNull()
+    )
+    hk = F.conv(
+        F.substring(F.md5(F.concat(F.col("query"), F.col("ts").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    ev = events.select("digest", "query_time", (hk % 10 == 0).alias("kept"))
+    per = ev.groupBy("digest").agg(
+        F.count("*").alias("n_calls"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.round(F.coalesce(F.sum("query_time"), F.lit(0.0)), 6).alias("qt_sum"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("kept"), F.col("query_time"))), F.lit(0.0)),
+            6,
+        ).alias("kept_qt_sum"),
+    )
+    tot = per.agg(
+        F.round(F.sum("qt_sum"), 6).alias("grand"),
+        F.round(F.sum("kept_qt_sum"), 6).alias("kept_grand"),
+    )
+    return per.join(F.broadcast(tot)).select(
+        "digest",
+        "n_calls",
+        "n_kept",
+        "qt_sum",
+        "kept_qt_sum",
+        (F.col("qt_sum") / F.col("grand")).alias("true_share"),
+        F.when(
+            F.col("kept_grand") > 0, F.col("kept_qt_sum") / F.col("kept_grand")
+        ).alias("kept_share"),
+    )

@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "vec_quantize_pq",
     "vec_knn_pq_adc",
     "qan_workload_compress",
+    "qan_workload_sample",
     "agg_weighted_percentile",
     "events_journey_pattern",
     "vec_contamination_probe",

@@ -832,3 +832,23 @@ def test_qan_workload_compress_invariants(spark, sf_dir):
         t = r["template"]
         if "(?+)" not in t:
             assert t.count("?") == r["n_params"], t
+
+
+def test_qan_workload_sample_fidelity(spark, sf_dir):
+    """Hash sampling: rate lands near the 10% modulus, shares stay
+    close (the paper's claim), and the kept-set is rerun-deterministic."""
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    op = all_ops()["qan_workload_sample"]
+    df = op.fn(spark, sf_dir).cache()
+    tot = df.agg(
+        F.sum("n_calls").alias("n"),
+        F.sum("n_kept").alias("k"),
+        F.max(
+            F.abs(F.col("true_share") - F.coalesce("kept_share", F.lit(0.0)))
+        ).alias("max_err"),
+    ).collect()[0]
+    assert 0.05 <= tot["k"] / tot["n"] <= 0.20  # binomial around 1/10
+    assert tot["max_err"] < 0.15
+    again = {(r["digest"], r["n_kept"]) for r in op.fn(spark, sf_dir).collect()}
+    assert {(r["digest"], r["n_kept"]) for r in df.collect()} == again
