@@ -188,8 +188,6 @@ def main() -> None:
 
     # golden event IR for the gz rotation set (the golden script only
     # globs plain *.log files)
-    import pyarrow.parquet as pq
-
     from scripts.gen_slowlog_golden import _write_single_file, golden_events_df
     from slowlog2clickhouse_spark.session import ensure_compat, get_session
 
@@ -198,7 +196,6 @@ def main() -> None:
         golden_events_df(spark, GZ_DIR),
         os.path.join(FIXTURES, "golden", "slowlog_rot_gz_events.parquet"),
     )
-    del pq
 
 
 if __name__ == "__main__":

@@ -159,7 +159,7 @@ def cmd_digest(args) -> int:
     total_n = g["sum(num_queries)"] or 0
     total_qt = g["sum(m_query_time_sum)"] or 0.0
     print(f"# {total_n} queries, {total_qt:.3f}s total query time")
-    print(f"# Rank  Calls      Time(s)   Worst(s)  Fingerprint")
+    print("# Rank  Calls      Time(s)   Worst(s)  Fingerprint")
     classes = ingest_slowlog(spark, args.log, period=args.period)
     for i, r in enumerate(top_digests(classes, k=args.top).collect(), start=1):
         fp = (r["fingerprint"] or "")[:70]
