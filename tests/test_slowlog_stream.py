@@ -61,3 +61,46 @@ def test_batch_sessionize_agrees_with_session_window(spark, sf_dir):
         for r in sw.collect()
     )
     assert b == s
+
+
+def test_stream_ingest_gzipped_rotation_set(spark):
+    """Tailing rotated .gz archives: the streaming file source
+    decompresses by extension and the lineSep record split applies to
+    the decompressed stream, so streaming class aggregation over the
+    gz rotation fixture equals the batch parse of the same archives
+    (the operational shape: logrotate gzips segments, the stream
+    ingests them as they land)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_GZ_DIR
+    from slowlog2clickhouse_spark.sources.slowlog import parse_slowlog
+    from slowlog2clickhouse_spark.streaming.ops import run_to_memory
+    from slowlog2clickhouse_spark.streaming.slowlog_stream import (
+        read_slowlog_stream,
+        stream_classes,
+    )
+
+    assert os.path.isdir(FIXTURE_GZ_DIR)
+    got = run_to_memory(
+        stream_classes(read_slowlog_stream(spark, FIXTURE_GZ_DIR)), "update"
+    )
+    from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
+
+    events = with_fingerprint(parse_slowlog(spark, FIXTURE_GZ_DIR)).where(
+        ~F.col("admin") & F.col("query").isNotNull()
+    )
+    batch = (
+        events.groupBy(
+            F.date_trunc("minute", "ts").alias("period_start"), "digest"
+        )
+        .agg(F.count("*").alias("num_queries"))
+        .collect()
+    )
+    want = {(r["period_start"], r["digest"]): r["num_queries"] for r in batch}
+    have = {
+        (r["period_start"], r["digest"]): r["num_queries"]
+        for r in got.collect()
+    }
+    assert have == want and sum(have.values()) == 6
