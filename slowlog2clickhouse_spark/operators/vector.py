@@ -1146,16 +1146,21 @@ PQ_K = 16  # codes per subspace (4 bits)
 PQ_ITERS = 3  # Lloyd refinements per codebook
 
 
-def _pq_cte_prefix(m: int, sub: int, k: int, iters: int) -> str:
+def _pq_cte_prefix(
+    m: int, sub: int, k: int, iters: int, src: str = "e", head_extra: str = ""
+) -> str:
     """Shared CTE prefix for the PQ oracles: per subspace, the same
     engine-exact Lloyd chain as _kmeans_duck (fold-ordered L2, 9-dp
     model rounding, empty-cluster carry-over), ending in r{j}
-    (vec_id, code_j, dq_j) reconstruction CTEs."""
+    (vec_id, code_j, dq_j) reconstruction CTEs. ``src`` names the CTE
+    providing (vec_id, ed) — 'e' for raw embeddings, a residual CTE
+    for the IVF-PQ composite."""
     parts = [
         """
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
       FROM embeddings)"""
+        + head_extra
     ]
     for j in range(m):
         off = j * sub
@@ -1163,7 +1168,7 @@ def _pq_cte_prefix(m: int, sub: int, k: int, iters: int) -> str:
     s{j} AS MATERIALIZED (
       SELECT vec_id, list_transform(range(1, {sub} + 1), i -> ed[i + {off}])
                AS sub
-      FROM e),
+      FROM {src}),
     s{j}_c0 AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, sub AS cent
       FROM s{j} ORDER BY vec_id LIMIT {k})""")
@@ -1436,4 +1441,215 @@ def vec_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(
         F.col("rn") <= PQ_TOPK
+    )
+
+
+IVFPQ_NPROBE = 4
+IVFPQ_SHORTLIST = 32  # ADC shortlist size fed to the exact re-rank
+
+
+def _ivf_pq_duck(m: int, sub: int, k: int, iters: int, nprobe: int) -> str:
+    """vec_knn_ivf_pq oracle: IVF coarse cells (md5-ranked centroids,
+    unrounded-cosine argmax — the _ivf_duck contract) + residual PQ
+    (the engine-exact per-subspace Lloyd chains over cand_res) +
+    nprobe ADC search, all re-derived in one CTE pyramid."""
+    dim = m * sub
+    head_extra = f""",
+    eh AS (
+      SELECT vec_id, ed,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hk
+      FROM e),
+    cents AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY hk, vec_id) AS cent_id, ed AS cent
+      FROM eh ORDER BY hk, vec_id LIMIT {IVF_K}),
+    cand_res AS MATERIALIZED (
+      SELECT vec_id, cell,
+             list_transform(range(1, {dim} + 1), i -> ed[i] - cent[i]) AS ed
+      FROM (
+        SELECT e2.vec_id, e2.ed, c.cent_id AS cell, c.cent,
+               row_number() OVER (
+                 PARTITION BY e2.vec_id
+                 ORDER BY {_duck_cos("e2.ed", "c.cent")} DESC, c.cent_id ASC
+               ) AS rnc
+        FROM eh e2 JOIN cents c ON e2.vec_id >= 20) t
+      WHERE rnc = 1)"""
+    joins = " ".join(f"JOIN r{j} USING (vec_id)" for j in range(m))
+    dq = "flatten([" + ", ".join(f"dq_{j}" for j in range(m)) + "])"
+    return (
+        _pq_cte_prefix(m, sub, k, iters, src="cand_res", head_extra=head_extra)
+        + f""",
+    coded AS MATERIALIZED (
+      SELECT cand_res.vec_id AS cand_id, cand_res.cell, {dq} AS dq
+      FROM cand_res {joins}),
+    probe_cells AS MATERIALIZED (
+      SELECT probe_id, cell,
+             list_transform(range(1, {dim} + 1), i -> pe[i] - cent[i]) AS rp
+      FROM (
+        SELECT e2.vec_id AS probe_id, e2.ed AS pe, c.cent_id AS cell, c.cent,
+               row_number() OVER (
+                 PARTITION BY e2.vec_id
+                 ORDER BY {_duck_cos("e2.ed", "c.cent")} DESC, c.cent_id ASC
+               ) AS rnc
+        FROM eh e2 JOIN cents c ON e2.vec_id < 20) t
+      WHERE rnc <= {nprobe}),
+    shortlist AS MATERIALIZED (
+      SELECT probe_id, cand_id, adc_dist FROM (
+        SELECT p.probe_id, c.cand_id,
+               round({_duck_l2("p.rp", "c.dq")}, 6) AS adc_dist,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY round({_duck_l2("p.rp", "c.dq")}, 6) ASC,
+                          c.cand_id ASC) AS rn
+        FROM probe_cells p JOIN coded c USING (cell)) t
+      WHERE rn <= {IVFPQ_SHORTLIST})
+    SELECT probe_id, cand_id, adc_dist, cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT s.probe_id, s.cand_id, s.adc_dist,
+             round({_duck_cos("pv.ed", "cv.ed")}, 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY s.probe_id
+               ORDER BY round({_duck_cos("pv.ed", "cv.ed")}, 6) DESC,
+                        s.cand_id ASC) AS rn
+      FROM shortlist s
+      JOIN eh pv ON pv.vec_id = s.probe_id
+      JOIN eh cv ON cv.vec_id = s.cand_id) t WHERE rn <= 3
+    """
+    )
+
+
+@op(
+    "vec_knn_ivf_pq",
+    oracle=_ivf_pq_duck(PQ_M, PQ_SUB, PQ_K, PQ_ITERS, IVFPQ_NPROBE),
+)
+def vec_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production 100 TB ANN composite (the FAISS
+    default): coarse IVF cells prune the corpus to nprobe cells per
+    probe, and within a cell candidates exist only as 4-bit PQ codes
+    of their RESIDUAL (vector − cell centroid) — residuals concentrate
+    near zero, so the same codebook budget quantizes them tighter than
+    raw vectors. Search = per probed cell, the probe's residual
+    against each candidate's reconstructed residual (fold-L2 ADC),
+    top-3 per probe with the usual round-6 + cand_id tiebreak.
+
+    Composes the repo's two calibrated pieces: vec_knn_ivf's
+    deterministic md5-ranked centroids + unrounded-cosine max_by cell
+    assignment (one row per candidate into the shuffle), and
+    vec_quantize_pq's joint-Lloyd codebooks / one-lambda argmin encode
+    (gotcha #23) — here trained on residuals. Scale contract: cells +
+    codebooks are the tiny driver-side model; candidate encode is one
+    map pass; the probe side fans out ×nprobe only. Fully
+    hash-checked: the oracle re-derives cells, residuals, codebooks,
+    codes and the ranked ADC lists. Recall@3 vs the brute-force truth
+    is pinned in tests/test_vector.py beside vec_knn_ivf's."""
+    e = load_table(spark, sf_dir, "embeddings")
+    hk = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    with_e = e.select("vec_id", _emb_double().alias("ed"), hk.alias("hk"))
+    cents = (
+        with_e.orderBy("hk", "vec_id")
+        .limit(IVF_K)
+        .select(
+            F.row_number().over(W.orderBy("hk", "vec_id")).alias("cent_id"),
+            F.col("ed").alias("cent"),
+        )
+    )
+    resid = F.zip_with("ed", "cent", lambda x, y: x - y)
+
+    # candidates: ONE cell per vector (partial max_by), residual kept
+    cand_scored = with_e.where(F.col("vec_id") >= 20).join(
+        F.broadcast(cents)
+    ).select(
+        "vec_id",
+        "cent_id",
+        cosine(F.col("ed"), F.col("cent")).alias("cos_c"),
+        resid.alias("res"),
+    )
+    cand_res = (
+        cand_scored.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(named_struct('cell', cent_id, 'ed', res),"
+                " named_struct('c', cos_c, 'i', -cent_id))"
+            ).alias("m")
+        )
+        .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.ed").alias("ed"))
+        .localCheckpoint(eager=False)
+    )
+    models = _pq_train(cand_res, PQ_M, PQ_SUB, PQ_K, PQ_ITERS)
+    if not any(models):
+        return cand_res.select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("vec_id").alias("cand_id"),
+            F.lit(0.0).alias("adc_dist"),
+            F.lit(0).cast("long").alias("rn"),
+        ).limit(0)
+    cols, recon = [], []
+    for j, model in enumerate(models):
+        sj = F.slice("ed", j * PQ_SUB + 1, PQ_SUB)
+        matrix = _pq_matrix(model)
+        cols.append(_pq_code(sj, matrix).cast("int").alias(f"code_{j}"))
+        recon.append(F.element_at(matrix, F.col(f"code_{j}") + 1))
+    coded = (
+        cand_res.select(F.col("vec_id").alias("cand_id"), "cell", "ed", *cols)
+        .select("cand_id", "cell", F.concat(*recon).alias("dq"))
+    )
+
+    # probes: nprobe nearest cells, residual PER probed cell
+    probe_scored = with_e.where(F.col("vec_id") < 20).join(
+        F.broadcast(cents)
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        "cent_id",
+        cosine(F.col("ed"), F.col("cent")).alias("cos_c"),
+        resid.alias("rp"),
+    )
+    wp = W.partitionBy("probe_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+    probe_cells = (
+        probe_scored.withColumn("rnc", F.row_number().over(wp))
+        .where(F.col("rnc") <= IVFPQ_NPROBE)
+        .select("probe_id", F.col("cent_id").alias("cell"), "rp")
+    )
+    l2 = F.aggregate(
+        F.zip_with("rp", "dq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        _add,
+    )
+    scored = coded.join(F.broadcast(probe_cells), "cell").select(
+        "probe_id", "cand_id", F.round(l2, 6).alias("adc_dist")
+    )
+    wa = W.partitionBy("probe_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= IVFPQ_SHORTLIST)
+        .drop("rn")
+    )
+    # REFINE: exact cosine on the shortlist only — the standard IVF-PQ
+    # re-rank stage (full-precision math touches |probes|×shortlist
+    # rows, not the corpus; at 100 TB this is the stage that buys back
+    # the 4-bit codes' resolution)
+    pv = with_e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("ed").alias("pe")
+    )
+    cv = with_e.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"), F.col("ed").alias("cve")
+    )
+    refined = (
+        shortlist.join(F.broadcast(pv), "probe_id")
+        .join(cv, "cand_id")
+        .select(
+            "probe_id",
+            "cand_id",
+            "adc_dist",
+            F.round(cosine(F.col("pe"), F.col("cve")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return refined.withColumn("rn", F.row_number().over(w).cast("long")).where(
+        F.col("rn") <= 3
     )

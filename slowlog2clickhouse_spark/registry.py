@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "vec_knn_pq_adc",
     "qan_workload_compress",
     "qan_workload_sample",
+    "vec_knn_ivf_pq",
     "agg_weighted_percentile",
     "events_journey_pattern",
     "vec_contamination_probe",

@@ -66,6 +66,7 @@ ALLOW_NESTED_LOOP = {
     "ann_recall_eval",  # brute-force truth pass on the fixed probe panel
     "mm_feature_knn",  # broadcast probe panel (brute-force baseline shape)
     "vec_knn_ivf",  # broadcast 16-row centroid table
+    "vec_knn_ivf_pq",  # broadcast 16-row centroid table + probe panel
     "text_tfidf",  # broadcast 1-row corpus-size factor
     "agg_hll_daily_merge",  # broadcast 1-row exact-total factor
     "vec_quantize_int8",  # broadcast 1-row dim-stats arrays
@@ -88,6 +89,7 @@ ALLOW_NESTED_LOOP = {
     "orders_running_share",  # broadcast 1-row grand-total factor
     "corpus_token_budget",  # broadcast 1-row sqrt-token-total factor
     "qan_overview",  # broadcast 1-row grand-total factor (load_share)
+    "qan_workload_sample",  # broadcast 1-row grand+kept totals (shares)
     "agg_weighted_percentile",  # broadcast 1-row total-weight factor
     "vec_contamination_probe",  # broadcast probe panel (eval set: small by definition)
     "text_zipf_fit",  # broadcast 1-row corpus-totals aggregate
