@@ -583,3 +583,96 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 7 == 0, newlines).otherwise(0)
         ).alias("n_embedded_newlines"),
     )
+
+
+def _spread16(c):
+    """Spread the low 16 bits of a long across 32 bits (Morton/Z-order
+    bit interleave, magic-number form — 4 fixed ops instead of 16
+    per-bit extracts, per gotcha #23's expression-size rule). Pure
+    64-bit integer &/|/<< — bit-identical in Spark and DuckDB."""
+    c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333))
+    c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def _spread16_sql(expr: str) -> str:
+    c = expr
+    for sh, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        c = f"((({c}) | (({c}) << {sh})) & {mask})"
+    return c
+
+
+@op(
+    "sink_zorder_parquet",
+    # dims are min/max-normalized to the 16-bit grid BEFORE the
+    # interleave (the classic z-order pitfall: un-normalized dims of
+    # unequal bit-width make one dim own all the high bits and the
+    # curve degenerates to a 1-D sort); integer floor-div — exact
+    # cross-engine
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS me
+      FROM events),
+    st AS (
+      SELECT min(user_id) AS ulo,
+             greatest(max(user_id) - min(user_id), 1) AS uspan,
+             min(me) AS mlo, greatest(max(me) - min(me), 1) AS mspan
+      FROM ev)
+    SELECT event_id,
+           ({_spread16_sql("((user_id - ulo) * 65535) // uspan")}
+            | ({_spread16_sql("((me - mlo) * 65535) // mspan")} << 1)) AS zval
+    FROM ev, st
+    """,
+)
+def sink_zorder_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered sink — the multi-dimensional data-skipping
+    layout (Delta/Iceberg OPTIMIZE ZORDER) for the two axes events are
+    actually filtered on (user_id ranges for journeys, time ranges for
+    dashboards): interleave the low 16 bits of user_id with the
+    minute-bucket epoch (Morton code via the magic-number spread — 8
+    fixed integer ops, not 32 per-bit extracts), range-repartition +
+    sort on the z-value, write parquet. Each output file then covers a
+    small RECTANGLE in (user, time) space instead of a full-range
+    stripe, so parquet row-group min/max stats prune on EITHER
+    dimension — a single-column sort can only prune on one.
+    tests/test_sinks.py reads the footers back and pins per-file range
+    coverage well below the unsorted baseline on BOTH dims.
+
+    The checked output is the z-value itself for every event (pure
+    64-bit integer &/|/<< — bit-identical cross-engine), so the oracle
+    pins the exact layout KEY; the physical file layout is asserted by
+    the footer test (file split points are scheduler-dependent, keys
+    are not). Scale: one map pass + one range shuffle, the same cost
+    as any global sort-on-write."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).alias(
+            "minute_epoch"
+        ),
+    )
+    stats = ev.agg(
+        F.min("user_id").alias("ulo"),
+        F.greatest(F.max("user_id") - F.min("user_id"), F.lit(1)).alias("uspan"),
+        F.min("minute_epoch").alias("mlo"),
+        F.greatest(
+            F.max("minute_epoch") - F.min("minute_epoch"), F.lit(1)
+        ).alias("mspan"),
+    )
+    u16 = F.expr("div((user_id - ulo) * 65535, uspan)")
+    m16 = F.expr("div((minute_epoch - mlo) * 65535, mspan)")
+    z = _spread16(u16).bitwiseOR(F.shiftleft(_spread16(m16), 1))
+    with_z = ev.join(F.broadcast(stats)).select(
+        "event_id", "user_id", "minute_epoch", z.alias("zval")
+    )
+    out = f"{_TMP}/events_zorder"
+    (
+        with_z.repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select("event_id", "zval")

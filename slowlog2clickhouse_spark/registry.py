@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "qan_workload_compress",
     "qan_workload_sample",
     "vec_knn_ivf_pq",
+    "sink_zorder_parquet",
     "agg_weighted_percentile",
     "events_journey_pattern",
     "vec_contamination_probe",

@@ -44,6 +44,7 @@ EAGER = {
     "scan_jsonl",
     "sink_compact",
     "sink_partition_overwrite",
+    "sink_zorder_parquet",  # builder writes the z-ordered files eagerly
     "scan_schema_evolution",
     "scan_partition_pruned",
     "observe_metrics",

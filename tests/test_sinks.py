@@ -156,3 +156,48 @@ def test_full_battery_ddl_covers_every_d5_metric(spark):
     # type-mapping spot checks: DateTime64 for ts, LowCardinality dims
     assert "`period_start` DateTime64(6)" in ddl.replace("Nullable(DateTime64(6))", "DateTime64(6)")
     assert "LowCardinality" in ddl
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, sf_dir):
+    """The z-ordered files must each cover a small rectangle in
+    (user_id, minute) space: per-file normalized min/max range on BOTH
+    dimensions well below 1.0 (an unsorted or single-column-sorted
+    write stripes ~the full range of at least one dimension)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from slowlog2clickhouse_spark.operators.sinks_ops import _TMP
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    all_ops()["sink_zorder_parquet"].fn(spark, sf_dir).count()
+    files = sorted(glob.glob(os.path.join(_TMP, "events_zorder", "*.parquet")))
+    assert len(files) >= 4
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f)
+        umin = tmin = None
+        umax = tmax = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            cols = {g.column(i).path_in_schema: g.column(i) for i in range(g.num_columns)}
+            us, ts = cols["user_id"].statistics, cols["minute_epoch"].statistics
+            umin = us.min if umin is None else min(umin, us.min)
+            umax = us.max if umax is None else max(umax, us.max)
+            tmin = ts.min if tmin is None else min(tmin, ts.min)
+            tmax = ts.max if tmax is None else max(tmax, ts.max)
+        spans.append(((umin, umax), (tmin, tmax)))
+    guser = (min(s[0][0] for s in spans), max(s[0][1] for s in spans))
+    gts = (min(s[1][0] for s in spans), max(s[1][1] for s in spans))
+
+    def norm(lo, hi, g):
+        return (hi - lo) / ((g[1] - g[0]) or 1)
+
+    u_cov = sum(norm(lo, hi, guser) for (lo, hi), _ in spans) / len(spans)
+    t_cov = sum(norm(lo, hi, gts) for _, (lo, hi) in spans) / len(spans)
+    # z-order: BOTH dims clustered (measured ~0.3-0.6 with 8 files);
+    # a 1-D sort leaves the other dim at ~1.0
+    assert u_cov < 0.8, u_cov
+    assert t_cov < 0.8, t_cov
+    assert u_cov + t_cov < 1.4, (u_cov, t_cov)
