@@ -32,7 +32,8 @@ absorbs the spike instead of letting the equi-join go quadratic.
 
 Usage:
     python scripts/stress_probe.py [op ...]        # default flagships
-    python scripts/stress_probe.py --skew [op ...] # hot-key leg
+    python scripts/stress_probe.py --skew [op ...]        # hot-doc leg
+    python scripts/stress_probe.py --skew-events [op ...] # hot-user leg
     SPARK_GRAFT_STRESS_DIR=/tmp/... to relocate the generated corpus
 """
 
@@ -143,6 +144,65 @@ DEST_SKEW = os.environ.get(
 SKEW_COPIES = 10_000
 SKEW_OPS = ["dedup_minhash", "dedup_cluster", "dedup_keep_best"]
 
+DEST_SKEW_EV = os.environ.get(
+    "SPARK_GRAFT_STRESS_SKEW_EV_DIR", "/tmp/spark_graft_stress_skew_ev"
+)
+HOT_USER_EVENTS = 100_000
+SKEW_EV_OPS = [
+    "events_journey_pattern",
+    "win_sessionize",
+    "events_user_lifetime",
+    "events_markov_transitions",
+]
+
+
+def build_skew_events_corpus(spark) -> None:
+    """The per-key skew corpus for the user-partitioned window/state
+    family: ×10 events + ONE user with 100k events (a bot/scraper —
+    the key that makes an uncapped per-user window or collect buffer
+    the OOM task). Event ids fresh above the ×10 span; timestamps
+    spread over one day so sessionization still has gaps to find."""
+    if os.path.exists(os.path.join(DEST_SKEW_EV, "_DONE")):
+        return
+    build_corpus(spark)
+    os.makedirs(DEST_SKEW_EV, exist_ok=True)
+    from slowlog2clickhouse_spark.io import load_table
+
+    ev = load_table(spark, DEST, "events")
+    maxima = ev.agg(
+        F.max("event_id").alias("me"), F.max("user_id").alias("mu")
+    ).collect()[0]
+    template = ev.orderBy("event_id").limit(1)
+    hot = (
+        spark.range(HOT_USER_EVENTS)
+        .crossJoin(F.broadcast(template.drop("event_id", "user_id", "ts")))
+        .select(
+            (F.col("id") + F.lit(int(maxima["me"]) + 1)).alias("event_id"),
+            F.lit(int(maxima["mu"]) + 1).alias("user_id"),
+            # one event every ~0.86 s across one day
+            (
+                F.lit("2024-06-01 00:00:00").cast("timestamp")
+                + F.make_dt_interval(secs=F.col("id") * 0.864)
+            ).alias("ts"),
+            *[
+                c
+                for c in ev.columns
+                if c not in ("event_id", "user_id", "ts")
+            ],
+        )
+        .select(*ev.columns)
+    )
+    ev.unionByName(hot).write.mode("overwrite").parquet(
+        f"{DEST_SKEW_EV}/events.parquet"
+    )
+    for t in SHIFT_SPEC:
+        if t == "events":
+            continue
+        link = os.path.join(DEST_SKEW_EV, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(DEST, f"{t}.parquet"), link)
+    open(os.path.join(DEST_SKEW_EV, "_DONE"), "w").write("ok\n")
+
 
 def build_skew_corpus(spark) -> None:
     """The hot-key corpus: ×10 documents + 10⁴ EXACT copies of one
@@ -183,21 +243,34 @@ def main() -> None:
 
     argv = sys.argv[1:]
     skew = "--skew" in argv
-    argv = [a for a in argv if a != "--skew"]
-    names = argv or (SKEW_OPS if skew else DEFAULT_OPS)
+    skew_ev = "--skew-events" in argv
+    argv = [a for a in argv if a not in ("--skew", "--skew-events")]
+    names = argv or (
+        SKEW_EV_OPS if skew_ev else SKEW_OPS if skew else DEFAULT_OPS
+    )
     spark = get_session(app_name="stress_probe")
     t0 = time.time()
     build_corpus(spark)
     if skew:
         build_skew_corpus(spark)
+    if skew_ev:
+        build_skew_events_corpus(spark)
     print(f"corpus ready in {time.time() - t0:.0f}s at {DEST}", flush=True)
     ops = all_ops()
-    alt_label, alt_dir = ("skew", DEST_SKEW) if skew else ("x10", DEST)
-    print(f"| op | {'x10' if skew else 'sf0.1'} | {alt_label} | ratio |", flush=True)
+    alt_label, alt_dir = (
+        ("skew_ev", DEST_SKEW_EV)
+        if skew_ev
+        else ("skew", DEST_SKEW) if skew else ("x10", DEST)
+    )
+    base_label = "x10" if (skew or skew_ev) else "sf0.1"
+    print(f"| op | {base_label} | {alt_label} | ratio |", flush=True)
     print("|---|---|---|---|", flush=True)
     for name in names:
         times = {}
-        for label, d in (("base", DEST if skew else BASE), ("x10", alt_dir)):
+        for label, d in (
+            ("base", DEST if (skew or skew_ev) else BASE),
+            ("x10", alt_dir),
+        ):
             spark.catalog.clearCache()
             jsc = spark.sparkContext._jsc.sc()
             it = jsc.getPersistentRDDs().values().iterator()
