@@ -1332,3 +1332,80 @@ def qan_workload_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("kept_grand") > 0, F.col("kept_qt_sum") / F.col("kept_grand")
         ).alias("kept_share"),
     )
+
+
+@op(
+    "slowlog_classes_incremental",
+    # oracle = the single-pass FULL recompute: the merge of the two
+    # partial-aggregate halves must equal it. cnt/min/max are exact;
+    # the query-time sum is round-6-recovered AFTER the merge (the
+    # log's own precision — partial sums stay raw, rounding partials
+    # would double-round)
+    oracle=f"""
+    SELECT digest,
+           CAST(count(*) AS BIGINT) AS num_queries,
+           round(coalesce(sum(query_time), 0), 6) AS qt_sum,
+           min(query_time) AS qt_min,
+           max(query_time) AS qt_max
+    FROM {_GOLD}
+    WHERE NOT admin AND query IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def slowlog_classes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the class table — the
+    AggregatingMergeTree shape the reference's ClickHouse target uses
+    in production: yesterday's stored PARTIAL aggregates merge with
+    today's batch WITHOUT rescanning yesterday's raw events. The op
+    splits the fixture into two interleaved halves (minute-epoch
+    parity — every class spans both, the adversarial split), computes
+    the mergeable partial battery per half (count/sum/min/max — the
+    exactly-mergeable core; distinct-count merges live in
+    agg_hll_daily_merge, percentile merges in agg_percentile_approx's
+    sketch), full-outer-merges them digest-by-digest, and must equal
+    the single-pass recompute (the oracle).
+
+    The merge algebra IS the test: cnt = cnt₁+cnt₂, sum = sum₁+sum₂
+    (raw doubles, round-6-recovered only after the merge), min/max =
+    least/greatest with null-skip for digests present in one half
+    only. At 100 TB this is the difference between an O(day) append
+    and an O(history) recompute per ingest cycle.
+
+    Scale: two digest-keyed partial-agg shuffles + one digest
+    equi-join — in production the left side is a parquet/ClickHouse
+    read of stored partials, not a recompute."""
+    from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
+
+    events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        (~F.col("admin")) & F.col("query").isNotNull()
+    )
+    half = (
+        F.unix_timestamp(F.date_trunc("minute", F.col("ts"))) % 2
+    ).alias("half")
+    ev = events.select("digest", "query_time", half)
+
+    def partials(h: int) -> DataFrame:
+        return (
+            ev.where(F.col("half") == h)
+            .groupBy("digest")
+            .agg(
+                F.count("*").alias(f"cnt{h}"),
+                F.sum("query_time").alias(f"s{h}"),
+                F.min("query_time").alias(f"mn{h}"),
+                F.max("query_time").alias(f"mx{h}"),
+            )
+        )
+
+    merged = partials(0).join(partials(1), "digest", "full_outer")
+    zero = F.lit(0.0)
+    return merged.select(
+        "digest",
+        (F.coalesce("cnt0", F.lit(0)) + F.coalesce("cnt1", F.lit(0))).alias(
+            "num_queries"
+        ),
+        F.round(
+            F.coalesce("s0", zero) + F.coalesce("s1", zero), 6
+        ).alias("qt_sum"),
+        F.least("mn0", "mn1").alias("qt_min"),
+        F.greatest("mx0", "mx1").alias("qt_max"),
+    )

@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "qan_workload_sample",
     "vec_knn_ivf_pq",
     "sink_zorder_parquet",
+    "slowlog_classes_incremental",
     "agg_weighted_percentile",
     "events_journey_pattern",
     "vec_contamination_probe",
