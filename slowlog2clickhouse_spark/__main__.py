@@ -23,8 +23,12 @@ sink (exactly plans/pipeline.ingest_slowlog — the oracle-checked path).
 `digest` = the pt-query-digest-style report: global rollup + top-K
 classes by total query time, printed to stdout.
 `stream` = the same aggregation as an availableNow/continuous
-foreachBatch stream over a growing log directory (idempotent parquet
-appends keyed by epoch; checkpointed, so restarts resume).
+foreachBatch stream over a growing log directory. The sink is an
+idempotent FULL-STATE overwrite per micro-batch (complete output
+mode, epoch stamped as a column): a retried epoch rewrites identical
+content and a later drain supersedes an earlier one, so the output
+dir always holds exactly one consistent snapshot — never partial
+appends that double-count. Checkpointed, so restarts resume.
 
 Everything here is a THIN argument parser over tested library
 functions — no query logic lives in this module.
@@ -163,9 +167,13 @@ def cmd_digest(args) -> int:
     classes = ingest_slowlog(spark, args.log, period=args.period)
     for i, r in enumerate(top_digests(classes, k=args.top).collect(), start=1):
         fp = (r["fingerprint"] or "")[:70]
+        # a class whose every event lacked Query_time aggregates to
+        # NULL sums/max — print 0.0 instead of crashing the report
+        total_t = r["total_query_time"] if r["total_query_time"] is not None else 0.0
+        worst_t = r["worst_query_time"] if r["worst_query_time"] is not None else 0.0
         print(
-            f"{i:6d} {r['total_queries']:6d} {r['total_query_time']:12.4f}"
-            f" {r['worst_query_time']:10.4f}  {fp}"
+            f"{i:6d} {r['total_queries']:6d} {total_t:12.4f}"
+            f" {worst_t:10.4f}  {fp}"
         )
     return 0
 
@@ -180,11 +188,20 @@ def cmd_stream(args) -> int:
     events = read_slowlog_stream(spark, args.log_dir)
     classes = stream_classes(events)
 
+    # complete mode + full-state overwrite per epoch: a retried
+    # micro-batch rewrites the same state, a later drain replaces the
+    # earlier one, so readers summing num_queries never double-count
+    # (same idempotent shape as stream_slowlog_to_jdbc's JDBC sink).
+    # The epoch column records which micro-batch produced the snapshot.
     def sink_batch(batch_df, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(args.out)
+        from pyspark.sql import functions as F
+
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "overwrite"
+        ).parquet(args.out)
 
     writer = (
-        classes.writeStream.outputMode("update")
+        classes.writeStream.outputMode("complete")
         .foreachBatch(sink_batch)
         .option("checkpointLocation", args.checkpoint)
     )

@@ -612,7 +612,10 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lloyd(emb: DataFrame, k: int, iters: int, track_history: bool = True):
     """Lloyd's k-means over `emb(vec_id, e array<double>)`.
 
-    Returns (assigned DataFrame with cluster + sq_dist, inertia history).
+    Returns (assigned DataFrame with cluster + sq_dist, inertia
+    history; empty history when track_history=False — each history
+    point forces an extra Spark action, so callers that only need the
+    final assignment skip it).
     The centroid table is the MODEL, k×dim doubles — it lives on the
     driver and is re-broadcast each iteration (exactly MLlib's
     treeAggregate shape); the DATA never leaves the cluster. Per
@@ -622,6 +625,7 @@ def _lloyd(emb: DataFrame, k: int, iters: int, track_history: bool = True):
     re-average, collecting only k×dim numbers. Init is seedless: the
     k lowest vec_ids, so reruns converge identically.
     """
+    assert iters >= 1, "_lloyd needs at least one assignment pass"
     init = emb.orderBy("vec_id").limit(k).select("e").collect()
     centroids = [list(r["e"]) for r in init]
     if not centroids:  # empty corpus: empty assignment, no iterations
@@ -631,7 +635,7 @@ def _lloyd(emb: DataFrame, k: int, iters: int, track_history: bool = True):
             F.lit(0).alias("cluster"),
             F.lit(0.0).alias("sq_dist"),
         ).limit(0)
-        return empty, [], []
+        return empty, []
     history = []
     assigned = None
     for _ in range(iters):
@@ -678,9 +682,8 @@ def _lloyd(emb: DataFrame, k: int, iters: int, track_history: bool = True):
             .collect()
         )
         got = {r["cluster"]: list(r["c"]) for r in new_c}
-        model = centroids  # the model the LAST assignment ran against
         centroids = [got.get(i, centroids[i]) for i in range(k)]
-    return assigned, history, model
+    return assigned, history
 
 
 # Unrolled Lloyd iterations as CTEs (same trick as the pagerank
@@ -748,7 +751,7 @@ def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double().alias("e")
     )
-    assigned, _, _ = _lloyd(emb, k=8, iters=3)
+    assigned, _ = _lloyd(emb, k=8, iters=3, track_history=False)
     return (
         assigned.groupBy("cluster")
         .agg(
@@ -1583,6 +1586,7 @@ def vec_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("probe_id"),
             F.col("vec_id").alias("cand_id"),
             F.lit(0.0).alias("adc_dist"),
+            F.lit(0.0).alias("cos_sim"),
             F.lit(0).cast("long").alias("rn"),
         ).limit(0)
     cols, recon = [], []

@@ -77,6 +77,37 @@ def test_cli_stream_drains_to_batch_equivalent(spark, tmp_path):
     assert spark.read.parquet(out).count() == lib.count()
 
 
+def test_cli_stream_multi_drain_never_double_counts(spark, tmp_path):
+    """ADVICE r9 #1 regression: a second drain over a grown log dir
+    must replace the snapshot with the full corrected state, not
+    append stale partials — readers summing num_queries would
+    double-count under the old update-mode blind append."""
+    import shutil
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    shutil.copy(FIXTURE_LOG, src / "slow_a.log")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rc = main(["stream", "--log-dir", str(src), "--out", out, "--checkpoint", ckpt])
+    assert rc == 0
+    # the log dir grows between drains (rotation drops a second file)
+    shutil.copy(FIXTURE_LOG, src / "slow_b.log")
+    rc = main(["stream", "--log-dir", str(src), "--out", out, "--checkpoint", ckpt])
+    assert rc == 0
+
+    from slowlog2clickhouse_spark.plans.pipeline import ingest_slowlog
+
+    got = spark.read.parquet(out)
+    lib = ingest_slowlog(spark, str(src))
+    assert got.agg(F.sum("num_queries")).collect()[0][0] == lib.agg(
+        F.sum("num_queries")
+    ).collect()[0][0]
+    # epoch column present so readers can see which micro-batch wrote
+    # the snapshot; exactly one epoch survives per output dir
+    assert "epoch" in got.columns
+    assert got.select("epoch").distinct().count() == 1
+
+
 def test_cli_dedup_keep_best(spark, sf_dir, tmp_path):
     out = str(tmp_path / "keep")
     rc = main(["dedup", "--data-dir", sf_dir, "--out", out])

@@ -103,7 +103,7 @@ def test_kmeans_partitions_corpus_and_inertia_decreases(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double().alias("e")
     )
-    assigned, history, _ = _lloyd(emb, k=8, iters=3)
+    assigned, history = _lloyd(emb, k=8, iters=3)
     assert assigned.count() == emb.count()
     assert all(a >= b - 1e-9 for a, b in zip(history, history[1:])), history
     sizes = OPS["vec_kmeans"].fn(spark, sf_dir).collect()
