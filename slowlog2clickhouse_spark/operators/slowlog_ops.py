@@ -1409,3 +1409,122 @@ def slowlog_classes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("mn0", "mn1").alias("qt_min"),
         F.greatest("mx0", "mx1").alias("qt_max"),
     )
+
+
+@op(
+    "slowlog_classes_incremental_pctl",
+    # oracle = the single-pass FULL recompute of the same histogram
+    # quantiles: merged power-of-two histograms are integer-exact, so
+    # merge-of-partials must hash-equal the recompute. The percentile
+    # rule is percentile_disc's in exact integers (cum/tot >= q as
+    # cum*100 >= q*100*tot — no float ceil whose libm rounding could
+    # flip a boundary cross-engine).
+    oracle=f"""
+    WITH e AS (
+      SELECT digest,
+             length(bin(greatest(
+               CAST(floor(query_time * 1000000) AS BIGINT), 0))) AS bucket
+      FROM {_GOLD}
+      WHERE NOT admin AND query IS NOT NULL AND query_time IS NOT NULL),
+    h AS (SELECT digest, bucket, count(*) AS n FROM e GROUP BY 1, 2),
+    c AS (SELECT digest, bucket, n,
+                 sum(n) OVER (PARTITION BY digest ORDER BY bucket) AS cum,
+                 sum(n) OVER (PARTITION BY digest) AS tot
+          FROM h),
+    q AS (SELECT digest,
+                 CAST(min(tot) AS BIGINT) AS num_timed,
+                 min(CASE WHEN cum * 2 >= tot THEN bucket END) AS b50,
+                 min(CASE WHEN cum * 100 >= 95 * tot THEN bucket END) AS b95
+          FROM c GROUP BY 1)
+    SELECT digest, num_timed,
+           round(((CAST(1 AS BIGINT) << b50) - 1) / 1000000.0, 6) AS p50_est,
+           round(((CAST(1 AS BIGINT) << b95) - 1) / 1000000.0, 6) AS p95_est,
+           CAST(b95 AS INTEGER) AS p95_bucket
+    FROM q
+    """,
+)
+def slowlog_classes_incremental_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable PERCENTILES for the incremental class table — the gap
+    slowlog_classes_incremental leaves open (VERDICT r9 #2): the
+    reference class row carries med/p95 ([go-mysql]
+    event/metrics.go:~150-200 [R:H]), and raw percentiles cannot merge
+    from cnt/sum/min/max partials. The mergeable state is a
+    power-of-two histogram over floor(query_time·1e6) (microsecond
+    resolution, the qan_latency_histogram primitive — ClickHouse's own
+    quantileTiming philosophy): bucket counts are integers and merge
+    by ADDITION, exactly the AggregatingMergeTree contract. The op
+    splits the fixture into the same adversarial interleaved halves,
+    builds the per-half histograms, merges them (union + re-sum), and
+    reads p50/p95 off the MERGED histogram; the oracle recomputes the
+    same quantiles from a single full pass, so merged == recompute is
+    hash-verified. Bucket k spans [2^(k-1), 2^k)µs — the estimate
+    (bucket hi) is within 2× of the exact percentile_disc value, a
+    bound tests/test_slowlog.py pins against exact p50/p95.
+
+    Scale: per-cycle state is |digests × ≤40 buckets| integers (the
+    stored partials a 100 TB deployment keeps per day); the merge is
+    an addition-keyed shuffle of that tiny table, never a rescan of
+    history. Quantile extraction is one bounded window over ≤40 rows
+    per digest."""
+    from pyspark.sql import Window as W
+
+    from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
+
+    events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        (~F.col("admin"))
+        & F.col("query").isNotNull()
+        & F.col("query_time").isNotNull()
+    )
+    half = (
+        F.unix_timestamp(F.date_trunc("minute", F.col("ts"))) % 2
+    ).alias("half")
+    iv = F.greatest(
+        F.floor(F.col("query_time") * 1000000).cast("long"), F.lit(0)
+    )
+    bucket = F.length(F.conv(iv.cast("string"), 10, 2))
+    ev = events.select("digest", bucket.alias("bucket"), half)
+
+    def hist_partial(h: int) -> DataFrame:
+        # one day's stored partial: (digest, bucket) -> count
+        return (
+            ev.where(F.col("half") == h)
+            .groupBy("digest", "bucket")
+            .agg(F.count("*").alias("n"))
+        )
+
+    # THE MERGE: histograms merge by addition — union the stored
+    # partial tables and re-sum per (digest, bucket)
+    merged = (
+        hist_partial(0)
+        .unionByName(hist_partial(1))
+        .groupBy("digest", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    cum = F.sum("n").over(
+        W.partitionBy("digest").orderBy("bucket").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+    )
+    tot = F.sum("n").over(W.partitionBy("digest"))
+    c = merged.select(
+        "digest", "bucket", cum.alias("cum"), tot.alias("tot")
+    )
+    q = c.groupBy("digest").agg(
+        F.max("tot").alias("num_timed"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("bucket"))).alias(
+            "b50"
+        ),
+        F.min(
+            F.when(F.col("cum") * 100 >= 95 * F.col("tot"), F.col("bucket"))
+        ).alias("b95"),
+    )
+    est = lambda b: (  # noqa: E731 — bucket hi in seconds
+        (F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})") - 1) / 1000000.0
+    )
+    return q.select(
+        "digest",
+        "num_timed",
+        F.round(est("b50"), 6).alias("p50_est"),
+        F.round(est("b95"), 6).alias("p95_est"),
+        F.col("b95").cast("int").alias("p95_bucket"),
+    )

@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "vec_knn_ivf_pq",
     "sink_zorder_parquet",
     "slowlog_classes_incremental",
+    "slowlog_classes_incremental_pctl",
     "agg_weighted_percentile",
     "events_journey_pattern",
     "vec_contamination_probe",

@@ -852,3 +852,41 @@ def test_qan_workload_sample_fidelity(spark, sf_dir):
     assert tot["max_err"] < 0.15
     again = {(r["digest"], r["n_kept"]) for r in op.fn(spark, sf_dir).collect()}
     assert {(r["digest"], r["n_kept"]) for r in df.collect()} == again
+
+
+def test_incremental_pctl_bounds_exact_percentiles(spark, sf_dir):
+    """slowlog_classes_incremental_pctl error contract: the merged
+    power-of-two-histogram estimate is the selected bucket's upper
+    bound, so for every digest
+        exact_disc - 1µs <= est <= 2 * exact_disc + 1µs
+    where exact_disc is percentile_disc over the raw query times
+    (the exact value lies inside the picked bucket [2^(k-1), 2^k)µs).
+    Also pins med<=p95 and num_timed conservation."""
+    import math
+
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    got = {
+        r["digest"]: r
+        for r in all_ops()["slowlog_classes_incremental_pctl"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        (~F.col("admin"))
+        & F.col("query").isNotNull()
+        & F.col("query_time").isNotNull()
+    )
+    raw = events.select("digest", "query_time").toPandas()
+    assert set(raw["digest"]) == set(got)
+    for digest, grp in raw.groupby("digest"):
+        vals = sorted(grp["query_time"])
+        n = len(vals)
+        assert got[digest]["num_timed"] == n
+        for q, col in ((0.50, "p50_est"), (0.95, "p95_est")):
+            exact = vals[math.ceil(q * n) - 1]  # percentile_disc
+            est = got[digest][col]
+            assert est >= exact - 1e-6, (digest, col, exact, est)
+            assert est <= 2 * exact + 1e-6, (digest, col, exact, est)
+        assert got[digest]["p50_est"] <= got[digest]["p95_est"]
+        assert got[digest]["p95_bucket"] >= 1
