@@ -112,6 +112,37 @@ def _get_spark():
     return get_session(app_name="slowlog2clickhouse_spark_cli")
 
 
+def _warn_unroutable_constructs(spark, log_path: str) -> None:
+    """Data-driven fingerprint routing check (fn_fingerprint_router's
+    detectors over the REAL log): the ingest pipeline fingerprints via
+    the codegen'd regexp_replace chain, whose divergence regimes are
+    measured by fn_fingerprint_parity. If the log contains any of the
+    five chain-unsupported constructs, warn with per-construct counts
+    so the user routes through the state-machine UDF instead. One
+    extra map pass + a 5-number aggregate — never a shuffle."""
+    from pyspark.sql import functions as F
+
+    from slowlog2clickhouse_spark.functions.fingerprint import construct_flags
+    from slowlog2clickhouse_spark.sources.slowlog import parse_slowlog
+
+    q = parse_slowlog(spark, log_path).where(F.col("query").isNotNull())
+    flags = construct_flags(F.col("query"))
+    row = q.agg(
+        *[F.sum(c.cast("int")).alias(k) for k, c in flags.items()]
+    ).collect()[0]
+    hits = {k: row[k] for k in flags if row[k]}
+    if hits:
+        detail = ", ".join(f"{k}={v}" for k, v in sorted(hits.items()))
+        print(
+            "WARNING: log contains constructs the fingerprint chain "
+            f"diverges on ({detail}); re-run with the state-machine "
+            "fingerprint (pandas_udf_fingerprint) for those classes — "
+            "see fn_fingerprint_parity for the measured per-construct "
+            "divergence",
+            file=sys.stderr,
+        )
+
+
 def cmd_ingest(args) -> int:
     from slowlog2clickhouse_spark.plans.pipeline import (
         ingest_slowlog,
@@ -129,6 +160,7 @@ def cmd_ingest(args) -> int:
     if args.print_ddl:
         print(clickhouse_ddl(classes, args.table))
         return 0
+    _warn_unroutable_constructs(spark, args.log)
     n = None
     if args.out:
         sink_classes_parquet(classes, args.out)

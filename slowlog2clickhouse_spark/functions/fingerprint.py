@@ -85,6 +85,66 @@ def fingerprint_duckdb(expr: str) -> str:
     return f"trim({c})"
 
 
+# ---------------------------------------------------------------------------
+# Chain-vs-UDF routing detectors (VERDICT r9 #3)
+# ---------------------------------------------------------------------------
+# One flag per chain-unsupported grammar regime measured by
+# fn_fingerprint_parity. Detectors are deliberately CONSERVATIVE
+# (over-route, never under-route): tests/test_fingerprint.py pins the
+# safety property that on the committed adversarial corpus every
+# statement where the chain diverges from fingerprint_py raises at
+# least one flag — so "no flags" certifies the codegen'd chain path.
+# Expressions stick to string ops + the Java/RE2-portable regex subset
+# so the Spark and DuckDB renderings count identically.
+_ML_COMMENT_RE = r"/\*[^*]*\n"  # newline inside a block comment before any '*'
+_COMMENT_APOS_RE = r"(--|#)[^\n]*'|/\*[^*]*'"  # apostrophe after a comment opener
+
+
+def construct_flags(col: Column | str) -> dict[str, Column]:
+    """Boolean flag per chain-unsupported construct (Spark side)."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def _odd(ch: str) -> Column:
+        return (F.length(c) - F.length(F.replace(c, F.lit(ch), F.lit("")))) % 2 == 1
+
+    return {
+        "string_doubled_quote": c.contains("''") | c.contains('""'),
+        "string_escaped_backslash": c.contains("\\"),
+        "comment_block_multiline": c.rlike(_ML_COMMENT_RE),
+        "comment_apostrophe": c.rlike(_COMMENT_APOS_RE),
+        "unterminated_string": _odd("'") | _odd('"'),
+    }
+
+
+def construct_flags_duckdb(expr: str) -> dict[str, str]:
+    """The identical detectors rendered as DuckDB SQL (oracle side).
+    chr() builds the quote/backslash literals so no SQL-escaping layer
+    can skew the patterns between engines."""
+
+    def _odd(code: int) -> str:
+        return (
+            f"((length({expr}) - length(replace({expr}, chr({code}), ''))) % 2 = 1)"
+        )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    return {
+        "string_doubled_quote": (
+            f"strpos({expr}, chr(39)||chr(39)) > 0"
+            f" OR strpos({expr}, chr(34)||chr(34)) > 0"
+        ),
+        "string_escaped_backslash": f"strpos({expr}, chr(92)) > 0",
+        "comment_block_multiline": (
+            f"regexp_matches({expr}, '{q(_ML_COMMENT_RE)}')"
+        ),
+        "comment_apostrophe": (
+            f"regexp_matches({expr}, '{q(_COMMENT_APOS_RE)}')"
+        ),
+        "unterminated_string": f"({_odd(39)} OR {_odd(34)})",
+    }
+
+
 def digest_col(fp: Column | str) -> Column:
     """Class id: upper(substr(md5(fingerprint), 17, 16)) — byte-for-byte
     the reference's Id() ([go-mysql] query/query.go:~25 [R:H]); md5 is

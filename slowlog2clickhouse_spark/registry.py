@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "sink_zorder_parquet",
     "slowlog_classes_incremental",
     "slowlog_classes_incremental_pctl",
+    "fn_fingerprint_router",
     "agg_weighted_percentile",
     "events_journey_pattern",
     "vec_contamination_probe",

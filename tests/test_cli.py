@@ -127,3 +127,28 @@ def test_cli_curate_report(spark, sf_dir, tmp_path, capsys):
     assert spark.read.parquet(out).count() >= 1
     text = capsys.readouterr().out
     assert "funnel" in text
+
+
+def test_cli_ingest_warns_on_unroutable_constructs(spark, tmp_path, capsys):
+    """The ingest path runs fn_fingerprint_router's detectors on the
+    real log: the fixture contains comment-apostrophe statements, so
+    the chain-divergence warning must appear with per-construct
+    counts; a clean log must stay silent."""
+    out = str(tmp_path / "classes")
+    rc = main(["ingest", "--log", FIXTURE_LOG, "--out", out])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "comment_apostrophe" in err
+
+    clean = tmp_path / "clean.log"
+    clean.write_text(
+        "# Time: 2024-01-01T00:00:01.000000Z\n"
+        "# User@Host: u[u] @ h []  Id: 1\n"
+        "# Query_time: 0.01  Lock_time: 0.0  Rows_sent: 1  Rows_examined: 1\n"
+        "SET timestamp=1704067201;\n"
+        "SELECT id FROM t WHERE id = 7;\n"
+    )
+    out2 = str(tmp_path / "classes2")
+    rc = main(["ingest", "--log", str(clean), "--out", out2])
+    assert rc == 0
+    assert "WARNING" not in capsys.readouterr().err

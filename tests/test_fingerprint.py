@@ -346,3 +346,55 @@ def test_chain_mirror_matches_spark(spark):
     df = spark.createDataFrame([(q,) for q in queries], ["q"])
     spark_chain = [r[0] for r in df.select(fingerprint_col(F.col("q"))).collect()]
     assert spark_chain == [fingerprint_chain_py(q) for q in queries]
+
+
+def test_router_flags_are_a_sound_chain_certificate(spark):
+    """THE router safety property (VERDICT r9 #3): on the committed
+    adversarial corpus, every statement where the regexp chain
+    diverges from fingerprint_py raises at least one construct flag —
+    so an unflagged corpus certifies the codegen'd chain path. Also
+    pins that the divergence constructs are all flagged (the detectors
+    may over-route, never under-route)."""
+    from slowlog2clickhouse_spark.functions.fingerprint import (
+        construct_flags,
+        fingerprint_py,
+    )
+    from slowlog2clickhouse_spark.operators.udfs import FINGERPRINT_CORPUS
+
+    df = spark.read.parquet(FINGERPRINT_CORPUS)
+    flags = construct_flags(F.col("query"))
+    any_flag = None
+    for c in flags.values():
+        any_flag = c if any_flag is None else (any_flag | c)
+    rows = df.select(
+        "construct",
+        "query",
+        "fp_py",
+        fingerprint_col(F.col("query")).alias("fp_chain"),
+        any_flag.alias("flagged"),
+    ).collect()
+    for r in rows:
+        assert r["fp_py"] == fingerprint_py(r["query"])  # committed truth live
+        if not r["flagged"]:
+            assert r["fp_chain"] == r["fp_py"], (
+                "unflagged statement diverges — router is unsound: "
+                f"{r['construct']}: {r['query']!r}"
+            )
+    divergent = [r for r in rows if r["fp_chain"] != r["fp_py"]]
+    assert divergent, "corpus lost its divergence regimes"
+    assert all(r["flagged"] for r in divergent)
+
+
+def test_router_op_incidence_on_corpus(spark, sf_dir):
+    """fn_fingerprint_router emits one row per detector with exact
+    incidence; on the committed corpus every detector fires (the
+    corpus contains all five regimes by construction)."""
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    rows = all_ops()["fn_fingerprint_router"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["corpus_n"] > 0
+        assert 0 < r["n_flagged"] <= r["corpus_n"], r
+        assert r["needs_routing"] is True
+        assert abs(r["incidence"] - round(r["n_flagged"] / r["corpus_n"], 4)) < 1e-9
