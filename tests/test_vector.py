@@ -315,3 +315,30 @@ def test_ivf_pq_recall_and_rerank(spark, sf_dir):
         for r in ops["vec_knn_ivf_pq"].fn(spark, sf_dir).collect()
     }
     assert mine == again
+
+
+def test_ivfpq_sweep_frontier_invariants(spark, sf_dir):
+    """The IVF-PQ knob curve (VERDICT r9 #4): 12 grid rows; adc_rows
+    (the scale-dominant cost) strictly grows with nprobe and is
+    shortlist-independent; recall is monotone non-decreasing in
+    shortlist at fixed nprobe (fixed ADC pool, top-16 ⊆ top-32 ⊆
+    top-64, and the exact-cosine re-rank can never evict a truth
+    member for a superset — anything out-cosining a truth top-3 row IS
+    truth top-3). Monotonicity in nprobe is deliberately NOT asserted:
+    more cells can displace a truth candidate from the ADC shortlist
+    (measured: recall(8,32) < recall(4,32) at sf0.01). The corner
+    configs anchor the curve: (8,64) must beat (1,16)."""
+    rows = OPS["ann_ivfpq_sweep"].fn(spark, sf_dir).collect()
+    assert len(rows) == 12
+    by = {(r["nprobe"], r["shortlist"]): r for r in rows}
+    nps, sls = (1, 2, 4, 8), (16, 32, 64)
+    for np_ in nps:
+        adc = {by[(np_, sl)]["adc_rows"] for sl in sls}
+        assert len(adc) == 1  # cost axis is nprobe-only
+        for lo, hi in zip(sls, sls[1:]):
+            assert by[(np_, hi)]["recall"] >= by[(np_, lo)]["recall"]
+    for lo, hi in zip(nps, nps[1:]):
+        assert by[(hi, 16)]["adc_rows"] > by[(lo, 16)]["adc_rows"]
+    assert by[(8, 64)]["recall"] > by[(1, 16)]["recall"]
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0 and r["hits"] <= r["truth_n"]
