@@ -572,15 +572,28 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("stream_rate_source")  # rows-only: synthetic source, invariants tested
+@op(
+    "stream_rate_source",
+    # the generator is DETERMINISTIC (values 0,1,2,... at 1000/batch)
+    # and the aggregate reads a FIXED prefix (value < 2000), so the
+    # result is a VALUES literal — the stream_late_data pattern
+    # (VERDICT r9 #6 upgraded this op from rows-only).
+    oracle="""
+    SELECT CAST(parity AS BIGINT) AS parity, CAST(n AS BIGINT) AS n
+    FROM (VALUES (0, 1000), (1, 1000)) t(parity, n)
+    """,
+)
 def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `rate-micro-batch` synthetic source: a deterministic
     rows-per-batch generator — the load-driver for soak-testing
     streaming topologies before real data exists (the plain `rate`
     source has no backlog, so availableNow would pull zero rows).
-    Runs micro-batches until ≥2 batches landed, then returns the
-    parity-count aggregate — proving trigger plumbing on a non-file
-    source."""
+    Values arrive as the sequence 0,1,2,... at 1000 rows/batch; the
+    aggregate counts parities over the FIXED prefix value < 2000
+    (2 batches' worth), so however many micro-batches the trigger
+    fires, the converged complete-mode answer is exactly
+    {0: 1000, 1: 1000} — proving trigger plumbing on a non-file
+    source with a hash-verified literal oracle."""
     import time
 
     stream = (
@@ -589,8 +602,10 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("numPartitions", "4")
         .load()
     )
-    agg = stream.groupBy((F.col("value") % 2).alias("parity")).agg(
-        F.count("*").alias("n")
+    agg = (
+        stream.where(F.col("value") < 2000)
+        .groupBy((F.col("value") % 2).alias("parity"))
+        .agg(F.count("*").alias("n"))
     )
     name = f"rate_result_{next(_counter)}"
     q = (
@@ -610,13 +625,35 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@op("stream_progress_metrics")  # rows-only: observability surface
+@op(
+    "stream_progress_metrics",
+    # the deterministic subset of the progress surface IS
+    # oracle-checkable (VERDICT r9 #6): one parquet file under
+    # availableNow = one data micro-batch (batch_id 0) whose
+    # numInputRows is the table count, and the complete-mode agg's
+    # output rows = distinct (hour, event_type) groups. The
+    # engine-internal state-row count is folded into a verdict
+    # boolean (state rows == output groups for a complete-mode agg) —
+    # the partial-oracle pattern.
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS input_rows,
+           CAST(count(DISTINCT (date_trunc('hour', ts), event_type))
+                AS BIGINT) AS out_rows,
+           TRUE AS state_consistent
+    FROM events
+    """,
+)
 def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming observability: run a windowed aggregate to completion
-    and surface the query-progress metrics (rows/sec, batch count,
+    and surface the query-progress metrics (batch id, input rows,
     state rows) from `lastProgress` — what an operator actually
     watches in production (the Dropwizard/metrics-sink numbers, pulled
-    through the same API)."""
+    through the same API). batch_id / input_rows / output groups are
+    deterministic and hash-verified; the state-store row count is
+    engine-internal, so it ships as the state_consistent verdict
+    (state rows == output groups — true for any complete-mode agg,
+    and a lying progress API fails the oracle loudly)."""
     agg = tumbling_agg(read_events_stream(spark, sf_dir), window="1 hour")
     name = f"progress_{next(_counter)}"
     q = (
@@ -631,14 +668,17 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_state = 0
     for so in prog.get("stateOperators") or []:
         n_state += so.get("numRowsTotal", 0) or 0
+    out_rows = int(spark.table(name).count())
     row = (
         int(prog.get("batchId", -1)),
         int((prog.get("sources") or [{}])[0].get("numInputRows", 0) or 0),
-        int(n_state),
-        int(spark.table(name).count()),
+        out_rows,
+        int(n_state) == out_rows,
     )
     return spark.createDataFrame(
-        [row], "batch_id long, input_rows long, state_rows long, out_rows long"
+        [row],
+        "batch_id long, input_rows long, out_rows long,"
+        " state_consistent boolean",
     )
 
 
