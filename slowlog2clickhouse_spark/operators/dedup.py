@@ -1374,3 +1374,208 @@ def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(redundant).cast("long").alias("n_redundant"),
         (F.sum(redundant) * F.lit(1.0) / F.count(F.lit(1))).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band/row tuning sweep (r10) — the dedup family's knob curve,
+# companion to ann_ivfpq_sweep: same 16 minhashes, regrouped.
+# ---------------------------------------------------------------------------
+
+_LSH_SWEEP_ARMS = ((2, 8), (4, 4), (8, 2), (16, 1))
+_LSH_SWEEP_THETA = 0.5  # "near-dup" = shingle-set Jaccard >= 0.5
+
+# tok/th/xm/mins only — the signature pyramid shared by every arm
+# (sliced out of the committed 4x4 oracle so the chains stay
+# byte-identical)
+_MINS_PREFIX_DUCK = _MINHASH_BANDS_DUCK[
+    : _MINHASH_BANDS_DUCK.index("    bands AS (")
+].rstrip().rstrip(",")
+
+
+def _lsh_sweep_duck() -> str:
+    arms_cte = []
+    tagged = []
+    for bn, r in _LSH_SWEEP_ARMS:
+        sl = f"list_transform(range(1, {r} + 1), i -> ms[band * {r} + i])"
+        fold = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), {sl}),"
+            f" (acc, x) -> (acc * 31 + x) % {_MH_P})"
+        )
+        arms_cte.append(f"""
+    bx_{bn} AS MATERIALIZED (
+      SELECT doc_id, band, {fold} AS sig
+      FROM mins, (SELECT unnest(range(0, {bn})) AS band) bs),
+    cand_{bn} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bx_{bn} a JOIN bx_{bn} b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""")
+        tagged.append(
+            f"SELECT CAST({bn} AS INTEGER) AS bands, doc_a, doc_b FROM cand_{bn}"
+        )
+    arms_vals = ", ".join(
+        f"({bn}, {r}, {round(1 - (1 - _LSH_SWEEP_THETA ** r) ** bn, 6)!r})"
+        for bn, r in _LSH_SWEEP_ARMS
+    )
+    return f"""
+    {_MINS_PREFIX_DUCK},
+    sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct(xs) AS s FROM xm),
+    {", ".join(c.strip() for c in arms_cte)},
+    tagged AS ({" UNION ALL ".join(tagged)}),
+    scored AS (
+      SELECT t.bands, t.doc_a, t.doc_b,
+             (len(list_intersect(a.s, b.s)) * 1.0
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))
+             >= {_LSH_SWEEP_THETA} AS is_true
+      FROM tagged t
+      JOIN sh a ON a.doc_id = t.doc_a
+      JOIN sh b ON b.doc_id = t.doc_b),
+    per AS (
+      SELECT bands, CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+      FROM scored GROUP BY 1),
+    pool AS (SELECT n_true AS pool_true FROM per WHERE bands = 16),
+    arms(bands, rows_per_band, s_curve_p_at_theta) AS (VALUES {arms_vals})
+    SELECT CAST(arms.bands AS INTEGER) AS bands,
+           CAST(arms.rows_per_band AS INTEGER) AS rows_per_band,
+           coalesce(per.n_candidates, 0) AS n_candidates,
+           coalesce(per.n_true, 0) AS n_true,
+           pool.pool_true,
+           CASE WHEN pool.pool_true > 0
+                THEN round(coalesce(per.n_true, 0) * 1.0 / pool.pool_true, 4)
+           END AS recall_vs_pool,
+           CASE WHEN coalesce(per.n_candidates, 0) > 0
+                THEN round(coalesce(per.n_true, 0) * 1.0 / per.n_candidates, 4)
+           END AS precision_cand,
+           CAST(arms.s_curve_p_at_theta AS DOUBLE) AS s_curve_p_at_theta
+    FROM arms LEFT JOIN per ON arms.bands = per.bands, pool
+    """
+
+
+@op("dedup_lsh_band_sweep", oracle=_lsh_sweep_duck())
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH banding curve — the dedup family's production
+    knob measured as a frontier, like ann_ivfpq_sweep for ANN: the
+    SAME 16 minhash values regrouped as (bands × rows/band) ∈
+    {(2,8), (4,4), (8,2), (16,1)}, each arm's band equi-join emitting
+    candidates that are then verified against the exact shingle-set
+    Jaccard at θ=0.5. Per arm: candidate count (the COST — band-join
+    output is what scales), true-pair count, recall vs the pooled
+    truth, candidate precision, and the S-curve's theoretical
+    candidate probability at θ (1-(1-θ^r)^b) beside the measured
+    numbers. Pooled truth = the (16,1) arm's verified pairs — a SOUND
+    pool: any arm's band match means every row in that band agrees,
+    so each agreeing hash makes the pair a (16,1) candidate (the only
+    pairs outside the pool have zero agreeing minhashes, i.e.
+    estimated J=0, irrelevant at θ=0.5).
+
+    Scale: signatures + shingle sets built once (localCheckpoint) and
+    shared by all arms; each arm is one capped band equi-join (the
+    hot-bucket guard applies per arm); verification touches candidate
+    pairs only, never all-pairs. More bands of fewer rows = more
+    candidates for more recall — this op prices that dial.
+
+    Oracle caveat shared with dedup_minhash: cap_band_buckets never
+    fires at test SF (pinned in tests/test_dedup.py), so the uncapped
+    DuckDB arms are exact."""
+    d = load_table(spark, sf_dir, "documents")
+    xm = _with_shingle_hashes(d)
+    base = xm.select(
+        "doc_id",
+        F.array_distinct("xm").alias("s"),
+        F.aggregate(F.col("xm"), _mins_init(), _family_min_merge).alias("ms"),
+    ).localCheckpoint(eager=False)
+
+    def _arm_sigs(rows_per_band: int, n_bands: int) -> F.Column:
+        # NB: the transform lambda must take exactly ONE parameter —
+        # pyspark treats a 2-arg lambda as (element, index)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda band: F.aggregate(
+                F.slice(F.col("ms"), band * rows_per_band + 1, rows_per_band),
+                F.lit(0).cast("long"),
+                lambda acc, m: (acc * 31 + m) % _MH_P,
+            ),
+        )
+
+    cand_all = None
+    for bn, r in _LSH_SWEEP_ARMS:
+        sig = _arm_sigs(r, bn)
+        banded = (
+            base.select(
+                "doc_id", F.posexplode_outer(sig).alias("band", "band_sig")
+            )
+            .repartition("band", "band_sig")
+        )
+        banded = cap_band_buckets(banded, ("band", "band_sig"))
+        a = banded.alias("a")
+        b2 = banded.alias("b")
+        cand = (
+            a.join(
+                b2,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .select(F.lit(bn).alias("bands"), "doc_a", "doc_b")
+        )
+        cand_all = cand if cand_all is None else cand_all.unionByName(cand)
+
+    a_s = base.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b_s = base.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    common = F.size(F.array_intersect("sa", "sb"))
+    jac = common * 1.0 / (F.size("sa") + F.size("sb") - common)
+    scored = (
+        cand_all.join(a_s, "doc_a")
+        .join(b_s, "doc_b")
+        .select("bands", (jac >= F.lit(_LSH_SWEEP_THETA)).alias("is_true"))
+    )
+    per = scored.groupBy("bands").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.col("is_true").cast("long")).alias("n_true"),
+    )
+    pool = per.where(F.col("bands") == 16).select(
+        F.col("n_true").alias("pool_true")
+    )
+    arms = spark.createDataFrame(
+        [
+            (bn, r, round(1 - (1 - _LSH_SWEEP_THETA**r) ** bn, 6))
+            for bn, r in _LSH_SWEEP_ARMS
+        ],
+        "bands int, rows_per_band int, s_curve_p_at_theta double",
+    )
+    return (
+        arms.join(per, "bands", "left")
+        .crossJoin(F.broadcast(pool))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+            "pool_true",
+            F.when(
+                F.col("pool_true") > 0,
+                F.round(
+                    F.coalesce("n_true", F.lit(0)) * 1.0 / F.col("pool_true"),
+                    4,
+                ),
+            ).alias("recall_vs_pool"),
+            F.when(
+                F.coalesce("n_candidates", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_true", F.lit(0))
+                    * 1.0
+                    / F.col("n_candidates"),
+                    4,
+                ),
+            ).alias("precision_cand"),
+            "s_curve_p_at_theta",
+        )
+    )

@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "slowlog_classes_incremental_pctl",
     "fn_fingerprint_router",
     "ann_ivfpq_sweep",
+    "dedup_lsh_band_sweep",
     "agg_weighted_percentile",
     "events_journey_pattern",
     "vec_contamination_probe",

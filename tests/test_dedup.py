@@ -365,3 +365,26 @@ def test_dedup_rate_by_source_consistent_with_exact(spark, sf_dir):
     )
     assert sum(r["n_redundant"] for r in rows) == total_docs - distinct_texts
     assert sum(r["n_docs"] for r in rows) == total_docs
+
+
+def test_lsh_band_sweep_frontier_invariants(spark, sf_dir):
+    """The banding S-curve made measurable: more bands of fewer rows
+    can only ADD candidates (a (b,r) band match implies every
+    half-band of it matches in the 2b-band arm — candidate sets are
+    nested along the arm ladder), so n_candidates and n_true are
+    monotone non-decreasing in bands while precision falls; the
+    production 4x4 config must reach full pooled recall (the measured
+    knee this sweep exists to justify)."""
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    rows = {r["bands"]: r for r in all_ops()["dedup_lsh_band_sweep"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {2, 4, 8, 16}
+    for lo, hi in ((2, 4), (4, 8), (8, 16)):
+        assert rows[hi]["n_candidates"] >= rows[lo]["n_candidates"]
+        assert rows[hi]["n_true"] >= rows[lo]["n_true"]
+    assert rows[16]["n_true"] == rows[16]["pool_true"]  # pool definition
+    assert rows[4]["recall_vs_pool"] == 1.0  # the production config's knee
+    assert rows[2]["precision_cand"] >= rows[16]["precision_cand"]
+    for r in rows.values():
+        assert r["n_true"] <= r["n_candidates"]
+        assert 0.0 < r["s_curve_p_at_theta"] < 1.0

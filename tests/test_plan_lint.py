@@ -94,6 +94,8 @@ ALLOW_NESTED_LOOP = {
     "agg_weighted_percentile",  # broadcast 1-row total-weight factor
     "vec_contamination_probe",  # broadcast probe panel (eval set: small by definition)
     "text_zipf_fit",  # broadcast 1-row corpus-totals aggregate
+    "ann_ivfpq_sweep",  # broadcast probe panel truth + 1-row truth_n fold onto the 12-row grid
+    "dedup_lsh_band_sweep",  # 1-row pooled-truth fold onto the 4-row arm table
 }
 
 LAZY_OPS = sorted(set(OPS) - EAGER)
