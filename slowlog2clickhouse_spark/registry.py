@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "slowlog_classes_incremental",
     "slowlog_classes_incremental_pctl",
     "fn_fingerprint_router",
+    "fn_fingerprint_routed",
     "ann_ivfpq_sweep",
     "dedup_lsh_band_sweep",
     "agg_weighted_percentile",

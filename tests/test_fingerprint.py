@@ -398,3 +398,31 @@ def test_router_op_incidence_on_corpus(spark, sf_dir):
         assert 0 < r["n_flagged"] <= r["corpus_n"], r
         assert r["needs_routing"] is True
         assert abs(r["incidence"] - round(r["n_flagged"] / r["corpus_n"], 4)) < 1e-9
+
+
+def test_routed_fingerprint_is_state_machine_exact(spark, sf_dir):
+    """fn_fingerprint_routed == fingerprint_py on every corpus row
+    (including all divergence regimes), and the chain actually handles
+    the unflagged mass (the routed column differs from the raw chain
+    on at least the flagged divergent rows)."""
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    got = {
+        r["stmt_id"]: r["fingerprint"]
+        for r in all_ops()["fn_fingerprint_routed"].fn(spark, sf_dir).collect()
+    }
+    df = spark.read.parquet(
+        __import__(
+            "slowlog2clickhouse_spark.operators.udfs", fromlist=["x"]
+        ).FINGERPRINT_CORPUS
+    )
+    rows = df.select(
+        "stmt_id", "fp_py", fingerprint_col(F.col("query")).alias("chain")
+    ).collect()
+    assert len(got) == len(rows)
+    n_diverge = 0
+    for r in rows:
+        assert got[r["stmt_id"]] == r["fp_py"], r["stmt_id"]
+        if r["chain"] != r["fp_py"]:
+            n_diverge += 1
+    assert n_diverge > 0  # the corpus still exercises the routed path
