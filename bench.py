@@ -115,6 +115,10 @@ EXTRA_OPS = (
     # journey tracker (bounded per-user state)
     "dedup_keep_best",
     "stream_journey_state",
+    # round-10: the mergeable-percentile class table and the LSH
+    # banding frontier (4 arms over one shared signature build)
+    "slowlog_classes_incremental_pctl",
+    "dedup_lsh_band_sweep",
 )
 
 
@@ -215,6 +219,12 @@ def main() -> None:
         ),
         "dedup_keep_best": lambda: ops["dedup_keep_best"].fn(spark, sf_dir),
         "stream_journey_state": lambda: ops["stream_journey_state"].fn(
+            spark, sf_dir
+        ),
+        "slowlog_classes_incremental_pctl": lambda: ops[
+            "slowlog_classes_incremental_pctl"
+        ].fn(spark, sf_dir),
+        "dedup_lsh_band_sweep": lambda: ops["dedup_lsh_band_sweep"].fn(
             spark, sf_dir
         ),
     }

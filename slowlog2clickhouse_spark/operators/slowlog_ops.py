@@ -1411,6 +1411,52 @@ def slowlog_classes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qt_hist_bucket() -> F.Column:
+    """Power-of-two histogram bucket of query_time at µs resolution —
+    the mergeable percentile state's key (bucket k spans
+    [2^(k-1), 2^k)µs; integer/string ops only, exact cross-engine)."""
+    iv = F.greatest(
+        F.floor(F.col("query_time") * 1000000).cast("long"), F.lit(0)
+    )
+    return F.length(F.conv(iv.cast("string"), 10, 2))
+
+
+def hist_quantiles(merged: DataFrame) -> DataFrame:
+    """(digest, bucket, n) histogram → (digest, num_timed, p50_est,
+    p95_est, p95_bucket) via percentile_disc's exact integer cume rule.
+    Shared by the batch incremental op and the streaming merge sink."""
+    from pyspark.sql import Window as W
+
+    cum = F.sum("n").over(
+        W.partitionBy("digest").orderBy("bucket").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+    )
+    tot = F.sum("n").over(W.partitionBy("digest"))
+    c = merged.select(
+        "digest", "bucket", cum.alias("cum"), tot.alias("tot")
+    )
+    q = c.groupBy("digest").agg(
+        F.max("tot").alias("num_timed"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("bucket"))).alias(
+            "b50"
+        ),
+        F.min(
+            F.when(F.col("cum") * 100 >= 95 * F.col("tot"), F.col("bucket"))
+        ).alias("b95"),
+    )
+    est = lambda b: (  # noqa: E731 — bucket hi in seconds
+        (F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})") - 1) / 1000000.0
+    )
+    return q.select(
+        "digest",
+        "num_timed",
+        F.round(est("b50"), 6).alias("p50_est"),
+        F.round(est("b95"), 6).alias("p95_est"),
+        F.col("b95").cast("int").alias("p95_bucket"),
+    )
+
+
 @op(
     "slowlog_classes_incremental_pctl",
     # oracle = the single-pass FULL recompute of the same histogram
@@ -1466,8 +1512,6 @@ def slowlog_classes_incremental_pctl(spark: SparkSession, sf_dir: str) -> DataFr
     an addition-keyed shuffle of that tiny table, never a rescan of
     history. Quantile extraction is one bounded window over ≤40 rows
     per digest."""
-    from pyspark.sql import Window as W
-
     from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
 
     events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
@@ -1478,11 +1522,7 @@ def slowlog_classes_incremental_pctl(spark: SparkSession, sf_dir: str) -> DataFr
     half = (
         F.unix_timestamp(F.date_trunc("minute", F.col("ts"))) % 2
     ).alias("half")
-    iv = F.greatest(
-        F.floor(F.col("query_time") * 1000000).cast("long"), F.lit(0)
-    )
-    bucket = F.length(F.conv(iv.cast("string"), 10, 2))
-    ev = events.select("digest", bucket.alias("bucket"), half)
+    ev = events.select("digest", qt_hist_bucket().alias("bucket"), half)
 
     def hist_partial(h: int) -> DataFrame:
         # one day's stored partial: (digest, bucket) -> count
@@ -1500,31 +1540,4 @@ def slowlog_classes_incremental_pctl(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("digest", "bucket")
         .agg(F.sum("n").alias("n"))
     )
-    cum = F.sum("n").over(
-        W.partitionBy("digest").orderBy("bucket").rowsBetween(
-            W.unboundedPreceding, W.currentRow
-        )
-    )
-    tot = F.sum("n").over(W.partitionBy("digest"))
-    c = merged.select(
-        "digest", "bucket", cum.alias("cum"), tot.alias("tot")
-    )
-    q = c.groupBy("digest").agg(
-        F.max("tot").alias("num_timed"),
-        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("bucket"))).alias(
-            "b50"
-        ),
-        F.min(
-            F.when(F.col("cum") * 100 >= 95 * F.col("tot"), F.col("bucket"))
-        ).alias("b95"),
-    )
-    est = lambda b: (  # noqa: E731 — bucket hi in seconds
-        (F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})") - 1) / 1000000.0
-    )
-    return q.select(
-        "digest",
-        "num_timed",
-        F.round(est("b50"), 6).alias("p50_est"),
-        F.round(est("b95"), 6).alias("p95_est"),
-        F.col("b95").cast("int").alias("p95_bucket"),
-    )
+    return hist_quantiles(merged)

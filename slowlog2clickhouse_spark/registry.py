@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "sink_zorder_parquet",
     "slowlog_classes_incremental",
     "slowlog_classes_incremental_pctl",
+    "stream_classes_pctl_merge",
     "fn_fingerprint_router",
     "fn_fingerprint_routed",
     "ann_ivfpq_sweep",

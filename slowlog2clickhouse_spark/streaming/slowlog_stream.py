@@ -51,21 +51,26 @@ _STREAM_CLASSES_SQL = f"""
 """
 
 
-def read_slowlog_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_slowlog_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming variant of sources.slowlog.read_slowlog_records.
 
     Streaming file sources require a DIRECTORY; a single-file path is
-    split into (dir, pathGlobFilter)."""
+    split into (dir, pathGlobFilter). ``max_files_per_trigger`` caps
+    files per micro-batch (the rotated-log drain shape: one batch per
+    rotation segment)."""
     import os
 
     import pandas as pd
 
     directory, glob = (path, "*") if os.path.isdir(path) else os.path.split(path)
-    raw = (
-        spark.readStream.option("lineSep", RECORD_DELIM)
-        .option("pathGlobFilter", glob)
-        .text(directory)
+    reader = spark.readStream.option("lineSep", RECORD_DELIM).option(
+        "pathGlobFilter", glob
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.text(directory)
     # UTF-8 sanitize before the Arrow boundary (see sources/slowlog.py)
     raw = raw.withColumn("value", F.decode(F.encode("value", "UTF-8"), "UTF-8"))
 
@@ -222,3 +227,118 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(s, "update")
+
+
+@op(
+    "stream_classes_pctl_merge",
+    # oracle = the single-pass batch recompute of the same histogram
+    # quantiles over the golden IR (identical to
+    # slowlog_classes_incremental_pctl's contract: integer-exact
+    # histograms, percentile_disc's integer cume rule)
+    oracle=f"""
+    WITH e AS (
+      SELECT digest,
+             length(bin(greatest(
+               CAST(floor(query_time * 1000000) AS BIGINT), 0))) AS bucket
+      FROM {_GOLD}
+      WHERE NOT admin AND query IS NOT NULL AND query_time IS NOT NULL),
+    h AS (SELECT digest, bucket, count(*) AS n FROM e GROUP BY 1, 2),
+    c AS (SELECT digest, bucket, n,
+                 sum(n) OVER (PARTITION BY digest ORDER BY bucket) AS cum,
+                 sum(n) OVER (PARTITION BY digest) AS tot
+          FROM h),
+    q AS (SELECT digest,
+                 CAST(min(tot) AS BIGINT) AS num_timed,
+                 min(CASE WHEN cum * 2 >= tot THEN bucket END) AS b50,
+                 min(CASE WHEN cum * 100 >= 95 * tot THEN bucket END) AS b95
+          FROM c GROUP BY 1)
+    SELECT digest, num_timed,
+           round(((CAST(1 AS BIGINT) << b50) - 1) / 1000000.0, 6) AS p50_est,
+           round(((CAST(1 AS BIGINT) << b95) - 1) / 1000000.0, 6) AS p95_est,
+           CAST(b95 AS INTEGER) AS p95_bucket
+    FROM q
+    """,
+)
+def stream_classes_pctl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AggregatingMergeTree loop END TO END in streaming: each
+    micro-batch computes its (digest, bucket) power-of-two histogram
+    PARTIAL, and the foreachBatch sink merges it into the stored state
+    by ADDITION (read previous state part + batch partial → re-sum →
+    write a new versioned part, exactly how MergeTree parts merge).
+    The fixture log is split at a record boundary into two rotation
+    segments and drained with maxFilesPerTrigger=1, so the merge is
+    exercised across ≥2 real micro-batches; the final stored state's
+    quantiles (shared hist_quantiles extraction) must equal the
+    single-pass batch recompute — the oracle.
+
+    This is what the batch op slowlog_classes_incremental_pctl proves
+    algebraically, now running in the production topology: per-cycle
+    state is |digests × ≤40 buckets| integers however long the tail
+    runs, a retry of the same epoch rewrites the same part, and
+    percentile-bearing class rows never need the O(history) rescan."""
+    import re
+
+    from slowlog2clickhouse_spark.functions.fingerprint import (
+        digest_col,
+        fingerprint_col,
+    )
+    from slowlog2clickhouse_spark.operators.slowlog_ops import (
+        FIXTURE_LOG,
+        _TMP,
+        hist_quantiles,
+        qt_hist_bucket,
+    )
+
+    base = f"{_TMP}/stream_pctl_{_os.getpid()}_{next(_counter)}"
+    src = f"{base}/src"
+    _os.makedirs(src, exist_ok=True)
+    txt = open(FIXTURE_LOG).read()
+    starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
+    mid = starts[len(starts) // 2]
+    with open(f"{src}/rot0.log", "w") as f:
+        f.write(txt[:mid])
+    with open(f"{src}/rot1.log", "w") as f:
+        f.write(txt[mid:])
+
+    events = read_slowlog_stream(spark, src, max_files_per_trigger=1)
+    ev = (
+        events.where(
+            ~F.col("admin")
+            & F.col("query").isNotNull()
+            & F.col("query_time").isNotNull()
+        )
+        .withColumn("fingerprint", fingerprint_col(F.col("query")))
+        .select(
+            digest_col(F.col("fingerprint")).alias("digest"),
+            qt_hist_bucket().alias("bucket"),
+        )
+    )
+    state = {"path": None}
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        part = batch_df.groupBy("digest", "bucket").agg(
+            F.count("*").cast("long").alias("n")
+        )
+        if state["path"] is not None:
+            part = (
+                part.unionByName(spark.read.parquet(state["path"]))
+                .groupBy("digest", "bucket")
+                .agg(F.sum("n").alias("n"))
+            )
+        # versioned parts: never read-and-overwrite the same path (a
+        # lazy self-overwrite reads truncated input); a retried epoch
+        # rewrites its own part idempotently
+        new_path = f"{base}/state_v{epoch_id}"
+        part.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    q = (
+        ev.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no micro-batches"
+    return hist_quantiles(spark.read.parquet(state["path"]))

@@ -38,6 +38,7 @@ EAGER = {
     "stream_transform_with_state",
     "stream_dedup_minhash",
     "stream_rate_source",
+    "stream_classes_pctl_merge",  # builder drains the rotation stream + merges state parts
     "stream_progress_metrics",
     "stream_journey_state",
     "scan_orc",

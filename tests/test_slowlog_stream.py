@@ -104,3 +104,37 @@ def test_stream_ingest_gzipped_rotation_set(spark):
         for r in got.collect()
     }
     assert have == want and sum(have.values()) == 6
+
+
+def test_stream_pctl_merge_runs_multiple_batches_and_equals_batch_op(
+    spark, sf_dir
+):
+    """stream_classes_pctl_merge must (a) actually merge across >=2
+    micro-batches (maxFilesPerTrigger=1 over the 2-segment rotation
+    split -> a state_v1 part exists, proving epoch 1 merged epoch 0's
+    stored part), and (b) produce exactly the batch incremental op's
+    quantiles — the streaming topology changes nothing about the
+    merged state."""
+    import glob
+    import os
+
+    from slowlog2clickhouse_spark.operators.slowlog_ops import _TMP
+
+    before = set(glob.glob(f"{_TMP}/stream_pctl_*"))
+    got = {
+        r["digest"]: tuple(r)
+        for r in all_ops()["stream_classes_pctl_merge"].fn(spark, sf_dir).collect()
+    }
+    new_dirs = set(glob.glob(f"{_TMP}/stream_pctl_*")) - before
+    assert len(new_dirs) == 1
+    base = new_dirs.pop()
+    assert os.path.isdir(f"{base}/state_v0")
+    assert os.path.isdir(f"{base}/state_v1"), "merge never crossed a batch"
+
+    batch = {
+        r["digest"]: tuple(r)
+        for r in all_ops()["slowlog_classes_incremental_pctl"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == batch
