@@ -1541,3 +1541,114 @@ def slowlog_classes_incremental_pctl(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.sum("n").alias("n"))
     )
     return hist_quantiles(merged)
+
+
+@op(
+    "qan_pctl_hist_error",
+    # every column is deterministic cross-engine: ranks are integers,
+    # the value at a rank is well-defined regardless of equal-value
+    # ordering, bucket estimates are integer-derived, and the ratios
+    # are single IEEE divisions of identically-derived doubles
+    oracle=f"""
+    WITH e AS (
+      SELECT digest, query_time,
+             length(bin(greatest(
+               CAST(floor(query_time * 1000000) AS BIGINT), 0))) AS bucket
+      FROM {_GOLD}
+      WHERE NOT admin AND query IS NOT NULL AND query_time IS NOT NULL),
+    r AS (
+      SELECT digest, query_time,
+             row_number() OVER (PARTITION BY digest
+                                ORDER BY query_time) AS rn,
+             count(*) OVER (PARTITION BY digest) AS n
+      FROM e),
+    exact AS (
+      SELECT digest, CAST(min(n) AS BIGINT) AS n,
+             min(CASE WHEN rn * 2 >= n THEN query_time END) AS p50_exact,
+             min(CASE WHEN rn * 100 >= 95 * n THEN query_time END) AS p95_exact
+      FROM r GROUP BY 1),
+    h AS (SELECT digest, bucket, count(*) AS cnt FROM e GROUP BY 1, 2),
+    c AS (SELECT digest, bucket,
+                 sum(cnt) OVER (PARTITION BY digest ORDER BY bucket) AS cum,
+                 sum(cnt) OVER (PARTITION BY digest) AS tot
+          FROM h),
+    qh AS (SELECT digest,
+                  min(CASE WHEN cum * 2 >= tot THEN bucket END) AS b50,
+                  min(CASE WHEN cum * 100 >= 95 * tot THEN bucket END) AS b95
+           FROM c GROUP BY 1),
+    est AS (
+      SELECT digest,
+             round(((CAST(1 AS BIGINT) << b50) - 1) / 1000000.0, 6) AS p50_est,
+             round(((CAST(1 AS BIGINT) << b95) - 1) / 1000000.0, 6) AS p95_est
+      FROM qh)
+    SELECT exact.digest, exact.n,
+           exact.p50_exact, est.p50_est,
+           round(est.p50_est / exact.p50_exact, 6) AS p50_ratio,
+           exact.p95_exact, est.p95_est,
+           round(est.p95_est / exact.p95_exact, 6) AS p95_ratio,
+           (est.p95_est >= exact.p95_exact - 0.000001
+            AND est.p95_est <= 2 * exact.p95_exact + 0.000001) AS within_2x
+    FROM exact JOIN est USING (digest)
+    """,
+)
+def qan_pctl_hist_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration gate for the mergeable-percentile estimator — the
+    measure-don't-guess companion to slowlog_classes_incremental_pctl
+    (same discipline as dedup_minhash_accuracy / ann_recall_eval): per
+    digest, the EXACT p50/p95 (percentile_disc's integer cume rule
+    over raw query times) beside the power-of-two-histogram estimate,
+    with the est/exact ratio and the 2× error-bound verdict the
+    histogram's bucket geometry guarantees. At 100 TB you run this on
+    a sample partition to decide whether 2×-bounded, constant-relative-
+    error percentiles are acceptable for the class table BEFORE
+    switching the incremental pipeline onto the sketch.
+
+    Scale: one parse pass feeds both sides; the exact side is one
+    digest-keyed window (rank within class — bounded by class size,
+    the same cost the reference's in-memory per-class buffer pays);
+    the estimate side is the |digests × ≤40 buckets| histogram path."""
+    from pyspark.sql import Window as W
+
+    from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
+
+    events = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        (~F.col("admin"))
+        & F.col("query").isNotNull()
+        & F.col("query_time").isNotNull()
+    )
+    ev = events.select(
+        "digest", "query_time", qt_hist_bucket().alias("bucket")
+    )
+    wq = W.partitionBy("digest").orderBy("query_time")
+    wn = W.partitionBy("digest")
+    r = ev.select(
+        "digest",
+        "query_time",
+        F.row_number().over(wq).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    exact = r.groupBy("digest").agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.min(
+            F.when(F.col("rn") * 2 >= F.col("n"), F.col("query_time"))
+        ).alias("p50_exact"),
+        F.min(
+            F.when(F.col("rn") * 100 >= 95 * F.col("n"), F.col("query_time"))
+        ).alias("p95_exact"),
+    )
+    hist = ev.groupBy("digest", "bucket").agg(F.count("*").alias("n"))
+    est = hist_quantiles(hist).select("digest", "p50_est", "p95_est")
+    return exact.join(est, "digest").select(
+        "digest",
+        "n",
+        "p50_exact",
+        "p50_est",
+        F.round(F.col("p50_est") / F.col("p50_exact"), 6).alias("p50_ratio"),
+        "p95_exact",
+        "p95_est",
+        F.round(F.col("p95_est") / F.col("p95_exact"), 6).alias("p95_ratio"),
+        (
+            (F.col("p95_est") >= F.col("p95_exact") - 0.000001)
+            & (F.col("p95_est") <= 2 * F.col("p95_exact") + 0.000001)
+        ).alias("within_2x"),
+    )

@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "slowlog_classes_incremental",
     "slowlog_classes_incremental_pctl",
     "stream_classes_pctl_merge",
+    "qan_pctl_hist_error",
     "fn_fingerprint_router",
     "fn_fingerprint_routed",
     "ann_ivfpq_sweep",

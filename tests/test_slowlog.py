@@ -890,3 +890,23 @@ def test_incremental_pctl_bounds_exact_percentiles(spark, sf_dir):
             assert est <= 2 * exact + 1e-6, (digest, col, exact, est)
         assert got[digest]["p50_est"] <= got[digest]["p95_est"]
         assert got[digest]["p95_bucket"] >= 1
+
+
+def test_pctl_hist_error_gate_all_within_bound(spark, sf_dir):
+    """qan_pctl_hist_error: every class within the 2x geometric bound,
+    ratios >= ~1 (the estimate is the bucket's UPPER edge, so it can
+    undershoot only by the 1µs floor), and the corpus-median ratio
+    comfortably inside the bound (the number a sample-partition run
+    would report before trusting the sketch)."""
+    import statistics
+
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    rows = all_ops()["qan_pctl_hist_error"].fn(spark, sf_dir).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["within_2x"] is True, r["digest"]
+        assert r["p95_ratio"] >= 0.99, r
+        assert r["p50_ratio"] >= 0.99, r
+    med = statistics.median(r["p95_ratio"] for r in rows)
+    assert 1.0 <= med <= 2.0, med
