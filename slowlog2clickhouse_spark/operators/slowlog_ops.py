@@ -1382,7 +1382,11 @@ def slowlog_classes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = (
         F.unix_timestamp(F.date_trunc("minute", F.col("ts"))) % 2
     ).alias("half")
-    ev = events.select("digest", "query_time", half)
+    # lazy checkpoint: both half-partials branch off ev (the shared-
+    # subtree discipline — one Arrow parse, not one per half)
+    ev = events.select("digest", "query_time", half).localCheckpoint(
+        eager=False
+    )
 
     def partials(h: int) -> DataFrame:
         return (
@@ -1522,7 +1526,12 @@ def slowlog_classes_incremental_pctl(spark: SparkSession, sf_dir: str) -> DataFr
     half = (
         F.unix_timestamp(F.date_trunc("minute", F.col("ts"))) % 2
     ).alias("half")
-    ev = events.select("digest", qt_hist_bucket().alias("bucket"), half)
+    # lazy checkpoint: both half-partials branch off ev — in the real
+    # deployment each cycle parses only its own day, but here the
+    # fixture split would otherwise re-run the Arrow parse per half
+    ev = events.select(
+        "digest", qt_hist_bucket().alias("bucket"), half
+    ).localCheckpoint(eager=False)
 
     def hist_partial(h: int) -> DataFrame:
         # one day's stored partial: (digest, bucket) -> count
@@ -1616,9 +1625,12 @@ def qan_pctl_hist_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("query").isNotNull()
         & F.col("query_time").isNotNull()
     )
+    # lazy checkpoint: ev feeds BOTH the exact-rank branch and the
+    # histogram branch — without it each branch re-runs the Arrow
+    # parse (the shared-subtree discipline)
     ev = events.select(
         "digest", "query_time", qt_hist_bucket().alias("bucket")
-    )
+    ).localCheckpoint(eager=False)
     wq = W.partitionBy("digest").orderBy("query_time")
     wn = W.partitionBy("digest")
     r = ev.select(
