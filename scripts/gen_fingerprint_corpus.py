@@ -145,6 +145,31 @@ CORPUS: dict[str, list[str]] = {
         "SELECT * FROM t WHERE name = 'oops",
         'SELECT * FROM t WHERE s = "dangling',
     ],
+    # -- r10 fuzz-found divergence regimes (hypothesis, 30k examples):
+    # each defeated the original 5 detectors AND the chain
+    "comment_block_degenerate": [
+        "/**/ SELECT 10 FROM t",
+        "SELECT 11 /**/ FROM t",
+        "SELECT 12 FROM t /* unterminated",
+    ],
+    "string_mixed_quotes": [
+        # ' inside "..." pairs with a later real ' and swallows the
+        # text between (the chain masks '...' FIRST)
+        "SELECT \"a'b\" FROM t WHERE c = 'd'",
+        "'\" '\"",
+        # the benign half: cross-quotes that happen to nest cleanly
+        "SELECT 'say \"hi\" twice' FROM t",
+        'SELECT * FROM t WHERE a = "it\'s fine"',
+    ],
+    "number_trailing_dot": [
+        "SELECT * FROM t WHERE a = 0.",
+        "SELECT * FROM t WHERE v = 1.e5",
+        "SELECT * FROM t WHERE ver = 1.2.3",
+    ],
+    "number_leading_ident": [
+        "SELECT 0_ FROM t",
+        "SELECT * FROM t WHERE c = 12_5",
+    ],
 }
 
 

@@ -96,8 +96,34 @@ def fingerprint_duckdb(expr: str) -> str:
 # least one flag — so "no flags" certifies the codegen'd chain path.
 # Expressions stick to string ops + the Java/RE2-portable regex subset
 # so the Spark and DuckDB renderings count identically.
-_ML_COMMENT_RE = r"/\*[^*]*\n"  # newline inside a block comment before any '*'
-_COMMENT_APOS_RE = r"(--|#)[^\n]*'|/\*[^*]*'"  # apostrophe after a comment opener
+# newline between a block-comment opener and any later closer; dot-all
+# (?s) so star-containing bodies (/**\n*/ — r10 fuzz find #5) still
+# flag. Over-approximates (a closed comment before the newline plus a
+# later */ also flags) — conservative by design.
+_ML_COMMENT_RE = r"(?s)/\*.*?\n.*?\*/"
+# either QUOTE CHAR after a comment opener (the phantom-string regime
+# works identically for " — r10 fuzz find #3); block-comment arm is
+# dot-all for the same star-body reason
+_COMMENT_APOS_RE = "(?s)((--|#)[^\n]*['\"]|/\\*.*?['\"])"
+# a quote of one type inside a string literal of the other type: the
+# chain masks '...' before "...", so cross-nesting reorders the masking
+# vs the state machine's left-to-right scan (r10 fuzz find #2)
+_MIXED_QUOTE_RE = "'[^']*\"[^']*'|\"[^\"]*'[^\"]*\""
+# a STANDALONE numeric token with a trailing dot (0., 1.e5, 1.2.3):
+# the chain's \b\d+\b masks the digits but the state machine's
+# tokenizer sees one non-numeric token and keeps it (r10 fuzz find
+# #4). The [^A-Za-z0-9_] guard keeps t1.col2 / a1. unflagged — digit
+# runs inside identifiers agree on both paths.
+_NUM_DOT_RE = (
+    r"(^|[^A-Za-z0-9_.])[0-9]+\.([^0-9]|$)"
+    r"|(^|[^A-Za-z0-9_.])[0-9]+\.[0-9]+\."
+)
+# a standalone token of digits immediately followed by underscore
+# (0_, 12_5): MySQL allows digit-leading identifiers; the chain's
+# \b\d+\b keeps them whole (underscore is a word char, no boundary)
+# while the state machine masks the digit run (r10 fuzz find #6).
+# Identifier-internal runs (tbl_2020_01) stay unflagged — they agree.
+_NUM_UNDERSCORE_RE = r"(^|[^A-Za-z0-9_.])[0-9]+_"
 
 
 def construct_flags(col: Column | str) -> dict[str, Column]:
@@ -107,12 +133,53 @@ def construct_flags(col: Column | str) -> dict[str, Column]:
     def _odd(ch: str) -> Column:
         return (F.length(c) - F.length(F.replace(c, F.lit(ch), F.lit("")))) % 2 == 1
 
+    def _occ(sub: str) -> Column:
+        return (F.length(c) - F.length(F.replace(c, F.lit(sub), F.lit("")))) / len(sub)
+
     return {
         "string_doubled_quote": c.contains("''") | c.contains('""'),
         "string_escaped_backslash": c.contains("\\"),
         "comment_block_multiline": c.rlike(_ML_COMMENT_RE),
         "comment_apostrophe": c.rlike(_COMMENT_APOS_RE),
         "unterminated_string": _odd("'") | _odd('"'),
+        # empty body (/**/ defeats the chain's [^!] version-hint guard)
+        # or unbalanced open/close — found by the r10 hypothesis fuzz,
+        # not the hand-built corpus
+        "comment_block_degenerate": c.contains("/**/")
+        | (_occ("/*") != _occ("*/")),
+        "string_mixed_quotes": c.rlike(_MIXED_QUOTE_RE),
+        "number_trailing_dot": c.rlike(_NUM_DOT_RE),
+        "number_leading_ident": c.rlike(_NUM_UNDERSCORE_RE),
+    }
+
+
+_ML_COMMENT_PY = re.compile(_ML_COMMENT_RE)
+_COMMENT_APOS_PY = re.compile(_COMMENT_APOS_RE)
+_MIXED_QUOTE_PY = re.compile(_MIXED_QUOTE_RE)
+_NUM_DOT_PY = re.compile(_NUM_DOT_RE)
+_NUM_UNDERSCORE_PY = re.compile(_NUM_UNDERSCORE_RE)
+
+
+def construct_flags_py(query: str) -> dict[str, bool]:
+    """Python mirror of construct_flags (same discipline as
+    fingerprint_chain_py): lets hypothesis fuzz the router's safety
+    property — unflagged ⇒ chain == state machine — over thousands of
+    generated statements without a SparkSession. Pinned equal to the
+    Spark columns on the committed corpus in tests/test_fingerprint.py."""
+    return {
+        "string_doubled_quote": "''" in query or '""' in query,
+        "string_escaped_backslash": "\\" in query,
+        "comment_block_multiline": _ML_COMMENT_PY.search(query) is not None,
+        "comment_apostrophe": _COMMENT_APOS_PY.search(query) is not None,
+        "unterminated_string": (
+            query.count("'") % 2 == 1 or query.count('"') % 2 == 1
+        ),
+        "comment_block_degenerate": (
+            "/**/" in query or query.count("/*") != query.count("*/")
+        ),
+        "string_mixed_quotes": _MIXED_QUOTE_PY.search(query) is not None,
+        "number_trailing_dot": _NUM_DOT_PY.search(query) is not None,
+        "number_leading_ident": _NUM_UNDERSCORE_PY.search(query) is not None,
     }
 
 
@@ -142,6 +209,20 @@ def construct_flags_duckdb(expr: str) -> dict[str, str]:
             f"regexp_matches({expr}, '{q(_COMMENT_APOS_RE)}')"
         ),
         "unterminated_string": f"({_odd(39)} OR {_odd(34)})",
+        "comment_block_degenerate": (
+            f"(strpos({expr}, '/**/') > 0 OR"
+            f" (length({expr}) - length(replace({expr}, '/*', ''))) !="
+            f" (length({expr}) - length(replace({expr}, '*/', ''))))"
+        ),
+        "string_mixed_quotes": (
+            f"regexp_matches({expr}, '{q(_MIXED_QUOTE_RE)}')"
+        ),
+        "number_trailing_dot": (
+            f"regexp_matches({expr}, '{q(_NUM_DOT_RE)}')"
+        ),
+        "number_leading_ident": (
+            f"regexp_matches({expr}, '{q(_NUM_UNDERSCORE_RE)}')"
+        ),
     }
 
 

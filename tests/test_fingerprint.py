@@ -319,6 +319,12 @@ def test_parity_supported_regimes_fully_agree(spark, sf_dir):
         "string_doubled_quote",
         "comment_block_multiline",
         "unterminated_string",
+        # r10 fuzz finds — each defeated the chain AND the original
+        # five detectors (see gen_fingerprint_corpus.py)
+        "comment_block_degenerate",
+        "string_mixed_quotes",
+        "number_trailing_dot",
+        "number_leading_ident",
     }
     for construct, r in rows.items():
         if construct in divergent:
@@ -388,11 +394,12 @@ def test_router_flags_are_a_sound_chain_certificate(spark):
 def test_router_op_incidence_on_corpus(spark, sf_dir):
     """fn_fingerprint_router emits one row per detector with exact
     incidence; on the committed corpus every detector fires (the
-    corpus contains all five regimes by construction)."""
+    corpus contains all nine regimes by construction — the four r10
+    fuzz-found ones included)."""
     from slowlog2clickhouse_spark.registry import all_ops
 
     rows = all_ops()["fn_fingerprint_router"].fn(spark, sf_dir).collect()
-    assert len(rows) == 5
+    assert len(rows) == 9
     for r in rows:
         assert r["corpus_n"] > 0
         assert 0 < r["n_flagged"] <= r["corpus_n"], r

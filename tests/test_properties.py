@@ -202,3 +202,49 @@ def test_chain_agrees_with_trailing_line_comment(q, comment):
     # phantom-string regime) must strip identically
     full = f"{q} {comment}"
     assert fingerprint_chain_py(full) == fingerprint_py(full), full
+
+
+# ---------------------------------------------------------------------------
+# Router soundness fuzz (r10): on UNRESTRICTED generated grammar —
+# divergence constructs deliberately included — any statement with NO
+# construct flag must fingerprint identically on the chain and the
+# state machine. This is the property that makes fn_fingerprint_routed
+# state-machine-exact. The r10 sweep ran 30k examples and found (then
+# closed, with new detectors + corpus rows) four regimes the
+# hand-built corpus missed: /**/-degenerate block comments, quotes
+# nested in the other quote type, trailing-dot numerics, and
+# digit-leading identifiers.
+# ---------------------------------------------------------------------------
+from slowlog2clickhouse_spark.functions.fingerprint import construct_flags_py
+
+_wild_body = st.text(
+    alphabet=string.ascii_letters + string.digits + " _-#;*,.()=<>!/'\"\\\n",
+    max_size=14,
+)
+wild_atom = st.one_of(
+    _ident,
+    st.integers(0, 10**12).map(str),
+    _wild_body.map(lambda s: f"'{s}'"),
+    _wild_body.map(lambda s: f'"{s}"'),
+    _wild_body.map(lambda s: f"/*{s}*/"),
+    _wild_body.map(lambda s: f"-- {s}"),
+    _wild_body.map(lambda s: f"# {s}"),
+    _wild_body,
+    st.sampled_from(
+        [
+            "-- don't", "# it's", "/* can't */", "'it''s'", r"'a\'b'",
+            "/* a\nb */", "'oops", '"dangling', "'x'", "--", "#", "\n",
+            ",", "=", "(", ")", "SELECT", "FROM", "WHERE", "IN (1,2)",
+            "VALUES (1,'a')", "/**/", "/*", "*/", "/*!40001 x*/", "0xFF",
+            "1e5", "0.", ".5", "1.2.3", "1.e5", "0_", "12_5", "/**\n*/",
+        ]
+    ),
+)
+wild_sql = st.lists(wild_atom, min_size=1, max_size=20).map(" ".join)
+
+
+@given(wild_sql)
+@settings(max_examples=1000, deadline=None)
+def test_router_unflagged_implies_chain_exact(q):
+    if not any(construct_flags_py(q).values()):
+        assert fingerprint_chain_py(q) == fingerprint_py(q), repr(q)
