@@ -63,6 +63,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="exact buffers per-group values; approx = sketch (100 TB)",
     )
     ing.add_argument(
+        "--fingerprint", default="chain", choices=("chain", "routed", "python"),
+        help="chain = codegen'd regexes (fastest); routed = state-machine"
+        " UDF only on rows flagged by the construct detectors"
+        " (state-machine-exact, small UDF tax); python = state machine"
+        " everywhere",
+    )
+    ing.add_argument(
         "--print-ddl", action="store_true",
         help="print the ClickHouse MergeTree DDL for the class schema and exit",
     )
@@ -117,9 +124,9 @@ def _warn_unroutable_constructs(spark, log_path: str) -> None:
     detectors over the REAL log): the ingest pipeline fingerprints via
     the codegen'd regexp_replace chain, whose divergence regimes are
     measured by fn_fingerprint_parity. If the log contains any of the
-    five chain-unsupported constructs, warn with per-construct counts
-    so the user routes through the state-machine UDF instead. One
-    extra map pass + a 5-number aggregate — never a shuffle."""
+    nine chain-unsupported constructs, warn with per-construct counts
+    so the user re-runs with --fingerprint routed. One extra map pass
+    + a 9-number aggregate — never a shuffle."""
     from pyspark.sql import functions as F
 
     from slowlog2clickhouse_spark.functions.fingerprint import construct_flags
@@ -135,9 +142,9 @@ def _warn_unroutable_constructs(spark, log_path: str) -> None:
         detail = ", ".join(f"{k}={v}" for k, v in sorted(hits.items()))
         print(
             "WARNING: log contains constructs the fingerprint chain "
-            f"diverges on ({detail}); re-run with the state-machine "
-            "fingerprint (pandas_udf_fingerprint) for those classes — "
-            "see fn_fingerprint_parity for the measured per-construct "
+            f"diverges on ({detail}); re-run with --fingerprint routed "
+            "(state-machine UDF only on the flagged rows) — see "
+            "fn_fingerprint_parity for the measured per-construct "
             "divergence",
             file=sys.stderr,
         )
@@ -155,12 +162,17 @@ def cmd_ingest(args) -> int:
         return 2
     spark = _get_spark()
     classes = ingest_slowlog(
-        spark, args.log, period=args.period, percentiles=args.percentiles
+        spark,
+        args.log,
+        period=args.period,
+        percentiles=args.percentiles,
+        fingerprint=args.fingerprint,
     )
     if args.print_ddl:
         print(clickhouse_ddl(classes, args.table))
         return 0
-    _warn_unroutable_constructs(spark, args.log)
+    if args.fingerprint == "chain":
+        _warn_unroutable_constructs(spark, args.log)
     n = None
     if args.out:
         sink_classes_parquet(classes, args.out)

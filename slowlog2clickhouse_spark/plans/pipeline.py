@@ -178,9 +178,14 @@ def ingest_slowlog(
     metrics=DEFAULT_STAT_METRICS,
     percentiles: str = "exact",
     example_tiebreak: str = "record_no",
+    fingerprint: str = "chain",
 ) -> DataFrame:
-    """Full batch pipeline: log file(s) → query-class rows."""
-    events = with_fingerprint(parse_slowlog(spark, path))
+    """Full batch pipeline: log file(s) → query-class rows.
+    ``fingerprint`` picks the normalization path: "chain" (codegen'd,
+    default), "routed" (chain + state-machine UDF only on flagged
+    rows — what the CLI warning tells a user to re-run with), or
+    "python" (state machine everywhere)."""
+    events = with_fingerprint(parse_slowlog(spark, path), mode=fingerprint)
     return aggregate_classes(
         events,
         period=period,

@@ -328,12 +328,46 @@ def parse_slowlog(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(chunk, EVENT_SCHEMA)
 
 
-def with_fingerprint(events: DataFrame) -> DataFrame:
-    """Attach fingerprint + digest via the codegen'd SQL chain (the
-    100 TB path; the pandas-UDF variant is op udf_fingerprint_py)."""
-    from slowlog2clickhouse_spark.functions.fingerprint import digest_col, fingerprint_col
+def with_fingerprint(events: DataFrame, mode: str = "chain") -> DataFrame:
+    """Attach fingerprint + digest.
 
-    fp = fingerprint_col(F.col("query"))
+    mode="chain"  — the codegen'd regexp_replace chain (the 100 TB
+                    path; default, unchanged behavior).
+    mode="routed" — per-row routing (the fn_fingerprint_routed
+                    contract): rows with no chain-divergence construct
+                    flag take the chain, flagged rows take the Arrow
+                    state-machine UDF — state-machine-exact output,
+                    UDF tax only on the flagged slice.
+    mode="python" — every row through the Arrow state machine (the
+                    full-fidelity reference semantics, maximum cost).
+    """
+    from slowlog2clickhouse_spark.functions.fingerprint import (
+        construct_flags,
+        digest_col,
+        fingerprint_col,
+        fingerprint_py,
+    )
+
+    if mode == "chain":
+        fp = fingerprint_col(F.col("query"))
+    else:
+        import pandas as pd
+
+        @F.pandas_udf("string")
+        def _fp_vec(s: pd.Series) -> pd.Series:
+            return s.map(lambda q: fingerprint_py(q) if q is not None else None)
+
+        if mode == "python":
+            fp = _fp_vec(F.col("query"))
+        elif mode == "routed":
+            any_flag = None
+            for c in construct_flags(F.col("query")).values():
+                any_flag = c if any_flag is None else (any_flag | c)
+            fp = F.when(any_flag, _fp_vec(F.col("query"))).otherwise(
+                fingerprint_col(F.col("query"))
+            )
+        else:
+            raise ValueError(f"unknown fingerprint mode: {mode!r}")
     return events.withColumn("fingerprint", fp).withColumn(
         "digest", digest_col(F.col("fingerprint"))
     )

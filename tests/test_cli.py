@@ -152,3 +152,26 @@ def test_cli_ingest_warns_on_unroutable_constructs(spark, tmp_path, capsys):
     rc = main(["ingest", "--log", str(clean), "--out", out2])
     assert rc == 0
     assert "WARNING" not in capsys.readouterr().err
+
+
+def test_cli_ingest_routed_fingerprint_no_warning_and_exact(spark, tmp_path):
+    """--fingerprint routed: no chain-divergence warning (the routed
+    path IS the remedy), and the class digests equal the full
+    state-machine ingest's — routing changes cost, never answers."""
+    out_r = str(tmp_path / "routed")
+    rc = main(["ingest", "--log", FIXTURE_LOG, "--out", out_r,
+               "--fingerprint", "routed"])
+    assert rc == 0
+    out_p = str(tmp_path / "python")
+    rc = main(["ingest", "--log", FIXTURE_LOG, "--out", out_p,
+               "--fingerprint", "python"])
+    assert rc == 0
+    routed = spark.read.parquet(out_r)
+    full = spark.read.parquet(out_p)
+    agg = lambda df: {  # noqa: E731
+        (r["digest"], r["num_queries"])
+        for r in df.groupBy("digest")
+        .agg(F.sum("num_queries").alias("num_queries"))
+        .collect()
+    }
+    assert agg(routed) == agg(full)
