@@ -862,8 +862,6 @@ def test_incremental_pctl_bounds_exact_percentiles(spark, sf_dir):
     where exact_disc is percentile_disc over the raw query times
     (the exact value lies inside the picked bucket [2^(k-1), 2^k)µs).
     Also pins med<=p95 and num_timed conservation."""
-    import math
-
     from slowlog2clickhouse_spark.registry import all_ops
 
     got = {
@@ -883,8 +881,11 @@ def test_incremental_pctl_bounds_exact_percentiles(spark, sf_dir):
         vals = sorted(grp["query_time"])
         n = len(vals)
         assert got[digest]["num_timed"] == n
-        for q, col in ((0.50, "p50_est"), (0.95, "p95_est")):
-            exact = vals[math.ceil(q * n) - 1]  # percentile_disc
+        for pct, col in ((50, "p50_est"), (95, "p95_est")):
+            # the op's exact integer cume rule (min rn: rn*100 >= pct*n)
+            # — NOT float ceil, whose IEEE noise flips exact boundaries
+            rank = -(-pct * n // 100)
+            exact = vals[rank - 1]  # percentile_disc
             est = got[digest][col]
             assert est >= exact - 1e-6, (digest, col, exact, est)
             assert est <= 2 * exact + 1e-6, (digest, col, exact, est)
