@@ -375,21 +375,25 @@ def fn_fingerprint_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-driven chain-vs-UDF fingerprint routing (VERDICT r9 #3):
     fn_fingerprint_parity MEASURED which grammar regimes the JVM
     regexp_replace chain gets wrong; this op measures whether a given
-    CORPUS contains them. One map pass computes five conservative
+    CORPUS contains them. One map pass computes NINE conservative
     construct detectors (functions/fingerprint.py construct_flags —
-    string ops + the Java/RE2-portable regex subset, identical on both
-    engines), one global aggregate sums them, and each detector row
+    the five documented regimes plus the four the r10 soundness fuzz
+    found; string ops + the Java/RE2-portable regex subset, identical
+    on both engines), one global aggregate sums them, and each row
     carries the routed/unrouted verdict: needs_routing=true means the
     corpus must go through pandas_udf_fingerprint (the Arrow state
     machine), false certifies the codegen'd chain. The safety property
     — every corpus statement where chain != fingerprint_py raises at
     least one flag, so "no flags" is a sound chain certificate — is
     pinned by tests/test_fingerprint.py over the committed adversarial
-    corpus. The CLI ingest path runs the same detectors on the real
-    log and warns (slowlog2clickhouse_spark/__main__.py).
+    corpus AND fuzzed over 30k unrestricted generated statements
+    (tests/test_properties.py — the fuzz FOUND four regimes the
+    hand-built corpus missed; all closed). The CLI ingest path runs
+    the same detectors on the real log and warns
+    (slowlog2clickhouse_spark/__main__.py).
 
-    Scale: detection is five codegen'd boolean expressions in ONE map
-    pass folded by partial aggregation into a single 5-number row —
+    Scale: detection is nine codegen'd boolean expressions in ONE map
+    pass folded by partial aggregation into a single 9-number row —
     the routing decision for a 100 TB corpus costs one column scan,
     no shuffle of raw rows, no Python."""
     from slowlog2clickhouse_spark.functions.fingerprint import construct_flags
@@ -430,8 +434,9 @@ def fn_fingerprint_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUTED fingerprinting — the router's verdict applied per ROW:
     statements with no construct flag take the JVM regexp_replace
     chain (whole-stage-codegen'd, the 100 TB path); flagged statements
-    take the Arrow state-machine UDF. By the router's pinned safety
-    property (unflagged ⇒ chain == fingerprint_py), the routed output
+    take the Arrow state-machine UDF. By the router's pinned AND
+    FUZZED safety property (unflagged ⇒ chain == fingerprint_py; 30k
+    hypothesis examples), the routed output
     is state-machine-exact EVERYWHERE — which the oracle hash-verifies
     against the committed fp_py truth column over the adversarial
     corpus, divergence regimes included.
