@@ -80,6 +80,9 @@ def _build_parser() -> argparse.ArgumentParser:
     dig.add_argument(
         "--period", default="minute", choices=("minute", "hour", "day")
     )
+    dig.add_argument(
+        "--fingerprint", default="chain", choices=("chain", "routed", "python")
+    )
 
     st = sub.add_parser("stream", help="streaming ingest of a growing log dir")
     st.add_argument("--log-dir", required=True)
@@ -196,7 +199,7 @@ def cmd_digest(args) -> int:
     )
 
     spark = _get_spark()
-    events = with_fingerprint(parse_slowlog(spark, args.log))
+    events = with_fingerprint(parse_slowlog(spark, args.log), mode=args.fingerprint)
     g = (
         aggregate_global(events)
         .agg(
@@ -208,7 +211,9 @@ def cmd_digest(args) -> int:
     total_qt = g["sum(m_query_time_sum)"] or 0.0
     print(f"# {total_n} queries, {total_qt:.3f}s total query time")
     print("# Rank  Calls      Time(s)   Worst(s)  Fingerprint")
-    classes = ingest_slowlog(spark, args.log, period=args.period)
+    classes = ingest_slowlog(
+        spark, args.log, period=args.period, fingerprint=args.fingerprint
+    )
     for i, r in enumerate(top_digests(classes, k=args.top).collect(), start=1):
         fp = (r["fingerprint"] or "")[:70]
         # a class whose every event lacked Query_time aggregates to

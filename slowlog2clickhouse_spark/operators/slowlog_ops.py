@@ -1664,3 +1664,43 @@ def qan_pctl_hist_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p95_est") <= 2 * F.col("p95_exact") + 0.000001)
         ).alias("within_2x"),
     )
+
+
+@op(
+    "slowlog_classes_routed",
+    # truth = the committed state-machine digests (digest_py column of
+    # the golden IR): routed fingerprinting must class every event
+    # exactly as the full state machine would — on the REAL log, not
+    # just the adversarial corpus
+    oracle=f"""
+    SELECT digest_py AS digest,
+           CAST(count(*) AS BIGINT) AS num_queries,
+           round(coalesce(sum(query_time), 0), 6) AS qt_sum
+    FROM {_GOLD}
+    WHERE NOT admin AND query IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def slowlog_classes_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROUTED ingest path end to end on the real log: parse →
+    per-row construct detection → chain fingerprint for clean rows,
+    Arrow state machine for flagged rows → class aggregation. The
+    oracle classes the same events by the COMMITTED state-machine
+    digest (digest_py in the golden IR), so a hash match proves the
+    routed path is state-machine-exact on production-shaped input —
+    the guarantee that lets `ingest --fingerprint routed` claim full
+    reference fidelity while keeping the UDF tax confined to the
+    flagged slice (39/983 events on this fixture).
+
+    Scale: identical to the chain ingest plus one fused map-pass of
+    nine boolean detectors; only flagged rows cross the Python
+    boundary, Arrow-batched."""
+    from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
+
+    events = with_fingerprint(
+        parse_slowlog(spark, FIXTURE_LOG), mode="routed"
+    ).where((~F.col("admin")) & F.col("query").isNotNull())
+    return events.groupBy("digest").agg(
+        F.count("*").alias("num_queries"),
+        F.round(F.coalesce(F.sum("query_time"), F.lit(0.0)), 6).alias("qt_sum"),
+    )

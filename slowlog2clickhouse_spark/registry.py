@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "qan_pctl_hist_error",
     "fn_fingerprint_router",
     "fn_fingerprint_routed",
+    "slowlog_classes_routed",
     "ann_ivfpq_sweep",
     "dedup_lsh_band_sweep",
     "agg_weighted_percentile",
