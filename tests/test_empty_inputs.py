@@ -93,6 +93,10 @@ PROBE = [
     # streaming: the stateful journey tracker survives an empty stream
     # (file-source sniff + availableNow over zero rows)
     "stream_journey_state",
+    # round-10 additions: both tuning sweeps must come back empty (no
+    # codebooks / no pooled truth) rather than crash on a zero corpus
+    "ann_ivfpq_sweep",
+    "dedup_lsh_band_sweep",
 ]
 SINGLE_ROW_OK = {
     "funnel_events",
