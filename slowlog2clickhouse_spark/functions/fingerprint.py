@@ -114,16 +114,20 @@ _MIXED_QUOTE_RE = "'[^']*\"[^']*'|\"[^\"]*'[^\"]*\""
 # tokenizer sees one non-numeric token and keeps it (r10 fuzz find
 # #4). The [^A-Za-z0-9_] guard keeps t1.col2 / a1. unflagged — digit
 # runs inside identifiers agree on both paths.
-_NUM_DOT_RE = (
-    r"(^|[^A-Za-z0-9_.])[0-9]+\.([^0-9]|$)"
-    r"|(^|[^A-Za-z0-9_.])[0-9]+\.[0-9]+\."
+_NUM_DOT_RE = (  # dot MAY precede the run (.0. — 100k-fuzz find)
+    r"(^|[^A-Za-z0-9_])[0-9]+\.([^0-9]|$)"
+    r"|(^|[^A-Za-z0-9_])[0-9]+\.[0-9]+\."
 )
 # a standalone token of digits immediately followed by underscore
 # (0_, 12_5): MySQL allows digit-leading identifiers; the chain's
 # \b\d+\b keeps them whole (underscore is a word char, no boundary)
 # while the state machine masks the digit run (r10 fuzz find #6).
 # Identifier-internal runs (tbl_2020_01) stay unflagged — they agree.
-_NUM_UNDERSCORE_RE = r"(^|[^A-Za-z0-9_.])[0-9]+_"
+_NUM_UNDERSCORE_RE = r"(^|[^A-Za-z0-9_])[0-9]+_"  # dot MAY precede (.0_ — 100k-fuzz find)
+# a /* with no subsequent */ (ordering, not just count: "*/ /*" has
+# balanced counts but the open comes LAST — 100k-fuzz find). Star-
+# tolerant body, no lookahead (RE2-portable): (\*[^/]|[^*])* to $.
+_UNCLOSED_BLOCK_RE = r"(?s)/\*(\*[^/]|[^*])*$"
 
 
 def construct_flags(col: Column | str) -> dict[str, Column]:
@@ -146,7 +150,8 @@ def construct_flags(col: Column | str) -> dict[str, Column]:
         # or unbalanced open/close — found by the r10 hypothesis fuzz,
         # not the hand-built corpus
         "comment_block_degenerate": c.contains("/**/")
-        | (_occ("/*") != _occ("*/")),
+        | (_occ("/*") != _occ("*/"))
+        | c.rlike(_UNCLOSED_BLOCK_RE),
         "string_mixed_quotes": c.rlike(_MIXED_QUOTE_RE),
         "number_trailing_dot": c.rlike(_NUM_DOT_RE),
         "number_leading_ident": c.rlike(_NUM_UNDERSCORE_RE),
@@ -158,6 +163,7 @@ _COMMENT_APOS_PY = re.compile(_COMMENT_APOS_RE)
 _MIXED_QUOTE_PY = re.compile(_MIXED_QUOTE_RE)
 _NUM_DOT_PY = re.compile(_NUM_DOT_RE)
 _NUM_UNDERSCORE_PY = re.compile(_NUM_UNDERSCORE_RE)
+_UNCLOSED_BLOCK_PY = re.compile(_UNCLOSED_BLOCK_RE)
 
 
 def construct_flags_py(query: str) -> dict[str, bool]:
@@ -175,7 +181,9 @@ def construct_flags_py(query: str) -> dict[str, bool]:
             query.count("'") % 2 == 1 or query.count('"') % 2 == 1
         ),
         "comment_block_degenerate": (
-            "/**/" in query or query.count("/*") != query.count("*/")
+            "/**/" in query
+            or query.count("/*") != query.count("*/")
+            or _UNCLOSED_BLOCK_PY.search(query) is not None
         ),
         "string_mixed_quotes": _MIXED_QUOTE_PY.search(query) is not None,
         "number_trailing_dot": _NUM_DOT_PY.search(query) is not None,
@@ -212,7 +220,8 @@ def construct_flags_duckdb(expr: str) -> dict[str, str]:
         "comment_block_degenerate": (
             f"(strpos({expr}, '/**/') > 0 OR"
             f" (length({expr}) - length(replace({expr}, '/*', ''))) !="
-            f" (length({expr}) - length(replace({expr}, '*/', ''))))"
+            f" (length({expr}) - length(replace({expr}, '*/', ''))) OR"
+            f" regexp_matches({expr}, '{q(_UNCLOSED_BLOCK_RE)}'))"
         ),
         "string_mixed_quotes": (
             f"regexp_matches({expr}, '{q(_MIXED_QUOTE_RE)}')"
