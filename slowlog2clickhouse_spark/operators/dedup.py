@@ -1579,3 +1579,126 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_curve_p_at_theta",
         )
     )
+
+
+_SIMHASH_RADII = (0, 1, 2, 3, 4, 6)
+
+
+def _simhash_radius_duck() -> str:
+    radii = ", ".join(str(r) for r in _SIMHASH_RADII)
+    return (
+        _SIMHASH_SIGS_DUCK
+        + f"""
+    , toks AS (
+      SELECT doc_id, list_distinct({_TOK_DUCK}) AS s FROM documents),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM bx a JOIN bx b ON a.bv = b.bv AND a.doc_id < b.doc_id),
+    j AS (
+      SELECT c.hamming,
+             coalesce(
+               (len(list_intersect(ta.s, tb.s)) * 1.0
+                / nullif(len(ta.s) + len(tb.s)
+                         - len(list_intersect(ta.s, tb.s)), 0)) >= 0.5,
+               FALSE) AS is_true
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+               AS cand_true
+      FROM j),
+    radii AS (SELECT unnest([{radii}]) AS radius),
+    per AS (
+      SELECT r.radius,
+             CAST(count(*) AS BIGINT) AS n_admitted,
+             CAST(sum(CASE WHEN j.is_true THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_admitted
+      FROM radii r JOIN j ON j.hamming <= r.radius GROUP BY 1)
+    SELECT radii.radius,
+           coalesce(per.n_admitted, 0) AS n_admitted,
+           coalesce(per.n_true_admitted, 0) AS n_true_admitted,
+           tot.n_candidates, tot.cand_true,
+           CASE WHEN coalesce(per.n_admitted, 0) > 0
+                THEN round(per.n_true_admitted * 1.0 / per.n_admitted, 4)
+           END AS precision_adm,
+           CASE WHEN tot.cand_true > 0
+                THEN round(coalesce(per.n_true_admitted, 0) * 1.0
+                           / tot.cand_true, 4)
+           END AS recall_vs_cand_truth
+    FROM radii LEFT JOIN per ON radii.radius = per.radius, tot
+    """
+    )
+
+
+@op("dedup_simhash_radius_sweep", oracle=_simhash_radius_duck())
+def dedup_simhash_radius_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simhash HAMMING-RADIUS knob as a measured frontier — the
+    third tuning sweep beside ann_ivfpq_sweep and dedup_lsh_band_sweep
+    (every approximation in this engine ships its knob as a curve):
+    over the FIXED band-candidate set (dedup_simhash_accuracy's full
+    spectrum, built once), each radius r ∈ {0,1,2,3,4,6} admits pairs
+    with hamming ≤ r; per arm the admitted count, exact-Jaccard-true
+    admitted count (θ=0.5), precision, and recall against the
+    candidate-set truth. Radius is a pure post-filter on one shared
+    spectrum, so the whole sweep costs ONE candidate build + six
+    filters — the cheapest of the three frontiers by construction.
+
+    Scale: identical to dedup_simhash_accuracy (band-bucketed
+    candidates, capped hot buckets, one shared signature scan); the
+    arms add no shuffle at all."""
+    spec = dedup_simhash_accuracy(spark, sf_dir).select(
+        "hamming",
+        F.coalesce(F.col("token_jaccard") >= 0.5, F.lit(False)).alias(
+            "is_true"
+        ),
+    ).localCheckpoint(eager=False)
+    arms = None
+    for r in _SIMHASH_RADII:
+        a = spec.where(F.col("hamming") <= r).select(
+            F.lit(r).alias("radius"), "is_true"
+        )
+        arms = a if arms is None else arms.unionByName(a)
+    per = arms.groupBy("radius").agg(
+        F.count("*").alias("n_admitted"),
+        F.sum(F.col("is_true").cast("long")).alias("n_true_admitted"),
+    )
+    tot = spec.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.col("is_true").cast("long")).alias("cand_true"),
+    )
+    radii_df = spark.createDataFrame(
+        [(r,) for r in _SIMHASH_RADII], "radius int"
+    )
+    return (
+        radii_df.join(per, "radius", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "radius",
+            F.coalesce("n_admitted", F.lit(0)).cast("bigint").alias(
+                "n_admitted"
+            ),
+            F.coalesce("n_true_admitted", F.lit(0)).cast("bigint").alias(
+                "n_true_admitted"
+            ),
+            "n_candidates",
+            "cand_true",
+            F.when(
+                F.coalesce("n_admitted", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_true_admitted") * 1.0 / F.col("n_admitted"), 4
+                ),
+            ).alias("precision_adm"),
+            F.when(
+                F.col("cand_true") > 0,
+                F.round(
+                    F.coalesce("n_true_admitted", F.lit(0))
+                    * 1.0
+                    / F.col("cand_true"),
+                    4,
+                ),
+            ).alias("recall_vs_cand_truth"),
+        )
+    )

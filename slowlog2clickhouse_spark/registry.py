@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "slowlog_classes_routed",
     "ann_ivfpq_sweep",
     "dedup_lsh_band_sweep",
+    "dedup_simhash_radius_sweep",
     "agg_weighted_percentile",
     "events_journey_pattern",
     "vec_contamination_probe",

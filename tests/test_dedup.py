@@ -388,3 +388,27 @@ def test_lsh_band_sweep_frontier_invariants(spark, sf_dir):
     for r in rows.values():
         assert r["n_true"] <= r["n_candidates"]
         assert 0.0 < r["s_curve_p_at_theta"] < 1.0
+
+
+def test_simhash_radius_sweep_monotone_tradeoff(spark, sf_dir):
+    """Radius arms are nested filters over one spectrum, so admitted
+    and true-admitted counts are monotone non-decreasing in radius
+    while precision is monotone non-increasing once pairs are
+    admitted; radius 6 over 4x15-bit bands recovers every true pair
+    the candidate set contains at this corpus's separation."""
+    from slowlog2clickhouse_spark.registry import all_ops
+
+    rows = {
+        r["radius"]: r
+        for r in all_ops()["dedup_simhash_radius_sweep"].fn(spark, sf_dir).collect()
+    }
+    radii = sorted(rows)
+    assert radii == [0, 1, 2, 3, 4, 6]
+    for lo, hi in zip(radii, radii[1:]):
+        assert rows[hi]["n_admitted"] >= rows[lo]["n_admitted"]
+        assert rows[hi]["n_true_admitted"] >= rows[lo]["n_true_admitted"]
+    n_cand = {r["n_candidates"] for r in rows.values()}
+    assert len(n_cand) == 1  # one shared spectrum
+    for r in rows.values():
+        assert r["n_true_admitted"] <= r["n_admitted"]
+        assert r["cand_true"] <= r["n_candidates"]
