@@ -158,6 +158,64 @@ def construct_flags(col: Column | str) -> dict[str, Column]:
     }
 
 
+def any_construct_flag(col: Column | str) -> Column:
+    """OR-fold of :func:`construct_flags`. NULL queries yield NULL
+    flags; callers must ``coalesce(..., lit(False))`` so NULLs route to
+    the chain branch (where ``fingerprint_col(NULL)`` is NULL, matching
+    the UDF's None guard)."""
+    acc: Column | None = None
+    for c in construct_flags(col).values():
+        acc = c if acc is None else (acc | c)
+    assert acc is not None
+    return acc
+
+
+def routed_fingerprint(
+    df, query_col: str = "query", out_col: str = "fingerprint", fp_fn=None
+):
+    """Routed fingerprinting as a DataFrame SPLIT + UNION (ADVICE r10).
+
+    The obvious form — ``F.when(any_flag, udf).otherwise(chain)`` — is
+    WRONG for cost: Spark extracts Python UDFs out of conditional
+    expressions into a separate ArrowEvalPython node below the Project,
+    so the state-machine UDF runs on EVERY row and the branch only
+    selects which already-computed value to keep (verified on PySpark
+    4.1.2: the UDF received 100/100 rows with 10 flagged). Splitting
+    the DataFrame puts a Filter UNDER each branch's evaluation, so the
+    Arrow boundary genuinely sees only the flagged slice
+    (tests/test_fingerprint.py pins this with an accumulator probe).
+
+    Cost at 100 TB: the source is scanned twice (once per branch), but
+    the detectors are codegen'd string ops on one column and both scans
+    are columnar with the flag filter applied map-side; that beats
+    paying Python/Arrow serialization on 100% of rows whenever the
+    flagged fraction is small (4% on the real-log fixture; the
+    chain-vs-routed-vs-UDF crossover curve is measured in SCALING.md).
+
+    NULL queries carry NULL flags → coalesce(False) → chain branch →
+    NULL fingerprint, identical to the UDF's None guard.
+
+    ``fp_fn`` is test-instrumentation only: an alternate per-row
+    fingerprint callable (e.g. one that bumps an accumulator) so the
+    "UDF sees ONLY flagged rows" contract is directly observable.
+    """
+    import pandas as pd
+
+    fn = fp_fn if fp_fn is not None else fingerprint_py
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them module-wide and pandas_udf's hint inference then rejects the
+    # signature; the explicit returnType is sufficient
+    @F.pandas_udf("string")
+    def _fp_vec(s):
+        return s.map(lambda q: fn(q) if q is not None else None)
+
+    flag = F.coalesce(any_construct_flag(F.col(query_col)), F.lit(False))
+    clean = df.where(~flag).withColumn(out_col, fingerprint_col(F.col(query_col)))
+    flagged = df.where(flag).withColumn(out_col, _fp_vec(F.col(query_col)))
+    return clean.unionByName(flagged)
+
+
 _ML_COMMENT_PY = re.compile(_ML_COMMENT_RE)
 _COMMENT_APOS_PY = re.compile(_COMMENT_APOS_RE)
 _MIXED_QUOTE_PY = re.compile(_MIXED_QUOTE_RE)

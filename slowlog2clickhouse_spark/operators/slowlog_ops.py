@@ -1692,9 +1692,11 @@ def slowlog_classes_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference fidelity while keeping the UDF tax confined to the
     flagged slice (39/983 events on this fixture).
 
-    Scale: identical to the chain ingest plus one fused map-pass of
-    nine boolean detectors; only flagged rows cross the Python
-    boundary, Arrow-batched."""
+    Scale: the chain ingest plus a split+union on nine codegen'd
+    boolean detectors (NOT when()/otherwise(), which would run the UDF
+    on every row — ADVICE r10): the parsed events are filtered twice
+    (clean → chain, flagged → UDF) and unioned, so only flagged rows
+    cross the Python boundary, Arrow-batched."""
     from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
 
     events = with_fingerprint(

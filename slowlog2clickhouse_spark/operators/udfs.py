@@ -441,26 +441,21 @@ def fn_fingerprint_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the committed fp_py truth column over the adversarial
     corpus, divergence regimes included.
 
-    Scale: the detectors and the chain are one fused codegen'd map
-    pass; only the flagged slice (typically a tiny fraction of a real
-    log — the fixture measures 39/983 events) crosses the Python
-    boundary, Arrow-batched. This is the op the CLI warning tells a
-    user to reach for: full-fidelity fingerprints without paying the
-    UDF tax on the clean mass."""
+    Scale: implemented as a DataFrame SPLIT + UNION (ADVICE r10) — a
+    when()/otherwise() expression would NOT confine the UDF, because
+    Spark extracts Python UDFs out of conditionals and evaluates them
+    on every row. With the split, each branch filters first, so only
+    the flagged slice (typically a tiny fraction of a real log — the
+    fixture measures 39/983 events) crosses the Python boundary,
+    Arrow-batched; the unflagged mass stays in the codegen'd chain.
+    The source is scanned twice (columnar, flag filter map-side) —
+    cheap next to Arrow-serializing 100% of rows. This is the op the
+    CLI warning tells a user to reach for: full-fidelity fingerprints
+    without paying the UDF tax on the clean mass."""
     from slowlog2clickhouse_spark.functions.fingerprint import (
-        construct_flags,
+        routed_fingerprint,
     )
-
-    @F.pandas_udf("string")
-    def fp_vec(s: pd.Series) -> pd.Series:
-        return s.map(fingerprint_py)
 
     df = spark.read.parquet(FINGERPRINT_CORPUS)
-    flags = construct_flags(F.col("query"))
-    any_flag = None
-    for c in flags.values():
-        any_flag = c if any_flag is None else (any_flag | c)
-    routed = F.when(any_flag, fp_vec("query")).otherwise(
-        fingerprint_col("query")
-    )
-    return df.select("stmt_id", "construct", routed.alias("fingerprint"))
+    routed = routed_fingerprint(df, "query", "fingerprint")
+    return routed.select("stmt_id", "construct", "fingerprint")

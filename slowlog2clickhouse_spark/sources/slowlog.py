@@ -336,38 +336,41 @@ def with_fingerprint(events: DataFrame, mode: str = "chain") -> DataFrame:
     mode="routed" — per-row routing (the fn_fingerprint_routed
                     contract): rows with no chain-divergence construct
                     flag take the chain, flagged rows take the Arrow
-                    state-machine UDF — state-machine-exact output,
-                    UDF tax only on the flagged slice.
+                    state-machine UDF — state-machine-exact output.
+                    Implemented as a DataFrame split + union (NOT a
+                    when()/otherwise() expression — Spark extracts
+                    Python UDFs from conditionals and runs them on
+                    every row; ADVICE r10): the UDF tax genuinely
+                    lands only on the flagged slice, at the cost of
+                    scanning the source twice (columnar, filter
+                    pushed — cheap next to Arrow on the full corpus).
     mode="python" — every row through the Arrow state machine (the
                     full-fidelity reference semantics, maximum cost).
     """
     from slowlog2clickhouse_spark.functions.fingerprint import (
-        construct_flags,
         digest_col,
         fingerprint_col,
         fingerprint_py,
+        routed_fingerprint,
     )
 
     if mode == "chain":
         fp = fingerprint_col(F.col("query"))
-    else:
+    elif mode == "python":
         import pandas as pd
 
         @F.pandas_udf("string")
         def _fp_vec(s: pd.Series) -> pd.Series:
             return s.map(lambda q: fingerprint_py(q) if q is not None else None)
 
-        if mode == "python":
-            fp = _fp_vec(F.col("query"))
-        elif mode == "routed":
-            any_flag = None
-            for c in construct_flags(F.col("query")).values():
-                any_flag = c if any_flag is None else (any_flag | c)
-            fp = F.when(any_flag, _fp_vec(F.col("query"))).otherwise(
-                fingerprint_col(F.col("query"))
-            )
-        else:
-            raise ValueError(f"unknown fingerprint mode: {mode!r}")
+        fp = _fp_vec(F.col("query"))
+    elif mode == "routed":
+        # split+union, NOT when()/otherwise() — see routed_fingerprint
+        return routed_fingerprint(events, "query", "fingerprint").withColumn(
+            "digest", digest_col(F.col("fingerprint"))
+        )
+    else:
+        raise ValueError(f"unknown fingerprint mode: {mode!r}")
     return events.withColumn("fingerprint", fp).withColumn(
         "digest", digest_col(F.col("fingerprint"))
     )

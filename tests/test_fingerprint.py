@@ -433,3 +433,35 @@ def test_routed_fingerprint_is_state_machine_exact(spark, sf_dir):
         if r["chain"] != r["fp_py"]:
             n_diverge += 1
     assert n_diverge > 0  # the corpus still exercises the routed path
+
+
+def test_routed_udf_receives_only_flagged_rows(spark):
+    """ADVICE r10 (medium): the when()/otherwise() form pays the Arrow
+    tax on EVERY row because Spark extracts Python UDFs out of
+    conditional expressions. routed_fingerprint's split+union form must
+    send the UDF exactly the flagged slice — pinned here with an
+    accumulator bumped once per row the UDF actually sees."""
+    from slowlog2clickhouse_spark.functions.fingerprint import (
+        any_construct_flag,
+        fingerprint_py,
+        routed_fingerprint,
+    )
+    from slowlog2clickhouse_spark.operators.udfs import FINGERPRINT_CORPUS
+
+    df = spark.read.parquet(FINGERPRINT_CORPUS)
+    total = df.count()
+    flag = F.coalesce(any_construct_flag(F.col("query")), F.lit(False))
+    n_flagged = df.where(flag).count()
+    assert 0 < n_flagged < total  # corpus exercises both branches
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_fp(q):
+        acc.add(1)
+        return fingerprint_py(q)
+
+    out = routed_fingerprint(df, "query", "fingerprint", fp_fn=counting_fp)
+    rows = out.select("stmt_id", "fingerprint").collect()
+    assert len(rows) == total
+    # exactly the flagged slice crossed the Python boundary
+    assert acc.value == n_flagged
