@@ -275,7 +275,89 @@ def stream_classes_pctl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebraically, now running in the production topology: per-cycle
     state is |digests × ≤40 buckets| integers however long the tail
     runs, a retry of the same epoch rewrites the same part, and
-    percentile-bearing class rows never need the O(history) rescan."""
+    percentile-bearing class rows never need the O(history) rescan.
+
+    Crash/retry topology (ADVICE r10 + VERDICT r10 #5): NO mutable
+    driver-side pointer. Every decision is derived from the sink
+    itself — an epoch merges state_v{max committed version < epoch}
+    with its partial into state_v{epoch}; a retried epoch whose part
+    already committed (_SUCCESS present) is a no-op, and one whose
+    write died half-way recomputes from the previous COMMITTED part
+    (never reads its own torn output); a driver restart with an intact
+    checkpoint replays the source and finds the state by listing
+    state_v* — pinned by tests/test_streaming.py restart + retry
+    tests."""
+    from slowlog2clickhouse_spark.operators.slowlog_ops import (
+        _TMP,
+        hist_quantiles,
+    )
+
+    base = f"{_TMP}/stream_pctl_{_os.getpid()}_{next(_counter)}"
+    run_pctl_merge_stream(spark, base)
+    vs = committed_state_versions(base)
+    assert vs, "stream produced no committed state parts"
+    return hist_quantiles(spark.read.parquet(f"{base}/state_v{vs[-1]}"))
+
+
+def committed_state_versions(base: str) -> list[int]:
+    """Sorted epoch versions whose state part FULLY committed.
+
+    The _SUCCESS marker (written last by Spark's parquet commit
+    protocol) distinguishes a committed part from a torn write left by
+    a crash mid-epoch. Local listdir here; on a DFS the same listing
+    goes through the FileSystem API — the pattern (sink-derived state
+    pointer, no driver memory) is what carries to 100 TB."""
+    import re as _re
+
+    if not _os.path.isdir(base):
+        return []
+    out = []
+    for d in _os.listdir(base):
+        m = _re.fullmatch(r"state_v(\d+)", d)
+        if m and _os.path.exists(_os.path.join(base, d, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def merge_pctl_partial(
+    spark: SparkSession, base: str, batch_df: DataFrame, epoch_id: int
+) -> None:
+    """foreachBatch body for the pctl merge sink: addition-merge the
+    batch's (digest, bucket) histogram partial into the latest
+    COMMITTED state part, writing a new versioned part.
+
+    Idempotent under BOTH Structured Streaming failure modes:
+    - epoch retried after a successful commit → state_v{epoch} has
+      _SUCCESS → skip (re-merging would double-count the batch);
+    - epoch retried after a torn write → no _SUCCESS → recompute from
+      the newest committed version BELOW epoch (never unions with or
+      lazily overwrites its own partial output)."""
+    dst = f"{base}/state_v{epoch_id}"
+    if _os.path.exists(_os.path.join(dst, "_SUCCESS")):
+        return
+    part = batch_df.groupBy("digest", "bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    prev = [v for v in committed_state_versions(base) if v < epoch_id]
+    if prev:
+        part = (
+            part.unionByName(spark.read.parquet(f"{base}/state_v{prev[-1]}"))
+            .groupBy("digest", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+    part.write.mode("overwrite").parquet(dst)
+
+
+def run_pctl_merge_stream(
+    spark: SparkSession,
+    base: str,
+    fail_at_epoch: int | None = None,
+) -> None:
+    """Drive the pctl-merge stream over the two-segment rotation split
+    of the fixture log under ``base`` (availableNow, 1 file/trigger).
+    ``fail_at_epoch`` injects a crash BEFORE that epoch's merge runs —
+    the restart test's kill switch; rerunning without it resumes from
+    the checkpoint."""
     import re
 
     from slowlog2clickhouse_spark.functions.fingerprint import (
@@ -284,21 +366,19 @@ def stream_classes_pctl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from slowlog2clickhouse_spark.operators.slowlog_ops import (
         FIXTURE_LOG,
-        _TMP,
-        hist_quantiles,
         qt_hist_bucket,
     )
 
-    base = f"{_TMP}/stream_pctl_{_os.getpid()}_{next(_counter)}"
     src = f"{base}/src"
-    _os.makedirs(src, exist_ok=True)
-    txt = open(FIXTURE_LOG).read()
-    starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
-    mid = starts[len(starts) // 2]
-    with open(f"{src}/rot0.log", "w") as f:
-        f.write(txt[:mid])
-    with open(f"{src}/rot1.log", "w") as f:
-        f.write(txt[mid:])
+    if not _os.path.isdir(src):
+        _os.makedirs(src, exist_ok=True)
+        txt = open(FIXTURE_LOG).read()
+        starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
+        mid = starts[len(starts) // 2]
+        with open(f"{src}/rot0.log", "w") as f:
+            f.write(txt[:mid])
+        with open(f"{src}/rot1.log", "w") as f:
+            f.write(txt[mid:])
 
     events = read_slowlog_stream(spark, src, max_files_per_trigger=1)
     ev = (
@@ -313,24 +393,11 @@ def stream_classes_pctl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             qt_hist_bucket().alias("bucket"),
         )
     )
-    state = {"path": None}
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        part = batch_df.groupBy("digest", "bucket").agg(
-            F.count("*").cast("long").alias("n")
-        )
-        if state["path"] is not None:
-            part = (
-                part.unionByName(spark.read.parquet(state["path"]))
-                .groupBy("digest", "bucket")
-                .agg(F.sum("n").alias("n"))
-            )
-        # versioned parts: never read-and-overwrite the same path (a
-        # lazy self-overwrite reads truncated input); a retried epoch
-        # rewrites its own part idempotently
-        new_path = f"{base}/state_v{epoch_id}"
-        part.write.mode("overwrite").parquet(new_path)
-        state["path"] = new_path
+        if fail_at_epoch is not None and epoch_id >= fail_at_epoch:
+            raise RuntimeError(f"injected crash before epoch {epoch_id}")
+        merge_pctl_partial(spark, base, batch_df, epoch_id)
 
     q = (
         ev.writeStream.foreachBatch(merge_batch)
@@ -340,5 +407,3 @@ def stream_classes_pctl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    assert state["path"] is not None, "stream produced no micro-batches"
-    return hist_quantiles(spark.read.parquet(state["path"]))

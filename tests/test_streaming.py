@@ -514,3 +514,142 @@ def test_stream_journey_state_over_cap_user_chunk_order(spark, tmp_path):
     small = [r for r in rows if r[0] == 2]
     assert got[2]["n_events"] == 40 and not got[2]["truncated"]
     assert got[2]["journey_md5"] == truth(small)
+
+
+def _pctl_batch_truth(spark):
+    """Single-pass batch recompute of the pctl-merge stream's answer
+    (same formulation as the op's DuckDB oracle, via the batch path)."""
+    from slowlog2clickhouse_spark.functions.fingerprint import (
+        digest_col,
+        fingerprint_col,
+    )
+    from slowlog2clickhouse_spark.operators.slowlog_ops import (
+        FIXTURE_LOG,
+        hist_quantiles,
+        qt_hist_bucket,
+    )
+    from slowlog2clickhouse_spark.sources.slowlog import parse_slowlog
+
+    ev = (
+        parse_slowlog(spark, FIXTURE_LOG)
+        .where(
+            ~F.col("admin")
+            & F.col("query").isNotNull()
+            & F.col("query_time").isNotNull()
+        )
+        .withColumn("fingerprint", fingerprint_col(F.col("query")))
+        .select(
+            digest_col(F.col("fingerprint")).alias("digest"),
+            qt_hist_bucket().alias("bucket"),
+        )
+    )
+    hist = ev.groupBy("digest", "bucket").agg(F.count("*").cast("long").alias("n"))
+    return {
+        r["digest"]: (r["num_timed"], r["p50_est"], r["p95_est"])
+        for r in hist_quantiles(hist).collect()
+    }
+
+
+def test_pctl_merge_restart_equals_batch(spark, tmp_path):
+    """VERDICT r10 #5: kill the pctl-merge stream after epoch 0
+    commits, rerun against the same checkpoint — the sink-derived
+    state pointer (max committed state_v*) must recover and the final
+    quantiles must equal the single-pass batch recompute."""
+    import pyspark.errors
+
+    from slowlog2clickhouse_spark.operators.slowlog_ops import hist_quantiles
+    from slowlog2clickhouse_spark.streaming.slowlog_stream import (
+        committed_state_versions,
+        run_pctl_merge_stream,
+    )
+
+    base = str(tmp_path / "pctl_restart")
+    try:
+        run_pctl_merge_stream(spark, base, fail_at_epoch=1)
+        raise AssertionError("injected crash did not fire")
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        pass
+    vs = committed_state_versions(base)
+    assert vs == [0], vs  # epoch 0 committed, epoch 1 never ran
+
+    # restart: same checkpoint replays the unprocessed file(s)
+    run_pctl_merge_stream(spark, base)
+    vs = committed_state_versions(base)
+    assert vs[-1] >= 1 and len(vs) >= 2, vs
+
+    got = {
+        r["digest"]: (r["num_timed"], r["p50_est"], r["p95_est"])
+        for r in hist_quantiles(
+            spark.read.parquet(f"{base}/state_v{vs[-1]}")
+        ).collect()
+    }
+    assert got == _pctl_batch_truth(spark)
+
+
+def test_pctl_merge_retry_idempotent(spark, tmp_path):
+    """ADVICE r10: a retried epoch must not double-count.
+    (a) retry AFTER commit: _SUCCESS present -> no-op, state unchanged
+        even when fed a duplicate batch;
+    (b) retry after a TORN write: part dir without _SUCCESS -> the
+        merge recomputes from the previous COMMITTED version, never
+        reading its own torn output."""
+    import shutil
+
+    from slowlog2clickhouse_spark.operators.slowlog_ops import hist_quantiles
+    from slowlog2clickhouse_spark.streaming.slowlog_stream import (
+        committed_state_versions,
+        merge_pctl_partial,
+        run_pctl_merge_stream,
+    )
+
+    base = str(tmp_path / "pctl_retry")
+    run_pctl_merge_stream(spark, base)
+    vs = committed_state_versions(base)
+    assert len(vs) >= 2, vs
+    last = vs[-1]
+    final_path = f"{base}/state_v{last}"
+    truth = {
+        r["digest"]: (r["num_timed"], r["p50_est"], r["p95_est"])
+        for r in hist_quantiles(spark.read.parquet(final_path)).collect()
+    }
+    assert truth == _pctl_batch_truth(spark)
+
+    # (a) committed-epoch retry with a duplicate batch: must be a no-op
+    dupe = spark.read.parquet(final_path).select(
+        "digest", F.col("bucket").alias("bucket")
+    )  # any rows would double-count if merged
+    merge_pctl_partial(spark, base, dupe, last)
+    after = {
+        r["digest"]: (r["num_timed"], r["p50_est"], r["p95_est"])
+        for r in hist_quantiles(spark.read.parquet(final_path)).collect()
+    }
+    assert after == truth
+
+    # (b) torn-write retry: wipe the final part's _SUCCESS (simulating
+    # a crash mid-write), replay the real epoch partial -> recomputes
+    # from state_v{last-1} and lands back on the truth
+    prev = spark.read.parquet(f"{base}/state_v{vs[-2]}")
+    cur = spark.read.parquet(final_path)
+    # reconstruct the epoch's batch partial = final - prev (counts as
+    # per-row multiplicity: explode n back into rows)
+    delta = (
+        cur.withColumnRenamed("n", "n_cur")
+        .join(prev.withColumnRenamed("n", "n_prev"), ["digest", "bucket"], "left")
+        .withColumn("n_d", F.col("n_cur") - F.coalesce("n_prev", F.lit(0)))
+        .where(F.col("n_d") > 0)
+        .select("digest", "bucket", F.explode(F.expr("sequence(1, n_d)")).alias("_i"))
+        .select("digest", "bucket")
+    ).localCheckpoint()
+    shutil.rmtree(final_path)
+    fake_torn = f"{final_path}/part-torn.parquet"
+    import os
+
+    os.makedirs(final_path, exist_ok=True)
+    open(fake_torn, "w").close()
+    assert committed_state_versions(base)[-1] == vs[-2]
+    merge_pctl_partial(spark, base, delta, last)
+    redone = {
+        r["digest"]: (r["num_timed"], r["p50_est"], r["p95_est"])
+        for r in hist_quantiles(spark.read.parquet(final_path)).collect()
+    }
+    assert redone == truth
