@@ -239,6 +239,8 @@ def main() -> None:
 
     gate_total = round(sum(results[q] for q in BASELINE_QUERIES), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # verbose line FIRST (variance triples for the regression audit) …
     print(
         json.dumps(
             {
@@ -249,8 +251,26 @@ def main() -> None:
                 "queries": results,
                 "variance": variance,
                 "loadavg_start": round(load0, 2),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
+        )
+    )
+    # … compact line LAST (VERDICT r10 #8): the driver keeps only the
+    # tail of stdout, so the final line must parse standalone — same
+    # contract keys, no variance payload, compact separators.
+    print(
+        json.dumps(
+            {
+                "metric": "baseline8_warm_median_total",
+                "value": gate_total,
+                "gate_total_s": gate_total,
+                "unit": "sec",
+                "stat": "warm_median",
+                "loadavg_start": round(load0, 2),
+                "sf": sf_val,
+                "queries": results,
+            },
+            separators=(",", ":"),
         )
     )
 
