@@ -220,6 +220,122 @@ def main() -> int:
         f"OK: {len(got)} streaming class rows round-tripped through "
         f"{url} ({stream_table})"
     )
+
+    # -- 6. mergeable-percentile state tables (VERDICT r10 #3) -------
+    # The r10 pctl pipeline's ClickHouse shape: the (digest, bucket, n)
+    # histogram state lands in a SummingMergeTree whose merge-on-read
+    # ADDITION is the same operation stream_classes_pctl_merge performs
+    # in foreachBatch. Write the state in two halves (two flush
+    # cycles), let the server merge, and assert the quantiles extracted
+    # from the read-back equal the single-pass batch recompute.
+    from slowlog2clickhouse_spark.operators.slowlog_ops import (
+        hist_quantiles,
+        qt_hist_bucket,
+    )
+    from slowlog2clickhouse_spark.sources.slowlog import (
+        parse_slowlog,
+        with_fingerprint,
+    )
+
+    ev = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        (~F.col("admin"))
+        & F.col("query").isNotNull()
+        & F.col("query_time").isNotNull()
+    )
+    buckets = ev.select(
+        "digest", qt_hist_bucket().alias("bucket"), F.col("record_no")
+    ).cache()
+    state_table = "queries_pctl_state_integration_test"
+    cls_table = "queries_pctl_integration_test"
+    hist_all = buckets.groupBy("digest", "bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    sddl2 = clickhouse_ddl(
+        hist_all, state_table, order_by=("digest", "bucket"),
+        partition_by=None, engine="SummingMergeTree((n))",
+    )
+    cddl = clickhouse_ddl(
+        hist_quantiles(hist_all), cls_table, order_by=("digest",),
+        partition_by=None, engine="ReplacingMergeTree(num_timed)",
+    )
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for t, d in ((state_table, sddl2), (cls_table, cddl)):
+            st.execute(f"DROP TABLE IF EXISTS {t}")
+            st.execute(d)
+        st.close()
+    finally:
+        conn.close()
+    # two flush cycles: each writes its half's PARTIAL histogram —
+    # SummingMergeTree owns the addition across parts
+    half = F.when(F.col("record_no") % 2 == 0, 0).otherwise(1)
+    for h in (0, 1):
+        part = (
+            buckets.where(half == h)
+            .groupBy("digest", "bucket")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        write_jdbc(part, url, state_table, mode="append")
+    # read back with an explicit re-sum: FINAL dedup timing is the
+    # server's business; the CONTRACT is sum(n) per (digest, bucket)
+    hback = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", state_table)
+        .option("driver", "com.clickhouse.jdbc.ClickHouseDriver")
+        .load()
+        .groupBy("digest", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    want_q = {
+        r["digest"]: (r["num_timed"], r["p50_est"], r["p95_est"])
+        for r in hist_quantiles(hist_all).collect()
+    }
+    got_q = {
+        r["digest"]: (r["num_timed"], r["p50_est"], r["p95_est"])
+        for r in hist_quantiles(hback).collect()
+    }
+    assert got_q == want_q, "pctl state round-trip quantiles diverge"
+    # class rows: flush twice (num_timed grows) — newest version wins
+    write_jdbc(
+        hist_quantiles(
+            buckets.where(half == 0)
+            .groupBy("digest", "bucket")
+            .agg(F.count("*").cast("long").alias("n"))
+        ),
+        url, cls_table, mode="append",
+    )
+    write_jdbc(hist_quantiles(hist_all), url, cls_table, mode="append")
+    cback = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", cls_table)
+        .option("driver", "com.clickhouse.jdbc.ClickHouseDriver")
+        .load()
+    )
+    # contract view of ReplacingMergeTree: max-version row per digest
+    from pyspark.sql import Window
+
+    latest = (
+        cback.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("digest").orderBy(F.desc("num_timed"))
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    got_c = {
+        r["digest"]: (r["num_timed"], r["p50_est"], r["p95_est"])
+        for r in latest.collect()
+    }
+    assert got_c == want_q, "pctl class re-flush: newest version did not win"
+    print(
+        f"OK: pctl state ({state_table}) + class ({cls_table}) tables "
+        f"round-tripped; SummingMergeTree addition == batch recompute"
+    )
     return 0
 
 

@@ -43,21 +43,67 @@ def sink_jdbc_clickhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested without a server. Two DDL rows since r6: the default
     5-metric battery AND the full D5 ``m_*`` family (all 20 time+number
     metrics → 8-stat batteries + 15 bool sums — the README DDL [R:M]
-    surface). scripts/clickhouse_integration.py is the one-command
-    live test once a server exists."""
+    surface). Since r11 the contract also pins the two
+    mergeable-percentile table shapes (VERDICT r10 #3): the
+    (digest, bucket, n) histogram STATE as SummingMergeTree — its
+    merge-on-read addition over ORDER BY (digest, bucket) is exactly
+    the addition-merge stream_classes_pctl_merge performs in
+    foreachBatch, so parts written per flush cycle collapse to the
+    running histogram server-side — and the percentile-bearing CLASS
+    row as ReplacingMergeTree(num_timed), where the monotone num_timed
+    versions each re-flush so the newest quantile row per digest wins.
+    scripts/clickhouse_integration.py is the one-command live test
+    once a server exists."""
     from slowlog2clickhouse_spark.sources.slowlog import (
         NUMBER_METRICS,
         TIME_METRICS,
+        parse_slowlog,
+        with_fingerprint,
     )
 
     classes = ingest_slowlog(spark, FIXTURE_LOG)
     full = ingest_slowlog(
         spark, FIXTURE_LOG, metrics=TIME_METRICS + NUMBER_METRICS
     )
+    from slowlog2clickhouse_spark.operators.slowlog_ops import (
+        hist_quantiles,
+        qt_hist_bucket,
+    )
+
+    ev = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        (~F.col("admin"))
+        & F.col("query").isNotNull()
+        & F.col("query_time").isNotNull()
+    )
+    hist_state = ev.select(
+        F.col("digest"), qt_hist_bucket().alias("bucket")
+    ).groupBy("digest", "bucket").agg(F.count("*").cast("long").alias("n"))
+    pctl_classes = hist_quantiles(hist_state)
+
     opts = jdbc_options("jdbc:clickhouse://localhost:8123/slowlog", "slowlog.queries")
     rows = (
         [("ddl", clickhouse_ddl(classes, "slowlog.queries"))]
         + [("ddl_full", clickhouse_ddl(full, "slowlog.queries_full"))]
+        + [(
+            "ddl_pctl_state",
+            clickhouse_ddl(
+                hist_state,
+                "slowlog.queries_pctl_state",
+                order_by=("digest", "bucket"),
+                partition_by=None,
+                engine="SummingMergeTree((n))",
+            ),
+        )]
+        + [(
+            "ddl_pctl_classes",
+            clickhouse_ddl(
+                pctl_classes,
+                "slowlog.queries_pctl",
+                order_by=("digest",),
+                partition_by=None,
+                engine="ReplacingMergeTree(num_timed)",
+            ),
+        )]
         + [(f"option:{k}", v) for k, v in sorted(opts.items())]
     )
     return spark.createDataFrame(rows, "item string, value string")

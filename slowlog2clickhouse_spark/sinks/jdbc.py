@@ -62,18 +62,50 @@ def clickhouse_ddl(
     df: DataFrame,
     table: str,
     order_by: tuple[str, ...] = ("digest", "period_start"),
-    partition_by: str = "toDate(period_start)",
+    partition_by: str | None = "toDate(period_start)",
+    engine: str = "MergeTree",
 ) -> str:
     """CREATE TABLE DDL mirroring the reference's MergeTree layout
     (README DDL [R:M]): ORDER BY (digest, period_start), PARTITION BY
-    toDate(period_start)."""
-    cols = ",\n  ".join(
-        f"`{f.name}` {clickhouse_type(f)}" for f in df.schema.fields
+    toDate(period_start).
+
+    Columns referenced by ORDER BY / PARTITION BY are emitted
+    NON-nullable even when the Spark schema says nullable: ClickHouse
+    rejects Nullable sorting-key and partition columns by default
+    ("Sorting key cannot contain nullable columns"), and the pipeline
+    never produces NULL digests/periods on the sink path (the ingest
+    filters admin/NULL-query events before classing). ``engine``
+    parameterizes the MergeTree family — SummingMergeTree for the
+    addition-merged pctl histogram state, ReplacingMergeTree for
+    re-flushed class rows. ``partition_by=None`` omits the clause
+    (small state tables don't want date parts)."""
+    import re as _re
+
+    # key columns = ORDER BY + PARTITION BY + engine args (a
+    # SummingMergeTree summed column / ReplacingMergeTree version
+    # column must be non-nullable as well); non-column identifiers
+    # (toDate, the engine name) match nothing in the schema
+    keys = set(order_by) | set(
+        _re.findall(
+            r"[A-Za-z_][A-Za-z0-9_]*", f"{partition_by or ''} {engine}"
+        )
     )
+    cols = ",\n  ".join(
+        "`{}` {}".format(
+            f.name,
+            clickhouse_type(
+                T.StructField(
+                    f.name, f.dataType, f.nullable and f.name not in keys
+                )
+            ),
+        )
+        for f in df.schema.fields
+    )
+    part = f"PARTITION BY {partition_by}\n" if partition_by else ""
     return (
         f"CREATE TABLE IF NOT EXISTS {table} (\n  {cols}\n)\n"
-        f"ENGINE = MergeTree\n"
-        f"PARTITION BY {partition_by}\n"
+        f"ENGINE = {engine}\n"
+        f"{part}"
         f"ORDER BY ({', '.join(order_by)})"
     )
 

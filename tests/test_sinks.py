@@ -201,3 +201,98 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, sf_dir):
     assert u_cov < 0.8, u_cov
     assert t_cov < 0.8, t_cov
     assert u_cov + t_cov < 1.4, (u_cov, t_cov)
+
+
+class TestPctlStateContract:
+    """VERDICT r10 #3: the mergeable-percentile state tables' ClickHouse
+    contract — DDL shape + the writer path with the state schema."""
+
+    def _hist_state(self, spark):
+        from pyspark.sql import functions as F
+
+        from slowlog2clickhouse_spark.operators.slowlog_ops import (
+            FIXTURE_LOG,
+            qt_hist_bucket,
+        )
+        from slowlog2clickhouse_spark.sources.slowlog import (
+            parse_slowlog,
+            with_fingerprint,
+        )
+
+        ev = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+            (~F.col("admin"))
+            & F.col("query").isNotNull()
+            & F.col("query_time").isNotNull()
+        )
+        return ev.select("digest", qt_hist_bucket().alias("bucket")).groupBy(
+            "digest", "bucket"
+        ).agg(F.count("*").cast("long").alias("n"))
+
+    def test_pctl_state_ddl_shapes(self, spark):
+        from slowlog2clickhouse_spark.operators.slowlog_ops import hist_quantiles
+
+        hist = self._hist_state(spark)
+        sddl = clickhouse_ddl(
+            hist, "slowlog.queries_pctl_state", order_by=("digest", "bucket"),
+            partition_by=None, engine="SummingMergeTree((n))",
+        )
+        # keys + the summed column must be non-nullable (ClickHouse
+        # rejects Nullable sorting keys; Nullable summed cols misbehave)
+        assert "`digest` LowCardinality(String)" in sddl
+        assert "`bucket` Int32" in sddl and "Nullable" not in sddl
+        assert "ENGINE = SummingMergeTree((n))" in sddl
+        assert "PARTITION BY" not in sddl
+        assert "ORDER BY (digest, bucket)" in sddl
+
+        cddl = clickhouse_ddl(
+            hist_quantiles(hist), "slowlog.queries_pctl", order_by=("digest",),
+            partition_by=None, engine="ReplacingMergeTree(num_timed)",
+        )
+        # the Replacing version column must be non-nullable too
+        assert "`num_timed` Int64" in cddl
+        assert "Nullable(Int64)" not in cddl
+        assert "ENGINE = ReplacingMergeTree(num_timed)" in cddl
+        assert "ORDER BY (digest)" in cddl
+
+    def test_pctl_state_two_flush_writer_roundtrip(self, spark, tmp_path):
+        """Two flush cycles of histogram PARTIALS through the real JDBC
+        writer (Derby stands in for the wire; SummingMergeTree's
+        addition is modeled by the contract re-sum the integration
+        script also applies) must reproduce the single-pass histogram."""
+        from pyspark.sql import functions as F
+
+        url = f"jdbc:derby:{os.path.join(str(tmp_path), 'pctldb')};create=true"
+        full = self._hist_state(spark).cache()
+        # split each (digest,bucket) count into two partial flushes
+        h0 = full.select(
+            "digest",
+            "bucket",
+            (F.col("n") - F.floor(F.col("n") / 2)).cast("long").alias("n"),
+        ).where(F.col("n") > 0)
+        h1 = full.select(
+            "digest", "bucket", F.floor(F.col("n") / 2).cast("long").alias("n")
+        ).where(F.col("n") > 0)
+        for i, part in enumerate((h0, h1)):
+            write_jdbc(
+                part, url, "pctl_state",
+                mode="append" if i else "overwrite",
+                driver="org.apache.derby.jdbc.EmbeddedDriver",
+                dialect=None, num_partitions=1,
+            )
+        back = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "pctl_state")
+            .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+            .load()
+            .select(
+                F.col("DIGEST").alias("digest"),
+                F.col("BUCKET").alias("bucket"),
+                F.col("N").alias("n"),
+            )
+            .groupBy("digest", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+        want = {(r["digest"], r["bucket"]): r["n"] for r in full.collect()}
+        got = {(r["digest"], r["bucket"]): r["n"] for r in back.collect()}
+        assert got == want
