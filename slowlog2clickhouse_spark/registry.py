@@ -93,6 +93,8 @@ _PRIORITY: tuple[str, ...] = (
     "qan_trend_regression",
     "text_zipf_fit",
     "mm_resize",
+    "mm_decode_pgm",
+    "mm_resize_pgm",
     "mm_frame_sample",
     "orders_pareto",
     "events_rfm",
