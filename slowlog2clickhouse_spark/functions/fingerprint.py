@@ -115,15 +115,20 @@ _MIXED_QUOTE_RE = "'[^']*\"[^']*'|\"[^\"]*'[^\"]*\""
 # #4). The [^A-Za-z0-9_] guard keeps t1.col2 / a1. unflagged — digit
 # runs inside identifiers agree on both paths.
 _NUM_DOT_RE = (  # dot MAY precede the run (.0. — 100k-fuzz find)
-    r"(^|[^A-Za-z0-9_])[0-9]+\.([^0-9]|$)"
-    r"|(^|[^A-Za-z0-9_])[0-9]+\.[0-9]+\."
+    # \b before a digit ⇔ preceding char is non-word or start — the
+    # exact (^|[^A-Za-z0-9_]) guard, but ~10× faster in Java's engine
+    # (r11 router-crossover probe: 2.8s → 0.28s / 200k rows). ASCII \b
+    # on all three engines: Java default, RE2 always, Python mirror
+    # compiled with re.ASCII below.
+    r"\b[0-9]+\.([^0-9]|$)"
+    r"|\b[0-9]+\.[0-9]+\."
 )
 # a standalone token of digits immediately followed by underscore
 # (0_, 12_5): MySQL allows digit-leading identifiers; the chain's
 # \b\d+\b keeps them whole (underscore is a word char, no boundary)
 # while the state machine masks the digit run (r10 fuzz find #6).
 # Identifier-internal runs (tbl_2020_01) stay unflagged — they agree.
-_NUM_UNDERSCORE_RE = r"(^|[^A-Za-z0-9_])[0-9]+_"  # dot MAY precede (.0_ — 100k-fuzz find)
+_NUM_UNDERSCORE_RE = r"\b[0-9]+_"  # same \b-for-guard rewrite as _NUM_DOT_RE
 # a /* with no subsequent */ (ordering, not just count: "*/ /*" has
 # balanced counts but the open comes LAST — 100k-fuzz find). Star-
 # tolerant body, no lookahead (RE2-portable): (\*[^/]|[^*])* to $.
@@ -185,12 +190,15 @@ def routed_fingerprint(
     Arrow boundary genuinely sees only the flagged slice
     (tests/test_fingerprint.py pins this with an accumulator probe).
 
-    Cost at 100 TB: the source is scanned twice (once per branch), but
-    the detectors are codegen'd string ops on one column and both scans
-    are columnar with the flag filter applied map-side; that beats
-    paying Python/Arrow serialization on 100% of rows whenever the
-    flagged fraction is small (4% on the real-log fixture; the
-    chain-vs-routed-vs-UDF crossover curve is measured in SCALING.md).
+    Cost, MEASURED (r11 crossover probe, SCALING.md): the split pays a
+    second source scan plus a detector pass; on local[32] that overhead
+    exceeds the Arrow savings at every flagged fraction and statement
+    shape — mode="python" is the cheaper full-fidelity path there, and
+    the corpus-level fn_fingerprint_router certificate (chain when no
+    flags) is the operative deployment decision. Routed mode is the
+    right shape only where Python workers are the constrained resource
+    (memory-tight executors, Arrow competing with shuffle); re-measure
+    with scripts/router_crossover_probe.py on such a cluster.
 
     NULL queries carry NULL flags → coalesce(False) → chain branch →
     NULL fingerprint, identical to the UDF's None guard.
@@ -219,8 +227,10 @@ def routed_fingerprint(
 _ML_COMMENT_PY = re.compile(_ML_COMMENT_RE)
 _COMMENT_APOS_PY = re.compile(_COMMENT_APOS_RE)
 _MIXED_QUOTE_PY = re.compile(_MIXED_QUOTE_RE)
-_NUM_DOT_PY = re.compile(_NUM_DOT_RE)
-_NUM_UNDERSCORE_PY = re.compile(_NUM_UNDERSCORE_RE)
+# re.ASCII: Java \b and RE2 \b are ASCII word boundaries; Python's
+# default is unicode-aware — pin the mirror to the same alphabet
+_NUM_DOT_PY = re.compile(_NUM_DOT_RE, re.ASCII)
+_NUM_UNDERSCORE_PY = re.compile(_NUM_UNDERSCORE_RE, re.ASCII)
 _UNCLOSED_BLOCK_PY = re.compile(_UNCLOSED_BLOCK_RE)
 
 
