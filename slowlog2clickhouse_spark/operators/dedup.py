@@ -953,6 +953,61 @@ _PAGERANK_DUCK = (
 )
 
 
+@op(
+    "graph_components_star",
+    # the DEEP-graph driver check for connected_components_star: per-
+    # user event chains are ~66 hops at every sf (min-label propagation
+    # would need ~66 rounds — past its default bound), while the star
+    # alternation resolves them in O(log n). The oracle enumerates
+    # reachability with a recursive CTE (UNION dedups ⇒ terminates;
+    # O(Σ chain²) pairs, fine at oracle SF) and labels by min.
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT a, event_id AS b FROM (
+        SELECT event_id, lag(event_id) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS a
+        FROM events) t WHERE a IS NOT NULL),
+    und AS MATERIALIZED (
+      SELECT a AS s, b AS d FROM edges
+      UNION ALL SELECT b, a FROM edges),
+    reach AS (
+      SELECT DISTINCT s AS v, s AS r FROM und
+      UNION
+      SELECT reach.v, und.d FROM reach JOIN und ON und.s = reach.r)
+    SELECT v AS node_id, min(r) AS component_id FROM reach GROUP BY v
+    """,
+)
+def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on a genuinely DEEP graph, driver-checked:
+    the per-user event timelines become path graphs (consecutive-event
+    edges, ~66 hops per user at every sf) and the large-star/small-star
+    alternation labels every event with its chain's minimum event id.
+    dedup_cluster exercises star on shallow near-dup components; this
+    op pins it where the algorithm earns its keep — min-label
+    propagation would need one round per hop (~66), star takes
+    O(log n) alternations (SCALING.md r11: 15 rounds for a 10⁴ chain).
+
+    Scale: edge construction is one window over (user_id, ts) — the
+    partitioning a sessionized event store already has; each star
+    phase is one groupBy+explode, log-round total."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.lag("event_id").over(w).alias("doc_a"),
+            F.col("event_id").alias("doc_b"),
+        )
+        .where(F.col("doc_a").isNotNull())
+    )
+    labels = connected_components_star(edges)
+    return labels.select(
+        F.col("doc_id").alias("node_id"),
+        F.col("cluster_id").alias("component_id"),
+    )
+
+
 @op("graph_pagerank", oracle=_PAGERANK_DUCK)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the minhash near-dup candidate graph: centrality

@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_zipf_fit",
     "mm_resize",
     "mm_decode_pgm",
+    "graph_components_star",
     "mm_resize_pgm",
     "mm_frame_sample",
     "orders_pareto",
