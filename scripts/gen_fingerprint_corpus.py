@@ -170,6 +170,25 @@ CORPUS: dict[str, list[str]] = {
         "SELECT 0_ FROM t",
         "SELECT * FROM t WHERE c = 12_5",
     ],
+    # -- unicode / ASCII boundary (r11; DIVERGENCE regime) ------------
+    # The reference scans bytes with ASCII isDigit/isLetter, so
+    # fingerprint_py is pinned to ASCII token semantics (re.ASCII,
+    # _ascii_alnum): 'é5' masks the 5. Java's \b however is
+    # unicode-aware (measured live: the Spark chain KEEPS é5) while
+    # RE2's is ASCII — the chain is neither reference-faithful nor
+    # cross-engine-portable on non-ASCII statements. Every such row
+    # carries the non_ascii flag (octet_length != length) and routes
+    # to the state machine; fn_fingerprint_parity scopes its
+    # portability claim to ASCII rows.
+    "unicode_ascii_boundary": [
+        "SELECT é5 FROM t",  # unicode letter then digits
+        "SELECT 5é FROM t",  # digits then unicode letter
+        "SELECT ٥ FROM t WHERE a = 3",  # Arabic-Indic digit: NOT masked
+        "SELECT x \u00a0 = 3 FROM t",  # NBSP is not \s on any engine
+        "SELECT 'café' FROM t WHERE id = 7",  # unicode inside string
+        "SELECT É5 FROM t",  # uppercase unicode letter + digits (lower())
+        "SELECT 1 \u00a0",  # trailing NBSP survives trim on both
+    ],
 }
 
 

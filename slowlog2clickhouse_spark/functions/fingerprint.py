@@ -158,6 +158,13 @@ def construct_flags(col: Column | str) -> dict[str, Column]:
         | (_occ("/*") != _occ("*/"))
         | c.rlike(_UNCLOSED_BLOCK_RE),
         "string_mixed_quotes": c.rlike(_MIXED_QUOTE_RE),
+        # ANY non-ASCII byte (r11): the reference scans ASCII bytes,
+        # but Java's \b is unicode-aware while RE2's is ASCII — the
+        # chain is only cross-engine-portable (and reference-faithful)
+        # on ASCII statements, so every non-ASCII statement routes to
+        # the state machine. octet_length != char_length is exactly
+        # "contains a multi-byte char" and costs two codegen'd ints.
+        "non_ascii": F.octet_length(c) != F.length(c),
         "number_trailing_dot": c.rlike(_NUM_DOT_RE),
         "number_leading_ident": c.rlike(_NUM_UNDERSCORE_RE),
     }
@@ -254,6 +261,7 @@ def construct_flags_py(query: str) -> dict[str, bool]:
             or _UNCLOSED_BLOCK_PY.search(query) is not None
         ),
         "string_mixed_quotes": _MIXED_QUOTE_PY.search(query) is not None,
+        "non_ascii": not query.isascii(),
         "number_trailing_dot": _NUM_DOT_PY.search(query) is not None,
         "number_leading_ident": _NUM_UNDERSCORE_PY.search(query) is not None,
     }
@@ -294,6 +302,7 @@ def construct_flags_duckdb(expr: str) -> dict[str, str]:
         "string_mixed_quotes": (
             f"regexp_matches({expr}, '{q(_MIXED_QUOTE_RE)}')"
         ),
+        "non_ascii": f"strlen({expr}) != length({expr})",  # strlen = BYTE length in DuckDB
         "number_trailing_dot": (
             f"regexp_matches({expr}, '{q(_NUM_DOT_RE)}')"
         ),
@@ -319,11 +328,29 @@ def digest_duckdb(expr: str) -> str:
 # Full-fidelity Python implementation (UDF path / golden source of truth)
 # ---------------------------------------------------------------------------
 
-_HEX_RE = re.compile(r"^0[xX][0-9a-fA-F]+$")
-_BIN_RE = re.compile(r"^0b[01]+$")
-_NUM_RE = re.compile(r"^\d+(\.\d+)?([eE][+-]?\d+)?$")
-_IN_RE = re.compile(r"\bin\s*\(\s*\?\s*(,\s*\?\s*)*\)")
-_VALUES_RE = re.compile(r"\bvalues\s*\(\s*\?\s*(,\s*\?\s*)*\)(\s*,\s*\(\s*\?\s*(,\s*\?\s*)*\))*")
+# re.ASCII everywhere: the reference ([go-mysql] query.go) scans BYTES
+# with ASCII isDigit/isLetter checks, and Spark's Java regex \b\d\s\w
+# default to ASCII classes — Python's unicode-aware defaults would make
+# this source of truth diverge from both on non-ASCII statements
+# (r11 find: 'é5' — unicode-alnum prev guard kept the 5 unmasked while
+# the Java chain masked it, an UNFLAGGED routing divergence)
+_HEX_RE = re.compile(r"^0[xX][0-9a-fA-F]+$", re.ASCII)
+_BIN_RE = re.compile(r"^0b[01]+$", re.ASCII)
+_NUM_RE = re.compile(r"^\d+(\.\d+)?([eE][+-]?\d+)?$", re.ASCII)
+_IN_RE = re.compile(r"\bin\s*\(\s*\?\s*(,\s*\?\s*)*\)", re.ASCII)
+_VALUES_RE = re.compile(
+    r"\bvalues\s*\(\s*\?\s*(,\s*\?\s*)*\)(\s*,\s*\(\s*\?\s*(,\s*\?\s*)*\))*",
+    re.ASCII,
+)
+
+_ASCII_DIGITS = "0123456789"
+
+
+def _ascii_alnum(ch: str) -> bool:
+    """ASCII letter/digit — the reference's byte-wise isLetter/isDigit;
+    a multi-byte char is an opaque non-word byte there, exactly like
+    Java's default \\w class treats it."""
+    return ch.isascii() and ch.isalnum()
 
 
 def fingerprint_py(query: str) -> str:
@@ -369,9 +396,9 @@ def fingerprint_py(query: str) -> str:
             i = n if end < 0 else end + 2
             out.append(" ")
             continue
-        if ch.isdigit():
+        if ch in _ASCII_DIGITS:
             j = i
-            while j < n and (query[j].isalnum() or query[j] == "."):
+            while j < n and (_ascii_alnum(query[j]) or query[j] == "."):
                 j += 1
             # signed exponent: '1E-5' — the sign isn't alnum, so extend
             # the token when an e/E is followed by [+-]digits
@@ -380,15 +407,15 @@ def fingerprint_py(query: str) -> str:
                 and query[j] in "+-"
                 and query[j - 1] in "eE"
                 and j + 1 < n
-                and query[j + 1].isdigit()
+                and query[j + 1] in _ASCII_DIGITS
             ):
                 j += 1
-                while j < n and query[j].isdigit():
+                while j < n and query[j] in _ASCII_DIGITS:
                     j += 1
             tok = query[i:j]
             prev = out[-1] if out else ""
             # not part of an identifier like t1 / col2
-            if (not prev or not (prev.isalnum() or prev == "_")) and (
+            if (not prev or not (_ascii_alnum(prev) or prev == "_")) and (
                 _NUM_RE.match(tok) or _HEX_RE.match(tok) or _BIN_RE.match(tok)
             ):
                 out.append("?")
@@ -403,7 +430,9 @@ def fingerprint_py(query: str) -> str:
     s = "".join(out)
     s = _IN_RE.sub("in(?+)", s)
     s = _VALUES_RE.sub("values(?+)", s)
-    s = re.sub(r"\s+", " ", s).strip()
+    # strip(" ") not strip(): Java trim / DuckDB trim remove only
+    # 0x20; Python strip() would also eat a trailing NBSP (r11)
+    s = re.sub(r"\s+", " ", s, flags=re.ASCII).strip(" ")
     return s
 
 
@@ -425,13 +454,16 @@ def fingerprint_chain_py(query: str) -> str:
     all three) — the Java↔RE2 half of that claim is hash-checked per
     row by fn_fingerprint_parity's DuckDB oracle, and
     test_chain_mirror_matches_spark pins the Python third against the
-    live Spark chain on the committed adversarial corpus."""
+    live Spark chain on the committed adversarial corpus. re.ASCII:
+    Java's default \\b \\d \\s \\w are ASCII classes (so is RE2);
+    Python's unicode-aware defaults would diverge on statements like
+    'é5' or NBSP whitespace (r11)."""
     if query is None:
         return None
     c = query
     for pat, rep in PRE_LOWER_STEPS:
-        c = re.sub(pat, rep, c)
+        c = re.sub(pat, rep, c, flags=re.ASCII)
     c = c.lower()
     for pat, rep in POST_LOWER_STEPS:
-        c = re.sub(pat, rep, c)
-    return c.strip()
+        c = re.sub(pat, rep, c, flags=re.ASCII)
+    return c.strip(" ")

@@ -1692,7 +1692,7 @@ def slowlog_classes_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference fidelity while keeping the UDF tax confined to the
     flagged slice (39/983 events on this fixture).
 
-    Scale: the chain ingest plus a split+union on nine codegen'd
+    Scale: the chain ingest plus a split+union on ten codegen'd
     boolean detectors (NOT when()/otherwise(), which would run the UDF
     on every row — ADVICE r10): the parsed events are filtered twice
     (clean → chain, flagged → UDF) and unioned, so only flagged rows

@@ -310,12 +310,18 @@ _FP_AGREE_DUCK = f"CASE WHEN {fingerprint_duckdb('query')} = fp_py THEN 1 ELSE 0
 
 @op(
     "fn_fingerprint_parity",
+    # ASCII rows only: the chain's cross-engine portability contract
+    # (Java == RE2 == the Python mirror) holds on ASCII statements —
+    # Java's \b is unicode-aware while RE2's is ASCII, so non-ASCII
+    # rows are excluded here and instead FLAGGED by the non_ascii
+    # detector and routed to the state machine (r11).
     oracle=f"""
     SELECT construct,
            count(*) AS n,
            sum({_FP_AGREE_DUCK})::BIGINT AS n_agree,
            round(avg({_FP_AGREE_DUCK}), 4) AS agreement
     FROM {_FP_CORPUS}
+    WHERE strlen(query) = length(query)
     GROUP BY construct
     """,
 )
@@ -339,7 +345,9 @@ def fn_fingerprint_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     string_doubled_quote / comment_block_multiline /
     unterminated_string 0.00) quantify where a pipeline must route
     through pandas_udf_fingerprint instead — recorded in SCALING.md."""
-    df = spark.read.parquet(FINGERPRINT_CORPUS)
+    df = spark.read.parquet(FINGERPRINT_CORPUS).where(
+        F.octet_length("query") == F.length("query")  # ASCII contract
+    )
     agree = (fingerprint_col("query") == F.col("fp_py")).cast("int")
     return df.groupBy("construct").agg(
         F.count("*").alias("n"),
@@ -375,11 +383,13 @@ def fn_fingerprint_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-driven chain-vs-UDF fingerprint routing (VERDICT r9 #3):
     fn_fingerprint_parity MEASURED which grammar regimes the JVM
     regexp_replace chain gets wrong; this op measures whether a given
-    CORPUS contains them. One map pass computes NINE conservative
+    CORPUS contains them. One map pass computes TEN conservative
     construct detectors (functions/fingerprint.py construct_flags —
-    the five documented regimes plus the four the r10 soundness fuzz
-    found; string ops + the Java/RE2-portable regex subset, identical
-    on both engines), one global aggregate sums them, and each row
+    the five documented regimes, the four the r10 soundness fuzz
+    found, plus r11's non_ascii byte check — Java's unicode-aware \b
+    makes the chain non-portable off ASCII, so any multi-byte char
+    routes; string ops + the Java/RE2-portable regex subset, identical
+    on both engines for ASCII input), one global aggregate sums them, and each row
     carries the routed/unrouted verdict: needs_routing=true means the
     corpus must go through pandas_udf_fingerprint (the Arrow state
     machine), false certifies the codegen'd chain. The safety property
@@ -392,7 +402,7 @@ def fn_fingerprint_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same detectors on the real log and warns
     (slowlog2clickhouse_spark/__main__.py).
 
-    Scale: detection is nine codegen'd boolean expressions in ONE map
+    Scale: detection is ten codegen'd boolean expressions in ONE map
     pass folded by partial aggregation into a single 9-number row —
     the routing decision for a 100 TB corpus costs one column scan,
     no shuffle of raw rows, no Python."""

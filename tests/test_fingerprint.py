@@ -349,6 +349,13 @@ def test_chain_mirror_matches_spark(spark):
     from slowlog2clickhouse_spark.operators.udfs import FINGERPRINT_CORPUS
 
     queries = pq.read_table(FINGERPRINT_CORPUS).column("query").to_pylist()
+    # ASCII rows only: Java's \b is unicode-aware, RE2's and the
+    # mirror's (re.ASCII) are not — non-ASCII statements are outside
+    # the chain's portability contract and always carry the non_ascii
+    # flag (routed to the state machine), so the mirror never stands
+    # in for the chain on them (r11)
+    queries = [q for q in queries if q.isascii()]
+    assert queries, "corpus lost its ASCII rows"
     df = spark.createDataFrame([(q,) for q in queries], ["q"])
     spark_chain = [r[0] for r in df.select(fingerprint_col(F.col("q"))).collect()]
     assert spark_chain == [fingerprint_chain_py(q) for q in queries]
@@ -394,12 +401,12 @@ def test_router_flags_are_a_sound_chain_certificate(spark):
 def test_router_op_incidence_on_corpus(spark, sf_dir):
     """fn_fingerprint_router emits one row per detector with exact
     incidence; on the committed corpus every detector fires (the
-    corpus contains all nine regimes by construction — the four r10
-    fuzz-found ones included)."""
+    corpus contains all ten regimes by construction — the four r10
+    fuzz-found ones and r11's non_ascii included)."""
     from slowlog2clickhouse_spark.registry import all_ops
 
     rows = all_ops()["fn_fingerprint_router"].fn(spark, sf_dir).collect()
-    assert len(rows) == 9
+    assert len(rows) == 10
     for r in rows:
         assert r["corpus_n"] > 0
         assert 0 < r["n_flagged"] <= r["corpus_n"], r

@@ -217,8 +217,14 @@ def test_chain_agrees_with_trailing_line_comment(q, comment):
 # ---------------------------------------------------------------------------
 from slowlog2clickhouse_spark.functions.fingerprint import construct_flags_py
 
+# non-ASCII probes (r11): unicode letters adjacent to digits, a
+# unicode digit, and NBSP — the regimes where Python's unicode-aware
+# str/re defaults could diverge from Java/RE2's ASCII classes (the
+# state machine + mirror are pinned to ASCII semantics; this alphabet
+# keeps them honest)
 _wild_body = st.text(
-    alphabet=string.ascii_letters + string.digits + " _-#;*,.()=<>!/'\"\\\n",
+    alphabet=string.ascii_letters + string.digits + " _-#;*,.()=<>!/'\"\\\n"
+    + "\u00e9\u03bb\u0665\u00a0",
     max_size=14,
 )
 wild_atom = st.one_of(
