@@ -1862,3 +1862,72 @@ def dedup_simhash_radius_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_vs_cand_truth"),
         )
     )
+
+
+@op(
+    "dedup_cluster_incremental",
+    # oracle = the FULL-graph recompute (dedup_cluster's recursive-CTE
+    # reachability): incremental state-merge must land on identical
+    # labels, or the incremental path silently splits/merges clusters
+    oracle=_MINHASH_BANDS_DUCK.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + ", "
+    + _CAND_EQUI_DUCK
+    + """
+    , und AS MATERIALIZED (
+      SELECT doc_a AS s, doc_b AS d FROM cand
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand),
+    reach AS (
+      SELECT DISTINCT s AS v, s AS r FROM und
+      UNION
+      SELECT reach.v, und.d FROM reach JOIN und ON und.s = reach.r
+    )
+    SELECT v AS doc_id, min(r) AS cluster_id,
+           (min(r) = v) AS keep
+    FROM reach GROUP BY v
+    """,
+)
+def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL cluster resolution — the daily-ingest shape a 100 TB
+    corpus actually runs: yesterday's resolved clusters are STATE
+    (star edges doc→cluster_id, |docs-in-clusters| rows, tiny next to
+    the corpus), and today's batch contributes only the NEW candidate
+    edges (any pair touching a new doc). Resolution then runs on
+    state-stars ∪ new-edges — sound because a component's star edges
+    preserve exactly its connectivity, so components of
+    (old-edges ∪ new-edges) == components of (star(old) ∪ new-edges) —
+    and never re-reads old-vs-old candidates.
+
+    Here the split is deterministic (docs below the median doc_id are
+    "yesterday"): phase 1 resolves old-only candidates into state,
+    phase 2 star-merges state with edges touching new docs, and the
+    oracle is the FULL recompute — hash-equality proves the increment
+    is exact, not approximate.
+
+    Scale: phase-2 input is |state| + |new-batch candidates| — the
+    full historical edge set is never rebuilt; pair generation for the
+    increment is the same capped band equi-join filtered to pairs
+    touching a new doc (the band index itself appends per batch, as
+    stream_dedup_minhash demonstrates at ingest)."""
+    cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    cand = cand.localCheckpoint(eager=True)  # reused by both phases
+    mid = cand.agg(
+        F.expr("percentile_approx(doc_a, 0.5)").cast("long")
+    ).collect()[0][0]
+    old_edges = cand.where((F.col("doc_a") < mid) & (F.col("doc_b") < mid))
+    new_edges = cand.where((F.col("doc_a") >= mid) | (F.col("doc_b") >= mid))
+    # phase 1: yesterday's resolution → star-edge state (child → root).
+    # Every old doc appears in state: components from an edge list have
+    # size ≥ 2, so each doc is either a child (one star edge out) or a
+    # root (appears as some child's target) — phase 2 therefore covers
+    # ALL old docs and no carry-over branch is needed.
+    state = connected_components_star(old_edges).where(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b"))
+    # phase 2: merge state stars with the new batch's edges only
+    out = connected_components_star(state.unionByName(new_edges))
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )

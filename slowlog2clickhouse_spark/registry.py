@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_resize",
     "mm_decode_pgm",
     "graph_components_star",
+    "dedup_cluster_incremental",
     "mm_resize_pgm",
     "mm_frame_sample",
     "orders_pareto",

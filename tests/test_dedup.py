@@ -479,3 +479,23 @@ class TestStarConnectedComponents:
 
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(self._chain_edges(spark, 400), max_iters=5)
+
+
+def test_incremental_cluster_equals_full_recompute(spark, sf_dir):
+    """dedup_cluster_incremental (state-stars + new-batch edges) must
+    produce byte-identical labels to the full recompute — the property
+    that makes daily incremental resolution safe at 100 TB."""
+    from slowlog2clickhouse_spark.operators.dedup import (
+        dedup_cluster,
+        dedup_cluster_incremental,
+    )
+
+    full = {
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in dedup_cluster(spark, sf_dir).collect()
+    }
+    inc = {
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in dedup_cluster_incremental(spark, sf_dir).collect()
+    }
+    assert inc == full
