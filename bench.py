@@ -119,6 +119,10 @@ EXTRA_OPS = (
     # banding frontier (4 arms over one shared signature build)
     "slowlog_classes_incremental_pctl",
     "dedup_lsh_band_sweep",
+    # round-11: deep-graph star components (the log-round resolution)
+    # and the real-format PGM decode path (binaryFile → Arrow → netpbm)
+    "graph_components_star",
+    "mm_decode_pgm",
 )
 
 
@@ -227,6 +231,10 @@ def main() -> None:
         "dedup_lsh_band_sweep": lambda: ops["dedup_lsh_band_sweep"].fn(
             spark, sf_dir
         ),
+        "graph_components_star": lambda: ops["graph_components_star"].fn(
+            spark, sf_dir
+        ),
+        "mm_decode_pgm": lambda: ops["mm_decode_pgm"].fn(spark, sf_dir),
     }
     for name in EXTRA_OPS:
         ts = time_df(spark, extra_builders[name])
