@@ -698,6 +698,23 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    def _sig(df) -> tuple:
+        # one-job edge-set signature: (|E|, Σ xxhash64(u,v)). Used only
+        # as a GATE for the exact subtract check — equal signatures
+        # trigger exact set-equality verification, so a hash collision
+        # can never cause a premature (wrong) fixpoint, only a wasted
+        # subtract. The agg is also the action that materializes the
+        # round's lazy localCheckpoint (1 job/round instead of 3).
+        # bit_xor, not sum: order-independent AND overflow-free (a sum
+        # of xxhash64 longs trips ANSI-mode ArithmeticException)
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    prev_sig = _sig(e)
     rounds = 0
     converged = False
     for _ in range(max_iters):
@@ -707,6 +724,9 @@ def connected_components_star(
             F.collect_set("v").alias("nbrs"),
         )
         m = F.array_min(F.array_append("nbrs", F.col("u")))
+        # no distinct here: small-star's collect_set dedups per group
+        # (map-side partials included) — a distinct would add a full
+        # shuffle per alternation for nothing
         large = (
             grp.select(
                 F.explode(
@@ -716,7 +736,6 @@ def connected_components_star(
             )
             .select(F.col("u2").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # -- small-star --
         oriented = large.select(
@@ -732,13 +751,15 @@ def connected_components_star(
             .select(F.col("u2").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by _sig below
         )
         rounds += 1
-        if small.count() == e.count() and small.subtract(e).count() == 0:
+        sig = _sig(small)
+        if sig == prev_sig and small.subtract(e).count() == 0:
             converged = True
             e = small
             break
+        prev_sig = sig
         e = small
     if not converged:
         raise RuntimeError(
