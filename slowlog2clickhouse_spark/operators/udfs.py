@@ -339,12 +339,18 @@ def fn_fingerprint_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     not prose. The oracle recomputes the chain via fingerprint_duckdb,
     so a hash match proves Spark-chain == DuckDB-chain row-for-row on
     the adversarial corpus too (regex-portability, not just the happy
-    path). Measured at corpus commit: the 12 chain-supported regimes
-    agree 1.0000; the 5 documented-divergence regimes
-    (comment_apostrophe 0.40, string_escaped_backslash 0.33,
+    path) — SCOPED TO ASCII rows since r11 (Java's \b is
+    unicode-aware, RE2's is ASCII; non-ASCII statements carry the
+    non_ascii flag and route to the state machine, so the chain never
+    stands in for them). Measured at r11 corpus commit: the 12
+    chain-supported ASCII regimes agree 1.0000; the 9
+    documented-divergence regimes (string_mixed_quotes 0.50,
+    comment_apostrophe 0.40, string_escaped_backslash 0.33,
     string_doubled_quote / comment_block_multiline /
-    unterminated_string 0.00) quantify where a pipeline must route
-    through pandas_udf_fingerprint instead — recorded in SCALING.md."""
+    unterminated_string / comment_block_degenerate /
+    number_trailing_dot / number_leading_ident 0.00) quantify where a
+    pipeline must route through pandas_udf_fingerprint instead —
+    recorded in SCALING.md."""
     df = spark.read.parquet(FINGERPRINT_CORPUS).where(
         F.octet_length("query") == F.length("query")  # ASCII contract
     )
