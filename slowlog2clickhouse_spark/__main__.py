@@ -127,9 +127,9 @@ def _warn_unroutable_constructs(spark, log_path: str) -> None:
     detectors over the REAL log): the ingest pipeline fingerprints via
     the codegen'd regexp_replace chain, whose divergence regimes are
     measured by fn_fingerprint_parity. If the log contains any of the
-    nine chain-unsupported constructs, warn with per-construct counts
-    so the user re-runs with --fingerprint routed. One extra map pass
-    + a 9-number aggregate — never a shuffle."""
+    ten chain-unsupported constructs, warn with per-construct counts
+    so the user re-runs with full-fidelity fingerprinting. One extra
+    map pass + a 10-number aggregate — never a shuffle."""
     from pyspark.sql import functions as F
 
     from slowlog2clickhouse_spark.functions.fingerprint import construct_flags
@@ -145,8 +145,10 @@ def _warn_unroutable_constructs(spark, log_path: str) -> None:
         detail = ", ".join(f"{k}={v}" for k, v in sorted(hits.items()))
         print(
             "WARNING: log contains constructs the fingerprint chain "
-            f"diverges on ({detail}); re-run with --fingerprint routed "
-            "(state-machine UDF only on the flagged rows) — see "
+            f"diverges on ({detail}); re-run with --fingerprint python "
+            "(cheapest full-fidelity path on a single box — SCALING.md "
+            "r11 crossover) or routed (UDF confined to flagged rows; "
+            "pays a second scan + detector pass) — see "
             "fn_fingerprint_parity for the measured per-construct "
             "divergence",
             file=sys.stderr,
