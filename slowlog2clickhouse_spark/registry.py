@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_decode_pgm",
     "graph_components_star",
     "dedup_cluster_incremental",
+    "stream_slowlog_tail",
     "mm_resize_pgm",
     "mm_frame_sample",
     "orders_pareto",

@@ -407,3 +407,84 @@ def run_pctl_merge_stream(
         .start()
     )
     q.awaitTermination()
+
+
+@op(
+    "stream_slowlog_tail",
+    # oracle = the batch class aggregation over the same golden IR:
+    # the tail reader must deliver EXACTLY the fixture's events across
+    # its incremental reads (torn-tail record flushed by the sentinel)
+    oracle=f"""
+    SELECT digest, count(*) AS num_queries,
+           round(sum(query_time), 6) AS qt_sum
+    FROM {_GOLD}
+    WHERE NOT admin AND query IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def stream_slowlog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail ONE GROWING slow-log file — the reference's actual
+    deployment shape (the agent follows the live file as mysqld
+    appends; SURVEY §2 A8/J). Spark's built-in file stream never
+    re-reads a grown file, so this runs on the engine's Python Data
+    Source streaming reader (sources/slowlog_datasource.py
+    SlowlogTailStreamReader): offsets are byte positions of
+    complete-record boundaries, the in-flight torn tail is held back
+    until a later record header terminates it, and readBetweenOffsets
+    replays exact byte ranges for exactly-once recovery
+    (tests/test_streaming.py pins kill-and-restart equals batch).
+
+    The op reproduces the deployment dance deterministically: write
+    half the fixture, drain, append the rest plus a header-only
+    sentinel (flushes the last real record; itself stays in-flight
+    and carries no statement), drain again — then classes the tailed
+    events. A hash match against the golden IR proves no event was
+    lost, duplicated, or torn across the grow boundary."""
+    import re
+
+    from slowlog2clickhouse_spark.functions.fingerprint import (
+        digest_col,
+        fingerprint_col,
+    )
+    from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG, _TMP
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import register
+
+    register(spark)
+    base = f"{_TMP}/slowlog_tail_{_os.getpid()}_{next(_counter)}"
+    _os.makedirs(base, exist_ok=True)
+    src = f"{base}/slow.log"
+    txt = open(FIXTURE_LOG).read()
+    starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
+    mid = starts[len(starts) // 2]
+    with open(src, "w") as f:
+        f.write(txt[:mid])
+
+    name = f"tailed_{_os.path.basename(base)}"
+    q = (
+        spark.readStream.format("slowlog")
+        .option("path", src)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(src, "a") as f:
+            f.write(txt[mid:])
+            f.write(
+                "\n# Time: 2030-01-01T00:00:00.000000Z\n"
+                "# Query_time: 0.000001  Lock_time: 0.000000 "
+                "Rows_sent: 0  Rows_examined: 0\n"
+            )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ev = spark.table(name).where(~F.col("admin") & F.col("query").isNotNull())
+    ev = ev.withColumn("fingerprint", fingerprint_col(F.col("query")))
+    return ev.groupBy(digest_col(F.col("fingerprint")).alias("digest")).agg(
+        F.count("*").alias("num_queries"),
+        F.round(F.sum("query_time"), 6).alias("qt_sum"),
+    )

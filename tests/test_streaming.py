@@ -653,3 +653,98 @@ def test_pctl_merge_retry_idempotent(spark, tmp_path):
         for r in hist_quantiles(spark.read.parquet(final_path)).collect()
     }
     assert redone == truth
+
+
+def test_slowlog_tail_restart_no_loss_no_dup(spark, tmp_path):
+    """The growing-file tail reader's exactly-once contract: kill the
+    query between grows, restart against the same checkpoint — the
+    parquet sink must hold exactly the fixture's events (offset replay
+    via readBetweenOffsets, no loss, no dup, torn tail flushed by the
+    sentinel record)."""
+    import re
+
+    from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG
+    from slowlog2clickhouse_spark.sources.slowlog import parse_slowlog
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import register
+
+    register(spark)
+    src = str(tmp_path / "slow.log")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    txt = open(FIXTURE_LOG).read()
+    starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
+    mid = starts[len(starts) // 2]
+    with open(src, "w") as f:
+        f.write(txt[:mid])
+
+    def run_query():
+        return (
+            spark.readStream.format("slowlog")
+            .option("path", src)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    q = run_query()
+    q.processAllAvailable()
+    q.stop()  # kill between grows
+
+    with open(src, "a") as f:
+        f.write(txt[mid:])
+        f.write(
+            "\n# Time: 2030-01-01T00:00:00.000000Z\n"
+            "# Query_time: 0.000001  Lock_time: 0.000000 "
+            "Rows_sent: 0  Rows_examined: 0\n"
+        )
+    q = run_query()  # restart from the same checkpoint
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(out)
+    want = parse_slowlog(spark, FIXTURE_LOG)
+    assert got.count() == want.count()
+    g = sorted(
+        (r["ts"], r["query"], r["query_time"]) for r in got.collect()
+    )
+    w = sorted(
+        (r["ts"], r["query"], r["query_time"]) for r in want.collect()
+    )
+    assert g == w
+
+
+def test_slowlog_tail_holds_back_torn_record(spark, tmp_path):
+    """A record still being written (no later record header) must NOT
+    be emitted — the torn-tail hazard every tailer has."""
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogTailStreamReader,
+    )
+
+    src = str(tmp_path / "slow.log")
+    rec = (
+        "# Time: 2024-01-01T00:00:0{i}.000000Z\n"
+        "# Query_time: 0.5  Lock_time: 0.0 Rows_sent: 1  Rows_examined: 1\n"
+        "SELECT {i};\n"
+    )
+    with open(src, "w") as f:
+        f.write(rec.format(i=1))
+        f.write(rec.format(i=2))
+        f.write("# Time: 2024-01-01T00:00:03.000000Z\n# Query_time: 0.5")  # torn
+
+    r = SlowlogTailStreamReader({"path": src})
+    rows, end = r.read(r.initialOffset())
+    rows = list(rows)
+    # two complete records emitted; the torn third held back
+    assert len(rows) == 2
+    # replay of the exact committed range is identical (exactly-once leg)
+    replay = list(r.readBetweenOffsets(r.initialOffset(), end))
+    assert replay == rows
+    # after the writer finishes the record and starts another, it flushes
+    with open(src, "a") as f:
+        f.write("  Lock_time: 0.0 Rows_sent: 1  Rows_examined: 1\nSELECT 3;\n")
+        f.write("# Time: 2024-01-01T00:00:04.000000Z\n# Query_time: 0.1\n")
+    rows2, end2 = r.read(end)
+    assert len(list(rows2)) == 1  # the completed record 3
