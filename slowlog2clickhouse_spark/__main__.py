@@ -15,6 +15,8 @@ writing Python:
         --table queries                          # ClickHouse DDL, no write
     python -m slowlog2clickhouse_spark stream --log-dir /var/log/slow/ \\
         --out /data/classes_stream --checkpoint /data/_ckpt
+    python -m slowlog2clickhouse_spark tail --log /var/log/mysql/slow.log \\
+        --out /data/classes_live --checkpoint /data/_tail_ckpt --follow
     python -m slowlog2clickhouse_spark dedup --data-dir /data/sf --out /data/keep
     python -m slowlog2clickhouse_spark curate --data-dir /data/sf --out /data/report
 
@@ -113,6 +115,19 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     cu.add_argument("--data-dir", required=True)
     cu.add_argument("--out", required=True)
+
+    tl = sub.add_parser(
+        "tail",
+        help="follow ONE growing slow-log file (the live mysqld log; "
+        "use `stream` for a directory of rotated segments)",
+    )
+    tl.add_argument("--log", required=True, help="the growing slow-log FILE")
+    tl.add_argument("--out", required=True, help="output parquet directory")
+    tl.add_argument("--checkpoint", required=True)
+    tl.add_argument(
+        "--follow", action="store_true",
+        help="keep running (default: drain what's currently complete and exit)",
+    )
     return p
 
 
@@ -266,6 +281,44 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_tail(args) -> int:
+    """Tail the LIVE slow-log file via the Python Data Source stream
+    reader (byte-offset exactly-once; the in-flight torn record is
+    held back until mysqld writes the next record header). Same
+    idempotent complete-state parquet sink as `stream`."""
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import register
+    from slowlog2clickhouse_spark.streaming.slowlog_stream import stream_classes
+
+    spark = _get_spark()
+    register(spark)
+    events = (
+        spark.readStream.format("slowlog").option("path", args.log).load()
+    )
+    classes = stream_classes(events)
+
+    def sink_batch(batch_df, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+
+    writer = (
+        classes.writeStream.outputMode("complete")
+        .foreachBatch(sink_batch)
+        .option("checkpointLocation", args.checkpoint)
+    )
+    if args.follow:
+        q = writer.trigger(processingTime="5 seconds").start()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(processingTime="1 second").start()
+        q.processAllAvailable()
+        q.stop()
+        print(f"drained -> {args.out}")
+    return 0
+
+
 def cmd_dedup(args) -> int:
     from slowlog2clickhouse_spark.registry import all_ops
 
@@ -301,6 +354,7 @@ def main(argv: list[str] | None = None) -> int:
         "ingest": cmd_ingest,
         "digest": cmd_digest,
         "stream": cmd_stream,
+        "tail": cmd_tail,
         "dedup": cmd_dedup,
         "curate": cmd_curate,
     }[args.cmd](args)

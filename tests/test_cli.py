@@ -175,3 +175,56 @@ def test_cli_ingest_routed_fingerprint_no_warning_and_exact(spark, tmp_path):
         .collect()
     }
     assert agg(routed) == agg(full)
+
+
+def test_cli_tail_drains_live_file_to_batch_equivalent(spark, tmp_path):
+    """`tail` over a GROWING single file: drain, grow, drain again —
+    the final parquet snapshot equals the batch classes over the same
+    events (sentinel flushes the torn tail; complete-mode overwrite
+    never double-counts)."""
+    import re
+
+    from slowlog2clickhouse_spark.__main__ import main
+    from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG
+    from slowlog2clickhouse_spark.streaming.slowlog_stream import stream_classes  # noqa: F401
+    from slowlog2clickhouse_spark.sources.slowlog import parse_slowlog, with_fingerprint
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "slow.log")
+    out = str(tmp_path / "classes")
+    ckpt = str(tmp_path / "ckpt")
+    txt = open(FIXTURE_LOG).read()
+    starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
+    mid = starts[len(starts) // 2]
+    with open(src, "w") as f:
+        f.write(txt[:mid])
+    assert main(["tail", "--log", src, "--out", out, "--checkpoint", ckpt]) == 0
+
+    with open(src, "a") as f:
+        f.write(txt[mid:])
+        f.write(
+            "\n# Time: 2030-01-01T00:00:00.000000Z\n"
+            "# Query_time: 0.000001  Lock_time: 0.000000 "
+            "Rows_sent: 0  Rows_examined: 0\n"
+        )
+    assert main(["tail", "--log", src, "--out", out, "--checkpoint", ckpt]) == 0
+
+    got = {
+        (r["period_start"], r["digest"]): (r["num_queries"], r["m_query_time_sum"])
+        for r in spark.read.parquet(out).collect()
+    }
+    ev = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        ~F.col("admin") & F.col("query").isNotNull()
+    )
+    want = {
+        (r["period_start"], r["digest"]): (r["num_queries"], r["m_query_time_sum"])
+        for r in ev.groupBy(
+            F.date_trunc("minute", "ts").alias("period_start"), "digest"
+        )
+        .agg(
+            F.count("*").alias("num_queries"),
+            F.round(F.sum("query_time"), 6).alias("m_query_time_sum"),
+        )
+        .collect()
+    }
+    assert got == want
