@@ -112,6 +112,13 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
             size = os.path.getsize(self.path)
         except OSError:
             return b"", start
+        if size < pos:
+            # logrotate copytruncate: the file shrank below our offset
+            # (truncated to zero and regrowing). Reset to the head —
+            # the bytes we already emitted left with the rotated copy,
+            # so this re-reads nothing; stalling at the stale offset
+            # would silently drop everything written after rotation.
+            pos = 0
         if size <= pos:
             return b"", start
         with open(self.path, "rb") as fh:

@@ -748,3 +748,32 @@ def test_slowlog_tail_holds_back_torn_record(spark, tmp_path):
         f.write("# Time: 2024-01-01T00:00:04.000000Z\n# Query_time: 0.1\n")
     rows2, end2 = r.read(end)
     assert len(list(rows2)) == 1  # the completed record 3
+
+
+def test_slowlog_tail_recovers_from_copytruncate(spark, tmp_path):
+    """logrotate copytruncate shrinks the live file below the stream's
+    offset; the reader must reset to the head and keep emitting rather
+    than stall at the stale offset forever."""
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogTailStreamReader,
+    )
+
+    src = str(tmp_path / "slow.log")
+    rec = (
+        "# Time: 2024-01-01T00:00:0{i}.000000Z\n"
+        "# Query_time: 0.5  Lock_time: 0.0 Rows_sent: 1  Rows_examined: 1\n"
+        "SELECT {i};\n"
+    )
+    terminator = "# Time: 2030-01-01T00:00:00.000000Z\n# Query_time: 0.1\n"
+    with open(src, "w") as f:
+        f.write(rec.format(i=1) + rec.format(i=2) + terminator)
+    r = SlowlogTailStreamReader({"path": src})
+    rows, off = r.read(r.initialOffset())
+    assert len(list(rows)) == 2
+
+    with open(src, "w") as f:  # copytruncate: back to zero, regrow
+        f.write(rec.format(i=7) + terminator)
+    rows2, off2 = r.read(off)
+    vals = [t for t in rows2]
+    assert len(vals) == 1
+    assert off2["pos"] < int(off["pos"])  # offset reset below the stale one
