@@ -33,16 +33,20 @@ from bench import _drop_persisted_rdds, wait_for_idle  # noqa: E402
 from slowlog2clickhouse_spark.session import get_session  # noqa: E402
 from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint  # noqa: E402
 
-# clean: triggers NONE of the nine construct detectors (verified below)
-_CLEAN = "select c1, c2 from orders where o_id = {} and status = 'open'"
+# printf-style %d templates: F.format_string is java.lang.String.format
+# (a Python-style {} placeholder would pass through UNSUBSTITUTED and
+# every row would be the same constant string — the r11 code review
+# caught exactly that in the first version of this probe)
+# clean: triggers NONE of the construct detectors (verified below)
+_CLEAN = "select c1, c2 from orders where o_id = %d and status = 'open'"
 # adversarial: doubled-quote escape — the chain's masked-string regime
-_FLAGGED = "update t set note = 'it''s fine' where id = {}"
+_FLAGGED = "update t set note = 'it''s fine' where id = %d"
 # long shape (~3 KB): the bulk-insert statements a real slow log is
 # full of — where the per-row Python state machine cost dominates
 _LONG_TAIL = ", ".join(f"({i}, 'v{i}')" for i in range(200))
-_CLEAN_LONG = "insert into t (id, v) values " + _LONG_TAIL + " -- batch {}"
+_CLEAN_LONG = "insert into t (id, v) values " + _LONG_TAIL + " -- batch %d"
 _FLAGGED_LONG = (
-    "insert into t (id, v) values " + _LONG_TAIL + ", ({}, 'it''s')"
+    "insert into t (id, v) values " + _LONG_TAIL + ", (%d, 'it''s')"
 )
 
 
@@ -74,8 +78,11 @@ def main() -> None:
     from slowlog2clickhouse_spark.functions.fingerprint import construct_flags_py
 
     for c, f in ((_CLEAN, _FLAGGED), (_CLEAN_LONG, _FLAGGED_LONG)):
-        assert not any(construct_flags_py(c.format(7)).values())
-        assert any(construct_flags_py(f.format(7)).values())
+        assert not any(construct_flags_py(c % 7).values())
+        assert any(construct_flags_py(f % 7).values())
+    # and verify Spark ACTUALLY substituted (id-varied, not constant)
+    probe = build_corpus(spark, 10, 0.0).select("query").collect()
+    assert len({r["query"] for r in probe}) == 10, "format_string not varying"
 
     import tempfile
 

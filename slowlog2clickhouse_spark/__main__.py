@@ -244,6 +244,28 @@ def cmd_digest(args) -> int:
     return 0
 
 
+def _complete_snapshot_writer(classes, out: str, checkpoint: str):
+    """complete mode + full-state overwrite per epoch: a retried
+    micro-batch rewrites the same state, a later drain replaces the
+    earlier one, so readers summing num_queries never double-count
+    (same idempotent shape as stream_slowlog_to_jdbc's JDBC sink).
+    The epoch column records which micro-batch produced the snapshot.
+    Shared by `stream` and the non-follow `tail` drain."""
+
+    def sink_batch(batch_df, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    return (
+        classes.writeStream.outputMode("complete")
+        .foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def cmd_stream(args) -> int:
     from slowlog2clickhouse_spark.streaming.slowlog_stream import (
         read_slowlog_stream,
@@ -253,24 +275,7 @@ def cmd_stream(args) -> int:
     spark = _get_spark()
     events = read_slowlog_stream(spark, args.log_dir)
     classes = stream_classes(events)
-
-    # complete mode + full-state overwrite per epoch: a retried
-    # micro-batch rewrites the same state, a later drain replaces the
-    # earlier one, so readers summing num_queries never double-count
-    # (same idempotent shape as stream_slowlog_to_jdbc's JDBC sink).
-    # The epoch column records which micro-batch produced the snapshot.
-    def sink_batch(batch_df, epoch_id: int) -> None:
-        from pyspark.sql import functions as F
-
-        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
-            "overwrite"
-        ).parquet(args.out)
-
-    writer = (
-        classes.writeStream.outputMode("complete")
-        .foreachBatch(sink_batch)
-        .option("checkpointLocation", args.checkpoint)
-    )
+    writer = _complete_snapshot_writer(classes, args.out, args.checkpoint)
     if args.follow:
         q = writer.start()
         q.awaitTermination()
@@ -284,8 +289,24 @@ def cmd_stream(args) -> int:
 def cmd_tail(args) -> int:
     """Tail the LIVE slow-log file via the Python Data Source stream
     reader (byte-offset exactly-once; the in-flight torn record is
-    held back until mysqld writes the next record header). Same
-    idempotent complete-state parquet sink as `stream`."""
+    held back until mysqld writes the next record header; logrotate
+    copytruncate detected via the offset's head-hash incarnation).
+
+    Two modes with DIFFERENT sink semantics, both r11 code-review
+    driven:
+    - drain (default): one bounded availableNow batch of what is
+      complete right now, complete-mode snapshot overwrite, exit.
+      (processAllAvailable would chase an actively-growing file
+      forever — Spark documents it as able to block indefinitely.)
+    - --follow: unbounded run, so complete mode is WRONG (state and
+      per-trigger rewrite grow with uptime, and complete mode ignores
+      the watermark so nothing is ever evicted). Follow mode uses the
+      watermarked APPEND path: each 1-minute (window, digest) row is
+      emitted exactly once when the 5-minute watermark closes it,
+      appended to the parquet sink — bounded state however long the
+      tail runs. Trade: a window's row appears only after the
+      watermark passes; the final partial window flushes on
+      restart-as-drain."""
     from slowlog2clickhouse_spark.sources.slowlog_datasource import register
     from slowlog2clickhouse_spark.streaming.slowlog_stream import stream_classes
 
@@ -296,25 +317,20 @@ def cmd_tail(args) -> int:
     )
     classes = stream_classes(events)
 
-    def sink_batch(batch_df, epoch_id: int) -> None:
-        from pyspark.sql import functions as F
-
-        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
-            "overwrite"
-        ).parquet(args.out)
-
-    writer = (
-        classes.writeStream.outputMode("complete")
-        .foreachBatch(sink_batch)
-        .option("checkpointLocation", args.checkpoint)
-    )
     if args.follow:
-        q = writer.trigger(processingTime="5 seconds").start()
+        q = (
+            classes.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", args.out)
+            .option("checkpointLocation", args.checkpoint)
+            .trigger(processingTime="5 seconds")
+            .start()
+        )
         q.awaitTermination()
     else:
-        q = writer.trigger(processingTime="1 second").start()
-        q.processAllAvailable()
-        q.stop()
+        writer = _complete_snapshot_writer(classes, args.out, args.checkpoint)
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
         print(f"drained -> {args.out}")
     return 0
 

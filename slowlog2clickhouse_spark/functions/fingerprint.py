@@ -116,10 +116,16 @@ _MIXED_QUOTE_RE = "'[^']*\"[^']*'|\"[^\"]*'[^\"]*\""
 # runs inside identifiers agree on both paths.
 _NUM_DOT_RE = (  # dot MAY precede the run (.0. — 100k-fuzz find)
     # \b before a digit ⇔ preceding char is non-word or start — the
-    # exact (^|[^A-Za-z0-9_]) guard, but ~10× faster in Java's engine
-    # (r11 router-crossover probe: 2.8s → 0.28s / 200k rows). ASCII \b
-    # on all three engines: Java default, RE2 always, Python mirror
-    # compiled with re.ASCII below.
+    # exact (^|[^A-Za-z0-9_]) guard on ASCII input, but ~10× faster in
+    # Java's engine (r11 router-crossover probe: 2.8s → 0.28s / 200k
+    # rows). CAVEAT (r11 code review): Java's \b is UNICODE-aware
+    # (measured live — see the non_ascii comment below) while RE2's
+    # and the re.ASCII Python mirror's are ASCII, so on a non-ASCII
+    # statement like "é5." the engines' per-construct counts can
+    # differ. Routing stays sound because non_ascii always fires
+    # there, the corpus keeps Spark == mirror flags pinned per row
+    # (tests/test_fingerprint.py), and fn_fingerprint_parity scopes
+    # its cross-engine claim to ASCII rows.
     r"\b[0-9]+\.([^0-9]|$)"
     r"|\b[0-9]+\.[0-9]+\."
 )

@@ -889,7 +889,16 @@ def write_pgm_corpus(spark: SparkSession, sf_dir: str) -> str:
     os.makedirs(out, exist_ok=True)
     rows = (
         load_table(spark, sf_dir, "documents")
-        .where((F.col("doc_id") < _PGM_DOCS) & (F.length("text") > 0))
+        .where(
+            (F.col("doc_id") < _PGM_DOCS)
+            & (F.length("text") > 0)
+            # ASCII precondition made EXPLICIT (r11 review): the corpus
+            # rule derives dims from BYTE length (len of utf-8) while
+            # the oracle uses char length — identical only for ASCII
+            # docs, so filter to them on BOTH sides rather than
+            # relying on the testdata happening to be ASCII
+            & (F.octet_length("text") == F.length("text"))
+        )
         .select("doc_id", "text")
         .collect()
     )
@@ -932,7 +941,9 @@ _PGM_DOCS_CTE = f"""
       SELECT doc_id, text, length(text) AS n,
              length(text) % 64 + 1 AS w,
              length(text) % 48 + 1 AS h
-      FROM documents WHERE doc_id < {_PGM_DOCS} AND length(text) > 0)"""
+      FROM documents
+      WHERE doc_id < {_PGM_DOCS} AND length(text) > 0
+        AND strlen(text) = length(text))"""
 
 
 @op(

@@ -103,22 +103,49 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("slowlog tail stream requires a path")
 
+    _HEAD_BYTES = 64
+
     def initialOffset(self) -> dict:
-        return {"pos": 0, "rno": 0}
+        return {"pos": 0, "rno": 0, "head": "", "head_n": 0, "gen": 0}
+
+    def _head(self, n: int) -> str:
+        """md5 of the file's first ``n`` bytes — an incarnation stamp.
+        Appends never change a file's first bytes, so a mismatch means
+        truncate-and-rewrite (logrotate copytruncate), INCLUDING the
+        case where the new content already regrew past the stale
+        offset between polls (size alone cannot detect that)."""
+        import hashlib
+
+        if n <= 0:
+            return ""
+        with open(self.path, "rb") as fh:
+            return hashlib.md5(fh.read(n)).hexdigest()
+
+    def _truncated(self, start: dict, size: int) -> bool:
+        pos = int(start["pos"])
+        if size < pos:
+            return True  # shrank below the offset: unambiguous
+        head_n = int(start.get("head_n", 0))
+        if head_n and size >= head_n:
+            return self._head(head_n) != start.get("head", "")
+        return False
 
     def _range(self, start: dict) -> tuple[bytes, dict]:
         pos = int(start["pos"])
+        gen = int(start.get("gen", 0))
         try:
             size = os.path.getsize(self.path)
         except OSError:
             return b"", start
-        if size < pos:
-            # logrotate copytruncate: the file shrank below our offset
-            # (truncated to zero and regrowing). Reset to the head —
-            # the bytes we already emitted left with the rotated copy,
-            # so this re-reads nothing; stalling at the stale offset
-            # would silently drop everything written after rotation.
+        if self._truncated(start, size):
+            # copytruncate: the emitted bytes left with the rotated
+            # copy — reset to the head; stalling at the stale offset
+            # (or worse, seeking into the NEW file's middle when it
+            # regrew past it) would drop or tear post-rotation records.
+            # gen increments so a replay of this batch knows its bytes
+            # start at 0, not at start.pos (reset-spanning replay).
             pos = 0
+            gen += 1
         if size <= pos:
             return b"", start
         with open(self.path, "rb") as fh:
@@ -130,7 +157,14 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
             # growing, or a preamble-only file): hold everything back
             return b"", start
         chunk = buf[:cut]
-        end = {"pos": pos + cut + 1, "rno": int(start["rno"])}  # +1 eats the \n
+        head_n = min(self._HEAD_BYTES, size)
+        end = {
+            "pos": pos + cut + 1,  # +1 eats the \n
+            "rno": int(start["rno"]),
+            "head": self._head(head_n),
+            "head_n": head_n,
+            "gen": gen,
+        }
         return chunk, end
 
     def _parse(self, chunk: bytes, rno0: int):
@@ -150,7 +184,7 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
         chunk, end = self._range(start)
         rows, n = self._parse(chunk, int(start["rno"]))
         if chunk:
-            end = {"pos": end["pos"], "rno": int(start["rno"]) + n}
+            end = dict(end, rno=int(start["rno"]) + n)
         return rows, end
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -158,6 +192,14 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
         # same record ordinals — the exactly-once leg Spark calls on
         # recovery
         pos, stop = int(start["pos"]), int(end["pos"])
+        if int(end.get("gen", 0)) > int(start.get("gen", 0)) or stop < pos:
+            # the planned batch spanned a copytruncate reset (read()
+            # restarted from byte 0 and bumped gen): replay the
+            # post-rotation range [0, stop). Without this the recovery
+            # replay returned EMPTY (stop < pos) or a mid-file slice of
+            # the NEW incarnation (stop >= pos) and the batch's records
+            # were silently lost (r11 code-review finds).
+            pos = 0
         if stop <= pos:
             return iter([])
         with open(self.path, "rb") as fh:

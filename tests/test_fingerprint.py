@@ -472,3 +472,30 @@ def test_routed_udf_receives_only_flagged_rows(spark):
     assert len(rows) == total
     # exactly the flagged slice crossed the Python boundary
     assert acc.value == n_flagged
+
+
+def test_spark_flags_equal_python_mirror_on_corpus(spark):
+    """Per-row, per-detector equality of the LIVE Spark construct
+    flags and the re.ASCII Python mirror over the committed corpus.
+    This is the guard that keeps the corpus free of rows where Java's
+    unicode-aware \\b and the ASCII engines disagree on a NUMBER
+    detector (e.g. 'é5.') — such a row would silently skew
+    fn_fingerprint_router's cross-engine incidence oracle; this test
+    makes it fail loudly at corpus-regen time instead (r11 review)."""
+    from slowlog2clickhouse_spark.functions.fingerprint import (
+        construct_flags,
+        construct_flags_py,
+    )
+    from slowlog2clickhouse_spark.operators.udfs import FINGERPRINT_CORPUS
+
+    df = spark.read.parquet(FINGERPRINT_CORPUS)
+    flags = construct_flags(F.col("query"))
+    rows = df.select(
+        "stmt_id",
+        "query",
+        *[F.coalesce(c, F.lit(False)).alias(f"f_{k}") for k, c in flags.items()],
+    ).collect()
+    for r in rows:
+        want = construct_flags_py(r["query"])
+        got = {k: r[f"f_{k}"] for k in want}
+        assert got == want, (r["stmt_id"], r["query"])

@@ -223,7 +223,11 @@ class TestRealPgmPipeline:
         want = {
             r["doc_id"]: (r["n"] % 64 + 1, r["n"] % 48 + 1)
             for r in load_table(spark, sf_dir, "documents")
-            .where((F.col("doc_id") < 50) & (F.length("text") > 0))
+            .where(
+                (F.col("doc_id") < 50)
+                & (F.length("text") > 0)
+                & (F.octet_length("text") == F.length("text"))
+            )
             .select("doc_id", F.length("text").alias("n"))
             .collect()
         }

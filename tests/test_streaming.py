@@ -777,3 +777,43 @@ def test_slowlog_tail_recovers_from_copytruncate(spark, tmp_path):
     vals = [t for t in rows2]
     assert len(vals) == 1
     assert off2["pos"] < int(off["pos"])  # offset reset below the stale one
+
+
+def test_slowlog_tail_detects_regrow_past_offset(spark, tmp_path):
+    """The hard copytruncate case the size check alone misses: the new
+    incarnation regrows PAST the stale offset between polls. The
+    head-hash incarnation stamp must trigger the reset; the replay of
+    a reset-spanning batch must return its records, not empty (both
+    r11 code-review finds)."""
+    import os
+
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogTailStreamReader,
+    )
+
+    src = str(tmp_path / "slow.log")
+    rec = (
+        "# Time: 2024-01-01T00:00:0{i}.000000Z\n"
+        "# Query_time: 0.5  Lock_time: 0.0 Rows_sent: 1  Rows_examined: 1\n"
+        "SELECT {i}{pad};\n"
+    )
+    terminator = "# Time: 2030-01-01T00:00:00.000000Z\n# Query_time: 0.1\n"
+    with open(src, "w") as f:
+        f.write(rec.format(i=1, pad="") + terminator)
+    r = SlowlogTailStreamReader({"path": src})
+    rows, off = r.read(r.initialOffset())
+    assert len(list(rows)) == 1
+    old_pos = int(off["pos"])
+
+    # truncate + rewrite with MORE bytes than the stale offset
+    pad = " /* regrown content longer than before " + "x" * 200 + " */"
+    with open(src, "w") as f:
+        f.write(rec.format(i=8, pad=pad) + rec.format(i=9, pad=pad) + terminator)
+    assert os.path.getsize(src) > old_pos  # size check alone would miss it
+
+    rows2, off2 = r.read(off)
+    vals = list(rows2)
+    assert len(vals) == 2  # both post-rotation records, from byte 0
+    # reset-spanning replay: same records, not empty
+    replay = list(r.readBetweenOffsets(off, off2))
+    assert len(replay) == 2
