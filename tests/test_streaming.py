@@ -817,3 +817,70 @@ def test_slowlog_tail_detects_regrow_past_offset(spark, tmp_path):
     # reset-spanning replay: same records, not empty
     replay = list(r.readBetweenOffsets(off, off2))
     assert len(replay) == 2
+
+
+def test_tail_follow_append_mode_emits_closed_windows(spark, tmp_path):
+    """The tail --follow topology (watermarked APPEND sink — bounded
+    state, r11 review fix): windows the 5-minute watermark has closed
+    are appended exactly once and match the batch aggregation for the
+    same windows."""
+    from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG
+    from slowlog2clickhouse_spark.sources.slowlog import (
+        parse_slowlog,
+        with_fingerprint,
+    )
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import register
+    from slowlog2clickhouse_spark.streaming.slowlog_stream import stream_classes
+
+    register(spark)
+    src = str(tmp_path / "slow.log")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    txt = open(FIXTURE_LOG).read()
+    with open(src, "w") as f:
+        f.write(txt)
+        f.write(
+            "\n# Time: 2030-01-01T00:00:00.000000Z\n"
+            "# Query_time: 0.000001  Lock_time: 0.000000 "
+            "Rows_sent: 0  Rows_examined: 0\n"
+        )
+    events = (
+        spark.readStream.format("slowlog").option("path", src).load()
+    )
+    q = (
+        stream_classes(events)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    # two triggers: batch 1 ingests + advances the watermark past the
+    # fixture's windows (the year-2030 sentinel), batch 2 emits them
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["period_start"], r["digest"]): (r["num_queries"], r["m_query_time_sum"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "watermark never closed any window"
+    ev = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        ~F.col("admin") & F.col("query").isNotNull()
+    )
+    want_all = {
+        (r["period_start"], r["digest"]): (r["num_queries"], r["m_query_time_sum"])
+        for r in ev.groupBy(
+            F.date_trunc("minute", "ts").alias("period_start"), "digest"
+        )
+        .agg(
+            F.count("*").alias("num_queries"),
+            F.round(F.sum("query_time"), 6).alias("m_query_time_sum"),
+        )
+        .collect()
+    }
+    # every emitted (window, digest) row must equal the batch value,
+    # and no row may be emitted twice (parquet append + exactly-once)
+    for k, v in got.items():
+        assert want_all[k] == v, k
