@@ -250,7 +250,25 @@ def _complete_snapshot_writer(classes, out: str, checkpoint: str):
     earlier one, so readers summing num_queries never double-count
     (same idempotent shape as stream_slowlog_to_jdbc's JDBC sink).
     The epoch column records which micro-batch produced the snapshot.
-    Shared by `stream` and the non-follow `tail` drain."""
+    Shared by `stream` and the non-follow `tail` drain.
+
+    Guard (r11 advisor find): this writer OVERWRITES ``out``. If
+    ``out`` was previously an append-mode file sink (``tail
+    --follow`` writes there and leaves ``_spark_metadata``), a drain
+    reusing the same --out would DELETE the history the append sink
+    accumulated — append-mode state has already evicted closed
+    windows, so the complete snapshot holds only leftover open
+    windows — and leave a stale _spark_metadata behind. Refuse and
+    demand a distinct --out instead."""
+    import os
+
+    if os.path.isdir(os.path.join(out, "_spark_metadata")):
+        raise SystemExit(
+            f"refusing to drain into {out!r}: it contains _spark_metadata "
+            "from an append-mode (tail --follow) file sink; a complete-mode "
+            "snapshot overwrite would delete the appended window history. "
+            "Pass a distinct --out for the drain."
+        )
 
     def sink_batch(batch_df, epoch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -305,8 +323,12 @@ def cmd_tail(args) -> int:
       emitted exactly once when the 5-minute watermark closes it,
       appended to the parquet sink — bounded state however long the
       tail runs. Trade: a window's row appears only after the
-      watermark passes; the final partial window flushes on
-      restart-as-drain."""
+      watermark passes; residual still-open windows can be flushed by
+      restarting as a drain with the SAME --checkpoint but a
+      DISTINCT --out (the snapshot holds only the leftover open
+      windows — closed ones were already appended — and the drain
+      guard refuses to overwrite the append sink's history; union
+      the two outputs for the complete picture)."""
     from slowlog2clickhouse_spark.sources.slowlog_datasource import register
     from slowlog2clickhouse_spark.streaming.slowlog_stream import stream_classes
 

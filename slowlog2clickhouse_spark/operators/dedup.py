@@ -1932,6 +1932,13 @@ def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dedup_minhash demonstrates at ingest)."""
     cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     cand = cand.localCheckpoint(eager=True)  # reused by both phases
+    # FIXTURE SCAFFOLDING, not part of the production shape: this
+    # percentile_approx(...).collect() exists only to FABRICATE an
+    # old/new split from a single static fixture so the oracle (full
+    # recompute) can prove the increment exact. In production the
+    # increment boundary is the ingest date — "yesterday's state" and
+    # "today's edges" arrive as separate inputs and NO driver
+    # round-trip happens. Do not copy this collect as a pattern.
     mid = cand.agg(
         F.expr("percentile_approx(doc_a, 0.5)").cast("long")
     ).collect()[0][0]

@@ -409,7 +409,7 @@ def fn_fingerprint_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     (slowlog2clickhouse_spark/__main__.py).
 
     Scale: detection is ten codegen'd boolean expressions in ONE map
-    pass folded by partial aggregation into a single 9-number row —
+    pass folded by partial aggregation into a single ten-number row —
     the routing decision for a 100 TB corpus costs one column scan,
     no shuffle of raw rows, no Python."""
     from slowlog2clickhouse_spark.functions.fingerprint import construct_flags

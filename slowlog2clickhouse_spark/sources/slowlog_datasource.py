@@ -126,46 +126,106 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
         if size < pos:
             return True  # shrank below the offset: unambiguous
         head_n = int(start.get("head_n", 0))
+        if head_n and size < head_n:
+            # head_n was <= the file size at checkpoint time, so a
+            # current size below it proves the file shrank — appends
+            # can never shrink a file. Without this branch the window
+            # pos <= size < head_n skipped the hash check and returned
+            # False, leaving the reader at a stale offset inside the
+            # NEW incarnation (r11 advisor find).
+            return True
         if head_n and size >= head_n:
             return self._head(head_n) != start.get("head", "")
         return False
 
-    def _range(self, start: dict) -> tuple[bytes, dict]:
+    def _salvage(self, start: dict) -> bytes:
+        """Best-effort read of the rotated copy's unread tail on
+        copytruncate. The bytes past ``start.pos`` at rotation time —
+        complete-but-not-yet-read records written between the last
+        poll and the rotation — left with the rotated copy, NOT just
+        already-emitted bytes. If logrotate kept that copy as
+        ``<path>.1`` (the default dateext-off layout, and what the
+        reference tailers probe), and its head matches our
+        incarnation stamp (so it really is our old file), read its
+        tail so those records are emitted instead of dropped. When no
+        matching sibling exists (compressed, dateext, shipped away)
+        the loss window is real and unavoidable from a single-path
+        tailer; the reset comment below states it honestly."""
+        import hashlib
+
+        sib = self.path + ".1"
+        head_n = int(start.get("head_n", 0))
+        if not head_n or not start.get("head"):
+            return b""
+        try:
+            if os.path.getsize(sib) < head_n:
+                return b""
+            with open(sib, "rb") as fh:
+                if hashlib.md5(fh.read(head_n)).hexdigest() != start["head"]:
+                    return b""  # a different incarnation — not ours
+                fh.seek(int(start["pos"]))
+                return fh.read()
+        except OSError:
+            return b""
+
+    def _range(self, start: dict) -> tuple[bytes, bytes, dict]:
         pos = int(start["pos"])
         gen = int(start.get("gen", 0))
+        salvage = b""
         try:
             size = os.path.getsize(self.path)
         except OSError:
-            return b"", start
+            return b"", b"", start
         if self._truncated(start, size):
-            # copytruncate: the emitted bytes left with the rotated
-            # copy — reset to the head; stalling at the stale offset
-            # (or worse, seeking into the NEW file's middle when it
-            # regrew past it) would drop or tear post-rotation records.
-            # gen increments so a replay of this batch knows its bytes
-            # start at 0, not at start.pos (reset-spanning replay).
+            # copytruncate: everything past start.pos left with the
+            # rotated copy — both already-emitted bytes AND complete
+            # records written between the last poll and the rotation.
+            # _salvage best-effort recovers the latter from <path>.1;
+            # when that fails the unread records are LOST (the honest
+            # loss window of a copytruncate tailer). Then reset to the
+            # head; stalling at the stale offset (or seeking into the
+            # NEW file's middle when it regrew past it) would drop or
+            # tear post-rotation records. gen increments so a replay
+            # of this batch knows its bytes start at 0, not start.pos.
+            salvage = self._salvage(start)
             pos = 0
             gen += 1
-        if size <= pos:
-            return b"", start
-        with open(self.path, "rb") as fh:
-            fh.seek(pos)
-            buf = fh.read(size - pos)
+        if size <= pos and not salvage:
+            return b"", b"", start
+        buf = b""
+        if size > pos:
+            with open(self.path, "rb") as fh:
+                fh.seek(pos)
+                buf = fh.read(size - pos)
         cut = buf.rfind(_BOUNDARY)
-        if cut < 0:
-            # no complete-record boundary yet (first record still
-            # growing, or a preamble-only file): hold everything back
-            return b"", start
-        chunk = buf[:cut]
         head_n = min(self._HEAD_BYTES, size)
+        if cut < 0:
+            # no complete-record boundary in the live file yet (first
+            # record still growing, or a preamble-only file): hold the
+            # live bytes back. With salvage in hand the offset must
+            # still advance past the reset, else every poll would
+            # re-salvage and re-emit the same rows.
+            if not salvage:
+                return b"", b"", start
+            end = {
+                "pos": 0,
+                "rno": int(start["rno"]),
+                "head": self._head(head_n),
+                "head_n": head_n,
+                "gen": gen,
+                "sib_n": len(salvage),
+            }
+            return salvage, b"", end
+        chunk = buf[:cut]
         end = {
             "pos": pos + cut + 1,  # +1 eats the \n
             "rno": int(start["rno"]),
             "head": self._head(head_n),
             "head_n": head_n,
             "gen": gen,
+            "sib_n": len(salvage),
         }
-        return chunk, end
+        return salvage, chunk, end
 
     def _parse(self, chunk: bytes, rno0: int):
         if not chunk:
@@ -181,17 +241,27 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
         return iter(rows), n
 
     def read(self, start: dict):
-        chunk, end = self._range(start)
-        rows, n = self._parse(chunk, int(start["rno"]))
-        if chunk:
-            end = dict(end, rno=int(start["rno"]) + n)
-        return rows, end
+        import itertools
+
+        salvage, chunk, end = self._range(start)
+        rno0 = int(start["rno"])
+        # salvage bytes are FINAL (the rotated copy will never grow),
+        # so the whole tail parses — no boundary hold-back needed.
+        srows, sn = self._parse(salvage, rno0)
+        rows, n = self._parse(chunk, rno0 + sn)
+        if salvage or chunk:
+            end = dict(end, rno=rno0 + sn + n, sib_rn=sn)
+        return itertools.chain(srows, rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # deterministic replay of [start.pos, end.pos): same bytes,
         # same record ordinals — the exactly-once leg Spark calls on
         # recovery
+        import itertools
+
         pos, stop = int(start["pos"]), int(end["pos"])
+        pre = iter([])
+        sib_rn = 0
         if int(end.get("gen", 0)) > int(start.get("gen", 0)) or stop < pos:
             # the planned batch spanned a copytruncate reset (read()
             # restarted from byte 0 and bumped gen): replay the
@@ -199,14 +269,24 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
             # replay returned EMPTY (stop < pos) or a mid-file slice of
             # the NEW incarnation (stop >= pos) and the batch's records
             # were silently lost (r11 code-review finds).
+            sib_rn = int(end.get("sib_rn", 0))
+            if int(end.get("sib_n", 0)):
+                # best-effort replay of the salvaged rotated-copy tail.
+                # If the sibling rotated away between the original read
+                # and this recovery (a crash AND a second rotation in
+                # the same window), the salvage rows are dropped here —
+                # documented residual loss; the stored sib_rn still
+                # keeps the live-file record ordinals deterministic.
+                salvage = self._salvage(start)[: int(end["sib_n"])]
+                pre, _ = self._parse(salvage, int(start["rno"]))
             pos = 0
         if stop <= pos:
-            return iter([])
+            return pre
         with open(self.path, "rb") as fh:
             fh.seek(pos)
             buf = fh.read(stop - pos - 1)  # -1: end.pos sits after the \n
-        rows, _ = self._parse(buf, int(start["rno"]))
-        return rows
+        rows, _ = self._parse(buf, int(start["rno"]) + sib_rn)
+        return itertools.chain(pre, rows)
 
 
 class SlowlogDataSource(DataSource):

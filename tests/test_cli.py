@@ -228,3 +228,20 @@ def test_cli_tail_drains_live_file_to_batch_equivalent(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_cli_drain_refuses_append_sink_dir(tmp_path):
+    """r11 advisor find: a drain (complete-mode snapshot OVERWRITE)
+    into a dir that an append-mode file sink (tail --follow) wrote
+    would delete the appended window history and leave a stale
+    _spark_metadata behind. The snapshot writer must refuse."""
+    import os
+
+    import pytest
+
+    from slowlog2clickhouse_spark.__main__ import _complete_snapshot_writer
+
+    out = str(tmp_path / "out")
+    os.makedirs(os.path.join(out, "_spark_metadata"))
+    with pytest.raises(SystemExit, match="_spark_metadata"):
+        _complete_snapshot_writer(None, out, str(tmp_path / "ckpt"))

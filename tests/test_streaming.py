@@ -819,6 +819,126 @@ def test_slowlog_tail_detects_regrow_past_offset(spark, tmp_path):
     assert len(replay) == 2
 
 
+def test_slowlog_tail_detects_shrink_below_head_n(spark, tmp_path):
+    """The r11 advisor's probe: copytruncate where the new incarnation
+    regrows to a size >= the stale offset but < head_n. head_n was <=
+    the file size at checkpoint time, so size < head_n itself proves a
+    shrink; skipping the hash check here left the reader at a stale
+    offset inside the NEW file (torn/garbage records)."""
+    import os
+
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogTailStreamReader,
+    )
+
+    src = str(tmp_path / "slow.log")
+    with open(src, "w") as f:
+        f.write("x" * 30)  # new incarnation: 30 bytes
+    r = SlowlogTailStreamReader({"path": src})
+    # checkpointed offset from an incarnation that was >= 64 bytes:
+    # head_n=64 <= size-at-checkpoint, pos anywhere <= head_n. The
+    # direct probe from ADVICE.md: size=30 satisfies pos <= size <
+    # head_n, so the old code skipped the hash check and returned
+    # False — stale-offset reads from the new file.
+    off = {"pos": 10, "rno": 3, "head": "deadbeef", "head_n": 64, "gen": 0}
+    assert r._truncated(off, os.path.getsize(src)) is True
+    # and the boundary cases still behave: size >= head_n goes through
+    # the hash check (mismatching head -> truncated)
+    with open(src, "w") as f:
+        f.write("x" * 80)
+    assert r._truncated(off, 80) is True  # head hash differs
+    # a genuinely same-incarnation file (head matches) is NOT truncated
+    import hashlib
+
+    off2 = dict(off, head=hashlib.md5(b"x" * 64).hexdigest())
+    assert r._truncated(off2, 80) is False
+
+
+def test_slowlog_tail_salvages_rotated_sibling(spark, tmp_path):
+    """copytruncate with a <path>.1 sibling (logrotate's default
+    layout): complete-but-not-yet-read records written between the
+    last poll and the rotation leave with the rotated copy. The
+    reader must salvage them from the sibling (verified as OUR
+    incarnation via the head stamp) instead of silently dropping
+    them, and the reset-spanning replay must reproduce the full
+    batch — salvage rows included."""
+    import shutil
+
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogTailStreamReader,
+    )
+
+    src = str(tmp_path / "slow.log")
+    rec = (
+        "# Time: 2024-01-01T00:00:0{i}.000000Z\n"
+        "# Query_time: 0.5  Lock_time: 0.0 Rows_sent: 1  Rows_examined: 1\n"
+        "SELECT {i};\n"
+    )
+    terminator = "# Time: 2030-01-01T00:00:00.000000Z\n# Query_time: 0.1\n"
+    with open(src, "w") as f:
+        f.write(rec.format(i=1) + terminator)
+    r = SlowlogTailStreamReader({"path": src})
+    rows, off = r.read(r.initialOffset())
+    assert len(list(rows)) == 1
+
+    # two more COMPLETE records land after the poll...
+    with open(src, "a") as f:
+        f.write(rec.format(i=2) + rec.format(i=3))
+    # ...then logrotate copytruncates: copy -> slow.log.1, truncate live
+    shutil.copyfile(src, src + ".1")
+    with open(src, "w") as f:
+        f.write(rec.format(i=8) + terminator)
+
+    rows2, off2 = r.read(off)
+    got = [t for t in rows2]
+    queries = sorted(q for t in got for q in t if isinstance(q, str) and q.startswith("SELECT"))
+    # 2 + terminator-held record from the sibling tail, 1 from the new file
+    assert queries == ["SELECT 2", "SELECT 3", "SELECT 8"], queries
+    assert int(off2["gen"]) == int(off["gen"]) + 1
+    # reset-spanning replay reproduces the whole batch, salvage included
+    replay = list(r.readBetweenOffsets(off, off2))
+    assert replay == got
+
+
+def test_slowlog_tail_salvage_only_batch_advances_offset(spark, tmp_path):
+    """Salvage with NO complete record in the new file yet must still
+    advance the offset past the reset — otherwise every poll would
+    re-salvage and re-emit the same rows (duplicate emission)."""
+    import shutil
+
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogTailStreamReader,
+    )
+
+    src = str(tmp_path / "slow.log")
+    rec = (
+        "# Time: 2024-01-01T00:00:0{i}.000000Z\n"
+        "# Query_time: 0.5  Lock_time: 0.0 Rows_sent: 1  Rows_examined: 1\n"
+        "SELECT {i};\n"
+    )
+    terminator = "# Time: 2030-01-01T00:00:00.000000Z\n# Query_time: 0.1\n"
+    with open(src, "w") as f:
+        f.write(rec.format(i=1) + terminator)
+    r = SlowlogTailStreamReader({"path": src})
+    rows, off = r.read(r.initialOffset())
+    assert len(list(rows)) == 1
+
+    with open(src, "a") as f:
+        f.write(rec.format(i=2))
+    shutil.copyfile(src, src + ".1")
+    with open(src, "w") as f:
+        f.write("# Time: 2024-01-01T00:00:09.000000Z\n# Query_time: 0.5")  # torn
+
+    rows2, off2 = r.read(off)
+    # salvaged: the previously held-back terminator record (complete
+    # now — the rotated copy is final) + SELECT 2
+    assert len(list(rows2)) == 2
+    assert int(off2["gen"]) == int(off["gen"]) + 1
+    # next poll from off2: no re-salvage, no duplicates
+    rows3, off3 = r.read(off2)
+    assert list(rows3) == []
+
+
 def test_tail_follow_append_mode_emits_closed_windows(spark, tmp_path):
     """The tail --follow topology (watermarked APPEND sink — bounded
     state, r11 review fix): windows the 5-minute watermark has closed
