@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_components_star",
     "dedup_cluster_incremental",
     "stream_slowlog_tail",
+    "stream_slowlog_tail_multi",
     "mm_resize_pgm",
     "mm_frame_sample",
     "orders_pareto",

@@ -28,9 +28,11 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
+from pyspark.sql.types import StringType, StructField, StructType
 
 from slowlog2clickhouse_spark.sources.slowlog import EVENT_SCHEMA, parse_record
 
@@ -289,6 +291,255 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
         return itertools.chain(pre, rows)
 
 
+# ---------------------------------------------------------------------------
+# Fleet tail: MANY growing files, partitioned (executor-side) reads
+# ---------------------------------------------------------------------------
+
+# EVENT_SCHEMA + provenance: which mysqld's log a row came from — the
+# fleet aggregation key PMM-style deployments group by.
+MULTI_EVENT_SCHEMA = StructType(
+    list(EVENT_SCHEMA.fields) + [StructField("source_file", StringType())]
+)
+
+
+def _head_hash(path: str, n: int) -> str:
+    import hashlib
+
+    if n <= 0:
+        return ""
+    with open(path, "rb") as fh:
+        return hashlib.md5(fh.read(n)).hexdigest()
+
+
+def _last_boundary(path: str, size: int) -> int:
+    """Byte index of the LAST ``\\n# Time: `` in ``path[:size]``, or -1.
+    Backward block scan from EOF with boundary-length overlap — O(tail
+    block), not O(file): a long-running tail must not re-scan the whole
+    multi-GB log every trigger just to find the newest record header."""
+    blk = 1 << 16
+    ov = len(_BOUNDARY) - 1
+    end = size
+    with open(path, "rb") as fh:
+        while end > 0:
+            lo = max(0, end - blk)
+            fh.seek(lo)
+            buf = fh.read(min(end - lo + ov, size - lo))
+            i = buf.rfind(_BOUNDARY)
+            if i >= 0:
+                return lo + i
+            end = lo
+    return -1
+
+
+def _parse_bytes(buf: bytes, base: int, path: str):
+    """Parse a byte range into event tuples. record_no is the record's
+    BYTE OFFSET within its file incarnation — unlike the single-file
+    tail's running ordinal, a byte offset is derivable from the
+    partition alone (no cross-batch counter in the offsets), unique and
+    monotonic per incarnation, and stable under replay."""
+    parts = buf.split(_BOUNDARY)
+    cur = 0
+    for i, part in enumerate(parts):
+        rec = part if i == 0 else b"# Time: " + part
+        ev = parse_record(rec.decode("utf-8", errors="replace"), base + cur)
+        if ev is not None:
+            yield tuple(ev[name] for name in _FIELDS) + (path,)
+        cur += len(rec) + 1  # +1: the \n the boundary split consumed
+
+
+_ZERO_FILE = {"pos": 0, "head": "", "head_n": 0}
+
+
+class SlowlogMultiTailStreamReader(DataSourceStreamReader):
+    """Tail a FLEET of growing slow-log files (one per mysqld; the
+    many-agents-one-ingest-job deployment) — the partitioned
+    counterpart of SlowlogTailStreamReader: per-file byte offsets in
+    the stream offset dict, one InputPartition per grown file, reads
+    on EXECUTORS (the driver only plans byte ranges).
+
+    Offset model — STATELESS by construction. After a restart whose
+    last batch committed, Spark calls ``latestOffset()`` with no start
+    offset and no prior ``partitions()`` call, so the end offset must
+    be derivable from the files alone:
+
+      {"files": {path: {"pos": <byte after the last complete-record
+                                boundary, backward-scanned from EOF>,
+                        "head": md5(first head_n bytes),   # incarnation
+                        "head_n": min(64, size)}}}
+
+    Everything start-dependent — the emitted range, copytruncate reset
+    detection, rotated-sibling salvage — is derived in
+    ``partitions(start, end)`` from the two offsets, which is exactly
+    the call Spark replays on recovery, so a re-planned batch is
+    byte-identical without any driver-side counters.
+
+    Per file and per batch, the same guarantees as the single-file
+    tail: the in-flight torn tail is held back (pos stops at the last
+    record-header boundary); copytruncate is detected via the head
+    stamp (including shrink-below-head_n and regrow-past-offset); the
+    rotated copy's unread tail is best-effort salvaged from
+    ``<path>.1`` when its head matches the OLD incarnation stamp.
+
+    record_no is the record's byte offset within its incarnation (see
+    _parse_bytes) and ``source_file`` carries provenance.
+
+    Cluster note: every executor must see the log files (shared FS, or
+    run the ingest job co-located with the agents' spool directory) —
+    the same constraint any distributed file source has.
+
+    Plan-to-read race: if a file copytruncates between planning and
+    the executor read, the executor detects the stamp mismatch and
+    reads the planned range from ``<path>.1`` (which IS the planned
+    incarnation after one rotation); if that is gone too, the range's
+    records are lost — the same residual window the single-file
+    reader documents."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("slowlog multi-tail stream requires a path")
+
+    _HEAD_BYTES = 64
+
+    def _files(self) -> list:
+        if os.path.isdir(self.path):
+            return sorted(glob.glob(os.path.join(self.path, "*.log")))
+        return sorted(glob.glob(self.path))
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        files = {}
+        for p in self._files():
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                continue  # raced away between glob and stat
+            b = _last_boundary(p, size)
+            head_n = min(self._HEAD_BYTES, size)
+            files[p] = {
+                "pos": b + 1 if b >= 0 else 0,
+                "head": _head_hash(p, head_n),
+                "head_n": head_n,
+            }
+        return {"files": files}
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        sf = start.get("files", {})
+        for p, e in end.get("files", {}).items():
+            s = sf.get(p, _ZERO_FILE)
+            reset = False
+            if int(s["head_n"]):
+                if int(e["head_n"]) < int(s["head_n"]) or int(e["pos"]) < int(
+                    s["pos"]
+                ):
+                    # the file shrank below a previously observed size
+                    # (head_n <= size-at-checkpoint) or below the
+                    # committed offset: unambiguous truncation
+                    reset = True
+                elif int(e["head_n"]) == int(s["head_n"]):
+                    reset = e["head"] != s["head"]
+                else:
+                    # end stamp covers more bytes than start's (start
+                    # saw a <64-byte file): hashes aren't comparable,
+                    # re-stamp the start prefix live. Tiny race if the
+                    # file changes under us — self-healing: a wrong
+                    # verdict surfaces as a stamp mismatch next batch.
+                    try:
+                        reset = _head_hash(p, int(s["head_n"])) != s["head"]
+                    except OSError:
+                        reset = True
+            pos0 = 0 if reset else int(s["pos"])
+            stop = int(e["pos"])
+            if not reset and stop <= pos0:
+                continue  # no growth past the committed boundary
+            if reset and stop == 0 and not int(s["head_n"]):
+                continue
+            out.append(
+                InputPartition(
+                    {
+                        "path": p,
+                        "pos": pos0,
+                        "stop": stop,
+                        "head": e["head"],
+                        "head_n": int(e["head_n"]),
+                        # salvage leg (reset only): the OLD incarnation
+                        # stamp verifies <path>.1 really is our file
+                        "salv": bool(reset and int(s["head_n"])),
+                        "sib_pos": int(s["pos"]),
+                        "sib_head": s["head"],
+                        "sib_head_n": int(s["head_n"]),
+                    }
+                )
+            )
+        return out
+
+    def read(self, partition: InputPartition):
+        import hashlib
+
+        v = partition.value
+        p = v["path"]
+        if v["salv"]:
+            # best-effort rotated-copy tail: complete-but-unread
+            # records left with the copy at rotation time
+            try:
+                with open(p + ".1", "rb") as fh:
+                    if (
+                        hashlib.md5(fh.read(v["sib_head_n"])).hexdigest()
+                        == v["sib_head"]
+                    ):
+                        fh.seek(v["sib_pos"])
+                        yield from _parse_bytes(fh.read(), v["sib_pos"], p)
+            except OSError:
+                pass  # sibling gone: documented residual loss window
+        if v["stop"] - v["pos"] <= 1:
+            return
+        try:
+            with open(p, "rb") as fh:
+                live = (
+                    hashlib.md5(fh.read(v["head_n"])).hexdigest() == v["head"]
+                )
+                if not live:
+                    # rotated between plan and read: the planned
+                    # incarnation is now <path>.1 (if anywhere)
+                    fh2 = open(p + ".1", "rb")
+                    with fh2:
+                        if (
+                            hashlib.md5(fh2.read(v["head_n"])).hexdigest()
+                            != v["head"]
+                        ):
+                            return
+                        fh2.seek(v["pos"])
+                        buf = fh2.read(v["stop"] - v["pos"] - 1)
+                        yield from _parse_bytes(buf, v["pos"], p)
+                    return
+                fh.seek(v["pos"])
+                buf = fh.read(v["stop"] - v["pos"] - 1)
+            yield from _parse_bytes(buf, v["pos"], p)
+        except OSError:
+            return
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets carry everything; nothing to clean up
+
+    def stop(self) -> None:
+        pass
+
+
+class SlowlogMultiTailDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "slowlog_tail_multi"
+
+    def schema(self):
+        return MULTI_EVENT_SCHEMA
+
+    def streamReader(self, schema):
+        return SlowlogMultiTailStreamReader(self.options)
+
+
 class SlowlogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -305,8 +556,13 @@ class SlowlogDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the 'slowlog' format."""
+    """Idempotent registration of the 'slowlog' and
+    'slowlog_tail_multi' formats."""
     try:
         spark.dataSource.register(SlowlogDataSource)
     except Exception:
         pass  # already registered in this session
+    try:
+        spark.dataSource.register(SlowlogMultiTailDataSource)
+    except Exception:
+        pass

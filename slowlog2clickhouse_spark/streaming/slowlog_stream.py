@@ -488,3 +488,100 @@ def stream_slowlog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("num_queries"),
         F.round(F.sum("query_time"), 6).alias("qt_sum"),
     )
+
+
+@op(
+    "stream_slowlog_tail_multi",
+    # oracle = the same batch class aggregation over the golden IR:
+    # the FLEET tail (two concurrently-growing files) must deliver
+    # exactly the fixture's events — no loss, dup, or tear on either
+    # file's grow boundary, and the union must re-assemble the corpus
+    oracle=f"""
+    SELECT digest, count(*) AS num_queries,
+           round(sum(query_time), 6) AS qt_sum
+    FROM {_GOLD}
+    WHERE NOT admin AND query IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def stream_slowlog_tail_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail a FLEET of growing slow-log files — many mysqlds, one
+    ingest job (the deployment the single-file tail's docstring
+    explicitly defers). Runs on the PARTITIONED Python Data Source
+    stream reader (sources/slowlog_datasource.py
+    SlowlogMultiTailStreamReader): per-file byte offsets live in the
+    stream offset dict, each grown file becomes its own
+    InputPartition, and parsing happens on EXECUTORS — the driver
+    only plans byte ranges (backward boundary scan, O(tail block) per
+    file per trigger). Torn-tail hold-back, copytruncate detection
+    via head-hash incarnation stamps, and rotated-sibling salvage all
+    apply PER FILE.
+
+    The op reproduces the fleet dance deterministically: the fixture
+    is split into two "hosts'" logs, each written half-way, drained,
+    then grown to completion plus a header-only sentinel per file
+    (flushes each file's last real record; itself carries no
+    statement). Classes over the union must hash-match the golden IR
+    — proving the per-file offsets advanced independently and the
+    union re-assembled the corpus exactly.
+
+    Scale: 1000 mysqlds = 1000 entries in the offset dict and <=1000
+    InputPartitions per trigger, reads fan out across executors; the
+    driver's per-trigger cost is one stat + one tail-block scan per
+    file. record_no is the record's byte offset in its incarnation
+    (stateless offsets — required because latestOffset() gets no
+    start offset after a committed restart)."""
+    import re
+
+    from slowlog2clickhouse_spark.functions.fingerprint import (
+        digest_col,
+        fingerprint_col,
+    )
+    from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG, _TMP
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import register
+
+    register(spark)
+    base = f"{_TMP}/slowlog_tail_multi_{_os.getpid()}_{next(_counter)}"
+    _os.makedirs(f"{base}/logs", exist_ok=True)
+    txt = open(FIXTURE_LOG).read()
+    starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
+    mid = starts[len(starts) // 2]
+    a, b = txt[:mid], txt[mid:]
+    a_mid = starts[len(starts) // 4]
+    b_mid = starts[3 * len(starts) // 4] - mid
+    with open(f"{base}/logs/host_a.log", "w") as f:
+        f.write(a[:a_mid])
+    with open(f"{base}/logs/host_b.log", "w") as f:
+        f.write(b[:b_mid])
+
+    sentinel = (
+        "\n# Time: 2030-01-01T00:00:00.000000Z\n"
+        "# Query_time: 0.000001  Lock_time: 0.000000 "
+        "Rows_sent: 0  Rows_examined: 0\n"
+    )
+    name = f"fleet_{_os.path.basename(base)}"
+    q = (
+        spark.readStream.format("slowlog_tail_multi")
+        .option("path", f"{base}/logs")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(f"{base}/logs/host_a.log", "a") as f:
+            f.write(a[a_mid:] + sentinel)
+        with open(f"{base}/logs/host_b.log", "a") as f:
+            f.write(b[b_mid:] + sentinel)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ev = spark.table(name).where(~F.col("admin") & F.col("query").isNotNull())
+    ev = ev.withColumn("fingerprint", fingerprint_col(F.col("query")))
+    return ev.groupBy(digest_col(F.col("fingerprint")).alias("digest")).agg(
+        F.count("*").alias("num_queries"),
+        F.round(F.sum("query_time"), 6).alias("qt_sum"),
+    )

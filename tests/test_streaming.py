@@ -1004,3 +1004,217 @@ def test_tail_follow_append_mode_emits_closed_windows(spark, tmp_path):
     # and no row may be emitted twice (parquet append + exactly-once)
     for k, v in got.items():
         assert want_all[k] == v, k
+
+
+# ---------------------------------------------------------------------------
+# Fleet tail: SlowlogMultiTailStreamReader (partitioned, per-file offsets)
+# ---------------------------------------------------------------------------
+
+import os  # noqa: E402  (fleet-tail tests build log trees on disk)
+
+
+def _mk_rec(i: int, pad: str = "") -> str:
+    return (
+        f"# Time: 2024-01-01T00:00:{i % 60:02d}.000000Z\n"
+        "# Query_time: 0.5  Lock_time: 0.0 Rows_sent: 1  Rows_examined: 1\n"
+        f"SELECT {i}{pad};\n"
+    )
+
+
+_TERM = "# Time: 2030-01-01T00:00:00.000000Z\n# Query_time: 0.1\n"
+
+
+def _multi_plan(reader, start):
+    """One manual micro-batch: latestOffset + partitions + read all."""
+    end = reader.latestOffset()
+    parts = reader.partitions(start, end)
+    rows = [t for p in parts for t in reader.read(p)]
+    return rows, end
+
+
+def _queries(rows):
+    return sorted(
+        q for t in rows for q in t if isinstance(q, str) and q.startswith("SELECT")
+    )
+
+
+def test_multi_tail_restart_no_loss_no_dup(spark, tmp_path):
+    """Kill-and-restart over TWO concurrently growing files against
+    one checkpoint: the union of the fleet tail's emissions must equal
+    the batch parse of both full files — per-file offsets replayed via
+    partitions(start, end), no loss, no dup."""
+    import re
+
+    from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG
+    from slowlog2clickhouse_spark.sources.slowlog import parse_slowlog
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import register
+
+    register(spark)
+    logs = str(tmp_path / "logs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(logs)
+    txt = open(FIXTURE_LOG).read()
+    starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
+    mid = starts[len(starts) // 2]
+    a, b = txt[:mid], txt[mid:]
+    a_mid = starts[len(starts) // 4]
+    b_mid = starts[3 * len(starts) // 4] - mid
+    with open(f"{logs}/a.log", "w") as f:
+        f.write(a[:a_mid])
+    with open(f"{logs}/b.log", "w") as f:
+        f.write(b[:b_mid])
+
+    def run_query():
+        return (
+            spark.readStream.format("slowlog_tail_multi")
+            .option("path", logs)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    q = run_query()
+    q.processAllAvailable()
+    q.stop()  # kill between grows
+
+    sent = (
+        "\n# Time: 2030-01-01T00:00:00.000000Z\n"
+        "# Query_time: 0.000001  Lock_time: 0.000000 "
+        "Rows_sent: 0  Rows_examined: 0\n"
+    )
+    with open(f"{logs}/a.log", "a") as f:
+        f.write(a[a_mid:] + sent)
+    with open(f"{logs}/b.log", "a") as f:
+        f.write(b[b_mid:] + sent)
+    q = run_query()  # restart from the same checkpoint
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(out).where(F.col("query").isNotNull())
+    want = parse_slowlog(spark, FIXTURE_LOG).where(F.col("query").isNotNull())
+    g = sorted((r["ts"], r["query"], r["query_time"]) for r in got.collect())
+    w = sorted((r["ts"], r["query"], r["query_time"]) for r in want.collect())
+    assert g == w
+    # provenance: both files contributed
+    assert got.select("source_file").distinct().count() == 2
+
+
+def test_multi_tail_holds_back_torn_record_per_file(spark, tmp_path):
+    """Per-file torn-tail hold-back: a record still being written in
+    one file must not block or leak while the other file emits."""
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogMultiTailStreamReader,
+    )
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    with open(logs / "a.log", "w") as f:
+        f.write(_mk_rec(1) + _mk_rec(2))
+        f.write("# Time: 2024-01-01T00:00:03.000000Z\n# Query_time: 0.5")  # torn
+    with open(logs / "b.log", "w") as f:
+        f.write(_mk_rec(7) + _TERM)
+
+    r = SlowlogMultiTailStreamReader({"path": str(logs)})
+    rows, end = _multi_plan(r, r.initialOffset())
+    # the torn third record's own header is the boundary that completes
+    # rec 2; only the torn record itself is held back
+    assert _queries(rows) == ["SELECT 1", "SELECT 2", "SELECT 7"]
+    # deterministic replay: partitions(start, end) again -> same rows
+    parts = r.partitions(r.initialOffset(), end)
+    replay = [t for p in parts for t in r.read(p)]
+    assert sorted(map(repr, replay)) == sorted(map(repr, rows))
+    # finishing a.log's torn record + new header flushes 2, 3
+    with open(logs / "a.log", "a") as f:
+        f.write("  Lock_time: 0.0 Rows_sent: 1  Rows_examined: 1\nSELECT 3;\n")
+        f.write(_TERM)
+    rows2, end2 = _multi_plan(r, end)
+    assert _queries(rows2) == ["SELECT 3"]
+
+
+def test_multi_tail_copytruncate_one_file_with_salvage(spark, tmp_path):
+    """copytruncate hits ONE file of the fleet: its unread tail is
+    salvaged from <path>.1 (head-stamp verified), the offset resets for
+    that file only, and the untouched file keeps its offset."""
+    import shutil
+
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogMultiTailStreamReader,
+    )
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    with open(logs / "a.log", "w") as f:
+        f.write(_mk_rec(1) + _TERM)
+    with open(logs / "b.log", "w") as f:
+        f.write(_mk_rec(5) + _TERM)
+    r = SlowlogMultiTailStreamReader({"path": str(logs)})
+    rows, off = _multi_plan(r, r.initialOffset())
+    assert _queries(rows) == ["SELECT 1", "SELECT 5"]
+
+    # a.log: two more complete records land, then logrotate copytruncates
+    with open(logs / "a.log", "a") as f:
+        f.write(_mk_rec(2) + _mk_rec(3))
+    shutil.copyfile(logs / "a.log", str(logs / "a.log") + ".1")
+    with open(logs / "a.log", "w") as f:
+        f.write(_mk_rec(8) + _TERM)
+
+    rows2, off2 = _multi_plan(r, off)
+    assert _queries(rows2) == ["SELECT 2", "SELECT 3", "SELECT 8"]
+    # b.log contributed nothing (no growth), and its offset is unchanged
+    b_key = str(logs / "b.log")
+    assert off2["files"][b_key] == off["files"][b_key]
+    # reset-spanning replay reproduces the batch, salvage included
+    parts = r.partitions(off, off2)
+    replay = [t for p in parts for t in r.read(p)]
+    assert sorted(map(repr, replay)) == sorted(map(repr, rows2))
+
+
+def test_multi_tail_detects_regrow_past_offset(spark, tmp_path):
+    """The hard copytruncate case per file: the new incarnation regrows
+    PAST the stale offset between polls — head-stamp must reset."""
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogMultiTailStreamReader,
+    )
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    with open(logs / "a.log", "w") as f:
+        f.write(_mk_rec(1) + _TERM)
+    r = SlowlogMultiTailStreamReader({"path": str(logs)})
+    rows, off = _multi_plan(r, r.initialOffset())
+    assert _queries(rows) == ["SELECT 1"]
+    old_pos = off["files"][str(logs / "a.log")]["pos"]
+
+    pad = " /* regrown content longer than before " + "x" * 200 + " */"
+    with open(logs / "a.log", "w") as f:
+        f.write(_mk_rec(8, pad) + _mk_rec(9, pad) + _TERM)
+    assert os.path.getsize(logs / "a.log") > old_pos  # size check would miss
+
+    rows2, off2 = _multi_plan(r, off)
+    assert sorted(_queries(rows2)) == [f"SELECT 8{pad}", f"SELECT 9{pad}"]
+
+
+def test_multi_tail_discovers_new_file(spark, tmp_path):
+    """A new mysqld joining the fleet mid-stream: its file appears in
+    the offset dict and is read from byte 0."""
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogMultiTailStreamReader,
+    )
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    with open(logs / "a.log", "w") as f:
+        f.write(_mk_rec(1) + _TERM)
+    r = SlowlogMultiTailStreamReader({"path": str(logs)})
+    rows, off = _multi_plan(r, r.initialOffset())
+    assert _queries(rows) == ["SELECT 1"]
+
+    with open(logs / "c.log", "w") as f:
+        f.write(_mk_rec(4) + _TERM)
+    rows2, off2 = _multi_plan(r, off)
+    assert _queries(rows2) == ["SELECT 4"]
+    assert str(logs / "c.log") in off2["files"]
