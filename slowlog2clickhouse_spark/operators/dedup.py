@@ -674,108 +674,146 @@ def connected_components_star(
     * large-star: per node u over its undirected neighborhood N(u),
       m = min(N(u) ∪ {u}); re-point every STRICTLY LARGER neighbor at
       m — emit (v, m) for v ∈ N(u), v > u.
-    * small-star: orient every edge larger→smaller, group by the
-      larger endpoint u, m = min(N(u) ∪ {u}); emit (v, m) for
+    * small-star: group the (already larger→smaller oriented) edges by
+      the larger endpoint u, m = min(N(u) ∪ {u}); emit (v, m) for
       v ∈ N(u) ∪ {u}, v ≠ m.
 
-    Each phase is one groupBy + explode (two shuffles/round with the
-    dedup `distinct`); the edge set converges to stars rooted at each
-    component's minimum in O(log² n) rounds worst case — ~log n in
-    practice — versus min-label propagation's O(diameter). A 10⁴-node
-    CHAIN (the label-prop catastrophe: 10⁴ rounds) converges in ~25
-    alternations (SCALING.md r11 row; tests/test_dedup.py pins the
-    round count). Near-dup clusters are shallow, so dedup_cluster
-    keeps label-prop (cheaper per round, 3–5 rounds there); this is
-    the documented switch when components can be deep.
+    Each alternation is two groupBy shuffles; the edge set converges
+    to stars rooted at each component's minimum in O(log² n) rounds
+    worst case — ~log n in practice — versus min-label propagation's
+    O(diameter). A 10⁴-node CHAIN (the label-prop catastrophe: 10⁴
+    rounds) converges in ~15 alternations (SCALING.md;
+    tests/test_dedup.py pins the round bound). Near-dup clusters are
+    shallow, so dedup_cluster keeps label-prop (cheaper per round,
+    3–5 rounds there); this is the documented switch when components
+    can be deep.
 
-    Fixpoint detection: the (distinct, self-loop-free) edge set is
-    unchanged — set equality via count + subtract (both O(|E|)
-    shuffles, amortized by the log round count).
+    r12 redesign of the loop constant (~2x at sf0.1, SCALING.md):
+
+    * Input edges are canonically oriented child=larger -> parent=
+      smaller up front (map-side greatest/least); small-star preserves
+      the orientation, so it is a loop INVARIANT and no per-round
+      re-orientation or distinct is needed (duplicate edges are
+      dedup'd map-side by collect_set and don't affect correctness).
+    * Convergence is detected by a star-forest CERTIFICATE instead of
+      edge-set fixpoint tracking. Under the downward-orientation
+      invariant, the labeling is correct as soon as no node x has
+      (|N(x)| > 1 and min(N(x)) < x): every multi-neighbor node is
+      then a local minimum whose neighbors are all its children, and
+      every single-neighbor node either points down (a leaf) or is a
+      one-child root — i.e. the graph is a star forest whose roots
+      are their components' minima (both star operators preserve
+      component connectivity exactly, so these are the ORIGINAL
+      components). The certificate is an AGGREGATE over the very
+      groupBy large-star needs next — the check free-rides on the
+      alternation's own shuffle, fires the round the forest forms (no
+      fixpoint-repeat round), and certifies the ANSWER, not plan
+      stability, so duplicate edges can't fool it. A star-forest
+      INPUT (e.g. incremental state merge) converges in 0 rounds.
+    * The loop runs with AQE OFF and shuffle partitions pinned to a
+      size-derived count (restored in finally). Measured at sf0.1:
+      AQE's per-stage re-planning costs ~0.2 s x 2 stages x round —
+      2x the whole loop's useful work — while its only benefit here
+      (partition coalescing) is exactly what the explicit pin
+      provides. The pin scales: ceil(|E| / 250k) partitions, floor 8,
+      cap 4096 — at 10^9 edges that is 4000 partitions of ~250k edges
+      each; AQE stays ON for everything outside the loop (and for the
+      final label projection).
     """
+    spark = edges.sparkSession
+    # canonical downward orientation (child=larger): small-star output
+    # keeps it, so this is established once, map-side
     e = (
-        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
         .where(F.col("u") != F.col("v"))
-        .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = e.count()
+    parts = int(min(4096, max(8, n_edges // 250_000)))
 
-    def _sig(df) -> tuple:
-        # one-job edge-set signature: (|E|, Σ xxhash64(u,v)). Used only
-        # as a GATE for the exact subtract check — equal signatures
-        # trigger exact set-equality verification, so a hash collision
-        # can never cause a premature (wrong) fixpoint, only a wasted
-        # subtract. The agg is also the action that materializes the
-        # round's lazy localCheckpoint (1 job/round instead of 3).
-        # bit_xor, not sum: order-independent AND overflow-free (a sum
-        # of xxhash64 longs trips ANSI-mode ArithmeticException)
-        r = df.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        return (r["n"], r["h"])
+    def _alt_grp(cur):
+        # the undirected-neighborhood groupBy that BOTH large-star and
+        # the certificate read — one shuffle, shared
+        und = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        return und.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
 
-    prev_sig = _sig(e)
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    old_parts = conf.get("spark.sql.shuffle.partitions", "200")
     rounds = 0
-    converged = False
-    for _ in range(max_iters):
-        # -- large-star --
-        und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        grp = und.groupBy("u").agg(
-            F.collect_set("v").alias("nbrs"),
-        )
-        m = F.array_min(F.array_append("nbrs", F.col("u")))
-        # no distinct here: small-star's collect_set dedups per group
-        # (map-side partials included) — a distinct would add a full
-        # shuffle per alternation for nothing
-        large = (
-            grp.select(
-                F.explode(
-                    F.filter("nbrs", lambda x: x > F.col("u"))
-                ).alias("u2"),
-                m.alias("m"),
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(parts))
+        while True:
+            grp = _alt_grp(e).localCheckpoint(eager=False)
+            # star-forest certificate: one job over the shared groupBy
+            # (materializes the lazy checkpoint as a side effect)
+            viol = grp.agg(
+                F.max(
+                    (
+                        (F.size("nbrs") > 1)
+                        & (F.array_min("nbrs") < F.col("u"))
+                    ).cast("int")
+                ).alias("viol")
+            ).collect()[0]["viol"]
+            if not viol:
+                break
+            if rounds >= max_iters:
+                raise RuntimeError(
+                    f"connected_components_star did not converge in "
+                    f"{max_iters} alternations — returning partial "
+                    "stars would split components"
+                )
+            # -- large-star -- (continues from the shared groupBy)
+            m = F.array_min(F.array_append("nbrs", F.col("u")))
+            large = (
+                grp.select(
+                    F.explode(
+                        F.filter("nbrs", lambda x: x > F.col("u"))
+                    ).alias("u2"),
+                    m.alias("m"),
+                )
+                .select(F.col("u2").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
             )
-            .select(F.col("u2").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
-        )
-        # -- small-star --
-        oriented = large.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        grp2 = oriented.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
-        m2 = F.array_min(F.array_append("nbrs", F.col("u")))
-        small = (
-            grp2.select(
-                F.explode(F.array_append("nbrs", F.col("u"))).alias("u2"),
-                m2.alias("m"),
+            # -- small-star -- (large's output is already oriented
+            # larger→smaller: m = min(N(u) ∪ {u}) <= u < u2, so no
+            # greatest/least re-orientation pass is needed)
+            grp2 = large.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+            m2 = F.array_min(F.array_append("nbrs", F.col("u")))
+            e = (
+                grp2.select(
+                    F.explode(F.array_append("nbrs", F.col("u"))).alias("u2"),
+                    m2.alias("m"),
+                )
+                .select(F.col("u2").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
             )
-            .select(F.col("u2").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
+            rounds += 1
+        # converged edges are (child, component-min) stars; roots
+        # label selves. e may carry duplicate rows (no per-round
+        # distinct) — the groupBy-min and distinct here absorb them.
+        # Materialized inside the pinned scope so the 3-stage label
+        # projection also skips the per-stage AQE replan.
+        labels = (
+            e.groupBy("u").agg(F.min("v").alias("cluster_id"))
+            .select(F.col("u").alias("doc_id"), "cluster_id")
+            .unionByName(
+                e.select(
+                    F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")
+                ).distinct()
+            )
             .distinct()
-            .localCheckpoint(eager=False)  # materialized by _sig below
+            .localCheckpoint(eager=True)
         )
-        rounds += 1
-        sig = _sig(small)
-        if sig == prev_sig and small.subtract(e).count() == 0:
-            converged = True
-            e = small
-            break
-        prev_sig = sig
-        e = small
-    if not converged:
-        raise RuntimeError(
-            f"connected_components_star did not converge in {max_iters} "
-            "alternations — returning partial stars would split components"
-        )
-    # fixpoint edges are (node, component-min) stars; roots label selves
-    labels = (
-        e.groupBy("u").agg(F.min("v").alias("cluster_id"))
-        .select(F.col("u").alias("doc_id"), "cluster_id")
-        .unionByName(
-            e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
-            .distinct()
-        )
-        .distinct()
-    )
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
     if return_rounds:
         labels = labels.withColumn("rounds", F.lit(rounds))
     return labels
