@@ -123,6 +123,10 @@ EXTRA_OPS = (
     # and the real-format PGM decode path (binaryFile → Arrow → netpbm)
     "graph_components_star",
     "mm_decode_pgm",
+    # round-12: the routed ingest path end-to-end (chain + confined
+    # UDF slice) and the fleet tail (partitioned multi-file stream)
+    "slowlog_classes_routed",
+    "stream_slowlog_tail_multi",
 )
 
 
@@ -235,6 +239,12 @@ def main() -> None:
             spark, sf_dir
         ),
         "mm_decode_pgm": lambda: ops["mm_decode_pgm"].fn(spark, sf_dir),
+        "slowlog_classes_routed": lambda: ops["slowlog_classes_routed"].fn(
+            spark, sf_dir
+        ),
+        "stream_slowlog_tail_multi": lambda: ops[
+            "stream_slowlog_tail_multi"
+        ].fn(spark, sf_dir),
     }
     for name in EXTRA_OPS:
         ts = time_df(spark, extra_builders[name])

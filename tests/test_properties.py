@@ -254,3 +254,73 @@ wild_sql = st.lists(wild_atom, min_size=1, max_size=20).map(" ".join)
 def test_router_unflagged_implies_chain_exact(q):
     if not any(construct_flags_py(q).values()):
         assert fingerprint_chain_py(q) == fingerprint_py(q), repr(q)
+
+
+# ---------------------------------------------------------------------------
+# Full-UTF-8 router soundness + state-machine multibyte stability (r12):
+# the r11 sweep used a four-char unicode probe set; this generates
+# ARBITRARY unicode — emoji, CJK identifiers, combining marks, RTL,
+# surrogile-adjacent codepoints hypothesis likes to find — woven into
+# every lexical position (bare, quoted, commented). Two properties:
+#   1. soundness: unflagged ⇒ chain == state machine (the non_ascii
+#      detector must catch EVERY multibyte statement, so the chain is
+#      only ever certified on pure-ASCII input);
+#   2. the state machine itself must be total and deterministic on
+#      multibyte input (no crash, idempotent digest) — it is the
+#      routing TARGET for all non-ASCII traffic.
+# Scale knob: SPARK_GRAFT_FUZZ=50000 runs the deep sweep (r12 stamp in
+# PROGRESS.jsonl); default stays CI-sized.
+# ---------------------------------------------------------------------------
+import os as _os
+
+_FUZZ_N = int(_os.environ.get("SPARK_GRAFT_FUZZ", "400"))
+
+_uni_body = st.text(max_size=12)  # unrestricted: full unicode planes
+_uni_atom = st.one_of(
+    _uni_body,
+    _uni_body.map(lambda s: f"'{s}'"),
+    _uni_body.map(lambda s: f'"{s}"'),
+    _uni_body.map(lambda s: f"/*{s}*/"),
+    _uni_body.map(lambda s: f"-- {s}"),
+    _uni_body.map(lambda s: f"# {s}"),
+    st.integers(0, 10**12).map(str),
+    st.sampled_from(
+        [
+            "SELECT", "FROM", "WHERE", "IN (1,2)", "VALUES (1,'a')",
+            "=", "(", ")", ",",
+            # targeted multibyte regimes from the r11/r12 briefs
+            "数量", "пользователь", "ユーザー", "🙂", "café",
+            "é",  # combining acute: é as two codepoints
+            "٥٦",  # arabic-indic digits
+            "ид5", "5ид",  # unicode letter/digit boundaries
+            "x = 1",  # NBSP around operator
+            "'データ'", '"données"', "/* 注釈 */", "-- ملاحظة",
+        ]
+    ),
+)
+_uni_sql = st.lists(_uni_atom, min_size=1, max_size=16).map(" ".join)
+
+
+@given(_uni_sql)
+@settings(max_examples=_FUZZ_N, deadline=None)
+def test_router_soundness_full_unicode(q):
+    flags = construct_flags_py(q)
+    if not any(flags.values()):
+        # an unflagged statement must be chain-exact — and since
+        # non_ascii flags ANY multibyte char, unflagged also implies
+        # the statement is pure ASCII
+        assert q.isascii(), repr(q)
+        assert fingerprint_chain_py(q) == fingerprint_py(q), repr(q)
+    elif not q.isascii():
+        assert flags["non_ascii"], repr(q)
+
+
+@given(_uni_sql)
+@settings(max_examples=_FUZZ_N, deadline=None)
+def test_state_machine_total_and_idempotent_on_unicode(q):
+    fp = fingerprint_py(q)
+    assert isinstance(fp, str)
+    assert fingerprint_py(fp) == fingerprint_py(fp)  # deterministic
+    # idempotence on its own output (the r9 chain property, now pinned
+    # for the multibyte routing target too)
+    assert fingerprint_py(fingerprint_py(q)) == fingerprint_py(q), repr(q)
