@@ -234,9 +234,10 @@ def vec_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _vec_knn_ivf_impl(
-    spark: SparkSession, sf_dir: str, nprobe: int
+    spark: SparkSession, sf_dir: str, nprobe: int, e: DataFrame | None = None
 ) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings")
     emb = _emb_double()
     hk = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
@@ -905,6 +906,170 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             # try_divide: an EMPTY probe panel (truth_n = 0) must yield
             # NULL recall, not an ANSI division-by-zero crash — matches
             # DuckDB, where 0/0 is NULL
+            F.round(
+                F.try_divide(
+                    F.coalesce(F.col("hits"), F.lit(0)), F.col("truth_n")
+                ),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Planted-cluster corpus (VERDICT r11 #6): the committed embeddings
+# fixture is near-uniform — the WORST case for every ANN method, and
+# the recall numbers measured there (0.40–0.65 @3) are honest but
+# unrepresentative of real embedding spaces, which cluster. This
+# deterministic generator plants K Gaussian-ish clusters through
+# portable md5 arithmetic (identical doubles in Spark and DuckDB, so
+# the whole evaluation stays oracle-checkable): component j of vector
+# i is center(i % K, j) + sigma * noise(i, j), centers in [-1, 1],
+# noise in [-sigma, sigma].
+# ---------------------------------------------------------------------------
+_CLUS_N, _CLUS_K, _CLUS_DIM, _CLUS_SIGMA = 1020, 8, 64, 0.15
+
+_CLUSTERED_EMB_SQL = f"""SELECT i AS vec_id,
+      list_transform(range(0, {_CLUS_DIM}), j ->
+        ((CAST(('0x' || substr(md5('c' || CAST(i % {_CLUS_K} AS VARCHAR)
+                                    || '_' || CAST(j AS VARCHAR)), 1, 6))
+               AS BIGINT) % 2001) / 1000.0 - 1.0)
+        + {_CLUS_SIGMA} *
+        ((CAST(('0x' || substr(md5('n' || CAST(i AS VARCHAR)
+                                    || '_' || CAST(j AS VARCHAR)), 1, 6))
+               AS BIGINT) % 2001) / 1000.0 - 1.0)
+      ) AS embedding
+    FROM range(0, {_CLUS_N}) t(i)"""
+
+
+def _clustered_embeddings(spark: SparkSession) -> DataFrame:
+    """Spark twin of _CLUSTERED_EMB_SQL — bit-identical doubles (md5
+    hex → integer → the same divide/shift arithmetic, and both
+    engines evaluate center + sigma*noise with one multiply and one
+    add), so unrounded argmax cell assignment is oracle-safe."""
+
+    def _h6(s):
+        return F.conv(F.substring(F.md5(s), 1, 6), 16, 10).cast("long")
+
+    def _comp(vid, j):
+        c = _h6(
+            F.concat(
+                F.lit("c"),
+                (vid % _CLUS_K).cast("string"),
+                F.lit("_"),
+                j.cast("string"),
+            )
+        )
+        nz = _h6(
+            F.concat(
+                F.lit("n"), vid.cast("string"), F.lit("_"), j.cast("string")
+            )
+        )
+        return ((c % 2001) / F.lit(1000.0) - 1.0) + F.lit(_CLUS_SIGMA) * (
+            (nz % 2001) / F.lit(1000.0) - 1.0
+        )
+
+    return spark.range(_CLUS_N).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_CLUS_DIM - 1)),
+            lambda j: _comp(F.col("id"), j),
+        ).alias("embedding"),
+    )
+
+
+# the clustered-regime oracle is the SAME evaluation SQL with the
+# embeddings table swapped for the generator subquery — every arm
+# (truth, both LSH configs, IVF) re-reads the identical synthetic
+# corpus, so recall numbers are exact cross-engine
+_RECALL_CLUSTERED_DUCK = _RECALL_DUCK.replace(
+    "FROM embeddings", f"FROM ({_CLUSTERED_EMB_SQL}) _clus"
+)
+
+
+@op("ann_recall_clustered", oracle=_RECALL_CLUSTERED_DUCK)
+def ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_recall_eval's exact evaluation harness re-run on the
+    planted-cluster corpus (8 clusters, sigma=0.15, 64-dim): the
+    OTHER recall regime. The committed fixture is near-uniform — the
+    hardest possible input for sign-bit LSH and coarse IVF cells —
+    so its recall numbers (SCALING.md r6/r10 tables) understate what
+    users see on real, clusterable embedding spaces. This op puts the
+    favorable regime on the same oracle-checked record: with planted
+    structure, probes' true neighbors are their cluster-mates, cells
+    align with clusters, and recall@3 jumps accordingly (SCALING.md
+    r12 table records both regimes side by side).
+
+    Scale: identical shape to ann_recall_eval — one synthetic scan,
+    one 8-plane bucketing shared by all LSH arms, broadcast probe
+    panel, cell/bucket equi-joins only. The generator itself is one
+    codegen'd map over range(N) (no data source at all), the same
+    portable-md5 arithmetic the dedup family uses."""
+    base = _clustered_embeddings(spark).select(
+        "vec_id",
+        _emb_double().alias("ed"),
+        _lsh_bucket_col(_emb_double(), PLANES).alias("b8"),
+    ).localCheckpoint(eager=False)
+    probes = base.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("ed").alias("pe")
+    )
+    cands = base.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"), F.col("ed").alias("ce")
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    truth = (
+        cands.join(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(cosine(F.col("pe"), F.col("ce")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("probe_id", "cand_id")
+    )
+    b5 = base.select(
+        "vec_id",
+        "ed",
+        F.col("b8").bitwiseAND(F.lit((1 << N_PLANES_DEFAULT) - 1)).alias("bucket"),
+    )
+    b8 = base.select("vec_id", "ed", F.col("b8").alias("bucket"))
+    ivf = _vec_knn_ivf_impl(
+        spark, sf_dir, IVF_NPROBE, e=_clustered_embeddings(spark)
+    )
+    tagged = (
+        _lsh_knn_from_bucketed(b5, N_PLANES_DEFAULT, multiprobe=True)
+        .select(F.lit("lsh").alias("method"), "probe_id", "cand_id")
+        .unionByName(
+            ivf.select(F.lit("ivf").alias("method"), "probe_id", "cand_id")
+        )
+        .unionByName(
+            _lsh_knn_from_bucketed(b8, N_PLANES, multiprobe=True).select(
+                F.lit("lsh_mp").alias("method"), "probe_id", "cand_id"
+            )
+        )
+        .unionByName(
+            _lsh_knn_from_bucketed(b8, N_PLANES, multiprobe=False).select(
+                F.lit("lsh_8p_single").alias("method"), "probe_id", "cand_id"
+            )
+        )
+    )
+    hits = tagged.join(truth, ["probe_id", "cand_id"]).groupBy("method").agg(
+        F.count("*").alias("hits")
+    )
+    methods = spark.createDataFrame(
+        [("lsh",), ("ivf",), ("lsh_mp",), ("lsh_8p_single",)], "method string"
+    )
+    truth_n = truth.agg(F.count("*").alias("truth_n"))
+    return (
+        methods.join(hits, "method", "left")
+        .crossJoin(truth_n)  # 1-row aggregate, broadcast by planner
+        .select(
+            "method",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            "truth_n",
             F.round(
                 F.try_divide(
                     F.coalesce(F.col("hits"), F.lit(0)), F.col("truth_n")
@@ -1591,7 +1756,12 @@ def vec_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_adc_scored(spark: SparkSession, sf_dir: str, max_nprobe: int):
+def _ivfpq_adc_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    max_nprobe: int,
+    e: DataFrame | None = None,
+):
     """Shared IVF-PQ index build + ADC scoring (the expensive stage:
     cells, residuals, PQ codebook training, candidate encode, probe
     fan-out). Returns ``(with_e, scored)`` where ``scored`` has
@@ -1599,8 +1769,11 @@ def _ivfpq_adc_scored(spark: SparkSession, sf_dir: str, max_nprobe: int):
     of the candidate's cell, so every nprobe <= max_nprobe arm is a
     FILTER on one shared table (the production sweep contract: one
     index, probe-side-only knobs). ``scored`` is None on an empty
-    corpus (no codebooks to train)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    corpus (no codebooks to train). ``e`` overrides the embedding
+    source (scripts/ann_clustered_sweep.py feeds the planted-cluster
+    corpus through the same index build)."""
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings")
     hk = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
     ).cast("long")

@@ -98,6 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_incremental",
     "stream_slowlog_tail",
     "stream_slowlog_tail_multi",
+    "ann_recall_clustered",
     "mm_resize_pgm",
     "mm_frame_sample",
     "orders_pareto",
