@@ -118,10 +118,18 @@ def _build_parser() -> argparse.ArgumentParser:
 
     tl = sub.add_parser(
         "tail",
-        help="follow ONE growing slow-log file (the live mysqld log; "
-        "use `stream` for a directory of rotated segments)",
+        help="follow growing slow-log file(s): one FILE tails on the "
+        "driver; a DIRECTORY or glob tails the whole fleet with "
+        "per-file offsets and executor-side parsing (use `stream` "
+        "for a directory of finished/rotated segments)",
     )
-    tl.add_argument("--log", required=True, help="the growing slow-log FILE")
+    tl.add_argument(
+        "--log",
+        required=True,
+        help="the growing slow-log FILE, or a directory/glob of many "
+        "(one per mysqld) — directories and globs select the "
+        "partitioned fleet reader",
+    )
     tl.add_argument("--out", required=True, help="output parquet directory")
     tl.add_argument("--checkpoint", required=True)
     tl.add_argument(
@@ -329,14 +337,22 @@ def cmd_tail(args) -> int:
       windows — closed ones were already appended — and the drain
       guard refuses to overwrite the append sink's history; union
       the two outputs for the complete picture)."""
+    import os as _os
+
     from slowlog2clickhouse_spark.sources.slowlog_datasource import register
     from slowlog2clickhouse_spark.streaming.slowlog_stream import stream_classes
 
     spark = _get_spark()
     register(spark)
+    # one FILE -> driver-side single-file tail; a directory or glob ->
+    # the partitioned fleet reader (per-file offsets, executor parse)
+    fleet = _os.path.isdir(args.log) or any(c in args.log for c in "*?[")
+    fmt = "slowlog_tail_multi" if fleet else "slowlog"
     events = (
-        spark.readStream.format("slowlog").option("path", args.log).load()
+        spark.readStream.format(fmt).option("path", args.log).load()
     )
+    if fleet:
+        events = events.drop("source_file")  # stream_classes keys by digest
     classes = stream_classes(events)
 
     if args.follow:

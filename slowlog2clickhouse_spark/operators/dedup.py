@@ -613,7 +613,14 @@ def connected_components(
     pathological chain of length > max_iters trips this; callers with
     deep graphs raise max_iters (or switch to a star-contraction
     variant, which is log-round but heavier per round).
+
+    r12: the iteration runs under the same scoped AQE-off +
+    size-pinned shuffle-partition conf as connected_components_star
+    (restored in finally) — AQE's per-stage replan is pure overhead
+    inside a driver-synchronized loop whose partition count the pin
+    already right-sizes.
     """
+    spark = edges.sparkSession
     both = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -624,6 +631,21 @@ def connected_components(
     # generation upstream (minhash banding is ~40% of dedup_cluster's
     # wall time per round when left lazy)
     both = both.localCheckpoint(eager=True)
+    parts = int(min(4096, max(8, both.count() // 250_000)))
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    old_parts = conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(parts))
+        labels = _label_prop_loop(both, max_iters)
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
+    return labels
+
+
+def _label_prop_loop(both: DataFrame, max_iters: int) -> DataFrame:
     nodes = both.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     labels = labels.localCheckpoint(eager=True)

@@ -245,3 +245,37 @@ def test_cli_drain_refuses_append_sink_dir(tmp_path):
     os.makedirs(os.path.join(out, "_spark_metadata"))
     with pytest.raises(SystemExit, match="_spark_metadata"):
         _complete_snapshot_writer(None, out, str(tmp_path / "ckpt"))
+
+
+def test_cli_tail_fleet_directory_drains_to_batch_equivalent(spark, tmp_path):
+    """`tail --log <dir>` must select the partitioned fleet reader and
+    drain classes equal to the batch pipeline over both files' union
+    (each file is a 'mysqld' holding half the fixture)."""
+    import re
+
+    src = tmp_path / "logs"
+    os.makedirs(src)
+    txt = open(FIXTURE_LOG).read()
+    starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
+    mid = starts[len(starts) // 2]
+    sentinel = (
+        "\n# Time: 2030-01-01T00:00:00.000000Z\n"
+        "# Query_time: 0.000001  Lock_time: 0.000000 "
+        "Rows_sent: 0  Rows_examined: 0\n"
+    )
+    with open(src / "host_a.log", "w") as f:
+        f.write(txt[:mid] + sentinel)
+    with open(src / "host_b.log", "w") as f:
+        f.write(txt[mid:] + sentinel)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rc = main(["tail", "--log", str(src), "--out", out, "--checkpoint", ckpt])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    from slowlog2clickhouse_spark.plans.pipeline import ingest_slowlog
+
+    lib = ingest_slowlog(spark, FIXTURE_LOG)
+    assert got.count() == lib.count()
+    assert got.agg(F.sum("num_queries")).collect()[0][0] == lib.agg(
+        F.sum("num_queries")
+    ).collect()[0][0]
