@@ -499,3 +499,57 @@ def test_incremental_cluster_equals_full_recompute(spark, sf_dir):
         for r in dedup_cluster_incremental(spark, sf_dir).collect()
     }
     assert inc == full
+
+
+def test_star_conf_pin_restored_on_failure_and_success(spark):
+    """The r12 scoped conf pin (AQE off + sized shuffle partitions
+    inside the star loop) must restore the session values on BOTH
+    exits: normal convergence and the max_iters RuntimeError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from slowlog2clickhouse_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    edges = spark.range(20).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    # success path
+    assert connected_components_star(edges).count() == 21
+    assert spark.conf.get("spark.sql.adaptive.enabled") == old_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old_parts
+    # failure path: a 21-node chain cannot star-contract in 0 rounds
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(edges, max_iters=0)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == old_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old_parts
+
+
+def test_star_empty_and_star_forest_inputs(spark):
+    """Degenerate inputs for the r12 certificate loop: an EMPTY edge
+    set converges immediately with empty labels; an input that is
+    ALREADY a star forest (the incremental state-merge shape)
+    converges in ZERO alternations with correct labels."""
+    from pyspark.sql import functions as F
+
+    from slowlog2clickhouse_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    empty = spark.range(0).select(
+        F.col("id").alias("doc_a"), F.col("id").alias("doc_b")
+    )
+    assert connected_components_star(empty).count() == 0
+
+    # two stars rooted at their minima: {1,5,7} and {2,9}
+    forest = spark.createDataFrame(
+        [(5, 1), (7, 1), (9, 2)], "doc_a long, doc_b long"
+    )
+    lab = connected_components_star(forest, return_rounds=True)
+    rows = {r["doc_id"]: r["cluster_id"] for r in lab.collect()}
+    assert rows == {1: 1, 5: 1, 7: 1, 2: 2, 9: 2}
+    assert lab.limit(1).collect()[0]["rounds"] == 0
