@@ -567,7 +567,7 @@ def stream_slowlog_tail_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(name)
         .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(processingTime="1 second")
+        .trigger(processingTime="500 milliseconds")
         .start()
     )
     try:

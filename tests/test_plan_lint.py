@@ -66,6 +66,7 @@ ALLOW_NESTED_LOOP = {
     "vec_knn_topk",  # broadcast probe set (brute-force baseline)
     "vec_knn_pq_adc",  # broadcast 5-probe panel × coded corpus (ADC scan)
     "ann_recall_eval",  # brute-force truth pass on the fixed probe panel
+    "ann_recall_clustered",  # same truth-pass shape on the planted corpus
     "mm_feature_knn",  # broadcast probe panel (brute-force baseline shape)
     "vec_knn_ivf",  # broadcast 16-row centroid table
     "vec_knn_ivf_pq",  # broadcast 16-row centroid table + probe panel
