@@ -392,7 +392,16 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
     reads the planned range from ``<path>.1`` (which IS the planned
     incarnation after one rotation); if that is gone too, the range's
     records are lost — the same residual window the single-file
-    reader documents."""
+    reader documents.
+
+    Batch sizing: each micro-batch covers ALL growth since the last
+    trigger (stateless offsets can't carry an admission-control
+    cursor — latestOffset gets no start). In follow mode the trigger
+    interval naturally bounds per-batch growth to seconds of log
+    emission; a cold-start drain over a large backlog lands in ONE
+    batch per file — for bulk historical logs use the batch lineSep
+    reader, which byte-splits WITHIN files (this reader's partition
+    grain is the file)."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")

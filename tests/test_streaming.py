@@ -1218,3 +1218,79 @@ def test_multi_tail_discovers_new_file(spark, tmp_path):
     rows2, off2 = _multi_plan(r, off)
     assert _queries(rows2) == ["SELECT 4"]
     assert str(logs / "c.log") in off2["files"]
+
+
+def test_multi_tail_follow_append_mode_emits_closed_windows(spark, tmp_path):
+    """The fleet reader through the tail --follow topology (watermarked
+    APPEND sink): windows closed by the 5-minute watermark are emitted
+    exactly once across BOTH files and match the batch aggregation."""
+    import re
+
+    from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG
+    from slowlog2clickhouse_spark.sources.slowlog import (
+        parse_slowlog,
+        with_fingerprint,
+    )
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import register
+    from slowlog2clickhouse_spark.streaming.slowlog_stream import stream_classes
+
+    register(spark)
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    txt = open(FIXTURE_LOG).read()
+    starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
+    mid = starts[len(starts) // 2]
+    sent = (
+        "\n# Time: 2030-01-01T00:00:00.000000Z\n"
+        "# Query_time: 0.000001  Lock_time: 0.000000 "
+        "Rows_sent: 0  Rows_examined: 0\n"
+    )
+    with open(logs / "a.log", "w") as f:
+        f.write(txt[:mid] + sent)
+    with open(logs / "b.log", "w") as f:
+        f.write(txt[mid:] + sent)
+
+    events = (
+        spark.readStream.format("slowlog_tail_multi")
+        .option("path", str(logs))
+        .load()
+        .drop("source_file")
+    )
+    q = (
+        stream_classes(events)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["period_start"], r["digest"]): (r["num_queries"], r["m_query_time_sum"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "watermark never closed any window"
+    ev = with_fingerprint(parse_slowlog(spark, FIXTURE_LOG)).where(
+        ~F.col("admin") & F.col("query").isNotNull()
+    )
+    want_all = {
+        (r["period_start"], r["digest"]): (r["num_queries"], r["m_query_time_sum"])
+        for r in ev.groupBy(
+            F.date_trunc("minute", "ts").alias("period_start"), "digest"
+        )
+        .agg(
+            F.count("*").alias("num_queries"),
+            F.round(F.sum("query_time"), 6).alias("m_query_time_sum"),
+        )
+        .collect()
+    }
+    # every emitted (window, digest) row equals the batch value over
+    # the UNION of both files; parquet append + exactly-once => no row
+    # twice
+    for k, v in got.items():
+        assert want_all[k] == v, k
