@@ -38,11 +38,11 @@ truth = (cands.join(F.broadcast(probes))
 tn = truth.count()
 print("== IVF-PQ sweep on clustered corpus (truth_n=%d) ==" % tn)
 for nprobe in _SWEEP_NPROBES:
+    arm = scored.where(F.col("rnc") <= nprobe)
+    adc_rows = arm.count()  # depends only on nprobe — hoisted out of the shortlist loop
     for shortlist in (16, 32, 64):
-        arm = scored.where(F.col("rnc") <= nprobe)
         wa = W.partitionBy("probe_id").orderBy(F.col("adc_dist").asc(), F.col("cand_id").asc())
         short = arm.withColumn("r", F.row_number().over(wa)).where(F.col("r") <= shortlist)
-        adc_rows = arm.count()
         rer = (short.join(cands, "cand_id").join(F.broadcast(probes), "probe_id")
                .select("probe_id","cand_id",F.round(cosine(F.col("pe"),F.col("cve")),6).alias("cs")))
         wr = W.partitionBy("probe_id").orderBy(F.col("cs").desc(), F.col("cand_id").asc())

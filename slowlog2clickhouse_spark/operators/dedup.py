@@ -589,6 +589,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Candidate graph → duplicate clusters (connected components)
 # ---------------------------------------------------------------------------
 
+# The iterative CC loops pin session conf (AQE off, sized shuffle
+# partitions) for their duration. The pin is SESSION-GLOBAL — two
+# concurrent resolutions would race the save/restore and could leave
+# the wrong values behind; this lock serializes their pin windows.
+# It does not protect UNRELATED queries planned concurrently in the
+# same session: streaming plans ignore the AQE flag anyway (Spark
+# disables AQE for streaming), but a concurrent BATCH query in
+# another thread would plan with the pinned partitions — co-locate
+# such work in its own SparkSession if that matters.
+import threading as _threading
+
+_CONF_PIN_LOCK = _threading.Lock()
+
 
 def connected_components(
     edges: DataFrame, max_iters: int = 50
@@ -633,15 +646,16 @@ def connected_components(
     both = both.localCheckpoint(eager=True)
     parts = int(min(4096, max(8, both.count() // 250_000)))
     conf = spark.conf
-    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
-    old_parts = conf.get("spark.sql.shuffle.partitions", "200")
-    try:
-        conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", str(parts))
-        labels = _label_prop_loop(both, max_iters)
-    finally:
-        conf.set("spark.sql.adaptive.enabled", old_aqe)
-        conf.set("spark.sql.shuffle.partitions", old_parts)
+    with _CONF_PIN_LOCK:
+        old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+        old_parts = conf.get("spark.sql.shuffle.partitions", "200")
+        try:
+            conf.set("spark.sql.adaptive.enabled", "false")
+            conf.set("spark.sql.shuffle.partitions", str(parts))
+            labels = _label_prop_loop(both, max_iters)
+        finally:
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
+            conf.set("spark.sql.shuffle.partitions", old_parts)
     return labels
 
 
@@ -765,9 +779,10 @@ def connected_components_star(
         return und.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
 
     conf = spark.conf
+    rounds = 0
+    _CONF_PIN_LOCK.acquire()
     old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
     old_parts = conf.get("spark.sql.shuffle.partitions", "200")
-    rounds = 0
     try:
         conf.set("spark.sql.adaptive.enabled", "false")
         conf.set("spark.sql.shuffle.partitions", str(parts))
@@ -836,6 +851,7 @@ def connected_components_star(
     finally:
         conf.set("spark.sql.adaptive.enabled", old_aqe)
         conf.set("spark.sql.shuffle.partitions", old_parts)
+        _CONF_PIN_LOCK.release()
     if return_rounds:
         labels = labels.withColumn("rounds", F.lit(rounds))
     return labels

@@ -75,6 +75,56 @@ class SlowlogReader(DataSourceReader):
 _BOUNDARY = b"\n# Time: "
 
 
+def _file_ino(path: str) -> int:
+    """st_ino, or 0 when unavailable — the second leg of the
+    incarnation stamp. copytruncate keeps the inode (caught by the
+    size/head checks); create/rename rotation changes it, which the
+    head hash alone cannot see when the new incarnation starts with
+    an identical >=64-byte preamble (mysqld's restart banner is)."""
+    try:
+        return os.stat(path).st_ino
+    except OSError:
+        return 0
+
+
+def _read_verified_tail(
+    path: str, head: str, head_n: int, pos: int, ino: int = 0
+) -> bytes:
+    """Read ``path[pos:]`` iff the file's identity matches the
+    recorded incarnation stamp — the ONE shared primitive behind
+    every rotated-sibling salvage and plan-to-read fallback (three
+    call sites; keeping them on one implementation prevents the
+    checks from drifting apart). Identity holds when either leg
+    matches:
+
+    * md5 of the first ``head_n`` bytes equals ``head`` (the rotated
+      COPY of our incarnation — copytruncate gives it a new inode but
+      identical content), or
+    * ``st_ino`` equals ``ino`` (the renamed ORIGINAL — logrotate
+      create/rename moves our very inode to ``<path>.1``, where the
+      head hash can be a false negative only if the file was also
+      modified, and a false positive never).
+
+    Returns b"" when the file is missing, unreadable, or fails both
+    identity legs."""
+    import hashlib
+
+    try:
+        ok = bool(ino) and os.stat(path).st_ino == ino
+        with open(path, "rb") as fh:
+            if not ok and head_n and head:
+                ok = (
+                    os.path.getsize(path) >= head_n
+                    and hashlib.md5(fh.read(head_n)).hexdigest() == head
+                )
+            if not ok:
+                return b""
+            fh.seek(pos)
+            return fh.read()
+    except OSError:
+        return b""
+
+
 class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
     """Tail ONE growing slow-log file — the reference's deployment
     shape (a PMM agent follows the live file; rotation is a separate
@@ -108,14 +158,17 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
     _HEAD_BYTES = 64
 
     def initialOffset(self) -> dict:
-        return {"pos": 0, "rno": 0, "head": "", "head_n": 0, "gen": 0}
+        return {"pos": 0, "rno": 0, "head": "", "head_n": 0, "gen": 0, "ino": 0}
 
     def _head(self, n: int) -> str:
-        """md5 of the file's first ``n`` bytes — an incarnation stamp.
-        Appends never change a file's first bytes, so a mismatch means
-        truncate-and-rewrite (logrotate copytruncate), INCLUDING the
-        case where the new content already regrew past the stale
-        offset between polls (size alone cannot detect that)."""
+        """md5 of the file's first ``n`` bytes — the content leg of the
+        incarnation stamp. Appends never change a file's first bytes,
+        so a mismatch means truncate-and-rewrite (copytruncate),
+        including when the new content already regrew past the stale
+        offset between polls. NOT sufficient alone: a create/rename
+        rotation whose new incarnation starts with an identical
+        >= head_n-byte preamble hashes equal — the inode leg
+        (_file_ino) catches that regime."""
         import hashlib
 
         if n <= 0:
@@ -127,6 +180,11 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
         pos = int(start["pos"])
         if size < pos:
             return True  # shrank below the offset: unambiguous
+        ino = int(start.get("ino", 0))
+        if ino and _file_ino(self.path) not in (0, ino):
+            # create/rename rotation: a different inode now answers to
+            # this path — even an identical preamble can't hide it
+            return True
         head_n = int(start.get("head_n", 0))
         if head_n and size < head_n:
             # head_n was <= the file size at checkpoint time, so a
@@ -142,33 +200,25 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
 
     def _salvage(self, start: dict) -> bytes:
         """Best-effort read of the rotated copy's unread tail on
-        copytruncate. The bytes past ``start.pos`` at rotation time —
+        rotation. The bytes past ``start.pos`` at rotation time —
         complete-but-not-yet-read records written between the last
         poll and the rotation — left with the rotated copy, NOT just
         already-emitted bytes. If logrotate kept that copy as
         ``<path>.1`` (the default dateext-off layout, and what the
-        reference tailers probe), and its head matches our
-        incarnation stamp (so it really is our old file), read its
-        tail so those records are emitted instead of dropped. When no
-        matching sibling exists (compressed, dateext, shipped away)
-        the loss window is real and unavoidable from a single-path
-        tailer; the reset comment below states it honestly."""
-        import hashlib
-
-        sib = self.path + ".1"
-        head_n = int(start.get("head_n", 0))
-        if not head_n or not start.get("head"):
-            return b""
-        try:
-            if os.path.getsize(sib) < head_n:
-                return b""
-            with open(sib, "rb") as fh:
-                if hashlib.md5(fh.read(head_n)).hexdigest() != start["head"]:
-                    return b""  # a different incarnation — not ours
-                fh.seek(int(start["pos"]))
-                return fh.read()
-        except OSError:
-            return b""
+        reference tailers probe) and it verifies as OUR incarnation
+        (head hash for copytruncate's copy, inode for create/rename's
+        moved original — _read_verified_tail), read its tail so those
+        records are emitted instead of dropped. When no matching
+        sibling exists (compressed, dateext, shipped away) the loss
+        window is real and unavoidable from a single-path tailer; the
+        reset comment below states it honestly."""
+        return _read_verified_tail(
+            self.path + ".1",
+            start.get("head", ""),
+            int(start.get("head_n", 0)),
+            int(start["pos"]),
+            int(start.get("ino", 0)),
+        )
 
     def _range(self, start: dict) -> tuple[bytes, bytes, dict]:
         pos = int(start["pos"])
@@ -216,6 +266,7 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
                 "head_n": head_n,
                 "gen": gen,
                 "sib_n": len(salvage),
+                "ino": _file_ino(self.path),
             }
             return salvage, b"", end
         chunk = buf[:cut]
@@ -226,6 +277,7 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
             "head_n": head_n,
             "gen": gen,
             "sib_n": len(salvage),
+            "ino": _file_ino(self.path),
         }
         return salvage, chunk, end
 
@@ -407,13 +459,46 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("slowlog multi-tail stream requires a path")
+        # last-known per-file offset entries. NOT part of the offset
+        # contract (offsets alone fully determine every batch) — this
+        # only lets latestOffset CARRY FORWARD a file's entry through
+        # a transient stat failure (NFS hiccup, mid-rotation rename)
+        # instead of dropping it, which would make the next successful
+        # poll treat the file as brand new and re-ingest it from byte
+        # 0. Primed from every offset that passes through this reader
+        # (latestOffset results, partitions' start/end, commit); after
+        # a process restart the residual window is a stat failure on
+        # the very first poll — carried entries reappear as soon as
+        # partitions()/commit() hand the checkpointed offsets back.
+        self._known: dict = {}
 
     _HEAD_BYTES = 64
 
     def _files(self) -> list:
         if os.path.isdir(self.path):
-            return sorted(glob.glob(os.path.join(self.path, "*.log")))
-        return sorted(glob.glob(self.path))
+            files = glob.glob(os.path.join(self.path, "*.log"))
+        else:
+            files = glob.glob(self.path)
+        live = set(files)
+        # never tail a rotated sibling as its own fleet member: with a
+        # broad glob (--log '/var/log/mysql/*') slow.log.1 would be
+        # ingested wholesale (mostly bytes already emitted while it
+        # was slow.log) AND re-read by slow.log's salvage leg. A file
+        # whose ".N"-stripped base is itself being tailed is that
+        # base's rotation history, not a mysqld of its own.
+        out = []
+        for p in files:
+            base = p
+            while True:
+                root, ext = os.path.splitext(base)
+                if ext[1:].isdigit():
+                    base = root
+                else:
+                    break
+            if base != p and base in live:
+                continue
+            out.append(p)
+        return sorted(out)
 
     def initialOffset(self) -> dict:
         return {"files": {}}
@@ -424,26 +509,43 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
             try:
                 size = os.path.getsize(p)
             except OSError:
-                continue  # raced away between glob and stat
+                if p in self._known:
+                    # transient stat failure: carry the last-known
+                    # entry so the committed offset keeps the file's
+                    # position (dropping it would re-ingest from 0 on
+                    # the next successful poll)
+                    files[p] = self._known[p]
+                continue
             b = _last_boundary(p, size)
             head_n = min(self._HEAD_BYTES, size)
             files[p] = {
                 "pos": b + 1 if b >= 0 else 0,
                 "head": _head_hash(p, head_n),
                 "head_n": head_n,
+                "ino": _file_ino(p),
             }
+        self._known.update(files)
         return {"files": files}
 
     def partitions(self, start: dict, end: dict):
         out = []
         sf = start.get("files", {})
+        self._known.update(sf)
+        self._known.update(end.get("files", {}))
         for p, e in end.get("files", {}).items():
             s = sf.get(p, _ZERO_FILE)
             reset = False
+            s_ino = int(s.get("ino", 0))
+            e_ino = int(e.get("ino", 0))
             if int(s["head_n"]):
-                if int(e["head_n"]) < int(s["head_n"]) or int(e["pos"]) < int(
-                    s["pos"]
-                ):
+                if s_ino and e_ino and s_ino != e_ino:
+                    # create/rename rotation: a different inode now
+                    # answers to this path — an identical preamble
+                    # can't hide it from this leg of the stamp
+                    reset = True
+                elif int(e["head_n"]) < int(s["head_n"]) or int(
+                    e["pos"]
+                ) < int(s["pos"]):
                     # the file shrank below a previously observed size
                     # (head_n <= size-at-checkpoint) or below the
                     # committed offset: unambiguous truncation
@@ -474,61 +576,51 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
                         "stop": stop,
                         "head": e["head"],
                         "head_n": int(e["head_n"]),
+                        "ino": e_ino,
                         # salvage leg (reset only): the OLD incarnation
                         # stamp verifies <path>.1 really is our file
                         "salv": bool(reset and int(s["head_n"])),
                         "sib_pos": int(s["pos"]),
                         "sib_head": s["head"],
                         "sib_head_n": int(s["head_n"]),
+                        "sib_ino": s_ino,
                     }
                 )
             )
         return out
 
     def read(self, partition: InputPartition):
-        import hashlib
-
         v = partition.value
         p = v["path"]
         if v["salv"]:
             # best-effort rotated-copy tail: complete-but-unread
-            # records left with the copy at rotation time
-            try:
-                with open(p + ".1", "rb") as fh:
-                    if (
-                        hashlib.md5(fh.read(v["sib_head_n"])).hexdigest()
-                        == v["sib_head"]
-                    ):
-                        fh.seek(v["sib_pos"])
-                        yield from _parse_bytes(fh.read(), v["sib_pos"], p)
-            except OSError:
-                pass  # sibling gone: documented residual loss window
+            # records left with the copy at rotation time (verified as
+            # the OLD incarnation via head stamp or inode); if the
+            # sibling is gone, that is the documented residual loss
+            # window
+            buf = _read_verified_tail(
+                p + ".1",
+                v["sib_head"],
+                v["sib_head_n"],
+                v["sib_pos"],
+                v.get("sib_ino", 0),
+            )
+            if buf:
+                yield from _parse_bytes(buf, v["sib_pos"], p)
         if v["stop"] - v["pos"] <= 1:
             return
-        try:
-            with open(p, "rb") as fh:
-                live = (
-                    hashlib.md5(fh.read(v["head_n"])).hexdigest() == v["head"]
-                )
-                if not live:
-                    # rotated between plan and read: the planned
-                    # incarnation is now <path>.1 (if anywhere)
-                    fh2 = open(p + ".1", "rb")
-                    with fh2:
-                        if (
-                            hashlib.md5(fh2.read(v["head_n"])).hexdigest()
-                            != v["head"]
-                        ):
-                            return
-                        fh2.seek(v["pos"])
-                        buf = fh2.read(v["stop"] - v["pos"] - 1)
-                        yield from _parse_bytes(buf, v["pos"], p)
-                    return
-                fh.seek(v["pos"])
-                buf = fh.read(v["stop"] - v["pos"] - 1)
-            yield from _parse_bytes(buf, v["pos"], p)
-        except OSError:
-            return
+        # live leg, stamp-verified: if the file rotated between plan
+        # and read, the planned incarnation is now <path>.1 (if
+        # anywhere) — read the planned byte range from whichever path
+        # still verifies; records are lost only if both fail
+        want = v["stop"] - v["pos"] - 1
+        for cand in (p, p + ".1"):
+            buf = _read_verified_tail(
+                cand, v["head"], v["head_n"], v["pos"], v.get("ino", 0)
+            )
+            if buf:
+                yield from _parse_bytes(buf[:want], v["pos"], p)
+                return
 
     def commit(self, end: dict) -> None:
         pass  # offsets carry everything; nothing to clean up

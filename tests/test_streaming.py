@@ -1294,3 +1294,108 @@ def test_multi_tail_follow_append_mode_emits_closed_windows(spark, tmp_path):
     # twice
     for k, v in got.items():
         assert want_all[k] == v, k
+
+
+def test_single_tail_detects_rename_rotation_identical_preamble(spark, tmp_path):
+    """logrotate create/rename with an identical >=64-byte preamble:
+    the head hash alone cannot see the rotation (both incarnations
+    hash equal), the inode leg must — and the salvage leg must accept
+    the renamed ORIGINAL at <path>.1 via its inode even though the
+    new live file carries the same head bytes (r12 code-review find)."""
+    import os
+
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogTailStreamReader,
+    )
+
+    # identical 100-byte preamble on every incarnation (mysqld banner)
+    preamble = ("# mysqld, Version: 8.0.36 started with: Tcp port: 3306" ).ljust(99, "#") + "\n"
+    src = str(tmp_path / "slow.log")
+    with open(src, "w") as f:
+        f.write(preamble + _mk_rec(1) + _mk_rec(2))
+    r = SlowlogTailStreamReader({"path": src})
+    rows, off = r.read(r.initialOffset())
+    assert len(list(rows)) == 1  # rec 1 complete; rec 2 is the torn tail
+    assert int(off.get("ino", 0)) != 0
+
+    # create/rename rotation: our inode moves to .1, the new file gets
+    # the SAME preamble and regrows past the stale offset
+    os.rename(src, src + ".1")
+    pad = " /* regrown well past the old offset " + "x" * 200 + " */"
+    with open(src, "w") as f:
+        f.write(preamble + _mk_rec(8, pad) + _mk_rec(9, pad) + _TERM)
+    assert os.path.getsize(src) > int(off["pos"])
+    # head hash of the first 64 bytes is IDENTICAL across incarnations
+    assert open(src, "rb").read(64) == open(src + ".1", "rb").read(64)
+
+    rows2, off2 = r.read(off)
+    qs = _queries(rows2)
+    # salvage recovered rec 2 from the renamed original (inode leg),
+    # and the new incarnation was read from byte 0 (reset, not stale)
+    assert f"SELECT 8{pad}" in qs and f"SELECT 9{pad}" in qs, qs
+    assert "SELECT 2" in qs, qs
+    assert int(off2["gen"]) == int(off["gen"]) + 1
+
+
+def test_multi_tail_excludes_rotated_siblings_from_glob(spark, tmp_path):
+    """A broad glob must not tail slow.log.1 as its own fleet member
+    when slow.log is being tailed (it is that file's rotation history,
+    not another mysqld)."""
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogMultiTailStreamReader,
+    )
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    with open(logs / "slow.log", "w") as f:
+        f.write(_mk_rec(1) + _TERM)
+    with open(logs / "slow.log.1", "w") as f:
+        f.write(_mk_rec(7) + _TERM)  # rotated history: must NOT be tailed
+    with open(logs / "other.log", "w") as f:
+        f.write(_mk_rec(3) + _TERM)
+
+    r = SlowlogMultiTailStreamReader({"path": str(logs / "*")})
+    files = r._files()
+    assert str(logs / "slow.log.1") not in files
+    assert str(logs / "slow.log") in files and str(logs / "other.log") in files
+    rows, off = _multi_plan(r, r.initialOffset())
+    assert _queries(rows) == ["SELECT 1", "SELECT 3"]
+    # but a lone .1 with no live base IS tailed (it's all there is)
+    os.remove(logs / "slow.log")
+    r2 = SlowlogMultiTailStreamReader({"path": str(logs / "slow*")})
+    assert r2._files() == [str(logs / "slow.log.1")]
+
+
+def test_multi_tail_stat_failure_carries_offset_forward(spark, tmp_path, monkeypatch):
+    """A transient stat failure must not drop a file from the offset
+    dict — dropping it would make the next successful poll treat the
+    file as new and re-ingest it from byte 0 (r12 code-review find)."""
+    from slowlog2clickhouse_spark.sources import slowlog_datasource as ds
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    a = str(logs / "a.log")
+    with open(a, "w") as f:
+        f.write(_mk_rec(1) + _TERM)
+    r = ds.SlowlogMultiTailStreamReader({"path": str(logs)})
+    rows, off = _multi_plan(r, r.initialOffset())
+    assert _queries(rows) == ["SELECT 1"]
+
+    real_getsize = ds.os.path.getsize
+
+    def flaky(path):
+        if str(path) == a:
+            raise OSError("transient NFS hiccup")
+        return real_getsize(path)
+
+    monkeypatch.setattr(ds.os.path, "getsize", flaky)
+    rows2, off2 = _multi_plan(r, off)
+    monkeypatch.setattr(ds.os.path, "getsize", real_getsize)
+    # the entry survived the hiccup, and nothing was re-emitted
+    assert off2["files"][a] == off["files"][a]
+    assert list(rows2) == []
+    # after recovery, growth resumes from the carried offset
+    with open(a, "a") as f:
+        f.write(_mk_rec(2) + _TERM)
+    rows3, off3 = _multi_plan(r, off2)
+    assert _queries(rows3) == ["SELECT 2"]
