@@ -1755,33 +1755,45 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    cand_all = None
-    for bn, r in _LSH_SWEEP_ARMS:
-        sig = _arm_sigs(r, bn)
-        banded = (
-            base.select(
-                "doc_id", F.posexplode_outer(sig).alias("band", "band_sig")
-            )
-            .repartition("band", "band_sig")
+    # all four arms fan out in ONE exploded table keyed (bands, band,
+    # sig) and candidate-generate through ONE self-join (r12: was four
+    # repartition+cap+join+distinct pipelines — same 30 signature rows
+    # per doc either way, but 1 shuffle family instead of 4). Per-arm
+    # results are identical: the arm id is part of the join key, and
+    # the cap window partitions by it too.
+    def _tag(bn_):
+        # factory, not a default arg: pyspark reads the lambda's arity
+        # from its signature, and (element, index) is exactly two
+        return lambda s, i: F.struct(
+            F.lit(bn_).alias("bands"), i.alias("band"), s.alias("band_sig")
         )
-        banded = cap_band_buckets(banded, ("band", "band_sig"))
-        a = banded.alias("a")
-        b2 = banded.alias("b")
-        cand = (
-            a.join(
-                b2,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_sig") == F.col("b.band_sig"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
-            .select(F.lit(bn).alias("bands"), "doc_a", "doc_b")
+
+    arm_structs = [
+        F.transform(_arm_sigs(r, bn), _tag(bn)) for bn, r in _LSH_SWEEP_ARMS
+    ]
+    banded = base.select(
+        "doc_id", F.explode(F.flatten(F.array(*arm_structs))).alias("x")
+    ).select(
+        "doc_id", F.col("x.bands"), F.col("x.band"), F.col("x.band_sig")
+    ).repartition("bands", "band", "band_sig")
+    banded = cap_band_buckets(banded, ("bands", "band", "band_sig"))
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    cand_all = (
+        a.join(
+            b2,
+            (F.col("a.bands") == F.col("b.bands"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        cand_all = cand if cand_all is None else cand_all.unionByName(cand)
+        .select(
+            F.col("a.bands").alias("bands"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
 
     a_s = base.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     b_s = base.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
