@@ -324,3 +324,119 @@ def test_state_machine_total_and_idempotent_on_unicode(q):
     # idempotence on its own output (the r9 chain property, now pinned
     # for the multibyte routing target too)
     assert fingerprint_py(fingerprint_py(q)) == fingerprint_py(q), repr(q)
+
+
+# ---------------------------------------------------------------------------
+# Fleet-tail exactness under random rotation schedules (r12): for ANY
+# interleaving of appends, copytruncate rotations, rename rotations,
+# and polls — constrained to logrotate's real shape, at most one
+# rotation per file per poll gap, sibling kept as <path>.1 — the
+# multi-file reader must emit EVERY complete record EXACTLY once.
+# This is the no-loss-no-dup contract the unit tests pin pointwise,
+# promoted to a generated schedule space. Unique record ids keep the
+# head stamp honest (distinct first-64-byte content per incarnation,
+# as real logs have: timestamps differ).
+# ---------------------------------------------------------------------------
+
+
+def _tail_rec(n: int) -> str:
+    return (
+        f"# Time: 2024-01-01T00:{(n // 60) % 60:02d}:{n % 60:02d}.000000Z\n"
+        "# Query_time: 0.5  Lock_time: 0.0 Rows_sent: 1  Rows_examined: 1\n"
+        f"SELECT {n};\n"
+    )
+
+
+_TAIL_TERM = "# Time: 2030-01-01T00:00:00.000000Z\n# Query_time: 0.1\n"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),  # which file
+            st.sampled_from(["append", "copytruncate", "rename", "poll"]),
+            st.integers(1, 3),  # records per append
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=int(_os.environ.get("SPARK_GRAFT_FUZZ_TAIL", "150")), deadline=None)
+def test_multi_tail_exactly_once_under_random_rotation(tmp_path_factory, ops):
+    import os
+    import shutil
+
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogMultiTailStreamReader,
+    )
+
+    base = tmp_path_factory.mktemp("fleet_fuzz")
+    logs = os.path.join(str(base), "logs")
+    os.makedirs(logs)
+    paths = [os.path.join(logs, f"h{i}.log") for i in range(2)]
+    for p in paths:
+        open(p, "w").close()
+
+    r = SlowlogMultiTailStreamReader({"path": os.path.join(logs, "*.log")})
+    off = r.initialOffset()
+    written: list[int] = []
+    emitted: list[str] = []
+    nxt = 0
+    rotated_since_poll = [False, False]
+
+    def poll():
+        nonlocal off
+        end = r.latestOffset()
+        parts = r.partitions(off, end)
+        rows = [t for p_ in parts for t in r.read(p_)]
+        emitted.extend(
+            q for t in rows for q in t if isinstance(q, str) and q.startswith("SELECT")
+        )
+        # determinism: re-planning the same (start, end) replays the
+        # same rows (the engine's recovery leg)
+        replay = [t for p_ in r.partitions(off, end) for t in r.read(p_)]
+        assert sorted(map(repr, replay)) == sorted(map(repr, rows))
+        off = end
+        rotated_since_poll[0] = rotated_since_poll[1] = False
+
+    for which, kind, k in ops:
+        p = paths[which]
+        if kind == "append":
+            with open(p, "a") as f:
+                for _ in range(k):
+                    f.write(_tail_rec(nxt))
+                    written.append(nxt)
+                    nxt += 1
+        elif kind in ("copytruncate", "rename"):
+            if rotated_since_poll[which]:
+                poll()  # logrotate never rotates twice within one poll gap here
+            e = off.get("files", {}).get(p)
+            if not e or not int(e.get("head_n", 0)):
+                # documented precondition: salvage needs an incarnation
+                # stamp, i.e. the file must have been polled with
+                # content at least once before its first rotation (a
+                # tailer that starts AFTER a rotation already lost that
+                # history to the rotation, not to the reader)
+                poll()
+                e = off.get("files", {}).get(p)
+                if not e or not int(e.get("head_n", 0)):
+                    continue  # still empty: rotating an empty file is a no-op anyway
+            if kind == "copytruncate":
+                shutil.copyfile(p, p + ".1")
+                open(p, "w").close()
+            else:
+                os.replace(p, p + ".1")
+                open(p, "w").close()
+            rotated_since_poll[which] = True
+        else:
+            poll()
+
+    # flush: terminate both files' torn tails and drain
+    for p in paths:
+        with open(p, "a") as f:
+            f.write(_TAIL_TERM)
+    poll()
+    poll()  # a second drain must emit nothing new (no dup on idle)
+
+    want = sorted(f"SELECT {n}" for n in written)
+    assert sorted(emitted) == want, (ops, sorted(emitted), want)
