@@ -169,12 +169,7 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
         rotation whose new incarnation starts with an identical
         >= head_n-byte preamble hashes equal — the inode leg
         (_file_ino) catches that regime."""
-        import hashlib
-
-        if n <= 0:
-            return ""
-        with open(self.path, "rb") as fh:
-            return hashlib.md5(fh.read(n)).hexdigest()
+        return _head_hash(self.path, n)
 
     def _truncated(self, start: dict, size: int) -> bool:
         pos = int(start["pos"])
