@@ -440,3 +440,85 @@ def test_multi_tail_exactly_once_under_random_rotation(tmp_path_factory, ops):
 
     want = sorted(f"SELECT {n}" for n in written)
     assert sorted(emitted) == want, (ops, sorted(emitted), want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["append", "copytruncate", "rename", "poll"]),
+            st.integers(1, 3),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=int(_os.environ.get("SPARK_GRAFT_FUZZ_TAIL", "150")), deadline=None)
+def test_single_tail_exactly_once_under_random_rotation(tmp_path_factory, ops):
+    """The single-file reader's twin of the fleet property: same
+    schedule space, but exercising the Simple reader's distinct code
+    paths — running rno ordinals, the gen reset counter, and
+    readBetweenOffsets as the replay leg (asserted equal to the live
+    read at every poll)."""
+    import os
+    import shutil
+
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogTailStreamReader,
+    )
+
+    base = tmp_path_factory.mktemp("tail_fuzz")
+    p = os.path.join(str(base), "slow.log")
+    open(p, "w").close()
+
+    r = SlowlogTailStreamReader({"path": p})
+    off = r.initialOffset()
+    written: list[int] = []
+    emitted: list[str] = []
+    nxt = 0
+    rotated_since_poll = False
+
+    def poll():
+        nonlocal off, rotated_since_poll
+        rows, end = r.read(off)
+        rows = list(rows)
+        emitted.extend(
+            q for t in rows for q in t if isinstance(q, str) and q.startswith("SELECT")
+        )
+        if end != off:
+            # the recovery leg must replay the exact same rows
+            replay = list(r.readBetweenOffsets(off, end))
+            assert replay == rows, (off, end)
+        off = end
+        rotated_since_poll = False
+
+    for kind, k in ops:
+        if kind == "append":
+            with open(p, "a") as f:
+                for _ in range(k):
+                    f.write(_tail_rec(nxt))
+                    written.append(nxt)
+                    nxt += 1
+        elif kind in ("copytruncate", "rename"):
+            if rotated_since_poll:
+                poll()
+            if not int(off.get("head_n", 0)):
+                poll()
+                if not int(off.get("head_n", 0)):
+                    continue  # nothing observed yet: rotation is a no-op
+            if kind == "copytruncate":
+                shutil.copyfile(p, p + ".1")
+                open(p, "w").close()
+            else:
+                os.replace(p, p + ".1")
+                open(p, "w").close()
+            rotated_since_poll = True
+        else:
+            poll()
+
+    with open(p, "a") as f:
+        f.write(_TAIL_TERM)
+    poll()
+    poll()  # idle drain: nothing new
+
+    want = sorted(f"SELECT {n}" for n in written)
+    assert sorted(emitted) == want, (ops, sorted(emitted), want)
