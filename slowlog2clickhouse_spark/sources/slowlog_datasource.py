@@ -451,6 +451,7 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
     grain is the file)."""
 
     def __init__(self, options: dict):
+        self.options = options
         self.path = options.get("path")
         if not self.path:
             raise ValueError("slowlog multi-tail stream requires a path")
@@ -498,19 +499,21 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"files": {}}
 
+    # how many consecutive polls a vanished file's offset entry is
+    # carried before it is forgotten. An NFS mount flap or host churn
+    # makes whole directories disappear from the glob; dropping their
+    # entries would re-ingest EVERY file from byte 0 on remount. With
+    # the default 5 s follow trigger, 720 misses ≈ one hour of outage
+    # survived with positions intact. Override: .option("missLimit", n)
+    _MISS_LIMIT = 720
+
     def latestOffset(self) -> dict:
         files = {}
         for p in self._files():
             try:
                 size = os.path.getsize(p)
             except OSError:
-                if p in self._known:
-                    # transient stat failure: carry the last-known
-                    # entry so the committed offset keeps the file's
-                    # position (dropping it would re-ingest from 0 on
-                    # the next successful poll)
-                    files[p] = self._known[p]
-                continue
+                continue  # handled by the carry loop below
             b = _last_boundary(p, size)
             head_n = min(self._HEAD_BYTES, size)
             files[p] = {
@@ -519,8 +522,23 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
                 "head_n": head_n,
                 "ino": _file_ino(p),
             }
-        self._known.update(files)
+        # carry entries for known files that vanished from the glob or
+        # failed to stat (transient NFS hiccup, mid-rotation rename,
+        # mount flap, host churn): dropping one would make its next
+        # successful poll re-ingest the file from byte 0. Carried
+        # entries age out after _MISS_LIMIT consecutive absent polls.
+        for p, e in self._known.items():
+            if p in files:
+                continue
+            miss = int(e.get("miss", 0)) + 1
+            if miss <= self._miss_limit:
+                files[p] = dict(e, miss=miss)
+        self._known = dict(files)
         return {"files": files}
+
+    @property
+    def _miss_limit(self) -> int:
+        return int(self.options.get("misslimit", self._MISS_LIMIT))
 
     def partitions(self, start: dict, end: dict):
         out = []

@@ -1391,8 +1391,11 @@ def test_multi_tail_stat_failure_carries_offset_forward(spark, tmp_path, monkeyp
     monkeypatch.setattr(ds.os.path, "getsize", flaky)
     rows2, off2 = _multi_plan(r, off)
     monkeypatch.setattr(ds.os.path, "getsize", real_getsize)
-    # the entry survived the hiccup, and nothing was re-emitted
-    assert off2["files"][a] == off["files"][a]
+    # the entry survived the hiccup (carried with an aging miss
+    # counter), and nothing was re-emitted
+    carried = dict(off2["files"][a])
+    assert carried.pop("miss") == 1
+    assert carried == off["files"][a]
     assert list(rows2) == []
     # after recovery, growth resumes from the carried offset
     with open(a, "a") as f:
@@ -1456,3 +1459,63 @@ def test_multi_tail_engine_restart_across_copytruncate(spark, tmp_path):
     # new incarnation; the pre-rotation terminator record (query NULL)
     # flushes via salvage — nothing lost, nothing twice
     assert qs == ["SELECT 1", "SELECT 2", "SELECT 3", "SELECT 8"], qs
+
+
+def test_multi_tail_mount_flap_carries_all_offsets(spark, tmp_path):
+    """An NFS mount flap (the whole directory vanishes from the glob
+    for a few polls) must not reset the fleet: every file's offset is
+    carried with an aging miss counter and consumption resumes where
+    it left off on remount — no re-ingest from byte 0."""
+    import os as _os
+
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogMultiTailStreamReader,
+    )
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    for i in (1, 5):
+        with open(logs / f"h{i}.log", "w") as f:
+            f.write(_mk_rec(i) + _TERM)
+    r = SlowlogMultiTailStreamReader({"path": str(logs / "*.log")})
+    rows, off = _multi_plan(r, r.initialOffset())
+    assert _queries(rows) == ["SELECT 1", "SELECT 5"]
+
+    hidden = str(tmp_path / "hidden")
+    _os.rename(logs, hidden)  # mount flap: glob sees nothing
+    rows2, off2 = _multi_plan(r, off)
+    assert list(rows2) == []
+    assert set(off2["files"]) == set(off["files"])  # carried, not dropped
+    assert all(int(e["miss"]) == 1 for e in off2["files"].values())
+    rows3, off3 = _multi_plan(r, off2)
+    assert all(int(e["miss"]) == 2 for e in off3["files"].values())
+
+    _os.rename(hidden, logs)  # remount; one file also grew meanwhile
+    with open(logs / "h1.log", "a") as f:
+        f.write(_mk_rec(2) + _TERM)
+    rows4, off4 = _multi_plan(r, off3)
+    assert _queries(rows4) == ["SELECT 2"]  # resumed, nothing re-ingested
+    assert all("miss" not in e or not e["miss"] for e in off4["files"].values())
+
+
+def test_multi_tail_vanished_file_entry_expires(spark, tmp_path):
+    """A file absent past missLimit consecutive polls ages out of the
+    offset dict (bounded state for a churning fleet)."""
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogMultiTailStreamReader,
+    )
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    a = str(logs / "a.log")
+    with open(a, "w") as f:
+        f.write(_mk_rec(1) + _TERM)
+    r = SlowlogMultiTailStreamReader(
+        {"path": str(logs / "*.log"), "misslimit": "3"}
+    )
+    rows, off = _multi_plan(r, r.initialOffset())
+    assert _queries(rows) == ["SELECT 1"]
+    os.remove(a)
+    for expect_present, n in ((True, 1), (True, 2), (True, 3), (False, 4)):
+        rows_n, off = _multi_plan(r, off)
+        assert (a in off["files"]) is expect_present, (n, off)
