@@ -781,8 +781,19 @@ def connected_components_star(
     conf = spark.conf
     rounds = 0
     _CONF_PIN_LOCK.acquire()
+    try:
+        return _star_loop(conf, e, parts, max_iters, return_rounds, _alt_grp)
+    finally:
+        # release OUTSIDE the conf-restore failure domain: a py4j error
+        # in conf.get/set must not leak the lock and hang every later
+        # resolution (r12 second-review find)
+        _CONF_PIN_LOCK.release()
+
+
+def _star_loop(conf, e, parts, max_iters, return_rounds, _alt_grp):
     old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
     old_parts = conf.get("spark.sql.shuffle.partitions", "200")
+    rounds = 0
     try:
         conf.set("spark.sql.adaptive.enabled", "false")
         conf.set("spark.sql.shuffle.partitions", str(parts))
@@ -851,7 +862,6 @@ def connected_components_star(
     finally:
         conf.set("spark.sql.adaptive.enabled", old_aqe)
         conf.set("spark.sql.shuffle.partitions", old_parts)
-        _CONF_PIN_LOCK.release()
     if return_rounds:
         labels = labels.withColumn("rounds", F.lit(rounds))
     return labels

@@ -88,39 +88,53 @@ def _file_ino(path: str) -> int:
 
 
 def _read_verified_tail(
-    path: str, head: str, head_n: int, pos: int, ino: int = 0
+    path: str,
+    head: str,
+    head_n: int,
+    pos: int,
+    ino: int = 0,
+    limit: int | None = None,
 ) -> bytes:
-    """Read ``path[pos:]`` iff the file's identity matches the
-    recorded incarnation stamp — the ONE shared primitive behind
-    every rotated-sibling salvage and plan-to-read fallback (three
-    call sites; keeping them on one implementation prevents the
-    checks from drifting apart). Identity holds when either leg
-    matches:
+    """Read ``path[pos:pos+limit]`` (to EOF when ``limit`` is None)
+    iff the file's identity matches the recorded incarnation stamp —
+    the ONE shared primitive behind every rotated-sibling salvage and
+    plan-to-read fallback (keeping the call sites on one
+    implementation prevents the checks from drifting apart). Identity
+    holds when either leg matches:
 
     * md5 of the first ``head_n`` bytes equals ``head`` (the rotated
       COPY of our incarnation — copytruncate gives it a new inode but
       identical content), or
     * ``st_ino`` equals ``ino`` (the renamed ORIGINAL — logrotate
-      create/rename moves our very inode to ``<path>.1``, where the
-      head hash can be a false negative only if the file was also
-      modified, and a false positive never).
+      create/rename moves our very inode to ``<path>.1``).
+
+    The inode leg is ONLY sound for verifying a rotated SIBLING: the
+    LIVE path keeps its inode across copytruncate while the content
+    changes, so an ino match there would falsely authenticate a new
+    incarnation (r12 second-review find) — live-path callers pass
+    ino=0 and rely on the head hash alone.
+
+    Both stats come from ``os.fstat`` on the OPENED handle, not the
+    path — a path-level stat-then-open would let a rotation between
+    the two calls authenticate one file and read another (TOCTOU).
 
     Returns b"" when the file is missing, unreadable, or fails both
     identity legs."""
     import hashlib
 
     try:
-        ok = bool(ino) and os.stat(path).st_ino == ino
         with open(path, "rb") as fh:
+            st = os.fstat(fh.fileno())
+            ok = bool(ino) and st.st_ino == ino
             if not ok and head_n and head:
                 ok = (
-                    os.path.getsize(path) >= head_n
+                    st.st_size >= head_n
                     and hashlib.md5(fh.read(head_n)).hexdigest() == head
                 )
             if not ok:
                 return b""
             fh.seek(pos)
-            return fh.read()
+            return fh.read() if limit is None else fh.read(limit)
     except OSError:
         return b""
 
@@ -193,7 +207,7 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
             return self._head(head_n) != start.get("head", "")
         return False
 
-    def _salvage(self, start: dict) -> bytes:
+    def _salvage(self, start: dict, limit: int | None = None) -> bytes:
         """Best-effort read of the rotated copy's unread tail on
         rotation. The bytes past ``start.pos`` at rotation time —
         complete-but-not-yet-read records written between the last
@@ -213,6 +227,7 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
             int(start.get("head_n", 0)),
             int(start["pos"]),
             int(start.get("ino", 0)),
+            limit=limit,
         )
 
     def _range(self, start: dict) -> tuple[bytes, bytes, dict]:
@@ -326,7 +341,7 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
                 # the same window), the salvage rows are dropped here —
                 # documented residual loss; the stored sib_rn still
                 # keeps the live-file record ordinals deterministic.
-                salvage = self._salvage(start)[: int(end["sib_n"])]
+                salvage = self._salvage(start, limit=int(end["sib_n"]))
                 pre, _ = self._parse(salvage, int(start["rno"]))
             pos = 0
         if stop <= pos:
@@ -475,7 +490,11 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
             files = glob.glob(os.path.join(self.path, "*.log"))
         else:
             files = glob.glob(self.path)
-        live = set(files)
+        # known bases count too: during a rename-to-recreate gap the
+        # live slow.log is briefly absent while slow.log.1 exists —
+        # the carried offset entry proves the base is a tailed file,
+        # so its history must not join the fleet in that window
+        live = set(files) | set(self._known)
         # never tail a rotated sibling as its own fleet member: with a
         # broad glob (--log '/var/log/mysql/*') slow.log.1 would be
         # ingested wholesale (mostly bytes already emitted while it
@@ -511,17 +530,21 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
         files = {}
         for p in self._files():
             try:
+                # the WHOLE per-file body is guarded, not just the
+                # stat: a mid-rotation rename between getsize and the
+                # boundary scan / head hash would otherwise crash the
+                # streaming query instead of falling to the carry loop
                 size = os.path.getsize(p)
+                b = _last_boundary(p, size)
+                head_n = min(self._HEAD_BYTES, size)
+                files[p] = {
+                    "pos": b + 1 if b >= 0 else 0,
+                    "head": _head_hash(p, head_n),
+                    "head_n": head_n,
+                    "ino": _file_ino(p),
+                }
             except OSError:
                 continue  # handled by the carry loop below
-            b = _last_boundary(p, size)
-            head_n = min(self._HEAD_BYTES, size)
-            files[p] = {
-                "pos": b + 1 if b >= 0 else 0,
-                "head": _head_hash(p, head_n),
-                "head_n": head_n,
-                "ino": _file_ino(p),
-            }
         # carry entries for known files that vanished from the glob or
         # failed to stat (transient NFS hiccup, mid-rotation rename,
         # mount flap, host churn): dropping one would make its next
@@ -625,14 +648,19 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
         # live leg, stamp-verified: if the file rotated between plan
         # and read, the planned incarnation is now <path>.1 (if
         # anywhere) — read the planned byte range from whichever path
-        # still verifies; records are lost only if both fail
+        # still verifies; records are lost only if both fail. The LIVE
+        # path verifies by head hash alone (ino=0): copytruncate keeps
+        # the inode while replacing the content, so an inode match
+        # there would falsely authenticate the NEW incarnation. The
+        # sibling may verify by either leg (a renamed original keeps
+        # our inode). Reads are bounded to the planned range.
         want = v["stop"] - v["pos"] - 1
-        for cand in (p, p + ".1"):
+        for cand, ino in ((p, 0), (p + ".1", v.get("ino", 0))):
             buf = _read_verified_tail(
-                cand, v["head"], v["head_n"], v["pos"], v.get("ino", 0)
+                cand, v["head"], v["head_n"], v["pos"], ino, limit=want
             )
             if buf:
-                yield from _parse_bytes(buf[:want], v["pos"], p)
+                yield from _parse_bytes(buf, v["pos"], p)
                 return
 
     def commit(self, end: dict) -> None:
