@@ -136,6 +136,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "--follow", action="store_true",
         help="keep running (default: drain what's currently complete and exit)",
     )
+    tl.add_argument(
+        "--from", dest="start_at", choices=("earliest", "latest"),
+        default="earliest",
+        help="earliest = include the existing backlog; latest = tail -F "
+        "from now (bulk-load history with `ingest` first — the batch "
+        "reader byte-splits within files and is the right tool for it)",
+    )
     return p
 
 
@@ -349,7 +356,10 @@ def cmd_tail(args) -> int:
     fleet = _os.path.isdir(args.log) or any(c in args.log for c in "*?[")
     fmt = "slowlog_tail_multi" if fleet else "slowlog"
     events = (
-        spark.readStream.format(fmt).option("path", args.log).load()
+        spark.readStream.format(fmt)
+        .option("path", args.log)
+        .option("startAt", args.start_at)
+        .load()
     )
     if fleet:
         events = events.drop("source_file")  # stream_classes keys by digest

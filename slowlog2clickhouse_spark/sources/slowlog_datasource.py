@@ -168,11 +168,38 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("slowlog tail stream requires a path")
+        self.start_at = str(options.get("startat", "earliest")).lower()
+        if self.start_at not in ("earliest", "latest"):
+            raise ValueError(
+                f"startAt must be 'earliest' or 'latest', got {self.start_at!r}"
+            )
 
     _HEAD_BYTES = 64
 
     def initialOffset(self) -> dict:
-        return {"pos": 0, "rno": 0, "head": "", "head_n": 0, "gen": 0, "ino": 0}
+        zero = {"pos": 0, "rno": 0, "head": "", "head_n": 0, "gen": 0, "ino": 0}
+        if self.start_at != "latest":
+            return zero
+        # tail-from-now (`tail -F` semantics): skip the existing
+        # backlog — the right cold start when history was (or will
+        # be) loaded through the batch byte-splitting reader, which
+        # is the bulk-ingest tool. The offset starts at the CURRENT
+        # last complete-record boundary with the incarnation stamped,
+        # so rotation detection works from the first poll.
+        try:
+            size = os.path.getsize(self.path)
+        except OSError:
+            return zero
+        b = _last_boundary(self.path, size)
+        head_n = min(self._HEAD_BYTES, size)
+        return {
+            "pos": b + 1 if b >= 0 else 0,
+            "rno": 0,
+            "head": _head_hash(self.path, head_n),
+            "head_n": head_n,
+            "gen": 0,
+            "ino": _file_ino(self.path),
+        }
 
     def _head(self, n: int) -> str:
         """md5 of the file's first ``n`` bytes — the content leg of the
@@ -470,6 +497,11 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("slowlog multi-tail stream requires a path")
+        self.start_at = str(options.get("startat", "earliest")).lower()
+        if self.start_at not in ("earliest", "latest"):
+            raise ValueError(
+                f"startAt must be 'earliest' or 'latest', got {self.start_at!r}"
+            )
         # last-known per-file offset entries. NOT part of the offset
         # contract (offsets alone fully determine every batch) — this
         # only lets latestOffset CARRY FORWARD a file's entry through
@@ -516,6 +548,11 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
         return sorted(out)
 
     def initialOffset(self) -> dict:
+        if self.start_at == "latest":
+            # tail-from-now for the whole fleet: every currently
+            # existing file starts at its current boundary (stamped);
+            # files appearing later still start at byte 0
+            return self.latestOffset()
         return {"files": {}}
 
     # how many consecutive polls a vanished file's offset entry is

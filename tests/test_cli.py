@@ -279,3 +279,21 @@ def test_cli_tail_fleet_directory_drains_to_batch_equivalent(spark, tmp_path):
     assert got.agg(F.sum("num_queries")).collect()[0][0] == lib.agg(
         F.sum("num_queries")
     ).collect()[0][0]
+
+
+def test_cli_tail_from_latest_skips_backlog(spark, tmp_path):
+    """`tail --from latest` drains nothing from the pre-existing
+    backlog (bulk history is `ingest`'s job); a subsequent default
+    drain from a fresh checkpoint still sees it."""
+    src = str(tmp_path / "slow.log")
+    import shutil
+
+    shutil.copy(FIXTURE_LOG, src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rc = main(
+        ["tail", "--log", src, "--out", out, "--checkpoint", ckpt,
+         "--from", "latest"]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 0  # backlog skipped

@@ -1519,3 +1519,52 @@ def test_multi_tail_vanished_file_entry_expires(spark, tmp_path):
     for expect_present, n in ((True, 1), (True, 2), (True, 3), (False, 4)):
         rows_n, off = _multi_plan(r, off)
         assert (a in off["files"]) is expect_present, (n, off)
+
+
+def test_tail_start_at_latest_skips_backlog(spark, tmp_path):
+    """startAt=latest (`tail -F` semantics) on both readers: the
+    existing backlog is skipped — its bulk-load is the batch reader's
+    job — and only post-start appends are emitted; rotation detection
+    still works from the stamped initial offset."""
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogMultiTailStreamReader,
+        SlowlogTailStreamReader,
+    )
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    src = str(logs / "a.log")
+    with open(src, "w") as f:
+        f.write(_mk_rec(1) + _mk_rec(2) + _TERM)  # the backlog
+
+    # single reader
+    r = SlowlogTailStreamReader({"path": src, "startat": "latest"})
+    off = r.initialOffset()
+    assert int(off["pos"]) > 0 and int(off["head_n"]) > 0  # stamped
+    rows, off1 = r.read(off)
+    assert list(rows) == []  # backlog skipped
+    with open(src, "a") as f:
+        f.write(_mk_rec(9) + _TERM)
+    rows2, off2 = r.read(off1)
+    assert _queries(list(rows2)) == ["SELECT 9"]
+
+    # fleet reader
+    m = SlowlogMultiTailStreamReader({"path": str(logs), "startat": "latest"})
+    moff = m.initialOffset()
+    assert src in moff["files"] and int(moff["files"][src]["pos"]) > 0
+    rows3, moff2 = _multi_plan(m, moff)
+    assert _queries(rows3) == []  # everything before start skipped
+    with open(src, "a") as f:
+        f.write(_mk_rec(11) + _TERM)
+    rows4, _ = _multi_plan(m, moff2)
+    assert _queries(rows4) == ["SELECT 11"]
+
+    # default stays earliest
+    r2 = SlowlogTailStreamReader({"path": src})
+    rows5, _ = r2.read(r2.initialOffset())
+    assert "SELECT 1" in _queries(list(rows5))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="startAt"):
+        SlowlogTailStreamReader({"path": src, "startat": "yesterday"})
