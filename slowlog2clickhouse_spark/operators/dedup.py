@@ -779,7 +779,6 @@ def connected_components_star(
         return und.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
 
     conf = spark.conf
-    rounds = 0
     _CONF_PIN_LOCK.acquire()
     try:
         return _star_loop(conf, e, parts, max_iters, return_rounds, _alt_grp)

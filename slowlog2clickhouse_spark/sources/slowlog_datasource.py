@@ -180,26 +180,21 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
         zero = {"pos": 0, "rno": 0, "head": "", "head_n": 0, "gen": 0, "ino": 0}
         if self.start_at != "latest":
             return zero
-        # tail-from-now (`tail -F` semantics): skip the existing
-        # backlog — the right cold start when history was (or will
-        # be) loaded through the batch byte-splitting reader, which
-        # is the bulk-ingest tool. The offset starts at the CURRENT
-        # last complete-record boundary with the incarnation stamped,
-        # so rotation detection works from the first poll.
-        try:
-            size = os.path.getsize(self.path)
-        except OSError:
+        # tail-from-now: skip every record COMPLETE at start (their
+        # bulk load is the batch byte-splitting reader's job). Exact
+        # semantics: pos starts at the last complete-record boundary,
+        # so the single record still IN FLIGHT at start — including a
+        # file whose only record has no terminating successor yet —
+        # is emitted once a later header terminates it. That is the
+        # one record per file that can overlap a prior `ingest` pass
+        # (which may or may not have caught its final form); pair the
+        # recipe with an idempotent sink or accept <=1 boundary
+        # record per file. _stamp_file guards the whole stat+scan
+        # body: a rotation racing the start falls back to earliest.
+        st = _stamp_file(self.path, self._HEAD_BYTES)
+        if st is None:
             return zero
-        b = _last_boundary(self.path, size)
-        head_n = min(self._HEAD_BYTES, size)
-        return {
-            "pos": b + 1 if b >= 0 else 0,
-            "rno": 0,
-            "head": _head_hash(self.path, head_n),
-            "head_n": head_n,
-            "gen": 0,
-            "ino": _file_ino(self.path),
-        }
+        return {"rno": 0, "gen": 0, **st}
 
     def _head(self, n: int) -> str:
         """md5 of the file's first ``n`` bytes — the content leg of the
@@ -420,6 +415,27 @@ def _last_boundary(path: str, size: int) -> int:
     return -1
 
 
+def _stamp_file(path: str, head_bytes: int = 64) -> dict | None:
+    """One file's offset entry {pos, head, head_n, ino} — pos is the
+    byte after the last complete-record boundary, head/head_n/ino the
+    incarnation stamp. The WHOLE body is guarded: a rotation or
+    removal between the stat and the opens returns None instead of
+    crashing the caller (both readers share this — the guard can't
+    drift between them)."""
+    try:
+        size = os.path.getsize(path)
+        b = _last_boundary(path, size)
+        head_n = min(head_bytes, size)
+        return {
+            "pos": b + 1 if b >= 0 else 0,
+            "head": _head_hash(path, head_n),
+            "head_n": head_n,
+            "ino": _file_ino(path),
+        }
+    except OSError:
+        return None
+
+
 def _parse_bytes(buf: bytes, base: int, path: str):
     """Parse a byte range into event tuples. record_no is the record's
     BYTE OFFSET within its file incarnation — unlike the single-file
@@ -514,6 +530,15 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
         # the very first poll — carried entries reappear as soon as
         # partitions()/commit() hand the checkpointed offsets back.
         self._known: dict = {}
+        # bases EVER tailed in this run — unlike _known this never
+        # ages, so a decommissioned host's slow.log.1 stays excluded
+        # from the fleet even after its base's carried offset entry
+        # expires (re-ingesting rotation history as a "new" fleet
+        # member would be wholesale duplication). Tiny: one string per
+        # distinct path ever seen. Restart residual: a fresh process
+        # that only ever sees the orphaned .1 will tail it — same as
+        # a fleet that genuinely starts with only rotation history.
+        self._seen_bases: set = set()
 
     _HEAD_BYTES = 64
 
@@ -525,8 +550,12 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
         # known bases count too: during a rename-to-recreate gap the
         # live slow.log is briefly absent while slow.log.1 exists —
         # the carried offset entry proves the base is a tailed file,
-        # so its history must not join the fleet in that window
-        live = set(files) | set(self._known)
+        # so its history must not join the fleet in that window; the
+        # non-aging _seen_bases keeps the exclusion after the carried
+        # entry itself expires (decommissioned host)
+        self._seen_bases.update(files)
+        self._seen_bases.update(self._known)
+        live = set(files) | set(self._known) | self._seen_bases
         # never tail a rotated sibling as its own fleet member: with a
         # broad glob (--log '/var/log/mysql/*') slow.log.1 would be
         # ingested wholesale (mostly bytes already emitted while it
@@ -566,22 +595,10 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         files = {}
         for p in self._files():
-            try:
-                # the WHOLE per-file body is guarded, not just the
-                # stat: a mid-rotation rename between getsize and the
-                # boundary scan / head hash would otherwise crash the
-                # streaming query instead of falling to the carry loop
-                size = os.path.getsize(p)
-                b = _last_boundary(p, size)
-                head_n = min(self._HEAD_BYTES, size)
-                files[p] = {
-                    "pos": b + 1 if b >= 0 else 0,
-                    "head": _head_hash(p, head_n),
-                    "head_n": head_n,
-                    "ino": _file_ino(p),
-                }
-            except OSError:
-                continue  # handled by the carry loop below
+            st = _stamp_file(p, self._HEAD_BYTES)
+            if st is None:
+                continue  # raced away mid-poll: the carry loop handles it
+            files[p] = st
         # carry entries for known files that vanished from the glob or
         # failed to stat (transient NFS hiccup, mid-rotation rename,
         # mount flap, host churn): dropping one would make its next
@@ -605,6 +622,8 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
         sf = start.get("files", {})
         self._known.update(sf)
         self._known.update(end.get("files", {}))
+        self._seen_bases.update(sf)
+        self._seen_bases.update(end.get("files", {}))
         for p, e in end.get("files", {}).items():
             s = sf.get(p, _ZERO_FILE)
             reset = False

@@ -1568,3 +1568,35 @@ def test_tail_start_at_latest_skips_backlog(spark, tmp_path):
 
     with pytest.raises(ValueError, match="startAt"):
         SlowlogTailStreamReader({"path": src, "startat": "yesterday"})
+
+
+def test_multi_tail_orphan_sibling_stays_excluded_after_expiry(spark, tmp_path):
+    """Decommissioned host: after the base's carried offset entry ages
+    out (missLimit), its still-present rotated sibling must STAY
+    excluded from the fleet — re-ingesting rotation history as a new
+    member would be wholesale duplication (r12 third-review find)."""
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogMultiTailStreamReader,
+    )
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    a = str(logs / "slow.log")
+    with open(a, "w") as f:
+        f.write(_mk_rec(1) + _TERM)
+    with open(a + ".1", "w") as f:
+        f.write(_mk_rec(7) + _TERM)  # rotation history from before
+
+    r = SlowlogMultiTailStreamReader(
+        {"path": str(logs / "*"), "misslimit": "2"}
+    )
+    rows, off = _multi_plan(r, r.initialOffset())
+    assert _queries(rows) == ["SELECT 1"]  # .1 excluded while base live
+
+    os.remove(a)  # host decommissioned; history file remains
+    for _ in range(4):  # well past missLimit=2 — entry has aged out
+        rows_n, off = _multi_plan(r, off)
+        assert _queries(rows_n) == [], off
+    assert a not in off["files"]  # carried entry expired
+    # ...but the orphan .1 still never joins the fleet in this run
+    assert str(logs / "slow.log.1") not in off["files"]
