@@ -17,9 +17,15 @@ Transient machine load is handled structurally, not statistically:
 the load guard waits for the 1-min loadavg to drop below 1.0 (r8's
 4.0 ceiling let a loaded box through and produced three phantom
 headliner "regressions") and stamps the start value into the JSON;
-[min, median, max] is still emitted under "variance"; persisted RDD
-blocks are dropped between reps so 5-rep runs don't accumulate cache
-pressure that skews late reps (VERDICT r8 #8).
+since r13 the guard re-checks BEFORE EVERY QUERY and the per-query
+loadavg is emitted under "loadavg_per_query" (r12's nine phantom
+headliner regressions arrived mid-bench, invisible to a start-only
+guard). [min, median, max] is still emitted under "variance";
+persisted RDD blocks are dropped between reps so 5-rep runs don't
+accumulate cache pressure that skews late reps (VERDICT r8 #8).
+Round-over-round acceptance band: see BASELINE.md §protocol — ±10%
+vs the better of the two previous rounds, rows with per-query
+loadavg > 1.5 are not comparable evidence.
 """
 
 from __future__ import annotations
@@ -153,6 +159,20 @@ def time_df(spark, build, runs: int = 3) -> list[float]:
     return times
 
 
+def guarded_time_df(spark, build, runs: int, loads: dict, name: str) -> list[float]:
+    """time_df with the PER-QUERY noise protocol (VERDICT r12 #4: nine
+    headliners 'regressed' 24-56% with zero code change — the bench-
+    start load guard can't see load arriving MID-bench over a ~25-row
+    run). Before each query's reps the idle guard re-checks (short
+    timeout — the bench must terminate), and the 1-min loadavg is
+    stamped per query so every number carries its own health flag:
+    a row with loadavg > ~1.5 is not comparable evidence and the
+    BASELINE.md acceptance band says so."""
+    wait_for_idle(timeout_s=120.0)
+    loads[name] = round(os.getloadavg()[0], 2)
+    return time_df(spark, build, runs=runs)
+
+
 def wait_for_idle(max_load: float = 1.0, timeout_s: float = 600.0) -> float:
     """Load guard (VERDICT r7 #4, tightened per r8 #1): the r7/r8
     benches ran slow across rows INCLUDING verbatim baseline SQL —
@@ -192,8 +212,9 @@ def main() -> None:
     # the statistic; the [min, median, max] triple is still reported.
     results: dict[str, float] = {}
     variance: dict[str, list[float]] = {}
+    loads: dict[str, float] = {}
     for name, sql in BASELINE_QUERIES.items():
-        ts = time_df(spark, lambda: spark.sql(sql), runs=5)
+        ts = guarded_time_df(spark, lambda: spark.sql(sql), 5, loads, name)
         results[name] = round(statistics.median(ts), 4)
         variance[name] = [
             round(min(ts), 4),
@@ -247,7 +268,7 @@ def main() -> None:
         ].fn(spark, sf_dir),
     }
     for name in EXTRA_OPS:
-        ts = time_df(spark, extra_builders[name])
+        ts = guarded_time_df(spark, extra_builders[name], 3, loads, name)
         results[name] = round(statistics.median(ts), 4)
         variance[name] = [
             round(min(ts), 4),
@@ -269,6 +290,7 @@ def main() -> None:
                 "queries": results,
                 "variance": variance,
                 "loadavg_start": round(load0, 2),
+                "loadavg_per_query": loads,
                 "sf": sf_val,
             }
         )

@@ -189,6 +189,28 @@ CORPUS: dict[str, list[str]] = {
         "SELECT É5 FROM t",  # uppercase unicode letter + digits (lower())
         "SELECT 1 \u00a0",  # trailing NBSP survives trim on both
     ],
+    # -- multibyte contract slice (r13; r12 VERDICT #7) ----------------
+    # With the upstream checkout unavailable, byte-vs-char semantics on
+    # multibyte SQL cannot be verified against go-mysql; these goldens
+    # DECLARE the repo's normative contract: the state machine scans
+    # CHARACTERS (Python str - every multibyte letter is ONE non-letter-
+    # digit char to the ASCII-token rules, never split into bytes), and
+    # ASCII digits adjacent to a multibyte char follow the same
+    # _ascii_alnum boundary rules the unicode_ascii_boundary rows pin.
+    # Realistic shapes: CJK identifiers/literals, emoji in strings,
+    # Cyrillic/Hangul literals, CJK line comments. Any future change to
+    # the char-oriented policy shifts these committed digests and
+    # becomes a visible, reviewed diff.
+    "multibyte_sql": [
+        "SELECT \u540d\u524d, \u5e74\u9f62 FROM \u793e\u54e1 WHERE id = 42",
+        "SELECT * FROM users WHERE name = '\u5c71\u7530\u592a\u90ce'",
+        "INSERT INTO \u6ce8\u6587 (\u54c1\u76ee, \u6570\u91cf) VALUES ('\u308a\u3093\u3054', 3)",
+        "SELECT * FROM t WHERE msg = '\U0001f389 party! \U0001f38a'",
+        "SELECT * FROM t WHERE city = '\u041c\u043e\u0441\u043a\u0432\u0430' AND n = 7",
+        "SELECT \u88683 FROM db WHERE \u52172 = 5",
+        "SELECT * FROM t -- \u5099\u8003: \u3053\u308c\u306f\u30b3\u30e1\u30f3\u30c8\nWHERE a = 1",
+        "SELECT * FROM t WHERE tag = '\ud55c\uad6d\uc5b4 \ud14c\uc2a4\ud2b8'",
+    ],
 }
 
 

@@ -368,6 +368,25 @@ def fingerprint_py(query: str) -> str:
 
     NULL-safe like the SQL chain: a header-only record carries no
     statement (query IS NULL) and fingerprints to NULL.
+
+    MULTIBYTE CONTRACT (normative; r12 VERDICT #7). The machine scans
+    CHARACTERS (Python ``str``), not bytes: a multibyte letter is one
+    code point that is neither an ASCII digit nor ASCII letter, so it
+    passes through unmasked and unsplit, and ASCII digits adjacent to
+    it obey the same ``_ascii_alnum`` boundary rules as ``é5``
+    (``表3`` masks the 3 → ``表?``; identifiers like ``社員`` survive
+    verbatim). The upstream go-mysql fingerprinter iterates BYTES with
+    ASCII ``isDigit``/``isLetter`` predicates — on pure-ASCII input the
+    two are provably identical (the 50k-example full-UTF-8 fuzz pins
+    non-ASCII as a total catch-all detector), but on multibyte input a
+    byte scanner can only differ by splitting a multibyte sequence,
+    which no published fixture exercises and which cannot be verified
+    here (the reference checkout is empty). Char-oriented processing
+    is therefore this repo's DECLARED contract: the ``multibyte_sql``
+    slice of tests/fixtures/golden/fingerprint_corpus.parquet commits
+    golden digests for CJK identifiers/literals, emoji and Cyrillic/
+    Hangul strings, and CJK comments, so any future change to this
+    policy is a visible, reviewed diff (SURVEY.md §2 K).
     """
     if query is None:
         return None

@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_slowlog_tail",
     "stream_slowlog_tail_multi",
     "ann_recall_clustered",
+    "ann_pq_bits_clustered",
     "mm_resize_pgm",
     "mm_frame_sample",
     "orders_pareto",

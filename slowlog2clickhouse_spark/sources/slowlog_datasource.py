@@ -17,11 +17,46 @@ lineSep-split reader; each partition streams its file through the
 parser generator-style (no whole-corpus materialization). For
 multi-GB single files the lineSep reader (which byte-splits within a
 file) is the better tool — documented trade, same output schema.
+
+Tail readers (streaming): ONE rotation-handling implementation.
+Both the single-file tail (SlowlogTailStreamReader) and the fleet tail
+(SlowlogMultiTailStreamReader) plan and read through the same three
+module-level primitives (r12 VERDICT #6 — the r12 review rounds fixed
+near-identical bugs in two parallel implementations; now there is one):
+
+  * ``_stamp_file``       — a file's offset entry {pos, head, head_n,
+                            ino}: last complete-record boundary + the
+                            two-leg incarnation stamp;
+  * ``_plan_file_range``  — given the committed start entry and a fresh
+                            end entry, decide truncation/rotation
+                            (reset) and produce the planned byte range
+                            (+ salvage leg) — the ONLY place rotation
+                            is detected;
+  * ``_read_planned_range`` — execute a planned range: locate the end
+                            incarnation (live path, then the
+                            once-rotated ``<path>.1``), verify it on
+                            the opened handle, enforce the exact
+                            planned length, apply the same-incarnation
+                            guard, then best-effort salvage of the
+                            start incarnation's unread tail.
+
+The two reader classes remain as thin shells because their OFFSET
+CONTRACTS genuinely differ and cannot be unified without breaking one:
+the single-file tail carries a running record ordinal (``rno``) and a
+``gen`` counter in its offset — stateful by design, so ``record_no``
+is a never-resetting sequence over the whole tail — while the fleet
+reader is STATELESS (``latestOffset()`` receives no start offset after
+a committed restart, so nothing cross-batch can live in its offsets)
+and ``record_no`` is therefore the record's byte offset within its
+file incarnation. A fleet-of-1 cannot express the single reader's
+ordinal contract; the single reader cannot express per-file fan-out.
+Rotation handling, the part that was duplicated, is shared.
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 from typing import Iterator
 
@@ -97,10 +132,11 @@ def _read_verified_tail(
 ) -> bytes:
     """Read ``path[pos:pos+limit]`` (to EOF when ``limit`` is None)
     iff the file's identity matches the recorded incarnation stamp —
-    the ONE shared primitive behind every rotated-sibling salvage and
-    plan-to-read fallback (keeping the call sites on one
-    implementation prevents the checks from drifting apart). Identity
-    holds when either leg matches:
+    the salvage/replay primitive for FINAL files (a rotated sibling
+    never grows, so a short read is the file's true end, not a torn
+    range; planned live ranges go through :func:`_verified_range`,
+    which enforces the exact planned length). Identity holds when
+    either leg matches:
 
     * md5 of the first ``head_n`` bytes equals ``head`` (the rotated
       COPY of our incarnation — copytruncate gives it a new inode but
@@ -120,8 +156,6 @@ def _read_verified_tail(
 
     Returns b"" when the file is missing, unreadable, or fails both
     identity legs."""
-    import hashlib
-
     try:
         with open(path, "rb") as fh:
             st = os.fstat(fh.fileno())
@@ -139,256 +173,201 @@ def _read_verified_tail(
         return b""
 
 
-class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
-    """Tail ONE growing slow-log file — the reference's deployment
-    shape (a PMM agent follows the live file; rotation is a separate
-    concern handled by the directory file-stream source). Spark's
-    built-in file stream never re-reads a file that grew, so this is a
-    genuine capability gap the Python Data Source API closes.
+def _verified_range(
+    path: str,
+    head: str,
+    head_n: int,
+    pos: int,
+    stop: int,
+    ino: int = 0,
+    sib_head: str = "",
+    sib_head_n: int = 0,
+    sib_pos: int = 0,
+) -> tuple[bytes, int, bool]:
+    """Read the planned live range ``[base, stop-1)`` of ONE candidate
+    file iff it verifies as the END incarnation — the planned-range
+    counterpart of :func:`_read_verified_tail`, with two extra
+    guarantees (r12 ADVICE):
 
-    Offsets are byte positions of COMPLETE-record boundaries:
-    ``read(start)`` consumes from ``start.pos`` up to (not including)
-    the LAST ``\n# Time:`` marker currently in the file — the bytes
-    after it are an in-flight record that mysqld may still be writing
-    (the torn-tail hazard every tailer has) and are held back until a
-    later record's header terminates them. Restart/retry safety comes
-    from the offset contract itself: Spark checkpoints {pos, rno}, and
-    ``readBetweenOffsets`` re-reads the exact byte range
-    deterministically on replay (exactly-once into an idempotent
-    sink). ``rno`` carries the record ordinal across batches so
-    record_no stays stable and deterministic — a per-batch enumerate
-    would restart at 0 every micro-batch.
+    * **exact length** — the read must return every planned byte; a
+      short read (the file shrank under the plan with an identical
+      >=head_n preamble, or raced away mid-read) returns b"" so the
+      caller falls through to the sibling leg or drops the range,
+      instead of parsing a torn final record whose committed offset
+      claims the full range was emitted;
+    * **same-incarnation guard** — when the START stamp
+      (sib_head/sib_head_n) ALSO matches this very handle, the file is
+      the incarnation we already committed ``sib_pos`` bytes of (the
+      end stamp was taken moments before a rotation the planner read
+      as a reset): the read start is lifted to ``sib_pos`` so the
+      pre-committed prefix is never re-emitted as duplicates. Callers
+      pass the sib stamps ONLY for the once-rotated sibling candidate
+      — see :func:`_read_planned_range` for why the live path must
+      never take this lift.
 
-    Scale note: a SimpleDataSourceStreamReader reads on the DRIVER —
-    correct for the single-file tail (the reference's tailer is
-    single-node too, and one mysqld writes one slow log); fan-out
-    across many hosts' logs is the directory source's job."""
-
-    def __init__(self, options: dict):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("slowlog tail stream requires a path")
-        self.start_at = str(options.get("startat", "earliest")).lower()
-        if self.start_at not in ("earliest", "latest"):
-            raise ValueError(
-                f"startAt must be 'earliest' or 'latest', got {self.start_at!r}"
+    All verification happens on the one opened handle (no TOCTOU).
+    Returns ``(bytes, base, same_incarnation)``; empty bytes mean the
+    candidate failed (or the lifted range is empty)."""
+    try:
+        with open(path, "rb") as fh:
+            st = os.fstat(fh.fileno())
+            need = max(head_n if head_n and head else 0, sib_head_n)
+            first = fh.read(min(need, st.st_size)) if need else b""
+            ok = bool(ino) and st.st_ino == ino
+            if not ok and head_n and head:
+                ok = (
+                    len(first) >= head_n
+                    and hashlib.md5(first[:head_n]).hexdigest() == head
+                )
+            if not ok:
+                return b"", pos, False
+            same = bool(
+                sib_head_n
+                and sib_head
+                and len(first) >= sib_head_n
+                and hashlib.md5(first[:sib_head_n]).hexdigest() == sib_head
             )
+            base = max(pos, sib_pos) if same else pos
+            want = stop - base - 1
+            if want <= 0:
+                return b"", base, same
+            fh.seek(base)
+            buf = fh.read(want)
+            if len(buf) != want:
+                return b"", base, same
+            return buf, base, same
+    except OSError:
+        return b"", pos, False
 
-    _HEAD_BYTES = 64
 
-    def initialOffset(self) -> dict:
-        zero = {"pos": 0, "rno": 0, "head": "", "head_n": 0, "gen": 0, "ino": 0}
-        if self.start_at != "latest":
-            return zero
-        # tail-from-now: skip every record COMPLETE at start (their
-        # bulk load is the batch byte-splitting reader's job). Exact
-        # semantics: pos starts at the last complete-record boundary,
-        # so the single record still IN FLIGHT at start — including a
-        # file whose only record has no terminating successor yet —
-        # is emitted once a later header terminates it. That is the
-        # one record per file that can overlap a prior `ingest` pass
-        # (which may or may not have caught its final form); pair the
-        # recipe with an idempotent sink or accept <=1 boundary
-        # record per file. _stamp_file guards the whole stat+scan
-        # body: a rotation racing the start falls back to earliest.
-        st = _stamp_file(self.path, self._HEAD_BYTES)
-        if st is None:
-            return zero
-        return {"rno": 0, "gen": 0, **st}
+def _plan_file_range(path: str, s: dict, e: dict) -> dict | None:
+    """THE rotation decision — both tail readers plan through this.
 
-    def _head(self, n: int) -> str:
-        """md5 of the file's first ``n`` bytes — the content leg of the
-        incarnation stamp. Appends never change a file's first bytes,
-        so a mismatch means truncate-and-rewrite (copytruncate),
-        including when the new content already regrew past the stale
-        offset between polls. NOT sufficient alone: a create/rename
-        rotation whose new incarnation starts with an identical
-        >= head_n-byte preamble hashes equal — the inode leg
-        (_file_ino) catches that regime."""
-        return _head_hash(self.path, n)
+    Given one file's committed start entry ``s`` and freshly stamped
+    end entry ``e`` (each {pos, head, head_n, ino}), decide whether the
+    file was truncated/rotated between them (reset) and return the
+    planned range dict the read side executes, or None when there is
+    nothing to do. Reset cascade (two-leg incarnation stamp):
 
-    def _truncated(self, start: dict, size: int) -> bool:
-        pos = int(start["pos"])
-        if size < pos:
-            return True  # shrank below the offset: unambiguous
-        ino = int(start.get("ino", 0))
-        if ino and _file_ino(self.path) not in (0, ino):
-            # create/rename rotation: a different inode now answers to
-            # this path — even an identical preamble can't hide it
-            return True
-        head_n = int(start.get("head_n", 0))
-        if head_n and size < head_n:
-            # head_n was <= the file size at checkpoint time, so a
-            # current size below it proves the file shrank — appends
-            # can never shrink a file. Without this branch the window
-            # pos <= size < head_n skipped the hash check and returned
-            # False, leaving the reader at a stale offset inside the
-            # NEW incarnation (r11 advisor find).
-            return True
-        if head_n and size >= head_n:
-            return self._head(head_n) != start.get("head", "")
-        return False
+    * inode changed          -> create/rename rotation (an identical
+                                preamble can't hide it from this leg);
+    * e.head_n < s.head_n or
+      e.pos < s.pos          -> the file shrank below a previously
+                                observed size or below the committed
+                                offset: unambiguous truncation
+                                (appends never shrink a file);
+    * equal head_n           -> compare the head hashes directly;
+    * e.head_n > s.head_n    -> start saw a <64-byte file: the hashes
+                                aren't comparable, so re-hash the live
+                                prefix at s.head_n. A rotation racing
+                                this re-hash forces a spurious reset —
+                                benign, because the read side's
+                                same-incarnation guard
+                                (:func:`_verified_range`) refuses to
+                                re-emit the committed prefix (r12
+                                ADVICE)."""
+    s_ino, e_ino = int(s.get("ino", 0)), int(e.get("ino", 0))
+    s_head_n = int(s.get("head_n", 0))
+    reset = False
+    if s_head_n:
+        if s_ino and e_ino and s_ino != e_ino:
+            reset = True
+        elif int(e["head_n"]) < s_head_n or int(e["pos"]) < int(s["pos"]):
+            reset = True
+        elif int(e["head_n"]) == s_head_n:
+            reset = e["head"] != s.get("head", "")
+        else:
+            try:
+                reset = _head_hash(path, s_head_n) != s.get("head", "")
+            except OSError:
+                reset = True
+    salv = bool(reset and s_head_n)
+    pos0 = 0 if reset else int(s.get("pos", 0))
+    stop = int(e["pos"])
+    if not reset and stop <= pos0:
+        return None  # no growth past the committed boundary
+    if reset and stop == 0 and not salv:
+        return None
+    return {
+        "path": path,
+        "pos": pos0,
+        "stop": stop,
+        "head": e.get("head", ""),
+        "head_n": int(e["head_n"]),
+        "ino": e_ino,
+        "reset": reset,
+        # salvage leg (reset only): the OLD incarnation stamp verifies
+        # <path>.1 really is our file
+        "salv": salv,
+        "sib_pos": int(s.get("pos", 0)),
+        "sib_head": s.get("head", ""),
+        "sib_head_n": s_head_n,
+        "sib_ino": s_ino,
+    }
 
-    def _salvage(self, start: dict, limit: int | None = None) -> bytes:
-        """Best-effort read of the rotated copy's unread tail on
-        rotation. The bytes past ``start.pos`` at rotation time —
-        complete-but-not-yet-read records written between the last
-        poll and the rotation — left with the rotated copy, NOT just
-        already-emitted bytes. If logrotate kept that copy as
-        ``<path>.1`` (the default dateext-off layout, and what the
-        reference tailers probe) and it verifies as OUR incarnation
-        (head hash for copytruncate's copy, inode for create/rename's
-        moved original — _read_verified_tail), read its tail so those
-        records are emitted instead of dropped. When no matching
-        sibling exists (compressed, dateext, shipped away) the loss
-        window is real and unavoidable from a single-path tailer; the
-        reset comment below states it honestly."""
-        return _read_verified_tail(
-            self.path + ".1",
-            start.get("head", ""),
-            int(start.get("head_n", 0)),
-            int(start["pos"]),
-            int(start.get("ino", 0)),
-            limit=limit,
+
+def _read_planned_range(v: dict) -> tuple[bytes, int, bytes, int, bool]:
+    """Execute one planned range dict (from :func:`_plan_file_range`)
+    — the ONE read implementation behind both tail readers.
+
+    Locates the END incarnation first: the live path (verified by head
+    hash alone — copytruncate keeps the inode while replacing content,
+    so an ino match there would falsely authenticate the NEW
+    incarnation), then the once-rotated sibling ``<path>.1`` (either
+    leg — a renamed original keeps our inode). Each candidate read is
+    length-exact (:func:`_verified_range`); a candidate that also
+    matches the START stamp is the same incarnation we already
+    committed ``sib_pos`` bytes of — its read starts there and the
+    salvage leg is skipped (its range IS this read; running it would
+    duplicate).
+
+    Then, for a genuine reset, best-effort salvage of the START
+    incarnation's unread tail from ``<path>.1`` (complete-but-unread
+    records left with the rotated copy; if the sibling is gone —
+    compressed, dateext, shipped away — that loss window is real and
+    unavoidable from a single-path tailer).
+
+    Returns ``(sib_buf, sib_base, live_buf, live_base, same)``; when
+    every leg fails, both buffers are empty and the range's records
+    are lost — the documented residual window, never wrong bytes."""
+    p = v["path"]
+    live_buf, live_base, same = b"", int(v["pos"]), False
+    if int(v["stop"]) - int(v["pos"]) > 1:
+        sh = v.get("sib_head", "") if v.get("salv") else ""
+        sn = int(v.get("sib_head_n", 0)) if v.get("salv") else 0
+        sp = int(v.get("sib_pos", 0)) if v.get("salv") else 0
+        # the same-incarnation guard applies ONLY to the sibling
+        # candidate: whenever a reset was planned, the live path is
+        # provably NOT the start incarnation (appends never change a
+        # file's first s.head_n bytes, so a planner mismatch means a
+        # different file answers to the path) — a sib-stamp match
+        # there is an identical-preamble false positive that would
+        # skip a genuine rename-rotation's salvage and re-read the
+        # new incarnation at the old offsets.
+        for cand, ino, sib_ok in ((p, 0, False), (p + ".1", int(v.get("ino", 0)), True)):
+            buf, base, c_same = _verified_range(
+                cand, v["head"], int(v["head_n"]), int(v["pos"]),
+                int(v["stop"]), ino,
+                sh if sib_ok else "",
+                sn if sib_ok else 0,
+                sp if sib_ok else 0,
+            )
+            if buf:
+                live_buf, live_base, same = buf, base, c_same
+                break
+    sib_buf, sib_base = b"", int(v.get("sib_pos", 0))
+    if v.get("salv") and not same:
+        sib_buf = _read_verified_tail(
+            p + ".1",
+            v.get("sib_head", ""),
+            int(v.get("sib_head_n", 0)),
+            sib_base,
+            int(v.get("sib_ino", 0)),
         )
-
-    def _range(self, start: dict) -> tuple[bytes, bytes, dict]:
-        pos = int(start["pos"])
-        gen = int(start.get("gen", 0))
-        salvage = b""
-        try:
-            size = os.path.getsize(self.path)
-        except OSError:
-            return b"", b"", start
-        if self._truncated(start, size):
-            # copytruncate: everything past start.pos left with the
-            # rotated copy — both already-emitted bytes AND complete
-            # records written between the last poll and the rotation.
-            # _salvage best-effort recovers the latter from <path>.1;
-            # when that fails the unread records are LOST (the honest
-            # loss window of a copytruncate tailer). Then reset to the
-            # head; stalling at the stale offset (or seeking into the
-            # NEW file's middle when it regrew past it) would drop or
-            # tear post-rotation records. gen increments so a replay
-            # of this batch knows its bytes start at 0, not start.pos.
-            salvage = self._salvage(start)
-            pos = 0
-            gen += 1
-        if size <= pos and not salvage:
-            return b"", b"", start
-        buf = b""
-        if size > pos:
-            with open(self.path, "rb") as fh:
-                fh.seek(pos)
-                buf = fh.read(size - pos)
-        cut = buf.rfind(_BOUNDARY)
-        head_n = min(self._HEAD_BYTES, size)
-        if cut < 0:
-            # no complete-record boundary in the live file yet (first
-            # record still growing, or a preamble-only file): hold the
-            # live bytes back. With salvage in hand the offset must
-            # still advance past the reset, else every poll would
-            # re-salvage and re-emit the same rows.
-            if not salvage:
-                return b"", b"", start
-            end = {
-                "pos": 0,
-                "rno": int(start["rno"]),
-                "head": self._head(head_n),
-                "head_n": head_n,
-                "gen": gen,
-                "sib_n": len(salvage),
-                "ino": _file_ino(self.path),
-            }
-            return salvage, b"", end
-        chunk = buf[:cut]
-        end = {
-            "pos": pos + cut + 1,  # +1 eats the \n
-            "rno": int(start["rno"]),
-            "head": self._head(head_n),
-            "head_n": head_n,
-            "gen": gen,
-            "sib_n": len(salvage),
-            "ino": _file_ino(self.path),
-        }
-        return salvage, chunk, end
-
-    def _parse(self, chunk: bytes, rno0: int):
-        if not chunk:
-            return iter([]), 0
-        text = chunk.decode("utf-8", errors="replace")
-        rows = []
-        n = 0
-        for rec in _records(text):
-            ev = parse_record(rec, rno0 + n)
-            n += 1
-            if ev is not None:
-                rows.append(tuple(ev[name] for name in _FIELDS))
-        return iter(rows), n
-
-    def read(self, start: dict):
-        import itertools
-
-        salvage, chunk, end = self._range(start)
-        rno0 = int(start["rno"])
-        # salvage bytes are FINAL (the rotated copy will never grow),
-        # so the whole tail parses — no boundary hold-back needed.
-        srows, sn = self._parse(salvage, rno0)
-        rows, n = self._parse(chunk, rno0 + sn)
-        if salvage or chunk:
-            end = dict(end, rno=rno0 + sn + n, sib_rn=sn)
-        return itertools.chain(srows, rows), end
-
-    def readBetweenOffsets(self, start: dict, end: dict):
-        # deterministic replay of [start.pos, end.pos): same bytes,
-        # same record ordinals — the exactly-once leg Spark calls on
-        # recovery
-        import itertools
-
-        pos, stop = int(start["pos"]), int(end["pos"])
-        pre = iter([])
-        sib_rn = 0
-        if int(end.get("gen", 0)) > int(start.get("gen", 0)) or stop < pos:
-            # the planned batch spanned a copytruncate reset (read()
-            # restarted from byte 0 and bumped gen): replay the
-            # post-rotation range [0, stop). Without this the recovery
-            # replay returned EMPTY (stop < pos) or a mid-file slice of
-            # the NEW incarnation (stop >= pos) and the batch's records
-            # were silently lost (r11 code-review finds).
-            sib_rn = int(end.get("sib_rn", 0))
-            if int(end.get("sib_n", 0)):
-                # best-effort replay of the salvaged rotated-copy tail.
-                # If the sibling rotated away between the original read
-                # and this recovery (a crash AND a second rotation in
-                # the same window), the salvage rows are dropped here —
-                # documented residual loss; the stored sib_rn still
-                # keeps the live-file record ordinals deterministic.
-                salvage = self._salvage(start, limit=int(end["sib_n"]))
-                pre, _ = self._parse(salvage, int(start["rno"]))
-            pos = 0
-        if stop <= pos:
-            return pre
-        with open(self.path, "rb") as fh:
-            fh.seek(pos)
-            buf = fh.read(stop - pos - 1)  # -1: end.pos sits after the \n
-        rows, _ = self._parse(buf, int(start["rno"]) + sib_rn)
-        return itertools.chain(pre, rows)
-
-
-# ---------------------------------------------------------------------------
-# Fleet tail: MANY growing files, partitioned (executor-side) reads
-# ---------------------------------------------------------------------------
-
-# EVENT_SCHEMA + provenance: which mysqld's log a row came from — the
-# fleet aggregation key PMM-style deployments group by.
-MULTI_EVENT_SCHEMA = StructType(
-    list(EVENT_SCHEMA.fields) + [StructField("source_file", StringType())]
-)
+    return sib_buf, sib_base, live_buf, live_base, same
 
 
 def _head_hash(path: str, n: int) -> str:
-    import hashlib
-
     if n <= 0:
         return ""
     with open(path, "rb") as fh:
@@ -436,12 +415,241 @@ def _stamp_file(path: str, head_bytes: int = 64) -> dict | None:
         return None
 
 
+def _stamp_file_cached(path: str, cache: dict, head_bytes: int = 64) -> dict | None:
+    """``_stamp_file`` with a stat-unchanged fast path (r12 VERDICT
+    #3): when ``(st_size, st_mtime_ns, st_ino)`` matches the cached
+    triple, the previous stamp is reused for ONE ``os.stat`` — no
+    open, no head hash, no tail-block scan. At 500 idle files x 2
+    polls/s that turns ~3k small reads/s into 1k stats/s.
+
+    Rotation within an unchanged triple is caught by the legs the
+    triple carries: copytruncate rewrites content (mtime_ns changes
+    even at equal size), create/rename changes the inode. Residual
+    blind spot: a copytruncate that lands at the identical size
+    WITHIN the filesystem's mtime granularity (1 s on coarse
+    filesystems, ns on ext4/xfs) stays invisible until the next
+    append changes either — the same window `tail -F` has.
+
+    The cache entry is stored only when a second stat after the scan
+    equals the first, so a mutation racing the stamp can never pin a
+    stale (triple -> stamp) pair."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    key = (st.st_size, st.st_mtime_ns, st.st_ino)
+    hit = cache.get(path)
+    if hit is not None and hit[0] == key:
+        return dict(hit[1])
+    stamp = _stamp_file(path, head_bytes)
+    if stamp is None:
+        return None
+    try:
+        st2 = os.stat(path)
+        if (st2.st_size, st2.st_mtime_ns, st2.st_ino) == key:
+            cache[path] = (key, dict(stamp))
+    except OSError:
+        pass
+    return stamp
+
+
+class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
+    """Tail ONE growing slow-log file — the reference's deployment
+    shape (a PMM agent follows the live file; rotation is a separate
+    concern handled by the directory file-stream source). Spark's
+    built-in file stream never re-reads a file that grew, so this is a
+    genuine capability gap the Python Data Source API closes.
+
+    Offsets are byte positions of COMPLETE-record boundaries:
+    ``read(start)`` consumes from ``start.pos`` up to (not including)
+    the LAST ``\n# Time:`` marker currently in the file — the bytes
+    after it are an in-flight record that mysqld may still be writing
+    (the torn-tail hazard every tailer has) and are held back until a
+    later record's header terminates them. Restart/retry safety comes
+    from the offset contract itself: Spark checkpoints {pos, rno}, and
+    ``readBetweenOffsets`` re-reads the exact byte range
+    deterministically on replay (exactly-once into an idempotent
+    sink). ``rno`` carries the record ordinal across batches so
+    record_no stays stable and deterministic — a per-batch enumerate
+    would restart at 0 every micro-batch.
+
+    Rotation handling is the SHARED implementation (module header):
+    this class only adds the ordinal/gen bookkeeping its stateful
+    offset contract carries — the reason it exists alongside the
+    stateless fleet reader.
+
+    Scale note: a SimpleDataSourceStreamReader reads on the DRIVER —
+    correct for the single-file tail (the reference's tailer is
+    single-node too, and one mysqld writes one slow log); fan-out
+    across many hosts' logs is the fleet reader's job."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("slowlog tail stream requires a path")
+        self.start_at = str(options.get("startat", "earliest")).lower()
+        if self.start_at not in ("earliest", "latest"):
+            raise ValueError(
+                f"startAt must be 'earliest' or 'latest', got {self.start_at!r}"
+            )
+        # stat-unchanged fast path (see _stamp_file_cached): idle polls
+        # cost one os.stat instead of stat+open+hash+tail-block-scan
+        self._stat_cache: dict = {}
+
+    _HEAD_BYTES = 64
+
+    def initialOffset(self) -> dict:
+        zero = {"pos": 0, "rno": 0, "head": "", "head_n": 0, "gen": 0, "ino": 0}
+        if self.start_at != "latest":
+            return zero
+        # tail-from-now: skip every record COMPLETE at start (their
+        # bulk load is the batch byte-splitting reader's job). Exact
+        # semantics: pos starts at the last complete-record boundary,
+        # so the single record still IN FLIGHT at start — including a
+        # file whose only record has no terminating successor yet —
+        # is emitted once a later header terminates it. That is the
+        # one record per file that can overlap a prior `ingest` pass
+        # (which may or may not have caught its final form); pair the
+        # recipe with an idempotent sink or accept <=1 boundary
+        # record per file. _stamp_file guards the whole stat+scan
+        # body: a rotation racing the start falls back to earliest.
+        st = _stamp_file(self.path, self._HEAD_BYTES)
+        if st is None:
+            return zero
+        return {"rno": 0, "gen": 0, **st}
+
+    def _parse(self, chunk: bytes, rno0: int):
+        if not chunk:
+            return iter([]), 0
+        text = chunk.decode("utf-8", errors="replace")
+        rows = []
+        n = 0
+        for rec in _records(text):
+            ev = parse_record(rec, rno0 + n)
+            n += 1
+            if ev is not None:
+                rows.append(tuple(ev[name] for name in _FIELDS))
+        return iter(rows), n
+
+    def read(self, start: dict):
+        import itertools
+
+        rno0 = int(start["rno"])
+        e = _stamp_file_cached(self.path, self._stat_cache, self._HEAD_BYTES)
+        if e is None:
+            return iter([]), start
+        plan = _plan_file_range(self.path, start, e)
+        if plan is None:
+            return iter([]), start
+        sib_buf, _sb, live_buf, _lb, same = _read_planned_range(plan)
+        if not sib_buf and not live_buf:
+            # nothing verifiable to emit (rotation raced every leg, or
+            # a salvage-only plan whose sibling is gone): leave the
+            # offset AT START and retry next trigger — advancing it
+            # would silently commit a range that was never read
+            return iter([]), start
+        # gen increments on a GENUINE reset so a replay of this batch
+        # knows its live bytes start at 0, not start.pos; a spurious
+        # reset neutralized by the same-incarnation guard is a plain
+        # append batch (the guard lifted the read back to start.pos)
+        gen = int(start.get("gen", 0))
+        if plan["reset"] and not same:
+            gen += 1
+        # salvage bytes are FINAL (the rotated copy will never grow),
+        # so the whole tail parses — no boundary hold-back needed.
+        srows, sn = self._parse(sib_buf, rno0)
+        rows, n = self._parse(live_buf, rno0 + sn)
+        end = {
+            "pos": int(plan["stop"]),
+            "rno": rno0 + sn + n,
+            "head": e["head"],
+            "head_n": int(e["head_n"]),
+            "gen": gen,
+            "ino": int(e.get("ino", 0)),
+            "sib_n": len(sib_buf),
+            "sib_rn": sn,
+        }
+        return itertools.chain(srows, rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        """Deterministic replay of the committed batch — the
+        exactly-once leg Spark calls on recovery. Every byte is
+        STAMP-VERIFIED against the offsets' incarnation stamps (r12
+        ADVICE): the live range must come from a file still carrying
+        ``end.head`` (or, after one more rotation, from ``<path>.1``
+        matched by ``end.ino`` or the head hash) — a blind read here
+        would replay the NEW incarnation's bytes at the old offsets
+        and emit wrong records as the committed batch. The salvage
+        replay verifies against the START stamp the same way. When a
+        leg fails (crash AND a further rotation in the same window),
+        its rows are dropped — fewer rows than the original batch,
+        never wrong ones; the stored sib_rn keeps the surviving
+        rows' ordinals deterministic."""
+        import itertools
+
+        pos, stop = int(start["pos"]), int(end["pos"])
+        pre = iter([])
+        sib_rn = 0
+        if int(end.get("gen", 0)) > int(start.get("gen", 0)) or stop < pos:
+            # the planned batch spanned a rotation reset (read()
+            # restarted from byte 0 and bumped gen): replay the
+            # salvaged rotated-copy tail, then the post-rotation
+            # range [0, stop).
+            sib_rn = int(end.get("sib_rn", 0))
+            if int(end.get("sib_n", 0)):
+                buf = _read_verified_tail(
+                    self.path + ".1",
+                    start.get("head", ""),
+                    int(start.get("head_n", 0)),
+                    int(start["pos"]),
+                    int(start.get("ino", 0)),
+                    limit=int(end["sib_n"]),
+                )
+                pre, _ = self._parse(buf, int(start["rno"]))
+            pos = 0
+        if stop <= pos:
+            return pre
+        for cand, ino in ((self.path, 0), (self.path + ".1", int(end.get("ino", 0)))):
+            buf, _, _ = _verified_range(
+                cand, end.get("head", ""), int(end.get("head_n", 0)),
+                pos, stop, ino,
+            )
+            if buf:
+                rows, _ = self._parse(buf, int(start["rno"]) + sib_rn)
+                return itertools.chain(pre, rows)
+        return pre
+
+
+# ---------------------------------------------------------------------------
+# Fleet tail: MANY growing files, partitioned (executor-side) reads
+# ---------------------------------------------------------------------------
+
+# EVENT_SCHEMA + provenance: which mysqld's log a row came from — the
+# fleet aggregation key PMM-style deployments group by.
+#
+# record_no caveat (differs from the single-file tail): here it is the
+# record's BYTE OFFSET within its file INCARNATION, and it RESETS to 0
+# when the file rotates — (source_file, record_no) is NOT unique across
+# incarnations, so an idempotent sink must key on content (e.g.
+# (source_file, ts, digest) or a row hash), not on record_no alone.
+# The single-file tail's record_no is a never-resetting running
+# ordinal; consumers switching between the two readers must not assume
+# the contracts match. A stable per-incarnation discriminator cannot
+# live in this schema: the fleet offsets are stateless by construction
+# (latestOffset() receives no start offset after a committed restart)
+# and the head stamp itself changes while a <64-byte file grows.
+MULTI_EVENT_SCHEMA = StructType(
+    list(EVENT_SCHEMA.fields) + [StructField("source_file", StringType())]
+)
+
+
 def _parse_bytes(buf: bytes, base: int, path: str):
     """Parse a byte range into event tuples. record_no is the record's
     BYTE OFFSET within its file incarnation — unlike the single-file
     tail's running ordinal, a byte offset is derivable from the
-    partition alone (no cross-batch counter in the offsets), unique and
-    monotonic per incarnation, and stable under replay."""
+    partition alone (no cross-batch counter in the offsets), monotonic
+    per incarnation, and stable under replay. It RESETS on rotation —
+    see the MULTI_EVENT_SCHEMA caveat."""
     parts = buf.split(_BOUNDARY)
     cur = 0
     for i, part in enumerate(parts):
@@ -474,9 +682,10 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
 
     Everything start-dependent — the emitted range, copytruncate reset
     detection, rotated-sibling salvage — is derived in
-    ``partitions(start, end)`` from the two offsets, which is exactly
-    the call Spark replays on recovery, so a re-planned batch is
-    byte-identical without any driver-side counters.
+    ``partitions(start, end)`` from the two offsets via the SHARED
+    ``_plan_file_range`` (module header), which is exactly the call
+    Spark replays on recovery, so a re-planned batch is byte-identical
+    without any driver-side counters.
 
     Per file and per batch, the same guarantees as the single-file
     tail: the in-flight torn tail is held back (pos stops at the last
@@ -486,7 +695,8 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
     ``<path>.1`` when its head matches the OLD incarnation stamp.
 
     record_no is the record's byte offset within its incarnation (see
-    _parse_bytes) and ``source_file`` carries provenance.
+    MULTI_EVENT_SCHEMA — it resets on rotation) and ``source_file``
+    carries provenance.
 
     Cluster note: every executor must see the log files (shared FS, or
     run the ingest job co-located with the agents' spool directory) —
@@ -524,11 +734,14 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
         # a transient stat failure (NFS hiccup, mid-rotation rename)
         # instead of dropping it, which would make the next successful
         # poll treat the file as brand new and re-ingest it from byte
-        # 0. Primed from every offset that passes through this reader
-        # (latestOffset results, partitions' start/end, commit); after
-        # a process restart the residual window is a stat failure on
-        # the very first poll — carried entries reappear as soon as
-        # partitions()/commit() hand the checkpointed offsets back.
+        # 0. The per-file miss counter lives ONLY here, never in the
+        # emitted offsets: a carried entry is emitted UNCHANGED, so an
+        # outage produces identical consecutive offsets and Spark
+        # plans no empty micro-batches and writes no churned
+        # checkpoint entries (r12 ADVICE). Primed from end offsets in
+        # partitions() after a restart; the residual window is a stat
+        # failure on the very first poll, and a restart mid-outage
+        # restarts the expiry clock (miss counters are process-local).
         self._known: dict = {}
         # bases EVER tailed in this run — unlike _known this never
         # ages, so a decommissioned host's slow.log.1 stays excluded
@@ -539,6 +752,10 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
         # that only ever sees the orphaned .1 will tail it — same as
         # a fleet that genuinely starts with only rotation history.
         self._seen_bases: set = set()
+        # stat-unchanged fast path (see _stamp_file_cached): an idle
+        # fleet poll costs one os.stat per file instead of
+        # stat+open+head-hash+tail-block-scan per file (r12 VERDICT #3)
+        self._stat_cache: dict = {}
 
     _HEAD_BYTES = 64
 
@@ -594,23 +811,33 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         files = {}
+        known2 = {}
         for p in self._files():
-            st = _stamp_file(p, self._HEAD_BYTES)
+            st = _stamp_file_cached(p, self._stat_cache, self._HEAD_BYTES)
             if st is None:
                 continue  # raced away mid-poll: the carry loop handles it
             files[p] = st
+            known2[p] = dict(st)
         # carry entries for known files that vanished from the glob or
         # failed to stat (transient NFS hiccup, mid-rotation rename,
         # mount flap, host churn): dropping one would make its next
         # successful poll re-ingest the file from byte 0. Carried
-        # entries age out after _MISS_LIMIT consecutive absent polls.
+        # entries are emitted UNCHANGED — identical consecutive
+        # offsets suppress empty micro-batches — and age out of the
+        # driver-side miss ledger after _MISS_LIMIT consecutive
+        # absent polls.
         for p, e in self._known.items():
             if p in files:
                 continue
             miss = int(e.get("miss", 0)) + 1
             if miss <= self._miss_limit:
-                files[p] = dict(e, miss=miss)
-        self._known = dict(files)
+                clean = {k: x for k, x in e.items() if k != "miss"}
+                files[p] = clean
+                known2[p] = dict(clean, miss=miss)
+        self._known = known2
+        # bound the stat cache to the live fleet
+        for gone in set(self._stat_cache) - set(files):
+            self._stat_cache.pop(gone, None)
         return {"files": files}
 
     @property
@@ -618,106 +845,33 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
         return int(self.options.get("misslimit", self._MISS_LIMIT))
 
     def partitions(self, start: dict, end: dict):
-        out = []
         sf = start.get("files", {})
-        self._known.update(sf)
-        self._known.update(end.get("files", {}))
+        ef = end.get("files", {})
+        # re-prime the carry ledger from the offsets Spark hands back
+        # (post-restart recovery) — but only paths the NEWER end
+        # offset still carries, and never clobbering a live miss
+        # counter: re-adding a start-only entry would resurrect one
+        # that already aged out of a later offset, extending expiry
+        # past the documented limit (r12 ADVICE).
+        for p, e in ef.items():
+            if p not in self._known:
+                self._known[p] = {k: x for k, x in e.items() if k != "miss"}
         self._seen_bases.update(sf)
-        self._seen_bases.update(end.get("files", {}))
-        for p, e in end.get("files", {}).items():
-            s = sf.get(p, _ZERO_FILE)
-            reset = False
-            s_ino = int(s.get("ino", 0))
-            e_ino = int(e.get("ino", 0))
-            if int(s["head_n"]):
-                if s_ino and e_ino and s_ino != e_ino:
-                    # create/rename rotation: a different inode now
-                    # answers to this path — an identical preamble
-                    # can't hide it from this leg of the stamp
-                    reset = True
-                elif int(e["head_n"]) < int(s["head_n"]) or int(
-                    e["pos"]
-                ) < int(s["pos"]):
-                    # the file shrank below a previously observed size
-                    # (head_n <= size-at-checkpoint) or below the
-                    # committed offset: unambiguous truncation
-                    reset = True
-                elif int(e["head_n"]) == int(s["head_n"]):
-                    reset = e["head"] != s["head"]
-                else:
-                    # end stamp covers more bytes than start's (start
-                    # saw a <64-byte file): hashes aren't comparable,
-                    # re-stamp the start prefix live. Tiny race if the
-                    # file changes under us — self-healing: a wrong
-                    # verdict surfaces as a stamp mismatch next batch.
-                    try:
-                        reset = _head_hash(p, int(s["head_n"])) != s["head"]
-                    except OSError:
-                        reset = True
-            pos0 = 0 if reset else int(s["pos"])
-            stop = int(e["pos"])
-            if not reset and stop <= pos0:
-                continue  # no growth past the committed boundary
-            if reset and stop == 0 and not int(s["head_n"]):
-                continue
-            out.append(
-                InputPartition(
-                    {
-                        "path": p,
-                        "pos": pos0,
-                        "stop": stop,
-                        "head": e["head"],
-                        "head_n": int(e["head_n"]),
-                        "ino": e_ino,
-                        # salvage leg (reset only): the OLD incarnation
-                        # stamp verifies <path>.1 really is our file
-                        "salv": bool(reset and int(s["head_n"])),
-                        "sib_pos": int(s["pos"]),
-                        "sib_head": s["head"],
-                        "sib_head_n": int(s["head_n"]),
-                        "sib_ino": s_ino,
-                    }
-                )
-            )
+        self._seen_bases.update(ef)
+        out = []
+        for p, e in ef.items():
+            plan = _plan_file_range(p, sf.get(p, _ZERO_FILE), e)
+            if plan is not None:
+                out.append(InputPartition(plan))
         return out
 
     def read(self, partition: InputPartition):
         v = partition.value
-        p = v["path"]
-        if v["salv"]:
-            # best-effort rotated-copy tail: complete-but-unread
-            # records left with the copy at rotation time (verified as
-            # the OLD incarnation via head stamp or inode); if the
-            # sibling is gone, that is the documented residual loss
-            # window
-            buf = _read_verified_tail(
-                p + ".1",
-                v["sib_head"],
-                v["sib_head_n"],
-                v["sib_pos"],
-                v.get("sib_ino", 0),
-            )
-            if buf:
-                yield from _parse_bytes(buf, v["sib_pos"], p)
-        if v["stop"] - v["pos"] <= 1:
-            return
-        # live leg, stamp-verified: if the file rotated between plan
-        # and read, the planned incarnation is now <path>.1 (if
-        # anywhere) — read the planned byte range from whichever path
-        # still verifies; records are lost only if both fail. The LIVE
-        # path verifies by head hash alone (ino=0): copytruncate keeps
-        # the inode while replacing the content, so an inode match
-        # there would falsely authenticate the NEW incarnation. The
-        # sibling may verify by either leg (a renamed original keeps
-        # our inode). Reads are bounded to the planned range.
-        want = v["stop"] - v["pos"] - 1
-        for cand, ino in ((p, 0), (p + ".1", v.get("ino", 0))):
-            buf = _read_verified_tail(
-                cand, v["head"], v["head_n"], v["pos"], ino, limit=want
-            )
-            if buf:
-                yield from _parse_bytes(buf, v["pos"], p)
-                return
+        sib_buf, sib_base, live_buf, live_base, _same = _read_planned_range(v)
+        if sib_buf:
+            yield from _parse_bytes(sib_buf, sib_base, v["path"])
+        if live_buf:
+            yield from _parse_bytes(live_buf, live_base, v["path"])
 
     def commit(self, end: dict) -> None:
         pass  # offsets carry everything; nothing to clean up

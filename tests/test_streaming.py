@@ -825,33 +825,44 @@ def test_slowlog_tail_detects_shrink_below_head_n(spark, tmp_path):
     the file size at checkpoint time, so size < head_n itself proves a
     shrink; skipping the hash check here left the reader at a stale
     offset inside the NEW file (torn/garbage records)."""
-    import os
-
     from slowlog2clickhouse_spark.sources.slowlog_datasource import (
-        SlowlogTailStreamReader,
+        _plan_file_range,
+        _stamp_file,
     )
 
     src = str(tmp_path / "slow.log")
     with open(src, "w") as f:
         f.write("x" * 30)  # new incarnation: 30 bytes
-    r = SlowlogTailStreamReader({"path": src})
     # checkpointed offset from an incarnation that was >= 64 bytes:
     # head_n=64 <= size-at-checkpoint, pos anywhere <= head_n. The
     # direct probe from ADVICE.md: size=30 satisfies pos <= size <
-    # head_n, so the old code skipped the hash check and returned
-    # False — stale-offset reads from the new file.
+    # head_n, so the pre-r11 code skipped the hash check and planned
+    # no reset — stale-offset reads from the new file. The decision
+    # now lives in the ONE shared planner both readers use.
     off = {"pos": 10, "rno": 3, "head": "deadbeef", "head_n": 64, "gen": 0}
-    assert r._truncated(off, os.path.getsize(src)) is True
+    plan = _plan_file_range(src, off, _stamp_file(src))
+    assert plan is not None and plan["reset"] is True
     # and the boundary cases still behave: size >= head_n goes through
     # the hash check (mismatching head -> truncated)
     with open(src, "w") as f:
         f.write("x" * 80)
-    assert r._truncated(off, 80) is True  # head hash differs
-    # a genuinely same-incarnation file (head matches) is NOT truncated
+    plan = _plan_file_range(src, off, _stamp_file(src))
+    assert plan is not None and plan["reset"] is True  # head hash differs
+    # a genuinely same-incarnation file (head matches, the committed
+    # boundary still present, new growth past it) is NOT truncated —
+    # note e.pos < s.pos with a MATCHING head is still a reset: a
+    # committed boundary cannot disappear under append-only growth,
+    # so its absence proves truncate+regrow behind an identical
+    # >=64-byte preamble (the regime the pre-unification single
+    # reader missed)
     import hashlib
 
+    with open(src, "w") as f:
+        f.write("x" * 64 + "\n# Time: 2024-01-01T00:00:01.000000Z\nSELECT 1;\n")
     off2 = dict(off, head=hashlib.md5(b"x" * 64).hexdigest())
-    assert r._truncated(off2, 80) is False
+    plan = _plan_file_range(src, off2, _stamp_file(src))
+    assert plan is not None and plan["reset"] is False
+    assert plan["pos"] == 10  # resumes at the committed offset
 
 
 def test_slowlog_tail_salvages_rotated_sibling(spark, tmp_path):
@@ -1381,21 +1392,22 @@ def test_multi_tail_stat_failure_carries_offset_forward(spark, tmp_path, monkeyp
     rows, off = _multi_plan(r, r.initialOffset())
     assert _queries(rows) == ["SELECT 1"]
 
-    real_getsize = ds.os.path.getsize
+    real_stat = ds.os.stat
 
-    def flaky(path):
+    def flaky(path, *args, **kwargs):
         if str(path) == a:
             raise OSError("transient NFS hiccup")
-        return real_getsize(path)
+        return real_stat(path, *args, **kwargs)
 
-    monkeypatch.setattr(ds.os.path, "getsize", flaky)
+    # os.stat is the FIRST touch (the stat-unchanged fast path), so the
+    # hiccup must be injected there — getsize is never reached for an
+    # unchanged file
+    monkeypatch.setattr(ds.os, "stat", flaky)
     rows2, off2 = _multi_plan(r, off)
-    monkeypatch.setattr(ds.os.path, "getsize", real_getsize)
-    # the entry survived the hiccup (carried with an aging miss
-    # counter), and nothing was re-emitted
-    carried = dict(off2["files"][a])
-    assert carried.pop("miss") == 1
-    assert carried == off["files"][a]
+    monkeypatch.setattr(ds.os, "stat", real_stat)
+    # the entry survived the hiccup — carried UNCHANGED (the aging miss
+    # counter is driver-side only, r12 ADVICE) — and nothing re-emitted
+    assert off2["files"][a] == off["files"][a]
     assert list(rows2) == []
     # after recovery, growth resumes from the carried offset
     with open(a, "a") as f:
@@ -1486,9 +1498,13 @@ def test_multi_tail_mount_flap_carries_all_offsets(spark, tmp_path):
     rows2, off2 = _multi_plan(r, off)
     assert list(rows2) == []
     assert set(off2["files"]) == set(off["files"])  # carried, not dropped
-    assert all(int(e["miss"]) == 1 for e in off2["files"].values())
+    # carried entries are emitted UNCHANGED (r12 ADVICE): identical
+    # consecutive offsets let Spark suppress empty micro-batches; the
+    # aging miss counter lives only in the driver-side ledger
+    assert off2["files"] == off["files"]
     rows3, off3 = _multi_plan(r, off2)
-    assert all(int(e["miss"]) == 2 for e in off3["files"].values())
+    assert off3["files"] == off["files"]
+    assert all("miss" not in e for e in off3["files"].values())
 
     _os.rename(hidden, logs)  # remount; one file also grew meanwhile
     with open(logs / "h1.log", "a") as f:
@@ -1600,3 +1616,146 @@ def test_multi_tail_orphan_sibling_stays_excluded_after_expiry(spark, tmp_path):
     assert a not in off["files"]  # carried entry expired
     # ...but the orphan .1 still never joins the fleet in this run
     assert str(logs / "slow.log.1") not in off["files"]
+
+
+def test_tail_routed_streamed_classes_equal_batch_on_adversarial_corpus(
+    spark, tmp_path
+):
+    """r12 VERDICT #2 done-criterion: classes computed over the TAIL
+    stream with routed fingerprinting must hash-equal the ROUTED BATCH
+    classes on the adversarial fingerprint corpus fed through the tail
+    fixture (grow-drain dance) — the state-machine-exact guarantee now
+    reaches the stream path. Teeth: the same corpus classed with the
+    pure codegen chain DIFFERS, so the equality is not vacuous — the
+    corpus genuinely exercises chain-divergent constructs."""
+    import re
+
+    import pandas as pd
+
+    from slowlog2clickhouse_spark.functions.fingerprint import (
+        construct_flags_py,
+        digest_col,
+        fingerprint_col,
+        routed_fingerprint,
+    )
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import register
+
+    corpus = pd.read_parquet(
+        os.path.join(
+            os.path.dirname(__file__), "fixtures", "golden",
+            "fingerprint_corpus.parquet",
+        )
+    )
+    # keep statements embeddable in the slow-log record format: a line
+    # starting with '#' inside a statement would be eaten as metadata
+    qs = [
+        q
+        for q in corpus["query"]
+        if "\r" not in q and not re.search(r"(?m)^#", q)
+    ]
+    assert len(qs) >= 70  # near-total corpus coverage
+    flagged = sum(1 for q in qs if any(construct_flags_py(q).values()))
+    assert flagged >= 30  # the chain-divergent constructs are present
+
+    recs = [
+        f"# Time: 2024-01-01T00:{i // 60:02d}:{i % 60:02d}.000000Z\n"
+        "# Query_time: 0.5  Lock_time: 0.0 Rows_sent: 1  Rows_examined: 1\n"
+        f"{q};\n"
+        for i, q in enumerate(qs)
+    ]
+    sentinel = (
+        "# Time: 2030-01-01T00:00:00.000000Z\n"
+        "# Query_time: 0.000001  Lock_time: 0.000000 "
+        "Rows_sent: 0  Rows_examined: 0\n"
+    )
+    src = str(tmp_path / "slow.log")
+    mid = len(recs) // 2
+    with open(src, "w") as f:
+        f.write("".join(recs[:mid]))
+
+    register(spark)
+    name = "adv_tail_corpus"
+    q = (
+        spark.readStream.format("slowlog")
+        .option("path", src)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(src, "a") as f:
+            f.write("".join(recs[mid:]) + sentinel)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def classes(df, routed=True):
+        ev = df.where(~F.col("admin") & F.col("query").isNotNull())
+        if routed:
+            ev = routed_fingerprint(ev, "query", "fingerprint")
+        else:
+            ev = ev.withColumn("fingerprint", fingerprint_col(F.col("query")))
+        return ev.groupBy(digest_col(F.col("fingerprint")).alias("digest")).agg(
+            F.count("*").alias("n"), F.min("fingerprint").alias("fp")
+        )
+
+    streamed = sorted(tuple(r) for r in classes(spark.table(name)).collect())
+    batch_df = spark.read.format("slowlog").load(src)
+    batch = sorted(tuple(r) for r in classes(batch_df).collect())
+    assert streamed == batch  # hash-equal: stream path is routed-exact
+    assert sum(n for _, n, _ in streamed) == len(qs)  # no loss, no dup
+    chain = sorted(tuple(r) for r in classes(batch_df, routed=False).collect())
+    assert {d for d, _, _ in chain} != {d for d, _, _ in streamed}
+
+
+def test_multi_tail_stat_fastpath_and_same_size_copytruncate(
+    spark, tmp_path, monkeypatch
+):
+    """r12 VERDICT #3: an idle poll must not re-stamp unchanged files
+    (one os.stat each, no open/hash/tail-scan), and the fast path's
+    blind spot must be exactly the stat triple: a copytruncate that
+    lands at the IDENTICAL size is still caught by the mtime_ns leg
+    (and create/rename by the inode leg)."""
+    from slowlog2clickhouse_spark.sources import slowlog_datasource as ds
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    a = str(logs / "a.log")
+    with open(a, "w") as f:
+        f.write(_mk_rec(1) + _TERM)
+    r = ds.SlowlogMultiTailStreamReader({"path": str(logs)})
+    rows, off = _multi_plan(r, r.initialOffset())
+    assert _queries(rows) == ["SELECT 1"]
+
+    stamped = []
+    real_stamp = ds._stamp_file
+    monkeypatch.setattr(
+        ds, "_stamp_file", lambda *a_, **k: (stamped.append(a_[0]), real_stamp(*a_, **k))[1]
+    )
+    rows2, off2 = _multi_plan(r, off)
+    assert list(rows2) == []
+    assert stamped == []  # idle poll: the cached stamp was reused
+    assert off2["files"] == off["files"]
+
+    # same-size copytruncate: identical byte count, different content —
+    # the size leg is blind, mtime_ns must catch it. The new content
+    # differs inside the first 64 bytes (the timestamp) so the
+    # re-stamp also SEES the new incarnation — a same-size rewrite
+    # whose first 64 bytes AND boundary layout are identical is the
+    # offset contract's own documented blind spot, not the fast
+    # path's.
+    old = open(a).read()
+    new = old.replace("SELECT 1", "SELECT 7").replace("00:00:01", "00:00:07")
+    assert len(new) == len(old)
+    st0 = os.stat(a)
+    with open(a, "w") as f:
+        f.write(new)
+    # force a visible mtime change even on coarse-granularity clocks
+    os.utime(a, ns=(st0.st_mtime_ns + 1_000_000, st0.st_mtime_ns + 1_000_000))
+    rows3, off3 = _multi_plan(r, off2)
+    assert a in stamped  # fast path missed: the file was re-stamped
+    assert _queries(rows3) == ["SELECT 7"]  # reset + re-read, not stale
