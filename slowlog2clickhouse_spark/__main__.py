@@ -94,6 +94,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "--follow", action="store_true",
         help="keep running (default: availableNow — drain and exit)",
     )
+    st.add_argument(
+        "--fingerprint", default="routed", choices=("routed", "chain"),
+        help="routed (default) = state-machine-exact digests via the"
+        " detector split+union (only flagged rows cross the Python"
+        " boundary); chain = pure codegen'd regexes, accepts the"
+        " documented divergences to skip the second source pass",
+    )
 
     dd = sub.add_parser(
         "dedup", help="near-dup resolution over a documents table"
@@ -135,6 +142,11 @@ def _build_parser() -> argparse.ArgumentParser:
     tl.add_argument(
         "--follow", action="store_true",
         help="keep running (default: drain what's currently complete and exit)",
+    )
+    tl.add_argument(
+        "--fingerprint", default="routed", choices=("routed", "chain"),
+        help="routed (default) = state-machine-exact digests via the"
+        " detector split+union; chain = pure codegen'd regexes",
     )
     tl.add_argument(
         "--from", dest="start_at", choices=("earliest", "latest"),
@@ -307,7 +319,7 @@ def cmd_stream(args) -> int:
 
     spark = _get_spark()
     events = read_slowlog_stream(spark, args.log_dir)
-    classes = stream_classes(events)
+    classes = stream_classes(events, mode=args.fingerprint)
     writer = _complete_snapshot_writer(classes, args.out, args.checkpoint)
     if args.follow:
         q = writer.start()
@@ -363,7 +375,7 @@ def cmd_tail(args) -> int:
     )
     if fleet:
         events = events.drop("source_file")  # stream_classes keys by digest
-    classes = stream_classes(events)
+    classes = stream_classes(events, mode=args.fingerprint)
 
     if args.follow:
         q = (
