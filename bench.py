@@ -165,10 +165,18 @@ def guarded_time_df(spark, build, runs: int, loads: dict, name: str) -> list[flo
     start load guard can't see load arriving MID-bench over a ~25-row
     run). Before each query's reps the idle guard re-checks (short
     timeout — the bench must terminate), and the 1-min loadavg is
-    stamped per query so every number carries its own health flag:
-    a row with loadavg > ~1.5 is not comparable evidence and the
-    BASELINE.md acceptance band says so."""
-    wait_for_idle(timeout_s=120.0)
+    stamped per query so every number carries its own health flag.
+
+    The per-query threshold is 2.0, NOT the bench-start 1.0: the 1-min
+    loadavg has a ~60 s decay constant, so right after a heavy query
+    the bench's OWN just-finished work reads 1-2 on this 32-core box —
+    waiting that out would add a minute of sleep per query and stamp
+    values the protocol itself calls suspect, while one or two
+    decaying runnable threads cannot skew a 32-thread measurement.
+    External contention that actually skews results shows loadavg well
+    above 2 and still trips the guard; the stamp interpretation lives
+    in BASELINE.md (<=2 self-decay, comparable; >~3 suspect)."""
+    wait_for_idle(max_load=2.0, timeout_s=90.0)
     loads[name] = round(os.getloadavg()[0], 2)
     return time_df(spark, build, runs=runs)
 

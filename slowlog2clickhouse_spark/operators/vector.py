@@ -1629,13 +1629,15 @@ IVFPQ_NPROBE = 4
 IVFPQ_SHORTLIST = 32  # ADC shortlist size fed to the exact re-rank
 
 
-def _ivf_pq_duck(m: int, sub: int, k: int, iters: int, nprobe: int) -> str:
-    """vec_knn_ivf_pq oracle: IVF coarse cells (md5-ranked centroids,
-    unrounded-cosine argmax — the _ivf_duck contract) + residual PQ
-    (the engine-exact per-subspace Lloyd chains over cand_res) +
-    nprobe ADC search, all re-derived in one CTE pyramid."""
-    dim = m * sub
-    head_extra = f""",
+def _ivfpq_head_ctes(dim: int) -> str:
+    """The eh/cents/cand_res CTE block shared by all three IVF-PQ
+    oracles (vec_knn_ivf_pq, ann_ivfpq_sweep, ann_pq_bits_clustered —
+    r13 review find: three hand-copies silently diverging is how a
+    cell-assignment tiebreak change would corrupt one oracle). Expects
+    an upstream e(vec_id, ed) CTE: hash-ranked coarse cells, one cell
+    per candidate (unrounded-cosine argmax, cent_id tiebreak), and the
+    candidate residual vectors."""
+    return f""",
     eh AS (
       SELECT vec_id, ed,
              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
@@ -1655,6 +1657,15 @@ def _ivf_pq_duck(m: int, sub: int, k: int, iters: int, nprobe: int) -> str:
                ) AS rnc
         FROM eh e2 JOIN cents c ON e2.vec_id >= 20) t
       WHERE rnc = 1)"""
+
+
+def _ivf_pq_duck(m: int, sub: int, k: int, iters: int, nprobe: int) -> str:
+    """vec_knn_ivf_pq oracle: IVF coarse cells (md5-ranked centroids,
+    unrounded-cosine argmax — the _ivf_duck contract) + residual PQ
+    (the engine-exact per-subspace Lloyd chains over cand_res) +
+    nprobe ADC search, all re-derived in one CTE pyramid."""
+    dim = m * sub
+    head_extra = _ivfpq_head_ctes(dim)
     joins = " ".join(f"JOIN r{j} USING (vec_id)" for j in range(m))
     dq = "flatten([" + ", ".join(f"dq_{j}" for j in range(m)) + "])"
     return (
@@ -1769,25 +1780,21 @@ def vec_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_adc_scored(
+def _ivfpq_build_index(
     spark: SparkSession,
     sf_dir: str,
     max_nprobe: int,
     e: DataFrame | None = None,
-    pq_k: int = PQ_K,
 ):
-    """Shared IVF-PQ index build + ADC scoring (the expensive stage:
-    cells, residuals, PQ codebook training, candidate encode, probe
-    fan-out). Returns ``(with_e, scored)`` where ``scored`` has
-    (probe_id, cand_id, rnc, adc_dist) — ``rnc`` is the probe's rank
-    of the candidate's cell, so every nprobe <= max_nprobe arm is a
-    FILTER on one shared table (the production sweep contract: one
-    index, probe-side-only knobs). ``scored`` is None on an empty
-    corpus (no codebooks to train). ``e`` overrides the embedding
-    source (scripts/ann_clustered_sweep.py feeds the planted-cluster
-    corpus through the same index build); ``pq_k`` the per-subspace
-    codebook size (16 = 4-bit codes; 256 = the FAISS-standard 8-bit
-    answer to the quantization ceiling, r12 VERDICT #5)."""
+    """The codebook-INDEPENDENT half of the IVF-PQ index: coarse cells,
+    per-candidate residuals (one cell per vector via partial max_by),
+    and the probe-side nprobe cell fan-out with residuals per probed
+    cell. Split out of _ivfpq_adc_scored (r13 review find) so a
+    multi-codebook sweep builds this expensive stage ONCE and only the
+    codebook train/encode/score stage runs per arm. Returns
+    ``(with_e, cand_res, probe_cells)``; cand_res is lazily
+    checkpointed (it feeds both the codebook training collect and the
+    encode pass)."""
     if e is None:
         e = load_table(spark, sf_dir, "embeddings")
     hk = F.conv(
@@ -1824,19 +1831,6 @@ def _ivfpq_adc_scored(
         .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.ed").alias("ed"))
         .localCheckpoint(eager=False)
     )
-    models = _pq_train(cand_res, PQ_M, PQ_SUB, pq_k, PQ_ITERS)
-    if not any(models):
-        return with_e, None
-    cols, recon = [], []
-    for j, model in enumerate(models):
-        sj = F.slice("ed", j * PQ_SUB + 1, PQ_SUB)
-        matrix = _pq_matrix(model)
-        cols.append(_pq_code(sj, matrix).cast("int").alias(f"code_{j}"))
-        recon.append(F.element_at(matrix, F.col(f"code_{j}") + 1))
-    coded = (
-        cand_res.select(F.col("vec_id").alias("cand_id"), "cell", "ed", *cols)
-        .select("cand_id", "cell", F.concat(*recon).alias("dq"))
-    )
 
     # probes: nprobe nearest cells, residual PER probed cell
     probe_scored = with_e.where(F.col("vec_id") < 20).join(
@@ -1852,6 +1846,47 @@ def _ivfpq_adc_scored(
         probe_scored.withColumn("rnc", F.row_number().over(wp))
         .where(F.col("rnc") <= max_nprobe)
         .select("probe_id", F.col("cent_id").alias("cell"), "rp", "rnc")
+    )
+    return with_e, cand_res, probe_cells
+
+
+def _ivfpq_adc_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    max_nprobe: int,
+    e: DataFrame | None = None,
+    pq_k: int = PQ_K,
+    index=None,
+):
+    """Shared IVF-PQ index build + ADC scoring (the expensive stage:
+    cells, residuals, PQ codebook training, candidate encode, probe
+    fan-out). Returns ``(with_e, scored)`` where ``scored`` has
+    (probe_id, cand_id, rnc, adc_dist) — ``rnc`` is the probe's rank
+    of the candidate's cell, so every nprobe <= max_nprobe arm is a
+    FILTER on one shared table (the production sweep contract: one
+    index, probe-side-only knobs). ``scored`` is None on an empty
+    corpus (no codebooks to train). ``e`` overrides the embedding
+    source (scripts/ann_clustered_sweep.py feeds the planted-cluster
+    corpus through the same index build); ``pq_k`` the per-subspace
+    codebook size (16 = 4-bit codes; 256 = the FAISS-standard 8-bit
+    answer to the quantization ceiling, r12 VERDICT #5); ``index`` a
+    prebuilt _ivfpq_build_index result so a multi-codebook sweep
+    shares the cells/residuals/probe fan-out across arms."""
+    with_e, cand_res, probe_cells = index or _ivfpq_build_index(
+        spark, sf_dir, max_nprobe, e
+    )
+    models = _pq_train(cand_res, PQ_M, PQ_SUB, pq_k, PQ_ITERS)
+    if not any(models):
+        return with_e, None
+    cols, recon = [], []
+    for j, model in enumerate(models):
+        sj = F.slice("ed", j * PQ_SUB + 1, PQ_SUB)
+        matrix = _pq_matrix(model)
+        cols.append(_pq_code(sj, matrix).cast("int").alias(f"code_{j}"))
+        recon.append(F.element_at(matrix, F.col(f"code_{j}") + 1))
+    coded = (
+        cand_res.select(F.col("vec_id").alias("cand_id"), "cell", "ed", *cols)
+        .select("cand_id", "cell", F.concat(*recon).alias("dq"))
     )
     l2 = F.aggregate(
         F.zip_with("rp", "dq", lambda x, y: (x - y) * (x - y)),
@@ -1877,26 +1912,7 @@ def _ivfpq_sweep_duck(m: int, sub: int, k: int, iters: int) -> str:
     max_np = max(_SWEEP_NPROBES)
     nps = ", ".join(str(p) for p in _SWEEP_NPROBES)
     sls = ", ".join(str(s) for s in _SWEEP_SHORTLISTS)
-    head_extra = f""",
-    eh AS (
-      SELECT vec_id, ed,
-             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
-                  AS BIGINT) AS hk
-      FROM e),
-    cents AS MATERIALIZED (
-      SELECT row_number() OVER (ORDER BY hk, vec_id) AS cent_id, ed AS cent
-      FROM eh ORDER BY hk, vec_id LIMIT {IVF_K}),
-    cand_res AS MATERIALIZED (
-      SELECT vec_id, cell,
-             list_transform(range(1, {dim} + 1), i -> ed[i] - cent[i]) AS ed
-      FROM (
-        SELECT e2.vec_id, e2.ed, c.cent_id AS cell, c.cent,
-               row_number() OVER (
-                 PARTITION BY e2.vec_id
-                 ORDER BY {_duck_cos("e2.ed", "c.cent")} DESC, c.cent_id ASC
-               ) AS rnc
-        FROM eh e2 JOIN cents c ON e2.vec_id >= 20) t
-      WHERE rnc = 1)"""
+    head_extra = _ivfpq_head_ctes(dim)
     joins = " ".join(f"JOIN r{j} USING (vec_id)" for j in range(m))
     dq = "flatten([" + ", ".join(f"dq_{j}" for j in range(m)) + "])"
     return (
@@ -2092,26 +2108,7 @@ def _pq_bits_clustered_duck(m: int, sub: int, iters: int) -> str:
     head = f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
-      FROM ({_CLUSTERED_EMB_SQL}) _clus),
-    eh AS (
-      SELECT vec_id, ed,
-             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
-                  AS BIGINT) AS hk
-      FROM e),
-    cents AS MATERIALIZED (
-      SELECT row_number() OVER (ORDER BY hk, vec_id) AS cent_id, ed AS cent
-      FROM eh ORDER BY hk, vec_id LIMIT {IVF_K}),
-    cand_res AS MATERIALIZED (
-      SELECT vec_id, cell,
-             list_transform(range(1, {dim} + 1), i -> ed[i] - cent[i]) AS ed
-      FROM (
-        SELECT e2.vec_id, e2.ed, c.cent_id AS cell, c.cent,
-               row_number() OVER (
-                 PARTITION BY e2.vec_id
-                 ORDER BY {_duck_cos("e2.ed", "c.cent")} DESC, c.cent_id ASC
-               ) AS rnc
-        FROM eh e2 JOIN cents c ON e2.vec_id >= 20) t
-      WHERE rnc = 1)"""
+      FROM ({_CLUSTERED_EMB_SQL}) _clus)""" + _ivfpq_head_ctes(dim)
     chains = "".join(
         _pq_subspace_ctes(m, sub, k, iters, src="cand_res", tag=tag)
         for (tag, k) in (("", _PQBITS_ARMS[0][1]), ("b", _PQBITS_ARMS[1][1]))
@@ -2232,14 +2229,17 @@ def ann_pq_bits_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_bits int, shortlist int, code_bytes int, adc_rows bigint,"
         " hits bigint, truth_n bigint, recall double"
     )
+    # the codebook-independent index (cells, residuals, probe fan-out)
+    # is built ONCE; each arm only trains/encodes/scores its codebook
+    index = _ivfpq_build_index(
+        spark, sf_dir, _PQBITS_NPROBE, e=_clustered_embeddings(spark)
+    )
+    with_e = index[0]
     arms = None
-    with_e = None
     for bits, k in _PQBITS_ARMS:
-        we, scored = _ivfpq_adc_scored(
-            spark, sf_dir, _PQBITS_NPROBE, e=_clustered_embeddings(spark),
-            pq_k=k,
+        _, scored = _ivfpq_adc_scored(
+            spark, sf_dir, _PQBITS_NPROBE, pq_k=k, index=index
         )
-        with_e = we if with_e is None else with_e
         if scored is None:
             return spark.createDataFrame([], grid_schema)
         b = scored.drop("rnc").withColumn("pq_bits", F.lit(bits))

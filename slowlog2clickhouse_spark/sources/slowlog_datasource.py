@@ -206,8 +206,15 @@ def _verified_range(
       never take this lift.
 
     All verification happens on the one opened handle (no TOCTOU).
-    Returns ``(bytes, base, same_incarnation)``; empty bytes mean the
-    candidate failed (or the lifted range is empty)."""
+    Returns ``(bytes, base, same_incarnation, ok)``: ``ok`` is True
+    when the candidate verified as the end incarnation AND the read is
+    trustworthy — either the full planned length, or an empty range
+    after the same-incarnation lift (a successful no-op, NOT a
+    failure: discarding the verdict there made the caller run the
+    salvage leg against the very incarnation being read, re-emitting
+    its tail as duplicates — r13 review find). A verified-but-SHORT
+    read returns ok=False so the caller falls through to the
+    sibling."""
     try:
         with open(path, "rb") as fh:
             st = os.fstat(fh.fileno())
@@ -220,7 +227,7 @@ def _verified_range(
                     and hashlib.md5(first[:head_n]).hexdigest() == head
                 )
             if not ok:
-                return b"", pos, False
+                return b"", pos, False, False
             same = bool(
                 sib_head_n
                 and sib_head
@@ -230,14 +237,14 @@ def _verified_range(
             base = max(pos, sib_pos) if same else pos
             want = stop - base - 1
             if want <= 0:
-                return b"", base, same
+                return b"", base, same, True
             fh.seek(base)
             buf = fh.read(want)
             if len(buf) != want:
-                return b"", base, same
-            return buf, base, same
+                return b"", base, same, False
+            return buf, base, same, True
     except OSError:
-        return b"", pos, False
+        return b"", pos, False, False
 
 
 def _plan_file_range(path: str, s: dict, e: dict) -> dict | None:
@@ -345,14 +352,19 @@ def _read_planned_range(v: dict) -> tuple[bytes, int, bytes, int, bool]:
         # skip a genuine rename-rotation's salvage and re-read the
         # new incarnation at the old offsets.
         for cand, ino, sib_ok in ((p, 0, False), (p + ".1", int(v.get("ino", 0)), True)):
-            buf, base, c_same = _verified_range(
+            buf, base, c_same, ok = _verified_range(
                 cand, v["head"], int(v["head_n"]), int(v["pos"]),
                 int(v["stop"]), ino,
                 sh if sib_ok else "",
                 sn if sib_ok else 0,
                 sp if sib_ok else 0,
             )
-            if buf:
+            if ok:
+                # accept the candidate even when the lifted range is
+                # empty: it IS the end incarnation, and an empty
+                # same-incarnation read must still suppress the
+                # salvage leg below (re-salvaging the incarnation we
+                # just verified would duplicate its tail)
                 live_buf, live_base, same = buf, base, c_same
                 break
     sib_buf, sib_base = b"", int(v.get("sib_pos", 0))
@@ -555,12 +567,26 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
         gen = int(start.get("gen", 0))
         if plan["reset"] and not same:
             gen += 1
+        end_pos = int(plan["stop"])
+        if plan["reset"] and not same and end_pos > 1 and not live_buf:
+            # salvage-only batch because the post-reset LIVE range
+            # [0, stop) failed verification (the new incarnation
+            # rotated again or raced away mid-read): commit pos=0, NOT
+            # stop — committing stop would claim a range that was
+            # never read and silently skip the new incarnation's first
+            # records; from pos=0 the next trigger re-plans them
+            # losslessly. (The fleet reader cannot make this choice —
+            # its offsets are committed at plan time — which is why
+            # its docstring calls the same window a residual loss.)
+            # Replay stays deterministic: stop==0 means the replay
+            # emits exactly the salvaged rows this batch emitted.
+            end_pos = 0
         # salvage bytes are FINAL (the rotated copy will never grow),
         # so the whole tail parses — no boundary hold-back needed.
         srows, sn = self._parse(sib_buf, rno0)
         rows, n = self._parse(live_buf, rno0 + sn)
         end = {
-            "pos": int(plan["stop"]),
+            "pos": end_pos,
             "rno": rno0 + sn + n,
             "head": e["head"],
             "head_n": int(e["head_n"]),
@@ -610,11 +636,11 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
         if stop <= pos:
             return pre
         for cand, ino in ((self.path, 0), (self.path + ".1", int(end.get("ino", 0)))):
-            buf, _, _ = _verified_range(
+            buf, _, _, ok = _verified_range(
                 cand, end.get("head", ""), int(end.get("head_n", 0)),
                 pos, stop, ino,
             )
-            if buf:
+            if ok:
                 rows, _ = self._parse(buf, int(start["rno"]) + sib_rn)
                 return itertools.chain(pre, rows)
         return pre

@@ -1759,3 +1759,94 @@ def test_multi_tail_stat_fastpath_and_same_size_copytruncate(
     rows3, off3 = _multi_plan(r, off2)
     assert a in stamped  # fast path missed: the file was re-stamped
     assert _queries(rows3) == ["SELECT 7"]  # reset + re-read, not stale
+
+
+def test_read_planned_range_empty_same_incarnation_skips_salvage(tmp_path):
+    """r13 review find: when the end incarnation is located at <path>.1
+    and ALSO matches the start stamp with nothing new to read (the
+    spurious-reset no-op: e.pos == committed pos), the empty lifted
+    range must still carry the same-incarnation verdict — otherwise
+    the salvage leg re-reads [sib_pos, EOF) of the very incarnation
+    just verified and its tail is emitted as duplicates."""
+    import hashlib
+
+    from slowlog2clickhouse_spark.sources import slowlog_datasource as ds
+
+    p = str(tmp_path / "slow.log")
+    s_content = (_mk_rec(1) + _TERM).encode()
+    with open(p + ".1", "wb") as f:
+        f.write(s_content)  # the old incarnation S, rotated away
+    with open(p, "wb") as f:
+        f.write(b"# brand new incarnation with a different preamble\n")
+
+    head_n = min(64, len(s_content))
+    head = hashlib.md5(s_content[:head_n]).hexdigest()
+    pos = s_content.rfind(b"\n# Time: ") + 1  # committed boundary
+    plan = {
+        "path": p,
+        "pos": 0,
+        "stop": pos,  # e was stamped on S right before the rotation
+        "head": head,
+        "head_n": head_n,
+        "ino": 0,
+        "reset": True,
+        "salv": True,
+        "sib_pos": pos,
+        "sib_head": head,
+        "sib_head_n": head_n,
+        "sib_ino": 0,
+    }
+    sib_buf, _, live_buf, _, same = ds._read_planned_range(plan)
+    assert same is True  # verdict survives the empty lifted range
+    assert sib_buf == b"" and live_buf == b""  # no duplicate salvage
+
+
+def test_single_tail_salvage_only_when_live_leg_unverifiable(
+    spark, tmp_path, monkeypatch
+):
+    """r13 review find: when a reset batch's salvage succeeds but the
+    post-reset LIVE range fails verification (the new incarnation
+    raced away mid-read), the committed offset must NOT claim the
+    live range — commit pos=0 so the next trigger re-plans the new
+    incarnation's records losslessly, and the reset-spanning replay
+    reproduces exactly the salvage-only emission."""
+    import shutil
+
+    from slowlog2clickhouse_spark.sources import slowlog_datasource as ds
+
+    src = str(tmp_path / "slow.log")
+    with open(src, "w") as f:
+        f.write(_mk_rec(1) + _TERM)
+    r = ds.SlowlogTailStreamReader({"path": src})
+    rows, off = r.read(r.initialOffset())
+    assert _queries(list(rows)) == ["SELECT 1"]
+
+    # two complete records land, then copytruncate keeps them in .1
+    # and the NEW incarnation arrives with its own complete record
+    with open(src, "a") as f:
+        f.write(_mk_rec(2))
+    shutil.copyfile(src, src + ".1")
+    with open(src, "w") as f:
+        f.write(_mk_rec(8) + _TERM)
+
+    # make every live-leg candidate read fail verification, leaving
+    # only the (independently verified) salvage leg — the race window
+    # where the new incarnation rotates again mid-read
+    real = ds._verified_range
+
+    def no_live(path, *a, **k):
+        return b"", 0, False, False
+
+    monkeypatch.setattr(ds, "_verified_range", no_live)
+    rows2, off2 = r.read(off)
+    monkeypatch.setattr(ds, "_verified_range", real)
+    qs = _queries(list(rows2))
+    assert qs == ["SELECT 2"]  # salvage only (terminator flushed rec 2)
+    assert int(off2["pos"]) == 0  # live range NOT claimed
+    assert int(off2["gen"]) == int(off["gen"]) + 1
+    # reset-spanning replay == exactly the salvage-only emission
+    replay = _queries(list(r.readBetweenOffsets(off, off2)))
+    assert replay == qs
+    # next trigger recovers the new incarnation from byte 0 — no loss
+    rows3, off3 = r.read(off2)
+    assert _queries(list(rows3)) == ["SELECT 8"]
