@@ -183,7 +183,7 @@ def _verified_range(
     sib_head: str = "",
     sib_head_n: int = 0,
     sib_pos: int = 0,
-) -> tuple[bytes, int, bool]:
+) -> tuple[bytes, int, bool, bool]:
     """Read the planned live range ``[base, stop-1)`` of ONE candidate
     file iff it verifies as the END incarnation — the planned-range
     counterpart of :func:`_read_verified_tail`, with two extra
@@ -293,8 +293,9 @@ def _plan_file_range(path: str, s: dict, e: dict) -> dict | None:
     stop = int(e["pos"])
     if not reset and stop <= pos0:
         return None  # no growth past the committed boundary
-    if reset and stop == 0 and not salv:
-        return None
+    # (a reset always carries the salvage leg: reset is only decided
+    # when s_head_n is nonzero, so salv == reset — a salvage-less
+    # reset with stop == 0 cannot occur)
     return {
         "path": path,
         "pos": pos0,
@@ -442,27 +443,38 @@ def _stamp_file_cached(path: str, cache: dict, head_bytes: int = 64) -> dict | N
     filesystems, ns on ext4/xfs) stays invisible until the next
     append changes either — the same window `tail -F` has.
 
-    The cache entry is stored only when a second stat after the scan
-    equals the first, so a mutation racing the stamp can never pin a
-    stale (triple -> stamp) pair."""
-    try:
-        st = os.stat(path)
-    except OSError:
-        return None
-    key = (st.st_size, st.st_mtime_ns, st.st_ino)
+    The post-scan stat does double duty: a stamp is CACHED only when
+    the triple held across the scan, and a stamp whose triple CHANGED
+    mid-scan is not returned at all — _stamp_file is not atomic
+    (getsize, then the tail scan, then the head hash), so a rotation
+    landing between its reads can weld the OLD incarnation's pos onto
+    the NEW incarnation's head, and committing that torn stamp would
+    plan a mid-record byte range that parses a garbage fragment (r13
+    review find; the pre-r13 direct _stamp_file callers had this
+    window too). Up to three attempts ride out an append racing the
+    scan; a file mutating continuously across all three is reported
+    as a transient miss (None) and carried to the next poll — bounded
+    staleness, never wrong bytes."""
     hit = cache.get(path)
-    if hit is not None and hit[0] == key:
-        return dict(hit[1])
-    stamp = _stamp_file(path, head_bytes)
-    if stamp is None:
-        return None
-    try:
-        st2 = os.stat(path)
+    for _ in range(3):
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None
+        key = (st.st_size, st.st_mtime_ns, st.st_ino)
+        if hit is not None and hit[0] == key:
+            return dict(hit[1])
+        stamp = _stamp_file(path, head_bytes)
+        if stamp is None:
+            return None
+        try:
+            st2 = os.stat(path)
+        except OSError:
+            return None
         if (st2.st_size, st2.st_mtime_ns, st2.st_ino) == key:
             cache[path] = (key, dict(stamp))
-    except OSError:
-        pass
-    return stamp
+            return stamp
+    return None
 
 
 class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
@@ -782,6 +794,9 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
         # fleet poll costs one os.stat per file instead of
         # stat+open+head-hash+tail-block-scan per file (r12 VERDICT #3)
         self._stat_cache: dict = {}
+        # True until the first partitions() call: gates the one-shot
+        # start-offset re-prime (restart-raced-an-outage recovery)
+        self._cold: bool = True
 
     _HEAD_BYTES = 64
 
@@ -874,14 +889,33 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
         sf = start.get("files", {})
         ef = end.get("files", {})
         # re-prime the carry ledger from the offsets Spark hands back
-        # (post-restart recovery) — but only paths the NEWER end
-        # offset still carries, and never clobbering a live miss
-        # counter: re-adding a start-only entry would resurrect one
-        # that already aged out of a later offset, extending expiry
-        # past the documented limit (r12 ADVICE).
+        # (post-restart recovery) — but in steady state only from the
+        # NEWER end offset, and never clobbering a live miss counter:
+        # re-adding a start-only entry on every batch would resurrect
+        # one that just aged out of the end offset, extending expiry
+        # forever (r12 ADVICE).
         for p, e in ef.items():
             if p not in self._known:
                 self._known[p] = {k: x for k, x in e.items() if k != "miss"}
+        if self._cold:
+            # FIRST partitions() of this process: if the restart raced
+            # an outage (the first poll's glob/stat missed files — an
+            # NFS log mount not yet back, a partial flap), the
+            # checkpointed START offset is the only surviving copy of
+            # those files' positions. Without this leg they would be
+            # dropped permanently and re-ingested from byte 0 on
+            # remount (r13 review find). Seeding miss=1 keeps them on
+            # the normal aging clock; the once-per-process guard means
+            # a steady-state batch can never take this path and
+            # resurrect an entry that just aged out (the expiry clock
+            # restarting across a process restart is the already-
+            # documented residual).
+            self._cold = False
+            for p, e in sf.items():
+                if p not in self._known:
+                    self._known[p] = dict(
+                        {k: x for k, x in e.items() if k != "miss"}, miss=1
+                    )
         self._seen_bases.update(sf)
         self._seen_bases.update(ef)
         out = []

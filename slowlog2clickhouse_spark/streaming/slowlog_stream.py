@@ -115,6 +115,8 @@ def stream_classes(events: DataFrame, mode: str = "routed") -> DataFrame:
         routed_fingerprint,
     )
 
+    if mode not in ("routed", "chain"):
+        raise ValueError(f"stream_classes mode must be 'routed' or 'chain', got {mode!r}")
     ev = events.where(~F.col("admin") & F.col("query").isNotNull())
     if mode == "routed":
         ev = routed_fingerprint(ev, "query", "fingerprint")

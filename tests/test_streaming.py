@@ -1850,3 +1850,45 @@ def test_single_tail_salvage_only_when_live_leg_unverifiable(
     # next trigger recovers the new incarnation from byte 0 — no loss
     rows3, off3 = r.read(off2)
     assert _queries(list(rows3)) == ["SELECT 8"]
+
+
+def test_multi_tail_restart_during_outage_keeps_positions(spark, tmp_path):
+    """r13 second-review find: a process restart whose FIRST poll races
+    an outage (mount not back: glob sees nothing) must not permanently
+    drop the checkpointed positions — the first partitions() call
+    re-primes the carry ledger from the START offset (once per
+    process), so on remount consumption resumes where it left off
+    instead of re-ingesting every file from byte 0."""
+    import os as _os
+
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogMultiTailStreamReader,
+    )
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    a = str(logs / "h1.log")
+    with open(a, "w") as f:
+        f.write(_mk_rec(1) + _TERM)
+    r = SlowlogMultiTailStreamReader({"path": str(logs / "*.log")})
+    rows, off = _multi_plan(r, r.initialOffset())
+    assert _queries(rows) == ["SELECT 1"]
+
+    # process restart during a mount flap: fresh reader, empty glob
+    hidden = str(tmp_path / "hidden")
+    _os.rename(logs, hidden)
+    r2 = SlowlogMultiTailStreamReader({"path": str(logs / "*.log")})
+    rows2, off2 = _multi_plan(r2, off)  # start = the checkpointed offset
+    assert list(rows2) == []
+    # partitions() ran the one-shot cold re-prime, so the NEXT poll's
+    # offset carries the checkpointed position (the first poll itself
+    # ran before the start offset was visible — real call order)
+    rows2b, off2b = _multi_plan(r2, off2)
+    assert list(rows2b) == []
+    assert a in off2b["files"] and off2b["files"][a] == off["files"][a]
+
+    _os.rename(hidden, logs)  # remount; the file grew meanwhile
+    with open(a, "a") as f:
+        f.write(_mk_rec(2) + _TERM)
+    rows3, _ = _multi_plan(r2, off2b)
+    assert _queries(rows3) == ["SELECT 2"]  # resumed, no re-ingest
