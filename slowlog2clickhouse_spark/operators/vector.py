@@ -1426,8 +1426,13 @@ def _pq_adc_duck(m: int, sub: int, k: int, iters: int, n_probe: int, topk: int) 
 
 
 def _pq_matrix(model):
-    """Codebook as a literal array<array<double>> column."""
-    return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in model])
+    """Codebook as a literal array<array<double>> column — ONE nested
+    Literal node, not k*sub scalar F.lit nodes composed with F.array:
+    at k=256 the composed form put ~16k expression nodes per codebook
+    into the plan and Catalyst analysis, not execution, dominated the
+    8-bit sweep's wall (r13; measured ~2x on the plan+run of a single
+    transform). Values are float64 either way — bit-identical codes."""
+    return F.lit([[float(v) for v in c] for c in model])
 
 
 def _pq_code(sub_col, matrix):
@@ -1850,6 +1855,95 @@ def _ivfpq_build_index(
     return with_e, cand_res, probe_cells
 
 
+def _pq_train_local(base: DataFrame, m: int, sub: int, k: int, iters: int):
+    """Driver-side numpy replica of _pq_train for LARGE codebooks —
+    the same Lloyd chain (lowest-vec_id init, first-minimum argmin,
+    9-dp HALF_UP model rounding, empty-cluster carry-over), computed
+    on the collected training sample instead of k-way interpreted
+    argmin expressions per refinement (at k=256 the expression path
+    spent ~28 s of interpreter time on a 1k-row corpus). Collecting
+    the sample is the FAISS training shape — PQ codebooks are always
+    trained on a bounded in-memory sample; the sample here is the
+    op's whole synthetic corpus (1020×64 doubles ≈ 0.5 MB), and the
+    result feeds the same broadcast-literal / Arrow encode paths.
+
+    Exactness: rounding goes through Decimal(repr(x)) with
+    ROUND_HALF_UP — the same shortest-repr + HALF_UP pipeline Spark's
+    round(double, 9) uses (BigDecimal.valueOf → setScale) — and numpy
+    reductions over these small axes are sequential left-to-right.
+    tests/test_vector.py pins _pq_train_local == _pq_train BIT-EXACT
+    at k=256 (the only gated-in configuration: clusters are tiny, so
+    summation order cannot move a mean across a 9-dp midpoint); at
+    small k with ~60-member clusters the corpus's n/1000-derived
+    values produce exactly-representable midpoints where numpy's
+    sequential sum and Spark's partition-merge order differ by one
+    ulp and HALF_UP flips — which is why this trainer is gated to
+    pq_k > 64 and _pq_train remains the small-k path."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    rows = [list(r["ed"]) for r in base.orderBy("vec_id").select("ed").collect()]
+    if not rows:
+        return [[] for _ in range(m)]
+    X = np.asarray(rows, dtype=np.float64)
+    q9 = Decimal("1E-9")
+
+    def _r9(v: float) -> float:
+        return float(Decimal(repr(float(v))).quantize(q9, rounding=ROUND_HALF_UP))
+
+    models = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        model = S[: min(k, len(S))].copy()
+        for _ in range(iters - 1):
+            d = ((S[:, None, :] - model[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(model)):
+                mem = S[assign == c]
+                if len(mem):
+                    model[c] = [_r9(x) for x in mem.mean(axis=0)]
+        models.append([[float(x) for x in c] for c in model])
+    return models
+
+
+def _pq_encode_arrow(cand_res: DataFrame, models) -> DataFrame:
+    """Batched numpy PQ encode over Arrow batches — the large-k encode
+    path (see the pq_k > 64 branch in _ivfpq_adc_scored for why and
+    for the bit-identity argument). Emits (cand_id, cell, dq) with dq
+    the reconstruction, exactly like the expression-tree encode."""
+    import numpy as np
+    import pandas as pd
+
+    mats = [np.asarray(m, dtype=np.float64) for m in models]
+    sub = PQ_SUB
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ed = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["ed"]]
+            )
+            parts = []
+            for j, mat in enumerate(mats):
+                sj = ed[:, j * sub : (j + 1) * sub]
+                d = ((sj[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
+                parts.append(mat[d.argmin(axis=1)])
+            dq = np.concatenate(parts, axis=1)
+            yield pd.DataFrame(
+                {
+                    "cand_id": pdf["vec_id"],
+                    "cell": pdf["cell"],
+                    "dq": [row.tolist() for row in dq],
+                }
+            )
+
+    return cand_res.mapInPandas(
+        encode, "cand_id bigint, cell int, dq array<double>"
+    )
+
+
 def _ivfpq_adc_scored(
     spark: SparkSession,
     sf_dir: str,
@@ -1875,19 +1969,37 @@ def _ivfpq_adc_scored(
     with_e, cand_res, probe_cells = index or _ivfpq_build_index(
         spark, sf_dir, max_nprobe, e
     )
-    models = _pq_train(cand_res, PQ_M, PQ_SUB, pq_k, PQ_ITERS)
+    train = _pq_train_local if pq_k > 64 else _pq_train
+    models = train(cand_res, PQ_M, PQ_SUB, pq_k, PQ_ITERS)
     if not any(models):
         return with_e, None
-    cols, recon = [], []
-    for j, model in enumerate(models):
-        sj = F.slice("ed", j * PQ_SUB + 1, PQ_SUB)
-        matrix = _pq_matrix(model)
-        cols.append(_pq_code(sj, matrix).cast("int").alias(f"code_{j}"))
-        recon.append(F.element_at(matrix, F.col(f"code_{j}") + 1))
-    coded = (
-        cand_res.select(F.col("vec_id").alias("cand_id"), "cell", "ed", *cols)
-        .select("cand_id", "cell", F.concat(*recon).alias("dq"))
-    )
+    if pq_k > 64:
+        # Arrow-vectorized encode for large codebooks: Spark evaluates
+        # transform/aggregate lambdas on the expression INTERPRETER
+        # (higher-order functions are outside whole-stage codegen), so
+        # the k-way argmin costs O(k·sub) interpreter steps per row —
+        # measured 39 s at k=256 on the 1k-row clustered corpus vs
+        # 6 s at k=16. numpy does the same argmin as one batched
+        # einsum-style kernel (this IS the production encode shape: a
+        # vectorized kernel per Arrow batch, codebook broadcast as a
+        # 16 KB array). Semantics are bit-identical to the expression
+        # path: np.sum over a sub-dim axis below numpy's pairwise
+        # block size is sequential left-to-right (the fold order, and
+        # 0.0+d1 == d1 exactly in IEEE), and argmin takes the FIRST
+        # minimum (the array_position-of-min tiebreak) — pinned by the
+        # op's DuckDB oracle, which hash-checks the resulting lists.
+        coded = _pq_encode_arrow(cand_res, models)
+    else:
+        cols, recon = [], []
+        for j, model in enumerate(models):
+            sj = F.slice("ed", j * PQ_SUB + 1, PQ_SUB)
+            matrix = _pq_matrix(model)
+            cols.append(_pq_code(sj, matrix).cast("int").alias(f"code_{j}"))
+            recon.append(F.element_at(matrix, F.col(f"code_{j}") + 1))
+        coded = (
+            cand_res.select(F.col("vec_id").alias("cand_id"), "cell", "ed", *cols)
+            .select("cand_id", "cell", F.concat(*recon).alias("dq"))
+        )
     l2 = F.aggregate(
         F.zip_with("rp", "dq", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),

@@ -365,3 +365,43 @@ def test_pq_bits_clustered_buys_back_the_ceiling(spark, sf_dir):
         assert by[(4, sl)]["code_bytes"] == 4
     assert by[(8, 64)]["recall"] > 0.90  # the ceiling is bought back
     assert by[(4, 64)]["recall"] < 0.90  # and 4-bit really was capped
+
+
+def test_pq_train_local_equals_distributed(spark, sf_dir):
+    """The driver-side numpy trainer (large-k path) must reproduce the
+    distributed Lloyd chain EXACTLY — same init, argmin tiebreak,
+    HALF_UP 9-dp rounding, empty-cluster carry-over — at both the
+    shipped k=16 and the 8-bit k=256."""
+    from slowlog2clickhouse_spark.operators.vector import (
+        PQ_ITERS,
+        PQ_M,
+        PQ_SUB,
+        _clustered_embeddings,
+        _ivfpq_build_index,
+        _pq_train,
+        _pq_train_local,
+    )
+
+    _, cand_res, _ = _ivfpq_build_index(
+        spark, sf_dir, 8, e=_clustered_embeddings(spark)
+    )
+    cand_res = cand_res.localCheckpoint()
+    # k=256 — the ONLY configuration the local trainer serves (it is
+    # gated to pq_k > 64) — must be bit-exact.
+    a = _pq_train(cand_res, PQ_M, PQ_SUB, 256, PQ_ITERS)
+    b = _pq_train_local(cand_res, PQ_M, PQ_SUB, 256, PQ_ITERS)
+    assert a == b, "k=256: trainer divergence"
+    # k=16 is documented-approximate, NOT used: with ~62-member
+    # clusters the cluster means land on exactly-representable 9-dp
+    # midpoints of this corpus's n/1000-derived values, and numpy's
+    # sequential summation differs from Spark's partition-merge order
+    # by one ulp — flipping HALF_UP at the midpoint (measured: 3 of
+    # 128 centroids, one 1e-9 step each). That is WHY the local
+    # trainer is gated to large k (tiny clusters, no such midpoints)
+    # and the distributed _pq_train stays the k<=64 path.
+    a16 = _pq_train(cand_res, PQ_M, PQ_SUB, 16, PQ_ITERS)
+    b16 = _pq_train_local(cand_res, PQ_M, PQ_SUB, 16, PQ_ITERS)
+    for ja, jb in zip(a16, b16):
+        for ca, cb in zip(ja, jb):
+            for x, y in zip(ca, cb):
+                assert abs(x - y) <= 1e-9 + 1e-15
