@@ -1426,12 +1426,13 @@ def _pq_adc_duck(m: int, sub: int, k: int, iters: int, n_probe: int, topk: int) 
 
 
 def _pq_matrix(model):
-    """Codebook as a literal array<array<double>> column — ONE nested
-    Literal node, not k*sub scalar F.lit nodes composed with F.array:
-    at k=256 the composed form put ~16k expression nodes per codebook
-    into the plan and Catalyst analysis, not execution, dominated the
-    8-bit sweep's wall (r13; measured ~2x on the plan+run of a single
-    transform). Values are float64 either way — bit-identical codes."""
+    """Codebook as a literal array<array<double>> column. NOTE:
+    F.lit(nested_list) expands to the same array(*[lit(v)...]) tree as
+    the explicit composition in PySpark classic (verified live, r13
+    third review) — this form is just shorter; the large-k wall lived
+    in the higher-order-function interpreter and was fixed by
+    _pq_train_local/_pq_encode_arrow, not here. Values are float64
+    either way — bit-identical codes."""
     return F.lit([[float(v) for v in c] for c in model])
 
 
@@ -1855,6 +1856,27 @@ def _ivfpq_build_index(
     return with_e, cand_res, probe_cells
 
 
+def _nearest_sq(S, mat):
+    """Squared-L2 nearest-centroid kernel shared by the large-k
+    trainer and encoder (one implementation — the two must stay
+    numerically identical). The per-dimension accumulation is an
+    EXPLICIT sequential loop: np.sum(axis=-1) uses numpy's pairwise
+    8-accumulator tree even on tiny axes, which reorders the adds and
+    differs from Spark/DuckDB's left-to-right fold in the last ulps
+    (r13 third-review find — measured on this exact shape; codes only
+    survived by corpus luck). d starts at 0.0 and adds one squared
+    difference per dimension, exactly the fold's ((0+d1)+d2)+...
+    Returns (dists n x k, argmin-first codes n)."""
+    import numpy as np
+
+    n, sub = S.shape
+    d = np.zeros((n, mat.shape[0]), dtype=np.float64)
+    for t in range(sub):
+        diff = S[:, t, None] - mat[None, :, t]
+        d += diff * diff
+    return d, d.argmin(axis=1)
+
+
 def _pq_train_local(base: DataFrame, m: int, sub: int, k: int, iters: int):
     """Driver-side numpy replica of _pq_train for LARGE codebooks —
     the same Lloyd chain (lowest-vec_id init, first-minimum argmin,
@@ -1869,8 +1891,9 @@ def _pq_train_local(base: DataFrame, m: int, sub: int, k: int, iters: int):
 
     Exactness: rounding goes through Decimal(repr(x)) with
     ROUND_HALF_UP — the same shortest-repr + HALF_UP pipeline Spark's
-    round(double, 9) uses (BigDecimal.valueOf → setScale) — and numpy
-    reductions over these small axes are sequential left-to-right.
+    round(double, 9) uses (BigDecimal.valueOf → setScale) — and the
+    distance accumulation uses the shared fold-exact _nearest_sq
+    kernel (numpy's own axis-sum is pairwise-reordered; see there).
     tests/test_vector.py pins _pq_train_local == _pq_train BIT-EXACT
     at k=256 (the only gated-in configuration: clusters are tiny, so
     summation order cannot move a mean across a 9-dp midpoint); at
@@ -1897,8 +1920,7 @@ def _pq_train_local(base: DataFrame, m: int, sub: int, k: int, iters: int):
         S = X[:, j * sub : (j + 1) * sub]
         model = S[: min(k, len(S))].copy()
         for _ in range(iters - 1):
-            d = ((S[:, None, :] - model[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
+            _, assign = _nearest_sq(S, model)
             for c in range(len(model)):
                 mem = S[assign == c]
                 if len(mem):
@@ -1928,8 +1950,8 @@ def _pq_encode_arrow(cand_res: DataFrame, models) -> DataFrame:
             parts = []
             for j, mat in enumerate(mats):
                 sj = ed[:, j * sub : (j + 1) * sub]
-                d = ((sj[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
-                parts.append(mat[d.argmin(axis=1)])
+                _, codes = _nearest_sq(sj, mat)
+                parts.append(mat[codes])
             dq = np.concatenate(parts, axis=1)
             yield pd.DataFrame(
                 {
@@ -1983,11 +2005,13 @@ def _ivfpq_adc_scored(
         # einsum-style kernel (this IS the production encode shape: a
         # vectorized kernel per Arrow batch, codebook broadcast as a
         # 16 KB array). Semantics are bit-identical to the expression
-        # path: np.sum over a sub-dim axis below numpy's pairwise
-        # block size is sequential left-to-right (the fold order, and
-        # 0.0+d1 == d1 exactly in IEEE), and argmin takes the FIRST
-        # minimum (the array_position-of-min tiebreak) — pinned by the
-        # op's DuckDB oracle, which hash-checks the resulting lists.
+        # path BY CONSTRUCTION: the shared _nearest_sq kernel
+        # accumulates per-dimension in an explicit sequential loop
+        # (the fold order — numpy's own axis-sum is pairwise and
+        # reorders the adds, r13 third-review find), and argmin takes
+        # the FIRST minimum (the array_position-of-min tiebreak) —
+        # pinned by the op's DuckDB oracle, which hash-checks the
+        # resulting reconstruction lists.
         coded = _pq_encode_arrow(cand_res, models)
     else:
         cols, recon = [], []

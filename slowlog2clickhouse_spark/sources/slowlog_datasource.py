@@ -444,17 +444,30 @@ def _stamp_file_cached(path: str, cache: dict, head_bytes: int = 64) -> dict | N
     append changes either — the same window `tail -F` has.
 
     The post-scan stat does double duty: a stamp is CACHED only when
-    the triple held across the scan, and a stamp whose triple CHANGED
-    mid-scan is not returned at all — _stamp_file is not atomic
-    (getsize, then the tail scan, then the head hash), so a rotation
-    landing between its reads can weld the OLD incarnation's pos onto
-    the NEW incarnation's head, and committing that torn stamp would
-    plan a mid-record byte range that parses a garbage fragment (r13
-    review find; the pre-r13 direct _stamp_file callers had this
-    window too). Up to three attempts ride out an append racing the
-    scan; a file mutating continuously across all three is reported
-    as a transient miss (None) and carried to the next poll — bounded
-    staleness, never wrong bytes."""
+    the triple held across the scan, and a stamp the scan-window
+    evidence shows may be TORN is not returned at all — _stamp_file is
+    not atomic (getsize, then the tail scan, then the head hash), so a
+    rotation landing between its reads can weld the OLD incarnation's
+    pos onto the NEW incarnation's head, and committing that torn
+    stamp would plan a mid-record byte range that parses a garbage
+    fragment (r13 review find; the pre-r13 direct _stamp_file callers
+    had this window too).
+
+    Torn-vs-append discrimination (r13 third-review find — rejecting
+    on ANY triple change starved continuously-appended hot files into
+    permanent misses): a pure APPEND racing the scan cannot tear the
+    stamp (the boundary found at the scanned size is still a boundary,
+    and appends never change the first head_n bytes), so a post-scan
+    stat showing the SAME inode, a size that did not shrink, and a
+    first-head_n-byte hash still equal to the stamp's is accepted
+    (uncached — the triple is already stale). Inode change, shrink, or
+    a changed head mean rotation/truncate raced the scan: retry, and
+    after three unstable attempts report a transient miss (None),
+    carried to the next poll. Residual (inherent to stat+hash
+    evidence): a mid-scan content replacement that regrows past the
+    scanned size AND reproduces the identical head_n-byte preamble is
+    indistinguishable from an append — the same identical-preamble
+    ambiguity every head-stamp check in this module documents."""
     hit = cache.get(path)
     for _ in range(3):
         try:
@@ -474,6 +487,12 @@ def _stamp_file_cached(path: str, cache: dict, head_bytes: int = 64) -> dict | N
         if (st2.st_size, st2.st_mtime_ns, st2.st_ino) == key:
             cache[path] = (key, dict(stamp))
             return stamp
+        if st2.st_ino == st.st_ino and st2.st_size >= st.st_size:
+            try:
+                if _head_hash(path, int(stamp["head_n"])) == stamp["head"]:
+                    return stamp  # append raced the scan: stamp valid
+            except OSError:
+                return None
     return None
 
 
@@ -535,9 +554,11 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
         # one record per file that can overlap a prior `ingest` pass
         # (which may or may not have caught its final form); pair the
         # recipe with an idempotent sink or accept <=1 boundary
-        # record per file. _stamp_file guards the whole stat+scan
-        # body: a rotation racing the start falls back to earliest.
-        st = _stamp_file(self.path, self._HEAD_BYTES)
+        # record per file. The CACHED stamp path guards against both
+        # a vanished file AND a rotation racing the scan (the torn
+        # old-pos/new-head weld, r13 third review) — either way the
+        # start falls back to earliest.
+        st = _stamp_file_cached(self.path, self._stat_cache, self._HEAD_BYTES)
         if st is None:
             return zero
         return {"rno": 0, "gen": 0, **st}
@@ -909,7 +930,16 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
             # a steady-state batch can never take this path and
             # resurrect an entry that just aged out (the expiry clock
             # restarting across a process restart is the already-
-            # documented residual).
+            # documented residual). Second residual (r13 third
+            # review): the seeded positions only reach an OFFSET via a
+            # later latestOffset whose glob still misses the files —
+            # if the mount returns within ONE trigger of the restart,
+            # the next poll stamps the files fresh while the committed
+            # start is the raced empty offset, and planning falls back
+            # to byte 0 for that batch (duplicates, not loss). Closing
+            # it would require planning from driver-local state, which
+            # would break partitions(start, end)'s replay determinism
+            # — offsets must stay the only inputs.
             self._cold = False
             for p, e in sf.items():
                 if p not in self._known:

@@ -1892,3 +1892,54 @@ def test_multi_tail_restart_during_outage_keeps_positions(spark, tmp_path):
         f.write(_mk_rec(2) + _TERM)
     rows3, _ = _multi_plan(r2, off2b)
     assert _queries(rows3) == ["SELECT 2"]  # resumed, no re-ingest
+
+
+def test_stamp_cached_accepts_append_race_rejects_rotation(tmp_path, monkeypatch):
+    """r13 third-review find: a pure append racing the stamp scan must
+    NOT invalidate the stamp (a continuously-written hot file would
+    starve into permanent misses and eventually age out + re-ingest);
+    a rotation racing the scan (inode change / shrink / changed head)
+    must still be rejected as a transient miss."""
+    from slowlog2clickhouse_spark.sources import slowlog_datasource as ds
+
+    p = str(tmp_path / "slow.log")
+    with open(p, "w") as f:
+        f.write(_mk_rec(1) + _TERM)
+
+    # simulate "append lands during every scan": _stamp_file appends
+    # to the file as a side effect before returning
+    real_stamp = ds._stamp_file
+
+    def appending_stamp(path, head_bytes=64):
+        st = real_stamp(path, head_bytes)
+        with open(path, "a") as f:
+            f.write(_mk_rec(2) + _TERM)
+        return st
+
+    cache = {}
+    monkeypatch.setattr(ds, "_stamp_file", appending_stamp)
+    st = ds._stamp_file_cached(p, cache, 64)
+    monkeypatch.setattr(ds, "_stamp_file", real_stamp)
+    assert st is not None  # append race accepted: the tail makes progress
+    assert st["pos"] > 0
+    assert p not in cache  # but the stale triple was not pinned
+
+    # rotation racing the scan: the scan's boundary belongs to the OLD
+    # content while the head hash reads the NEW — must be rejected.
+    # Each mid-scan rotation writes DISTINCT content: a rewrite that
+    # reproduces the previous bytes is indistinguishable from no
+    # mutation and a stamp of it is genuinely valid.
+    rot = [0]
+
+    def rotating_stamp(path, head_bytes=64):
+        st2 = real_stamp(path, head_bytes)
+        rot[0] += 1
+        with open(path, "w") as f:  # truncate+rewrite mid-scan
+            f.write(f"# fresh incarnation {rot[0]}, different preamble\n" * 50)
+        return st2
+
+    cache2 = {}
+    monkeypatch.setattr(ds, "_stamp_file", rotating_stamp)
+    st2 = ds._stamp_file_cached(p, cache2, 64)
+    monkeypatch.setattr(ds, "_stamp_file", real_stamp)
+    assert st2 is None  # torn stamp rejected: transient miss, retry next poll
