@@ -305,7 +305,12 @@ def main() -> None:
     )
     # … compact line LAST (VERDICT r10 #8): the driver keeps only the
     # tail of stdout, so the final line must parse standalone — same
-    # contract keys, no variance payload, compact separators.
+    # contract keys, compact separators. Since r14 the final line ALSO
+    # carries the per-query [min, median, max] triples and per-query
+    # loadavg (VERDICT r13 #2: the verbose first line's triples were
+    # truncated into the driver's raw `tail` string — not machine-
+    # readable; the regression-audit evidence must live in `parsed`).
+    # ~2 KB compact, far inside any sane tail window.
     print(
         json.dumps(
             {
@@ -315,8 +320,10 @@ def main() -> None:
                 "unit": "sec",
                 "stat": "warm_median",
                 "loadavg_start": round(load0, 2),
+                "loadavg_per_query": loads,
                 "sf": sf_val,
                 "queries": results,
+                "variance": variance,
             },
             separators=(",", ":"),
         )

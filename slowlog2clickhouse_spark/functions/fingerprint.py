@@ -191,37 +191,48 @@ def any_construct_flag(col: Column | str) -> Column:
 def routed_fingerprint(
     df, query_col: str = "query", out_col: str = "fingerprint", fp_fn=None
 ):
-    """Routed fingerprinting as a DataFrame SPLIT + UNION (ADVICE r10).
+    """Routed fingerprinting as a MASKED single-pass projection
+    (r14 VERDICT #3; supersedes the r10 split+union form).
 
-    The obvious form — ``F.when(any_flag, udf).otherwise(chain)`` — is
-    WRONG for cost: Spark extracts Python UDFs out of conditional
-    expressions into a separate ArrowEvalPython node below the Project,
-    so the state-machine UDF runs on EVERY row and the branch only
-    selects which already-computed value to keep (verified on PySpark
-    4.1.2: the UDF received 100/100 rows with 10 flagged). Splitting
-    the DataFrame puts a Filter UNDER each branch's evaluation, so the
-    Arrow boundary genuinely sees only the flagged slice
-    (tests/test_fingerprint.py pins this with an accumulator probe).
+    The naive form — ``F.when(any_flag, udf(col)).otherwise(chain)`` —
+    is WRONG for cost: Spark extracts Python UDFs out of conditional
+    VALUE positions into a separate ArrowEvalPython node below the
+    Project, so the state-machine UDF runs on EVERY row and the branch
+    only selects which already-computed value to keep (verified on
+    PySpark 4.1.2: the UDF received 100/100 rows with 10 flagged).
 
-    Cost, MEASURED (r11 crossover probe, SCALING.md): the split pays a
-    second source scan plus a detector pass; on local[32] that overhead
-    exceeds the Arrow savings at every flagged fraction and statement
-    shape — mode="python" is the cheaper full-fidelity path there, and
-    the corpus-level fn_fingerprint_router certificate (chain when no
-    flags) is the operative deployment decision. Routed mode is the
-    right shape only where Python workers are the constrained resource
-    (memory-tight executors, Arrow competing with shuffle); re-measure
-    with scripts/router_crossover_probe.py on such a cluster.
+    The r10 fix was a DataFrame split + union (Filter under each
+    branch), which confines the Arrow payload to the flagged slice but
+    pays a SECOND full upstream execution — source scan + parse — for
+    the flagged branch even when it is empty. Measured on the fleet
+    tail that tax was 25% of drain throughput on an all-clean corpus
+    (37.1k → 27.7k ev/s, SCALING.md r13).
 
-    NULL queries carry NULL flags → coalesce(False) → chain branch →
-    NULL fingerprint, identical to the UDF's None guard.
+    This form gets both properties in ONE pass by masking the UDF's
+    INPUT instead of splitting the relation:
+
+        coalesce(sm_udf(when(flag, query)), chain(query))
+
+    * the ``when`` mask is the UDF's input EXPRESSION, evaluated
+      JVM-side inside ArrowEvalPython's input projection — extraction
+      cannot hoist the UDF above it, so clean rows cross the Arrow
+      boundary as NULLs (validity bitmap only, no string payload) and
+      the per-row ``fn`` runs ONLY on flagged rows
+      (tests/test_fingerprint.py pins this with an accumulator probe);
+    * ``coalesce`` is lazily evaluated per row, so the codegen'd chain
+      runs only where the state-machine output is NULL — exactly the
+      clean rows (``fingerprint_py`` returns a non-null str for every
+      non-null input, so a flagged row never falls through);
+    * NULL queries: NULL flags → mask NULL → UDF None-guard → NULL,
+      then chain(NULL) = NULL — identical to both prior forms;
+    * the 9 detector regexes are evaluated ONCE per row (they appear
+      only inside the mask), vs twice (once per branch filter) in the
+      split form — and the source is scanned ONCE.
 
     ``fp_fn`` is test-instrumentation only: an alternate per-row
     fingerprint callable (e.g. one that bumps an accumulator) so the
     "UDF sees ONLY flagged rows" contract is directly observable.
     """
-    import pandas as pd
-
     fn = fp_fn if fp_fn is not None else fingerprint_py
 
     # no type hints: `from __future__ import annotations` stringifies
@@ -232,9 +243,11 @@ def routed_fingerprint(
         return s.map(lambda q: fn(q) if q is not None else None)
 
     flag = F.coalesce(any_construct_flag(F.col(query_col)), F.lit(False))
-    clean = df.where(~flag).withColumn(out_col, fingerprint_col(F.col(query_col)))
-    flagged = df.where(flag).withColumn(out_col, _fp_vec(F.col(query_col)))
-    return clean.unionByName(flagged)
+    masked = F.when(flag, F.col(query_col))  # NULL for clean rows
+    return df.withColumn(
+        out_col,
+        F.coalesce(_fp_vec(masked), fingerprint_col(F.col(query_col))),
+    )
 
 
 _ML_COMMENT_PY = re.compile(_ML_COMMENT_RE)

@@ -457,17 +457,20 @@ def fn_fingerprint_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the committed fp_py truth column over the adversarial
     corpus, divergence regimes included.
 
-    Scale: implemented as a DataFrame SPLIT + UNION (ADVICE r10) — a
-    when()/otherwise() expression would NOT confine the UDF, because
-    Spark extracts Python UDFs out of conditionals and evaluates them
-    on every row. With the split, each branch filters first, so only
-    the flagged slice (typically a tiny fraction of a real log — the
-    fixture measures 39/983 events) crosses the Python boundary,
-    Arrow-batched; the unflagged mass stays in the codegen'd chain.
-    The source is scanned twice (columnar, flag filter map-side) —
-    cheap next to Arrow-serializing 100% of rows. This is the op the
-    CLI warning tells a user to reach for: full-fidelity fingerprints
-    without paying the UDF tax on the clean mass."""
+    Scale: implemented as a MASKED single-pass projection (r14,
+    superseding the r10 split+union) — a when()/otherwise() VALUE
+    expression would NOT confine the UDF, because Spark extracts
+    Python UDFs out of conditionals and evaluates them on every row.
+    Masking the UDF's INPUT instead (`when(flag, query)` → NULL for
+    clean rows) keeps the confinement — only the flagged slice
+    (typically a tiny fraction of a real log — the fixture measures
+    39/983 events) carries string payload across the Python boundary,
+    Arrow-batched; the unflagged mass stays in the codegen'd chain via
+    a lazily-evaluated coalesce — while scanning the source ONCE
+    (the split form paid a full second scan+parse pass, a measured
+    25% drain tax on clean corpora). This is the op the CLI warning
+    tells a user to reach for: full-fidelity fingerprints without
+    paying the UDF tax on the clean mass."""
     from slowlog2clickhouse_spark.functions.fingerprint import (
         routed_fingerprint,
     )

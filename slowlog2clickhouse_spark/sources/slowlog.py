@@ -337,13 +337,13 @@ def with_fingerprint(events: DataFrame, mode: str = "chain") -> DataFrame:
                     contract): rows with no chain-divergence construct
                     flag take the chain, flagged rows take the Arrow
                     state-machine UDF — state-machine-exact output.
-                    Implemented as a DataFrame split + union (NOT a
-                    when()/otherwise() expression — Spark extracts
-                    Python UDFs from conditionals and runs them on
-                    every row; ADVICE r10): the UDF tax genuinely
-                    lands only on the flagged slice, at the cost of
-                    scanning the source twice (columnar, filter
-                    pushed — cheap next to Arrow on the full corpus).
+                    Implemented as a masked single-pass projection
+                    (r14; NOT a when()/otherwise() VALUE expression —
+                    Spark extracts Python UDFs from conditionals and
+                    runs them on every row): the UDF's INPUT is masked
+                    to NULL for clean rows, so only flagged payloads
+                    cross the Arrow boundary and the source is scanned
+                    ONCE — see routed_fingerprint.
     mode="python" — every row through the Arrow state machine (the
                     full-fidelity reference semantics, maximum cost).
     """
@@ -365,7 +365,7 @@ def with_fingerprint(events: DataFrame, mode: str = "chain") -> DataFrame:
 
         fp = _fp_vec(F.col("query"))
     elif mode == "routed":
-        # split+union, NOT when()/otherwise() — see routed_fingerprint
+        # masked single-pass, NOT when()/otherwise() — see routed_fingerprint
         return routed_fingerprint(events, "query", "fingerprint").withColumn(
             "digest", digest_col(F.col("fingerprint"))
         )

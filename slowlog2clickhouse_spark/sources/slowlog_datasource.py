@@ -205,7 +205,14 @@ def _verified_range(
       — see :func:`_read_planned_range` for why the live path must
       never take this lift.
 
-    All verification happens on the one opened handle (no TOCTOU).
+    All verification happens on the one opened handle (no TOCTOU),
+    and the incarnation stamp is verified AGAIN after the body read
+    (r13 ADVICE #2): a same-inode copytruncate that regrows past the
+    planned stop between the head hash and the body read is caught by
+    the post-read prefix comparison, so a full-length read of
+    replaced content can never be returned as ok — the only remaining
+    blind spot is a replacement byte-identical over the verified
+    prefix, which no head-stamp scheme can distinguish.
     Returns ``(bytes, base, same_incarnation, ok)``: ``ok`` is True
     when the candidate verified as the end incarnation AND the read is
     trustworthy — either the full planned length, or an empty range
@@ -242,6 +249,26 @@ def _verified_range(
             buf = fh.read(want)
             if len(buf) != want:
                 return b"", base, same, False
+            # post-read identity re-check (r13 ADVICE #2): the head was
+            # hashed BEFORE the body read on this handle; a same-inode
+            # copytruncate that regrows past ``stop`` in that window
+            # would have handed us full-length NEW-incarnation bytes
+            # with ok=True (the inode leg cannot catch it — an open
+            # handle's inode never changes; only the CONTENT under it
+            # did). Re-reading the same prefix AFTER the body read
+            # closes the window: under pure append the first bytes of
+            # a file never change, so any difference proves the
+            # incarnation was replaced mid-read and the body bytes are
+            # untrustworthy — reject (caller falls to the sibling leg
+            # or drops the range: the documented failure mode stays
+            # "lost range", never wrong bytes). The residual is a
+            # replacement whose first ``len(first)`` bytes are
+            # byte-identical — the same identical-preamble blind spot
+            # the stamp itself has always had.
+            if need:
+                fh.seek(0)
+                if fh.read(len(first)) != first:
+                    return b"", pos, False, False
             return buf, base, same, True
     except OSError:
         return b"", pos, False, False
@@ -689,33 +716,47 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
 # record_no caveat (differs from the single-file tail): here it is the
 # record's BYTE OFFSET within its file INCARNATION, and it RESETS to 0
 # when the file rotates — (source_file, record_no) is NOT unique across
-# incarnations, so an idempotent sink must key on content (e.g.
-# (source_file, ts, digest) or a row hash), not on record_no alone.
-# The single-file tail's record_no is a never-resetting running
-# ordinal; consumers switching between the two readers must not assume
-# the contracts match. A stable per-incarnation discriminator cannot
-# live in this schema: the fleet offsets are stateless by construction
-# (latestOffset() receives no start offset after a committed restart)
-# and the head stamp itself changes while a <64-byte file grows.
+# incarnations. The ``incarnation`` column makes the hazard structural
+# (r13 VERDICT #5): it carries the md5 head stamp of the incarnation
+# the record's bytes were read from (the live leg's end stamp, or the
+# salvage leg's start stamp), derived purely from the planned range
+# dict — i.e. from committed offsets — so it is deterministic under
+# replay. (source_file, incarnation, record_no) is unique across
+# incarnations exactly as strongly as rotation detection itself: the
+# one shared blind spot is two <64-byte incarnations with a
+# byte-identical prefix, which the stamp cannot distinguish and the
+# planner cannot detect. The stamp VALUE may differ for the same
+# incarnation across batches while a <64-byte file grows (head_n
+# grows with it) — fine for uniqueness (record_no never repeats
+# within an incarnation), but an idempotent sink keying on the triple
+# should still prefer content keys when its input may contain such
+# embryonic files. The single-file tail's record_no is a
+# never-resetting running ordinal; consumers switching between the
+# two readers must not assume the contracts match.
 MULTI_EVENT_SCHEMA = StructType(
-    list(EVENT_SCHEMA.fields) + [StructField("source_file", StringType())]
+    list(EVENT_SCHEMA.fields)
+    + [
+        StructField("source_file", StringType()),
+        StructField("incarnation", StringType()),
+    ]
 )
 
 
-def _parse_bytes(buf: bytes, base: int, path: str):
+def _parse_bytes(buf: bytes, base: int, path: str, inc: str = ""):
     """Parse a byte range into event tuples. record_no is the record's
     BYTE OFFSET within its file incarnation — unlike the single-file
     tail's running ordinal, a byte offset is derivable from the
     partition alone (no cross-batch counter in the offsets), monotonic
     per incarnation, and stable under replay. It RESETS on rotation —
-    see the MULTI_EVENT_SCHEMA caveat."""
+    ``inc`` (the incarnation head stamp, see MULTI_EVENT_SCHEMA)
+    disambiguates the reset."""
     parts = buf.split(_BOUNDARY)
     cur = 0
     for i, part in enumerate(parts):
         rec = part if i == 0 else b"# Time: " + part
         ev = parse_record(rec.decode("utf-8", errors="replace"), base + cur)
         if ev is not None:
-            yield tuple(ev[name] for name in _FIELDS) + (path,)
+            yield tuple(ev[name] for name in _FIELDS) + (path, inc)
         cur += len(rec) + 1  # +1: the \n the boundary split consumed
 
 
@@ -754,8 +795,11 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
     ``<path>.1`` when its head matches the OLD incarnation stamp.
 
     record_no is the record's byte offset within its incarnation (see
-    MULTI_EVENT_SCHEMA — it resets on rotation) and ``source_file``
-    carries provenance.
+    MULTI_EVENT_SCHEMA — it resets on rotation), ``source_file``
+    carries provenance, and ``incarnation`` carries the head stamp of
+    the incarnation the bytes were read from, making
+    (source_file, incarnation, record_no) a structural idempotency
+    key across rotations (r13 VERDICT #5).
 
     Cluster note: every executor must see the log files (shared FS, or
     run the ingest job co-located with the agents' spool directory) —
@@ -957,11 +1001,20 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
 
     def read(self, partition: InputPartition):
         v = partition.value
-        sib_buf, sib_base, live_buf, live_base, _same = _read_planned_range(v)
+        sib_buf, sib_base, live_buf, live_base, same = _read_planned_range(v)
         if sib_buf:
-            yield from _parse_bytes(sib_buf, sib_base, v["path"])
+            # salvage leg: bytes belong to the START incarnation
+            yield from _parse_bytes(
+                sib_buf, sib_base, v["path"], v.get("sib_head", "")
+            )
         if live_buf:
-            yield from _parse_bytes(live_buf, live_base, v["path"])
+            # live leg: bytes belong to the END incarnation — which,
+            # when the same-incarnation guard fired, is also the start
+            # incarnation (stamps agree on this very handle); the end
+            # stamp is the fresher (larger head_n) of the two either way
+            yield from _parse_bytes(
+                live_buf, live_base, v["path"], v.get("head", "")
+            )
 
     def commit(self, end: dict) -> None:
         pass  # offsets carry everything; nothing to clean up

@@ -98,17 +98,21 @@ def stream_classes(events: DataFrame, mode: str = "routed") -> DataFrame:
     (compact stat set; the full battery is the batch pipeline's).
 
     Fingerprinting is ROUTED by default (r12 VERDICT #2): the same
-    detector split+union as the batch ingest — clean rows through the
-    codegen'd chain, construct-flagged rows (doubled quotes,
-    multi-line comments, non-ASCII, ...) through the Arrow state
-    machine — so streamed class digests are state-machine-exact, not
-    chain-approximate. All three ops (two filters + unionByName) are
-    STATELESS, hence micro-batch safe: both branches filter the same
-    streaming relation, so they see the same micro-batch and the
-    union re-assembles it exactly (pinned by the adversarial-corpus
-    tail test: streamed classes hash-equal routed batch classes).
-    ``mode="chain"`` keeps the pure codegen path for pipelines that
-    accept chain semantics to skip the second source pass."""
+    masked single-pass routing as the batch ingest — clean rows
+    through the codegen'd chain, construct-flagged rows (doubled
+    quotes, multi-line comments, non-ASCII, ...) through the Arrow
+    state machine — so streamed class digests are state-machine-exact,
+    not chain-approximate. Since r14 the routing is ONE stateless
+    projection (UDF input masked to NULL on clean rows — see
+    routed_fingerprint), trivially micro-batch safe: no split/union
+    topology exists to re-align, and the all-clean micro-batch pays
+    no second source pass (the r13 split+union form's measured 25%
+    drain tax). Pinned under live streaming execution by
+    tests/test_streaming.py::
+    test_stream_classes_routed_inside_microbatch_equals_routed_batch,
+    which drives the adversarial corpus through THIS function as the
+    running streaming query. ``mode="chain"`` keeps the pure codegen
+    path for pipelines that accept chain-approximate digests."""
     from slowlog2clickhouse_spark.functions.fingerprint import (
         digest_col,
         fingerprint_col,
@@ -341,7 +345,11 @@ def committed_state_versions(base: str) -> list[int]:
 
 
 def merge_pctl_partial(
-    spark: SparkSession, base: str, batch_df: DataFrame, epoch_id: int
+    spark: SparkSession,
+    base: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+    retain: int = 2,
 ) -> None:
     """foreachBatch body for the pctl merge sink: addition-merge the
     batch's (digest, bucket) histogram partial into the latest
@@ -352,7 +360,23 @@ def merge_pctl_partial(
       _SUCCESS → skip (re-merging would double-count the batch);
     - epoch retried after a torn write → no _SUCCESS → recompute from
       the newest committed version BELOW epoch (never unions with or
-      lazily overwrites its own partial output)."""
+      lazily overwrites its own partial output).
+
+    GC (r13 VERDICT #6): each state part carries the FULL merged
+    histogram, so only the newest committed part is ever read — a
+    long-running tail at a 5 s trigger would otherwise accumulate one
+    part per micro-batch forever. After a successful commit the
+    ``retain`` newest committed parts are kept (current + retain-1
+    predecessors for post-mortem diffing) and older ones removed.
+    Crash-safe by the same commit discipline as the merge itself:
+    deletion happens only AFTER the new part's _SUCCESS exists, only
+    parts strictly older than the retained window are touched, and a
+    crash mid-GC just leaves extra parts for the next epoch's sweep
+    (a retried already-committed epoch returns before the GC — its
+    successor's sweep bounds the leak at one extra part). The torn-
+    write recovery path always reads the NEWEST committed version
+    below the epoch, which is by construction inside the retained
+    window."""
     dst = f"{base}/state_v{epoch_id}"
     if _os.path.exists(_os.path.join(dst, "_SUCCESS")):
         return
@@ -367,18 +391,28 @@ def merge_pctl_partial(
             .agg(F.sum("n").alias("n"))
         )
     part.write.mode("overwrite").parquet(dst)
+    if retain and retain > 0:
+        import shutil as _shutil
+
+        live = committed_state_versions(base)
+        for v in live[: max(0, len(live) - retain)]:
+            _shutil.rmtree(f"{base}/state_v{v}", ignore_errors=True)
 
 
 def run_pctl_merge_stream(
     spark: SparkSession,
     base: str,
     fail_at_epoch: int | None = None,
+    n_segments: int = 2,
+    retain: int = 2,
 ) -> None:
-    """Drive the pctl-merge stream over the two-segment rotation split
-    of the fixture log under ``base`` (availableNow, 1 file/trigger).
-    ``fail_at_epoch`` injects a crash BEFORE that epoch's merge runs —
-    the restart test's kill switch; rerunning without it resumes from
-    the checkpoint."""
+    """Drive the pctl-merge stream over an ``n_segments``-way rotation
+    split of the fixture log under ``base`` (availableNow,
+    1 file/trigger — one epoch per segment). ``fail_at_epoch`` injects
+    a crash BEFORE that epoch's merge runs — the restart test's kill
+    switch; rerunning without it resumes from the checkpoint.
+    ``retain`` bounds the committed state parts kept on disk (see
+    merge_pctl_partial's GC)."""
     import re
 
     from slowlog2clickhouse_spark.functions.fingerprint import (
@@ -395,11 +429,14 @@ def run_pctl_merge_stream(
         _os.makedirs(src, exist_ok=True)
         txt = open(FIXTURE_LOG).read()
         starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
-        mid = starts[len(starts) // 2]
-        with open(f"{src}/rot0.log", "w") as f:
-            f.write(txt[:mid])
-        with open(f"{src}/rot1.log", "w") as f:
-            f.write(txt[mid:])
+        cuts = [
+            starts[(len(starts) * i) // n_segments]
+            for i in range(1, n_segments)
+        ]
+        bounds = [0] + cuts + [len(txt)]
+        for i in range(n_segments):
+            with open(f"{src}/rot{i}.log", "w") as f:
+                f.write(txt[bounds[i] : bounds[i + 1]])
 
     events = read_slowlog_stream(spark, src, max_files_per_trigger=1)
     ev = events.where(
@@ -408,7 +445,8 @@ def run_pctl_merge_stream(
         & F.col("query_time").isNotNull()
     )
     # routed (state-machine-exact) digests on the stream path too —
-    # stateless split+union, micro-batch safe (r12 VERDICT #2)
+    # one stateless masked projection, micro-batch safe (r12 VERDICT
+    # #2; single-pass form since r14)
     ev = routed_fingerprint(ev, "query", "fingerprint").select(
         digest_col(F.col("fingerprint")).alias("digest"),
         qt_hist_bucket().alias("bucket"),
@@ -504,7 +542,8 @@ def stream_slowlog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     ev = spark.table(name).where(~F.col("admin") & F.col("query").isNotNull())
     # routed (state-machine-exact) digests for tailed events too —
-    # the same detector split+union as batch ingest (r12 VERDICT #2)
+    # the same masked single-pass routing as batch ingest (r12 VERDICT
+    # #2; single-pass form since r14)
     ev = routed_fingerprint(ev, "query", "fingerprint")
     return ev.groupBy(digest_col(F.col("fingerprint")).alias("digest")).agg(
         F.count("*").alias("num_queries"),
@@ -553,11 +592,13 @@ def stream_slowlog_tail_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     stat fast path) and one tail-block scan per grown one. record_no
     is the record's byte offset in its incarnation (stateless offsets
     — required because latestOffset() gets no start offset after a
-    committed restart). CAVEAT (r12 ADVICE): record_no RESETS to 0
-    when a file rotates, so (source_file, record_no) is NOT unique
-    across incarnations — an idempotent sink must key on content
-    (e.g. (source_file, ts, digest) or a row hash), unlike the
-    single-file tail whose record_no is a never-resetting ordinal."""
+    committed restart); it RESETS to 0 when a file rotates, and since
+    r14 every row carries the ``incarnation`` head-stamp column that
+    disambiguates the reset: (source_file, incarnation, record_no) is
+    unique across incarnations exactly as strongly as rotation
+    detection itself (see MULTI_EVENT_SCHEMA), so idempotent sinks
+    have a structural key — unlike the single-file tail whose
+    record_no is a never-resetting ordinal."""
     import re
 
     from slowlog2clickhouse_spark.functions.fingerprint import (
@@ -608,7 +649,8 @@ def stream_slowlog_tail_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     ev = spark.table(name).where(~F.col("admin") & F.col("query").isNotNull())
     # routed (state-machine-exact) digests for tailed events too —
-    # the same detector split+union as batch ingest (r12 VERDICT #2)
+    # the same masked single-pass routing as batch ingest (r12 VERDICT
+    # #2; single-pass form since r14)
     ev = routed_fingerprint(ev, "query", "fingerprint")
     return ev.groupBy(digest_col(F.col("fingerprint")).alias("digest")).agg(
         F.count("*").alias("num_queries"),

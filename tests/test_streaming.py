@@ -586,6 +586,38 @@ def test_pctl_merge_restart_equals_batch(spark, tmp_path):
     assert got == _pctl_batch_truth(spark)
 
 
+def test_pctl_merge_state_gc_bounds_parts(spark, tmp_path):
+    """r13 VERDICT #6: a long-running pctl-merge tail must not
+    accumulate one state part per micro-batch. Drained over FOUR
+    rotation segments (four epochs), the sink may keep at most
+    ``retain`` committed parts on disk at any time; the survivor's
+    quantiles still equal the single-pass batch recompute, and the
+    retained window always contains the newest committed part the
+    torn-write recovery path would read."""
+    from slowlog2clickhouse_spark.operators.slowlog_ops import hist_quantiles
+    from slowlog2clickhouse_spark.streaming.slowlog_stream import (
+        committed_state_versions,
+        run_pctl_merge_stream,
+    )
+
+    base = str(tmp_path / "pctl_gc")
+    run_pctl_merge_stream(spark, base, n_segments=4, retain=2)
+    vs = committed_state_versions(base)
+    # four epochs ran; only the retain window survives on disk
+    assert vs[-1] >= 3, vs
+    assert len(vs) <= 2, vs
+    # nothing but the retained parts is left (no torn/stray dirs)
+    stray = [d for d in os.listdir(base) if d.startswith("state_v")]
+    assert sorted(stray) == [f"state_v{v}" for v in vs]
+    got = {
+        r["digest"]: (r["num_timed"], r["p50_est"], r["p95_est"])
+        for r in hist_quantiles(
+            spark.read.parquet(f"{base}/state_v{vs[-1]}")
+        ).collect()
+    }
+    assert got == _pctl_batch_truth(spark)
+
+
 def test_pctl_merge_retry_idempotent(spark, tmp_path):
     """ADVICE r10: a retried epoch must not double-count.
     (a) retry AFTER commit: _SUCCESS present -> no-op, state unchanged
@@ -1184,6 +1216,64 @@ def test_multi_tail_copytruncate_one_file_with_salvage(spark, tmp_path):
     assert sorted(map(repr, replay)) == sorted(map(repr, rows2))
 
 
+def test_multi_tail_incarnation_disambiguates_record_no(spark, tmp_path):
+    """r13 VERDICT #5: the (source_file, record_no) hazard is now
+    STRUCTURAL — every fleet-tail row carries the ``incarnation`` head
+    stamp of the file incarnation its bytes came from, derived from
+    the committed offsets alone. Across a copytruncate rotation the
+    same (source_file, record_no) pair genuinely repeats (byte offsets
+    reset with the file), but (source_file, incarnation, record_no)
+    stays unique; salvage-leg rows carry the OLD incarnation's stamp
+    and live-leg rows the new one. Replay determinism: re-reading the
+    same planned partitions yields identical stamps."""
+    import shutil
+
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        _FIELDS,
+        SlowlogMultiTailStreamReader,
+    )
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    # both incarnations put their first record at byte 0 with the same
+    # record_no — the collision the incarnation column must break
+    with open(logs / "a.log", "w") as f:
+        f.write(_mk_rec(1) + _TERM)
+    r = SlowlogMultiTailStreamReader({"path": str(logs)})
+    rows1, off1 = _multi_plan(r, r.initialOffset())
+
+    with open(logs / "a.log", "a") as f:
+        f.write(_mk_rec(2))
+    shutil.copyfile(logs / "a.log", str(logs / "a.log") + ".1")
+    with open(logs / "a.log", "w") as f:
+        # different content => different head stamp for the new
+        # incarnation (the identical-preamble blind spot is tested
+        # elsewhere and shared with rotation detection itself)
+        f.write(_mk_rec(9) + _TERM)
+    rows2, off2 = _multi_plan(r, off1)
+    assert sorted(_queries(rows1 + rows2)) == [
+        "SELECT 1", "SELECT 2", "SELECT 9",
+    ]
+
+    rno_i = _FIELDS.index("record_no")
+    all_rows = rows1 + rows2
+    # schema tail: (..., source_file, incarnation)
+    pairs = [(t[-2], t[rno_i]) for t in all_rows]
+    triples = [(t[-2], t[-1], t[rno_i]) for t in all_rows]
+    assert len(set(pairs)) < len(pairs)  # the documented collision is real
+    assert len(set(triples)) == len(triples)  # the stamp breaks it
+    assert all(t[-1] for t in all_rows)  # every row is stamped
+    # the old incarnation contributed rows under two legs in batch 2
+    # (salvage of SELECT 2) and they carry the OLD stamp, distinct
+    # from the new incarnation's
+    stamps2 = {t[-1] for t in rows2}
+    assert len(stamps2) == 2
+    # replay of the same offsets reproduces identical stamped rows
+    parts = r.partitions(off1, off2)
+    replay = [t for p in parts for t in r.read(p)]
+    assert sorted(map(repr, replay)) == sorted(map(repr, rows2))
+
+
 def test_multi_tail_detects_regrow_past_offset(spark, tmp_path):
     """The hard copytruncate case per file: the new incarnation regrows
     PAST the stale offset between polls — head-stamp must reset."""
@@ -1710,6 +1800,99 @@ def test_tail_routed_streamed_classes_equal_batch_on_adversarial_corpus(
     assert sum(n for _, n, _ in streamed) == len(qs)  # no loss, no dup
     chain = sorted(tuple(r) for r in classes(batch_df, routed=False).collect())
     assert {d for d, _, _ in chain} != {d for d, _, _ in streamed}
+
+
+def test_stream_classes_routed_inside_microbatch_equals_routed_batch(
+    spark, tmp_path
+):
+    """ADVICE r13 #3: the routed fingerprint must be exercised WHERE
+    the claim is made — executing INSIDE a live micro-batch, not
+    applied after-the-fact to a memory-sink table. The adversarial
+    corpus is drained through stream_classes(mode='routed') as the
+    RUNNING streaming query (tail source → masked-routing projection →
+    watermarked window agg → memory sink) across two micro-batches
+    (grow-drain dance), and the emitted state must row-equal the same
+    stream_classes topology executed in batch over the same log.
+    Teeth: chain-mode batch classes DIFFER on digests, so the routed
+    (state-machine) branch demonstrably ran under streaming execution
+    on the flagged slice."""
+    import re
+
+    import pandas as pd
+
+    from slowlog2clickhouse_spark.functions.fingerprint import (
+        construct_flags_py,
+    )
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import register
+    from slowlog2clickhouse_spark.streaming.slowlog_stream import stream_classes
+
+    corpus = pd.read_parquet(
+        os.path.join(
+            os.path.dirname(__file__), "fixtures", "golden",
+            "fingerprint_corpus.parquet",
+        )
+    )
+    qs = [
+        q
+        for q in corpus["query"]
+        if "\r" not in q and not re.search(r"(?m)^#", q)
+    ]
+    flagged = sum(1 for q in qs if any(construct_flags_py(q).values()))
+    assert flagged >= 30  # the Arrow branch gets real streaming work
+
+    recs = [
+        f"# Time: 2024-01-01T00:{i // 60:02d}:{i % 60:02d}.000000Z\n"
+        "# Query_time: 0.5  Lock_time: 0.0 Rows_sent: 1  Rows_examined: 1\n"
+        f"{q};\n"
+        for i, q in enumerate(qs)
+    ]
+    sentinel = (
+        "# Time: 2030-01-01T00:00:00.000000Z\n"
+        "# Query_time: 0.000001  Lock_time: 0.000000 "
+        "Rows_sent: 0  Rows_examined: 0\n"
+    )
+    src = str(tmp_path / "slow.log")
+    mid = len(recs) // 2
+    with open(src, "w") as f:
+        f.write("".join(recs[:mid]))
+
+    register(spark)
+    name = "adv_stream_classes_routed"
+    q = (
+        stream_classes(
+            spark.readStream.format("slowlog").option("path", src).load(),
+            mode="routed",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(src, "a") as f:
+            f.write("".join(recs[mid:]) + sentinel)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cols = [
+        "period_start",
+        "digest",
+        "num_queries",
+        "m_query_time_sum",
+        "m_query_time_max",
+        "fingerprint",
+    ]
+    streamed = _rows(spark.table(name), cols)
+    batch_events = spark.read.format("slowlog").load(src)
+    batch = _rows(stream_classes(batch_events, mode="routed"), cols)
+    assert streamed == batch  # routed branch exact under streaming exec
+    assert sum(r[2] for r in streamed) == len(qs)  # no loss, no dup
+    chain = _rows(stream_classes(batch_events, mode="chain"), cols)
+    assert {r[1] for r in chain} != {r[1] for r in streamed}
 
 
 def test_multi_tail_stat_fastpath_and_same_size_copytruncate(
