@@ -1891,17 +1891,21 @@ def _pq_train_local(base: DataFrame, m: int, sub: int, k: int, iters: int):
 
     Exactness: rounding goes through Decimal(repr(x)) with
     ROUND_HALF_UP — the same shortest-repr + HALF_UP pipeline Spark's
-    round(double, 9) uses (BigDecimal.valueOf → setScale) — and the
-    distance accumulation uses the shared fold-exact _nearest_sq
-    kernel (numpy's own axis-sum is pairwise-reordered; see there).
+    round(double, 9) uses (BigDecimal.valueOf → setScale) — and BOTH
+    accumulations are explicit sequential folds: distances via the
+    shared _nearest_sq kernel, and (since r14, r13 ADVICE #1) the
+    centroid update as a member-order left fold then divide, never
+    numpy's pairwise-reordered axis-mean — so the kernel's rounding
+    behavior no longer depends on cluster population size.
     tests/test_vector.py pins _pq_train_local == _pq_train BIT-EXACT
-    at k=256 (the only gated-in configuration: clusters are tiny, so
-    summation order cannot move a mean across a 9-dp midpoint); at
-    small k with ~60-member clusters the corpus's n/1000-derived
-    values produce exactly-representable midpoints where numpy's
-    sequential sum and Spark's partition-merge order differ by one
-    ulp and HALF_UP flips — which is why this trainer is gated to
-    pq_k > 64 and _pq_train remains the small-k path."""
+    at k=256 (the gated-in configuration); at small k with ~60-member
+    clusters the corpus's n/1000-derived values produce exactly-
+    representable midpoints where ANY single sequential order and
+    Spark's partition-merge order can differ by one ulp and HALF_UP
+    flips — which is why this trainer is gated to pq_k > 64 and
+    _pq_train remains the small-k path (the gate is about matching
+    Spark's nondeterministic merge order, not about this kernel's
+    internal summation discipline)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     import numpy as np
@@ -1924,7 +1928,17 @@ def _pq_train_local(base: DataFrame, m: int, sub: int, k: int, iters: int):
             for c in range(len(model)):
                 mem = S[assign == c]
                 if len(mem):
-                    model[c] = [_r9(x) for x in mem.mean(axis=0)]
+                    # explicit sequential fold over members (ascending
+                    # vec_id), then divide — NOT mem.mean(axis=0):
+                    # numpy's axis-mean uses the pairwise 8-accumulator
+                    # tree, which reorders the adds vs a left-to-right
+                    # fold and can flip a 9-dp HALF_UP rounding for
+                    # populous clusters (r13 ADVICE #1; same discipline
+                    # as _nearest_sq's per-dimension fold)
+                    acc = np.zeros(S.shape[1], dtype=np.float64)
+                    for row in mem:
+                        acc += row
+                    model[c] = [_r9(x) for x in acc / len(mem)]
         models.append([[float(x) for x in c] for c in model])
     return models
 
@@ -2448,6 +2462,302 @@ def ann_pq_bits_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pq_bits",
             "shortlist",
             (F.col("pq_bits") * PQ_M / 8).cast("int").alias("code_bytes"),
+            "adc_rows",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            "truth_n",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.col("truth_n"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# OPQ-style rotation (r13 VERDICT #4): push the 4-bit / 64x-compression
+# recall past ann_pq_bits_clustered's measured 0.85 ceiling by rotating
+# the residual space before product quantization.
+# --------------------------------------------------------------------------
+
+_OPQ_SHORTLISTS = _PQBITS_SHORTLISTS  # same evaluation grid as the bits sweep
+
+
+def _opq_rotate(df: DataFrame, col: str) -> DataFrame:
+    """Apply the FROZEN OPQ rotation to a vector column, fold-exact.
+
+    rotated[i] = sum_j OPQ_ROT[i][j] * x[j], accumulated as an explicit
+    sequential fold over j (ascending) — numpy's matmul/einsum reorder
+    the adds (blocked dot products), which would diverge from the
+    DuckDB oracle's left-to-right `m1*x1 + m2*x2 + ...` chains in the
+    last ulps and could flip a downstream 9-dp HALF_UP model rounding
+    (the same discipline as _nearest_sq / _pq_train_local). Schema is
+    preserved, so a rotated cand_res / probe_cells drops into
+    _ivfpq_adc_scored unchanged."""
+    import numpy as np
+
+    from slowlog2clickhouse_spark.operators._opq_rotation import OPQ_ROT
+
+    MT = np.asarray(OPQ_ROT, dtype=np.float64).T  # MT[j, i] = ROT[i][j]
+
+    def rot(batches):
+        for pdf in batches:
+            if len(pdf):
+                X = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in pdf[col]]
+                )
+                acc = np.zeros_like(X)
+                for j in range(X.shape[1]):
+                    acc += X[:, j : j + 1] * MT[j : j + 1, :]
+                pdf = pdf.copy()
+                pdf[col] = [r.tolist() for r in acc]
+            yield pdf
+
+    return df.mapInPandas(rot, df.schema)
+
+
+def _opq_rot_list_sql(vec: str, dim: int) -> str:
+    """The frozen rotation as a DuckDB list expression: element i is an
+    EXPLICIT left-associated add chain `r_i1*v[1] + r_i2*v[2] + ...`
+    (never sum()/list_sum(), whose fold order is engine-internal), so
+    the oracle's rotated doubles are bit-identical to _opq_rotate's
+    sequential numpy fold."""
+    from slowlog2clickhouse_spark.operators._opq_rotation import OPQ_ROT
+
+    rows = []
+    for i in range(dim):
+        terms = " + ".join(
+            f"{OPQ_ROT[i][j]!r} * {vec}[{j + 1}]" for j in range(dim)
+        )
+        rows.append(f"({terms})")
+    return "[" + ", ".join(rows) + "]"
+
+
+def _opq_rotation_duck(m: int, sub: int, k: int, iters: int) -> str:
+    """ann_opq_rotation oracle: the full IVF-PQ pyramid on the planted-
+    cluster generator with TWO 4-bit codebook chains — identity
+    residual space vs the frozen OPQ rotation (rotated cand_res +
+    rotated probe residuals through the same tag-namespaced Lloyd
+    CTEs). Mirrors the Spark plan exactly; the rotation itself is the
+    committed literal matrix (scripts/gen_opq_rotation.py)."""
+    dim = m * sub
+    sls = ", ".join(str(s) for s in _OPQ_SHORTLISTS)
+    head = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+      FROM ({_CLUSTERED_EMB_SQL}) _clus)""" + _ivfpq_head_ctes(dim)
+    head += f""",
+    cand_res_r AS MATERIALIZED (
+      SELECT vec_id, cell, {_opq_rot_list_sql("ed", dim)} AS ed
+      FROM cand_res)"""
+    chains = _pq_subspace_ctes(
+        m, sub, k, iters, src="cand_res", tag=""
+    ) + _pq_subspace_ctes(m, sub, k, iters, src="cand_res_r", tag="r")
+    coded = []
+    for rot, tag in (("identity", ""), ("opq", "r")):
+        joins = " ".join(f"JOIN r{tag}{j} USING (vec_id)" for j in range(m))
+        dq = "flatten([" + ", ".join(f"dq_{j}" for j in range(m)) + "])"
+        src = "cand_res_r" if tag else "cand_res"
+        coded.append(f""",
+    coded_{rot} AS MATERIALIZED (
+      SELECT {src}.vec_id AS cand_id, {src}.cell, {dq} AS dq
+      FROM {src} {joins})""")
+    return (
+        head
+        + chains
+        + "".join(coded)
+        + f""",
+    probe_cells AS MATERIALIZED (
+      SELECT probe_id, cell,
+             list_transform(range(1, {dim} + 1), i -> pe[i] - cent[i]) AS rp
+      FROM (
+        SELECT e2.vec_id AS probe_id, e2.ed AS pe, c.cent_id AS cell, c.cent,
+               row_number() OVER (
+                 PARTITION BY e2.vec_id
+                 ORDER BY {_duck_cos("e2.ed", "c.cent")} DESC, c.cent_id ASC
+               ) AS rnc
+        FROM eh e2 JOIN cents c ON e2.vec_id < 20) t
+      WHERE rnc <= {_PQBITS_NPROBE}),
+    probe_cells_r AS MATERIALIZED (
+      SELECT probe_id, cell, {_opq_rot_list_sql("rp", dim)} AS rp
+      FROM probe_cells),
+    scored AS MATERIALIZED (
+      SELECT 'identity' AS rot, p.probe_id, c.cand_id,
+             round({_duck_l2("p.rp", "c.dq")}, 6) AS adc_dist
+      FROM probe_cells p JOIN coded_identity c USING (cell)
+      UNION ALL
+      SELECT 'opq' AS rot, p.probe_id, c.cand_id,
+             round({_duck_l2("p.rp", "c.dq")}, 6) AS adc_dist
+      FROM probe_cells_r p JOIN coded_opq c USING (cell)),
+    sls AS (SELECT unnest([{sls}]) AS shortlist),
+    adc_ranked AS MATERIALIZED (
+      SELECT rot, probe_id, cand_id,
+             row_number() OVER (
+               PARTITION BY rot, probe_id
+               ORDER BY adc_dist ASC, cand_id ASC) AS rn_adc
+      FROM scored),
+    short AS (
+      SELECT r.rot, b.shortlist, r.probe_id, r.cand_id
+      FROM sls b JOIN adc_ranked r ON r.rn_adc <= b.shortlist),
+    top3 AS (
+      SELECT rot, shortlist, probe_id, cand_id FROM (
+        SELECT s.rot, s.shortlist, s.probe_id, s.cand_id,
+               row_number() OVER (
+                 PARTITION BY s.rot, s.shortlist, s.probe_id
+                 ORDER BY round({_duck_cos("pv.ed", "cv.ed")}, 6) DESC,
+                          s.cand_id ASC) AS rn
+        FROM short s JOIN eh pv ON pv.vec_id = s.probe_id
+                     JOIN eh cv ON cv.vec_id = s.cand_id) t WHERE rn <= 3),
+    truth AS MATERIALIZED (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY round({_duck_cos("p.ed", "c.ed")}, 6) DESC,
+                          c.vec_id ASC) AS rn
+        FROM eh p JOIN eh c ON p.vec_id < 20 AND c.vec_id >= 20
+      ) t WHERE rn <= 3),
+    hits AS (
+      SELECT rot, shortlist, CAST(count(*) AS BIGINT) AS hits
+      FROM top3 JOIN truth USING (probe_id, cand_id) GROUP BY 1, 2),
+    adc AS (
+      SELECT rot, CAST(count(*) AS BIGINT) AS adc_rows
+      FROM scored GROUP BY 1),
+    tn AS (SELECT CAST(count(*) AS BIGINT) AS truth_n FROM truth)
+    SELECT g.rot, CAST(g.shortlist AS INTEGER) AS shortlist,
+           ar.adc_rows,
+           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, tn.truth_n,
+           round(CAST(coalesce(h.hits, 0) AS DOUBLE) / tn.truth_n, 4)
+             AS recall
+    FROM (SELECT b.rot, s.shortlist
+          FROM (SELECT unnest(['identity', 'opq']) AS rot) b, sls s) g
+    LEFT JOIN hits h USING (rot, shortlist)
+    JOIN adc ar USING (rot), tn
+    """
+    )
+
+
+@op(
+    "ann_opq_rotation",
+    oracle=_opq_rotation_duck(PQ_M, PQ_SUB, PQ_K, PQ_ITERS),
+)
+def ann_opq_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-STYLE ROTATION at 64x compression (r13 VERDICT #4):
+    ann_pq_bits_clustered showed 4-bit codes cap recall@3 at ~0.85
+    and bought it back by DOUBLING the code budget (8-bit, 32x). This
+    op buys recall back at the SAME 4 bits/subspace by fixing the
+    geometry instead: the planted-cluster IVF residuals are strongly
+    anisotropic (covariance spectrum 4.16 vs 0.06 — the coarse cells
+    leave between-cluster structure in the residuals), so an identity
+    dimension split hands whole subspaces nothing but noise while one
+    direction carries most of the variance. The frozen rotation
+    (PCA eigenbasis + snake-balanced allocation of eigen-directions
+    across the m=8 subspaces — the OPQ-P construction; derivation in
+    scripts/gen_opq_rotation.py, matrix committed as a 6-dp literal so
+    the DuckDB oracle applies the IDENTICAL transform) equalizes
+    per-subspace variance before the same 4-bit Lloyd chains run.
+    Output: (rot in {identity, opq}, shortlist, adc_rows, hits,
+    truth_n, recall) — identical adc_rows by construction (the
+    rotation is probe/candidate-symmetric and cell assignment is
+    untouched), so the recall delta is pure geometry. Measured:
+    recall@3 at shortlist 64 rises 0.85 -> ~0.92 at unchanged cost
+    (SCALING.md r14).
+
+    Scale contract: the rotation is one schema-preserving Arrow map
+    pass over candidates (64 fused multiply-add passes per batch) and
+    a driver-tiny one over probe residuals; codebook training and ADC
+    are byte-for-byte the existing 4-bit paths. Truth and the exact
+    re-rank stay in the ORIGINAL embedding space — the rotation only
+    reshapes what the quantizer sees, so near-orthogonality of the
+    rounded literal matrix is sufficient (both engines apply the same
+    matrix; nothing downstream assumes exact isometry)."""
+    grid_schema = (
+        "rot string, shortlist int, adc_rows bigint,"
+        " hits bigint, truth_n bigint, recall double"
+    )
+    index = _ivfpq_build_index(
+        spark, sf_dir, _PQBITS_NPROBE, e=_clustered_embeddings(spark)
+    )
+    with_e = index[0]
+    index_r = (
+        with_e,
+        _opq_rotate(index[1], "ed").localCheckpoint(eager=False),
+        _opq_rotate(index[2], "rp").localCheckpoint(eager=False),
+    )
+    arms = None
+    for rot, idx in (("identity", index), ("opq", index_r)):
+        _, scored = _ivfpq_adc_scored(
+            spark, sf_dir, _PQBITS_NPROBE, pq_k=PQ_K, index=idx
+        )
+        if scored is None:
+            return spark.createDataFrame([], grid_schema)
+        b = scored.drop("rnc").withColumn("rot", F.lit(rot))
+        arms = b if arms is None else arms.unionByName(b)
+    arms = arms.localCheckpoint(eager=False)
+
+    probes = with_e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("ed").alias("pe")
+    )
+    cands = with_e.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"), F.col("ed").alias("cve")
+    )
+    wt = W.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    truth = (
+        cands.join(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(cosine(F.col("pe"), F.col("cve")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") <= 3)
+        .select("probe_id", "cand_id")
+        .localCheckpoint()
+    )
+
+    wa = W.partitionBy("rot", "probe_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    ranked = arms.withColumn("rn_adc", F.row_number().over(wa))
+    short = None
+    for sl in _OPQ_SHORTLISTS:
+        s = ranked.where(F.col("rn_adc") <= sl).withColumn(
+            "shortlist", F.lit(sl)
+        )
+        short = s if short is None else short.unionByName(s)
+
+    wr = W.partitionBy("rot", "shortlist", "probe_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    top3 = (
+        short.join(F.broadcast(probes), "probe_id")
+        .join(cands, "cand_id")
+        .select(
+            "rot",
+            "shortlist",
+            "probe_id",
+            "cand_id",
+            F.round(cosine(F.col("pe"), F.col("cve")), 6).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= 3)
+    )
+    hits = top3.join(truth, ["probe_id", "cand_id"]).groupBy(
+        "rot", "shortlist"
+    ).agg(F.count("*").alias("hits"))
+    adc = arms.groupBy("rot").agg(F.count("*").alias("adc_rows"))
+    grid = spark.createDataFrame(
+        [(r, s) for r in ("identity", "opq") for s in _OPQ_SHORTLISTS],
+        "rot string, shortlist int",
+    )
+    tn = truth.agg(F.count("*").alias("truth_n"))
+    return (
+        grid.join(hits, ["rot", "shortlist"], "left")
+        .join(F.broadcast(adc), "rot")
+        .crossJoin(F.broadcast(tn))
+        .select(
+            "rot",
+            "shortlist",
             "adc_rows",
             F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
             "truth_n",

@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_slowlog_tail_multi",
     "ann_recall_clustered",
     "ann_pq_bits_clustered",
+    "ann_opq_rotation",
     "mm_resize_pgm",
     "mm_frame_sample",
     "orders_pareto",

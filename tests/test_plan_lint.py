@@ -98,6 +98,7 @@ ALLOW_NESTED_LOOP = {
     "text_zipf_fit",  # broadcast 1-row corpus-totals aggregate
     "ann_ivfpq_sweep",  # broadcast probe panel truth + 1-row truth_n fold onto the 12-row grid
     "ann_pq_bits_clustered",  # same shape: broadcast probe-panel truth + 1-row truth_n fold onto the 4-row grid
+    "ann_opq_rotation",  # same shape: broadcast probe-panel truth + 1-row truth_n fold onto the 4-row grid
     "dedup_lsh_band_sweep",  # 1-row pooled-truth fold onto the 4-row arm table
     "dedup_simhash_radius_sweep",  # 1-row spectrum-totals fold onto the 6-row radius table
 }
