@@ -831,6 +831,29 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"startAt must be 'earliest' or 'latest', got {self.start_at!r}"
             )
+        # fleet sharding (r13 VERDICT #7): past a few thousand tailed
+        # files, the binding cost is not the poll (measured ~5 us/file
+        # idle) but the OFFSET DICT -- Spark serializes it into the
+        # checkpoint offset+commit logs EVERY micro-batch (~142 B/file;
+        # 5k files = 710 KB/batch = ~12 GB/day of checkpoint churn at a
+        # 5 s trigger). The remedy is N INDEPENDENT tail streams over a
+        # deterministic hash-partition of the file set:
+        #   .option("shard", "i/n")  -- this stream tails only files
+        # with md5(basename) % n == i. Each stream carries offsets for
+        # its slice only (checkpoint churn divides by n), restarts
+        # independently, and can run in its own job; the md5 is on the
+        # BASENAME so a file keeps its shard across directory moves and
+        # the assignment is stable fleet-wide with no coordination.
+        self.shard: tuple[int, int] | None = None
+        sh = options.get("shard")
+        if sh is not None:
+            try:
+                i, n = (int(x) for x in str(sh).split("/", 1))
+            except ValueError:
+                raise ValueError(f"shard must be 'i/n', got {sh!r}") from None
+            if not (0 <= i < n):
+                raise ValueError(f"shard index out of range: {sh!r}")
+            self.shard = (i, n)
         # last-known per-file offset entries. NOT part of the offset
         # contract (offsets alone fully determine every batch) — this
         # only lets latestOffset CARRY FORWARD a file's entry through
@@ -865,11 +888,35 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
 
     _HEAD_BYTES = 64
 
+    @staticmethod
+    def _rot_base(p: str) -> str:
+        """Strip trailing .N rotation suffixes: a file's identity for
+        sibling exclusion AND shard assignment is its rotation base,
+        so slow.log and slow.log.1 always land together."""
+        base = p
+        while True:
+            root, ext = os.path.splitext(base)
+            if ext[1:].isdigit():
+                base = root
+            else:
+                break
+        return base
+
+    def _in_shard(self, p: str) -> bool:
+        if self.shard is None:
+            return True
+        i, n = self.shard
+        h = hashlib.md5(
+            os.path.basename(self._rot_base(p)).encode("utf-8", "replace")
+        ).hexdigest()
+        return int(h[:8], 16) % n == i
+
     def _files(self) -> list:
         if os.path.isdir(self.path):
             files = glob.glob(os.path.join(self.path, "*.log"))
         else:
             files = glob.glob(self.path)
+        files = [p for p in files if self._in_shard(p)]
         # known bases count too: during a rename-to-recreate gap the
         # live slow.log is briefly absent while slow.log.1 exists —
         # the carried offset entry proves the base is a tailed file,
@@ -887,13 +934,7 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
         # base's rotation history, not a mysqld of its own.
         out = []
         for p in files:
-            base = p
-            while True:
-                root, ext = os.path.splitext(base)
-                if ext[1:].isdigit():
-                    base = root
-                else:
-                    break
+            base = self._rot_base(p)
             if base != p and base in live:
                 continue
             out.append(p)
