@@ -97,9 +97,10 @@ def _build_parser() -> argparse.ArgumentParser:
     st.add_argument(
         "--fingerprint", default="routed", choices=("routed", "chain"),
         help="routed (default) = state-machine-exact digests via the"
-        " detector split+union (only flagged rows cross the Python"
-        " boundary); chain = pure codegen'd regexes, accepts the"
-        " documented divergences to skip the second source pass",
+        " masked single-pass routing (only flagged rows carry payload"
+        " across the Python boundary; no extra source pass since r14);"
+        " chain = pure codegen'd regexes, accepts the documented"
+        " divergences",
     )
 
     dd = sub.add_parser(
@@ -146,7 +147,7 @@ def _build_parser() -> argparse.ArgumentParser:
     tl.add_argument(
         "--fingerprint", default="routed", choices=("routed", "chain"),
         help="routed (default) = state-machine-exact digests via the"
-        " detector split+union; chain = pure codegen'd regexes",
+        " masked single-pass routing; chain = pure codegen'd regexes",
     )
     tl.add_argument(
         "--from", dest="start_at", choices=("earliest", "latest"),
@@ -189,10 +190,12 @@ def _warn_unroutable_constructs(spark, log_path: str) -> None:
             "WARNING: log contains constructs the fingerprint chain "
             f"diverges on ({detail}); re-run with --fingerprint python "
             "(cheapest full-fidelity path on a single box — SCALING.md "
-            "r11 crossover) or routed (UDF confined to flagged rows; "
-            "pays a second scan + detector pass) — see "
-            "fn_fingerprint_parity for the measured per-construct "
-            "divergence",
+            "r14 crossover: the detector pass alone costs about as "
+            "much as the state machine here) or routed (single-pass "
+            "since r14, UDF payload confined to flagged rows — the "
+            "better choice when Python workers are the constrained "
+            "resource) — see fn_fingerprint_parity for the measured "
+            "per-construct divergence",
             file=sys.stderr,
         )
 

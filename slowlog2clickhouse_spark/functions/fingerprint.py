@@ -229,6 +229,17 @@ def routed_fingerprint(
       only inside the mask), vs twice (once per branch filter) in the
       split form — and the source is scanned ONCE.
 
+    Cost, MEASURED (r14 crossover, SCALING.md): in streaming/tail
+    topology — where the split form's second scan+parse was a 25%
+    drain tax — masked routing now runs at chain speed on clean
+    corpora. In pure-batch topology the residual overhead is the nine
+    detector regexes themselves (~0.4 s / 200k short rows of JVM regex
+    time), which on a single box costs about as much as running the
+    Python state machine on every row — so mode="python" remains the
+    cheapest full-fidelity BATCH path there, and routed is the right
+    shape where Python workers are the constrained resource or the
+    source pass is the expensive part.
+
     ``fp_fn`` is test-instrumentation only: an alternate per-row
     fingerprint callable (e.g. one that bumps an accumulator) so the
     "UDF sees ONLY flagged rows" contract is directly observable.
@@ -240,7 +251,19 @@ def routed_fingerprint(
     # signature; the explicit returnType is sufficient
     @F.pandas_udf("string")
     def _fp_vec(s):
-        return s.map(lambda q: fn(q) if q is not None else None)
+        import pandas as pd
+
+        # vectorized None-skip: on a mostly-clean batch the masked
+        # input is almost all NULLs, and a plain s.map(lambda ...)
+        # would still pay one Python-level call per row (measured:
+        # ~0.4 s per 200k clean rows — most of the old split form's
+        # tax reappearing in a new place). notna() is a C-level scan;
+        # fn runs exactly on the flagged slice.
+        mask = s.notna()
+        out = pd.Series([None] * len(s), index=s.index, dtype=object)
+        if mask.any():
+            out[mask] = s[mask].map(fn)
+        return out
 
     flag = F.coalesce(any_construct_flag(F.col(query_col)), F.lit(False))
     masked = F.when(flag, F.col(query_col))  # NULL for clean rows

@@ -1692,11 +1692,13 @@ def slowlog_classes_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference fidelity while keeping the UDF tax confined to the
     flagged slice (39/983 events on this fixture).
 
-    Scale: the chain ingest plus a split+union on ten codegen'd
-    boolean detectors (NOT when()/otherwise(), which would run the UDF
-    on every row — ADVICE r10): the parsed events are filtered twice
-    (clean → chain, flagged → UDF) and unioned, so only flagged rows
-    cross the Python boundary, Arrow-batched."""
+    Scale: the chain ingest plus masked single-pass routing on ten
+    codegen'd boolean detectors (NOT when()/otherwise() in the VALUE
+    position, which would run the UDF on every row — ADVICE r10; and
+    no longer the r10 split+union, which paid a second source pass —
+    r14): the UDF's INPUT is masked to NULL for clean rows, so only
+    flagged rows carry payload across the Python boundary,
+    Arrow-batched, in one scan."""
     from slowlog2clickhouse_spark.sources.slowlog import with_fingerprint
 
     events = with_fingerprint(
