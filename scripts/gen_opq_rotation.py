@@ -62,8 +62,11 @@ def derive_rotation():
     from slowlog2clickhouse_spark.session import get_session
 
     spark = get_session(app_name="gen_opq_rotation")
+    # sf_dir is DEAD here: e= supplies the fully synthetic corpus, so
+    # the rotation does not depend on any on-disk test data — the
+    # sentinel makes that explicit (and fails loudly if it ever would)
     _, cand_res, _ = _ivfpq_build_index(
-        spark, "/root/testdata/sf0.01", _PQBITS_NPROBE,
+        spark, "<unused-synthetic-corpus>", _PQBITS_NPROBE,
         e=_clustered_embeddings(spark),
     )
     R = np.asarray(

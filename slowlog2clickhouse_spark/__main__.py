@@ -377,7 +377,9 @@ def cmd_tail(args) -> int:
         .load()
     )
     if fleet:
-        events = events.drop("source_file")  # stream_classes keys by digest
+        # stream_classes keys by digest — strip the fleet reader's
+        # provenance columns (file path + incarnation stamp)
+        events = events.drop("source_file", "incarnation")
     classes = stream_classes(events, mode=args.fingerprint)
 
     if args.follow:

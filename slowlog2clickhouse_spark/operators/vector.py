@@ -2132,6 +2132,101 @@ def _ivfpq_sweep_duck(m: int, sub: int, k: int, iters: int) -> str:
     )
 
 
+def _arm_adc_recall_grid(
+    spark: SparkSession,
+    with_e: DataFrame,
+    arms: DataFrame,
+    arm_col: str,
+    arm_values,
+    arm_type: str,
+    shortlists,
+) -> DataFrame:
+    """ONE ADC-arm recall-evaluation pyramid (r14 review find: the
+    nprobe sweep, the pq-bits sweep, and the OPQ op each hand-copied
+    ~80 lines of identical truth / adc-rank / per-shortlist /
+    exact-re-rank / hits / grid machinery — the same drift class the
+    r13 review fixed on the oracle side by extracting
+    _ivfpq_head_ctes). ``arms`` carries (probe_id, cand_id, adc_dist,
+    <arm_col>); probes are vec_id < 20, candidates >= 20 (the corpus
+    split every IVF-PQ op uses). Returns the (arm, shortlist) grid:
+    (<arm_col>, shortlist, adc_rows, hits, truth_n, recall)."""
+    arms = arms.localCheckpoint(eager=False)
+
+    probes = with_e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("ed").alias("pe")
+    )
+    cands = with_e.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"), F.col("ed").alias("cve")
+    )
+    wt = W.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    truth = (
+        cands.join(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(cosine(F.col("pe"), F.col("cve")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") <= 3)
+        .select("probe_id", "cand_id")
+        .localCheckpoint()
+    )
+
+    wa = W.partitionBy(arm_col, "probe_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    ranked = arms.withColumn("rn_adc", F.row_number().over(wa))
+    short = None
+    for sl in shortlists:
+        s = ranked.where(F.col("rn_adc") <= sl).withColumn(
+            "shortlist", F.lit(sl)
+        )
+        short = s if short is None else short.unionByName(s)
+
+    wr = W.partitionBy(arm_col, "shortlist", "probe_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    top3 = (
+        short.join(F.broadcast(probes), "probe_id")
+        .join(cands, "cand_id")
+        .select(
+            arm_col,
+            "shortlist",
+            "probe_id",
+            "cand_id",
+            F.round(cosine(F.col("pe"), F.col("cve")), 6).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= 3)
+    )
+    hits = top3.join(truth, ["probe_id", "cand_id"]).groupBy(
+        arm_col, "shortlist"
+    ).agg(F.count("*").alias("hits"))
+    adc = arms.groupBy(arm_col).agg(F.count("*").alias("adc_rows"))
+    grid = spark.createDataFrame(
+        [(a, s) for a in arm_values for s in shortlists],
+        f"{arm_col} {arm_type}, shortlist int",
+    )
+    tn = truth.agg(F.count("*").alias("truth_n"))
+    return (
+        grid.join(hits, [arm_col, "shortlist"], "left")
+        .join(F.broadcast(adc), arm_col)
+        .crossJoin(F.broadcast(tn))
+        .select(
+            arm_col,
+            "shortlist",
+            "adc_rows",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            "truth_n",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.col("truth_n"), 4
+            ).alias("recall"),
+        )
+    )
+
+
 @op("ann_ivfpq_sweep", oracle=_ivfpq_sweep_duck(PQ_M, PQ_SUB, PQ_K, PQ_ITERS))
 def ann_ivfpq_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF-PQ recall/cost FRONTIER (VERDICT r9 #4): recall@3 and
@@ -2162,89 +2257,82 @@ def ann_ivfpq_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], grid_schema)
     scored = scored.localCheckpoint(eager=False)
 
-    probes = with_e.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("probe_id"), F.col("ed").alias("pe")
-    )
-    cands = with_e.where(F.col("vec_id") >= 20).select(
-        F.col("vec_id").alias("cand_id"), F.col("ed").alias("cve")
-    )
-    wt = W.partitionBy("probe_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id").asc()
-    )
-    truth = (
-        cands.join(F.broadcast(probes))
-        .select(
-            "probe_id",
-            "cand_id",
-            F.round(cosine(F.col("pe"), F.col("cve")), 6).alias("cos_sim"),
-        )
-        .withColumn("rn", F.row_number().over(wt))
-        .where(F.col("rn") <= 3)
-        .select("probe_id", "cand_id")
-        .localCheckpoint()
-    )
-
-    wa = W.partitionBy("probe_id").orderBy(
-        F.col("adc_dist").asc(), F.col("cand_id").asc()
-    )
     arms = None
     for np_ in _SWEEP_NPROBES:
         b = (
             scored.where(F.col("rnc") <= np_)
-            .withColumn("rn_adc", F.row_number().over(wa))
+            .drop("rnc")
             .withColumn("nprobe", F.lit(np_))
         )
         arms = b if arms is None else arms.unionByName(b)
-    short = None
-    for sl in _SWEEP_SHORTLISTS:
-        s = arms.where(F.col("rn_adc") <= sl).withColumn("shortlist", F.lit(sl))
-        short = s if short is None else short.unionByName(s)
-
-    wr = W.partitionBy("nprobe", "shortlist", "probe_id").orderBy(
-        F.col("cos").desc(), F.col("cand_id").asc()
-    )
-    top3 = (
-        short.join(F.broadcast(probes), "probe_id")
-        .join(cands, "cand_id")
-        .select(
-            "nprobe",
-            "shortlist",
-            "probe_id",
-            "cand_id",
-            F.round(cosine(F.col("pe"), F.col("cve")), 6).alias("cos"),
-        )
-        .withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= 3)
-    )
-    hits = top3.join(truth, ["probe_id", "cand_id"]).groupBy(
-        "nprobe", "shortlist"
-    ).agg(F.count("*").alias("hits"))
-    adc = arms.groupBy("nprobe").agg(F.count("*").alias("adc_rows"))
-    grid = spark.createDataFrame(
-        [(p, s) for p in _SWEEP_NPROBES for s in _SWEEP_SHORTLISTS],
-        "nprobe int, shortlist int",
-    )
-    tn = truth.agg(F.count("*").alias("truth_n"))
-    return (
-        grid.join(hits, ["nprobe", "shortlist"], "left")
-        .join(F.broadcast(adc), "nprobe")
-        .crossJoin(F.broadcast(tn))
-        .select(
-            "nprobe",
-            "shortlist",
-            "adc_rows",
-            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
-            "truth_n",
-            F.round(
-                F.coalesce(F.col("hits"), F.lit(0)) / F.col("truth_n"), 4
-            ).alias("recall"),
-        )
+    return _arm_adc_recall_grid(
+        spark, with_e, arms, "nprobe", _SWEEP_NPROBES, "int",
+        _SWEEP_SHORTLISTS,
     )
 
 
 _PQBITS_NPROBE = 8  # cells wide open: isolates QUANTIZATION loss
 _PQBITS_SHORTLISTS = (16, 64)
 _PQBITS_ARMS = ((4, 16), (8, 256))  # (code bits, centroids) per subspace
+
+
+def _arm_recall_tail_duck(
+    arm: str, grid_src: str, shortlists, final_arm_cols: str
+) -> str:
+    """The shared oracle TAIL of the ADC-arm recall pyramid (the SQL
+    twin of _arm_adc_recall_grid, same r14 review find): everything
+    from the shortlist unnest through the final grid select, given an
+    upstream ``scored`` CTE carrying ({arm}, probe_id, cand_id,
+    adc_dist) and the ``eh`` corpus CTE. ``grid_src`` enumerates the
+    arm values; ``final_arm_cols`` renders the arm/shortlist (and any
+    derived, e.g. code_bytes) output columns off alias ``g``."""
+    sls = ", ".join(str(x) for x in shortlists)
+    return f""",
+    sls AS (SELECT unnest([{sls}]) AS shortlist),
+    adc_ranked AS MATERIALIZED (
+      SELECT {arm}, probe_id, cand_id,
+             row_number() OVER (
+               PARTITION BY {arm}, probe_id
+               ORDER BY adc_dist ASC, cand_id ASC) AS rn_adc
+      FROM scored),
+    short AS (
+      SELECT r.{arm}, b.shortlist, r.probe_id, r.cand_id
+      FROM sls b JOIN adc_ranked r ON r.rn_adc <= b.shortlist),
+    top3 AS (
+      SELECT {arm}, shortlist, probe_id, cand_id FROM (
+        SELECT s.{arm}, s.shortlist, s.probe_id, s.cand_id,
+               row_number() OVER (
+                 PARTITION BY s.{arm}, s.shortlist, s.probe_id
+                 ORDER BY round({_duck_cos("pv.ed", "cv.ed")}, 6) DESC,
+                          s.cand_id ASC) AS rn
+        FROM short s JOIN eh pv ON pv.vec_id = s.probe_id
+                     JOIN eh cv ON cv.vec_id = s.cand_id) t WHERE rn <= 3),
+    truth AS MATERIALIZED (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY round({_duck_cos("p.ed", "c.ed")}, 6) DESC,
+                          c.vec_id ASC) AS rn
+        FROM eh p JOIN eh c ON p.vec_id < 20 AND c.vec_id >= 20
+      ) t WHERE rn <= 3),
+    hits AS (
+      SELECT {arm}, shortlist, CAST(count(*) AS BIGINT) AS hits
+      FROM top3 JOIN truth USING (probe_id, cand_id) GROUP BY 1, 2),
+    adc AS (
+      SELECT {arm}, CAST(count(*) AS BIGINT) AS adc_rows
+      FROM scored GROUP BY 1),
+    tn AS (SELECT CAST(count(*) AS BIGINT) AS truth_n FROM truth)
+    SELECT {final_arm_cols},
+           ar.adc_rows,
+           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, tn.truth_n,
+           round(CAST(coalesce(h.hits, 0) AS DOUBLE) / tn.truth_n, 4)
+             AS recall
+    FROM (SELECT b.{arm}, s.shortlist
+          FROM ({grid_src}) b, sls s) g
+    LEFT JOIN hits h USING ({arm}, shortlist)
+    JOIN adc ar USING ({arm}), tn
+    """
 
 
 def _pq_bits_clustered_duck(m: int, sub: int, iters: int) -> str:
@@ -2254,7 +2342,6 @@ def _pq_bits_clustered_duck(m: int, sub: int, iters: int) -> str:
     tag-namespaced _pq_subspace_ctes, then every (bits, shortlist) arm
     is a rank over its scored table. Mirrors the Spark plan exactly."""
     dim = m * sub
-    sls = ", ".join(str(s) for s in _PQBITS_SHORTLISTS)
     head = f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
@@ -2294,55 +2381,16 @@ def _pq_bits_clustered_duck(m: int, sub: int, iters: int) -> str:
       UNION ALL
       SELECT {_PQBITS_ARMS[1][0]} AS pq_bits, p.probe_id, c.cand_id,
              round({_duck_l2("p.rp", "c.dq")}, 6) AS adc_dist
-      FROM probe_cells p JOIN coded{_PQBITS_ARMS[1][0]} c USING (cell)),
-    sls AS (SELECT unnest([{sls}]) AS shortlist),
-    adc_ranked AS MATERIALIZED (
-      SELECT pq_bits, probe_id, cand_id,
-             row_number() OVER (
-               PARTITION BY pq_bits, probe_id
-               ORDER BY adc_dist ASC, cand_id ASC) AS rn_adc
-      FROM scored),
-    short AS (
-      SELECT r.pq_bits, b.shortlist, r.probe_id, r.cand_id
-      FROM sls b JOIN adc_ranked r ON r.rn_adc <= b.shortlist),
-    top3 AS (
-      SELECT pq_bits, shortlist, probe_id, cand_id FROM (
-        SELECT s.pq_bits, s.shortlist, s.probe_id, s.cand_id,
-               row_number() OVER (
-                 PARTITION BY s.pq_bits, s.shortlist, s.probe_id
-                 ORDER BY round({_duck_cos("pv.ed", "cv.ed")}, 6) DESC,
-                          s.cand_id ASC) AS rn
-        FROM short s JOIN eh pv ON pv.vec_id = s.probe_id
-                     JOIN eh cv ON cv.vec_id = s.cand_id) t WHERE rn <= 3),
-    truth AS MATERIALIZED (
-      SELECT probe_id, cand_id FROM (
-        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-               row_number() OVER (
-                 PARTITION BY p.vec_id
-                 ORDER BY round({_duck_cos("p.ed", "c.ed")}, 6) DESC,
-                          c.vec_id ASC) AS rn
-        FROM eh p JOIN eh c ON p.vec_id < 20 AND c.vec_id >= 20
-      ) t WHERE rn <= 3),
-    hits AS (
-      SELECT pq_bits, shortlist, CAST(count(*) AS BIGINT) AS hits
-      FROM top3 JOIN truth USING (probe_id, cand_id) GROUP BY 1, 2),
-    adc AS (
-      SELECT pq_bits, CAST(count(*) AS BIGINT) AS adc_rows
-      FROM scored GROUP BY 1),
-    tn AS (SELECT CAST(count(*) AS BIGINT) AS truth_n FROM truth)
-    SELECT CAST(g.pq_bits AS INTEGER) AS pq_bits,
-           CAST(g.shortlist AS INTEGER) AS shortlist,
-           CAST(g.pq_bits AS INTEGER) AS code_bytes,
-           ar.adc_rows,
-           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, tn.truth_n,
-           round(CAST(coalesce(h.hits, 0) AS DOUBLE) / tn.truth_n, 4)
-             AS recall
-    FROM (SELECT b.pq_bits, s.shortlist
-          FROM (SELECT unnest([{_PQBITS_ARMS[0][0]}, {_PQBITS_ARMS[1][0]}])
-                  AS pq_bits) b, sls s) g
-    LEFT JOIN hits h USING (pq_bits, shortlist)
-    JOIN adc ar USING (pq_bits), tn
-    """
+      FROM probe_cells p JOIN coded{_PQBITS_ARMS[1][0]} c USING (cell))"""
+        + _arm_recall_tail_duck(
+            "pq_bits",
+            f"SELECT unnest([{_PQBITS_ARMS[0][0]}, {_PQBITS_ARMS[1][0]}])"
+            " AS pq_bits",
+            _PQBITS_SHORTLISTS,
+            "CAST(g.pq_bits AS INTEGER) AS pq_bits,\n"
+            "           CAST(g.shortlist AS INTEGER) AS shortlist,\n"
+            "           CAST(g.pq_bits AS INTEGER) AS code_bytes",
+        )
     )
 
 
@@ -2394,81 +2442,17 @@ def ann_pq_bits_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.createDataFrame([], grid_schema)
         b = scored.drop("rnc").withColumn("pq_bits", F.lit(bits))
         arms = b if arms is None else arms.unionByName(b)
-    arms = arms.localCheckpoint(eager=False)
-
-    probes = with_e.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("probe_id"), F.col("ed").alias("pe")
-    )
-    cands = with_e.where(F.col("vec_id") >= 20).select(
-        F.col("vec_id").alias("cand_id"), F.col("ed").alias("cve")
-    )
-    wt = W.partitionBy("probe_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id").asc()
-    )
-    truth = (
-        cands.join(F.broadcast(probes))
-        .select(
-            "probe_id",
-            "cand_id",
-            F.round(cosine(F.col("pe"), F.col("cve")), 6).alias("cos_sim"),
-        )
-        .withColumn("rn", F.row_number().over(wt))
-        .where(F.col("rn") <= 3)
-        .select("probe_id", "cand_id")
-        .localCheckpoint()
-    )
-
-    wa = W.partitionBy("pq_bits", "probe_id").orderBy(
-        F.col("adc_dist").asc(), F.col("cand_id").asc()
-    )
-    ranked = arms.withColumn("rn_adc", F.row_number().over(wa))
-    short = None
-    for sl in _PQBITS_SHORTLISTS:
-        s = ranked.where(F.col("rn_adc") <= sl).withColumn(
-            "shortlist", F.lit(sl)
-        )
-        short = s if short is None else short.unionByName(s)
-
-    wr = W.partitionBy("pq_bits", "shortlist", "probe_id").orderBy(
-        F.col("cos").desc(), F.col("cand_id").asc()
-    )
-    top3 = (
-        short.join(F.broadcast(probes), "probe_id")
-        .join(cands, "cand_id")
-        .select(
-            "pq_bits",
-            "shortlist",
-            "probe_id",
-            "cand_id",
-            F.round(cosine(F.col("pe"), F.col("cve")), 6).alias("cos"),
-        )
-        .withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= 3)
-    )
-    hits = top3.join(truth, ["probe_id", "cand_id"]).groupBy(
-        "pq_bits", "shortlist"
-    ).agg(F.count("*").alias("hits"))
-    adc = arms.groupBy("pq_bits").agg(F.count("*").alias("adc_rows"))
-    grid = spark.createDataFrame(
-        [(b, s) for b, _ in _PQBITS_ARMS for s in _PQBITS_SHORTLISTS],
-        "pq_bits int, shortlist int",
-    )
-    tn = truth.agg(F.count("*").alias("truth_n"))
-    return (
-        grid.join(hits, ["pq_bits", "shortlist"], "left")
-        .join(F.broadcast(adc), "pq_bits")
-        .crossJoin(F.broadcast(tn))
-        .select(
-            "pq_bits",
-            "shortlist",
-            (F.col("pq_bits") * PQ_M / 8).cast("int").alias("code_bytes"),
-            "adc_rows",
-            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
-            "truth_n",
-            F.round(
-                F.coalesce(F.col("hits"), F.lit(0)) / F.col("truth_n"), 4
-            ).alias("recall"),
-        )
+    return _arm_adc_recall_grid(
+        spark, with_e, arms, "pq_bits", [b for b, _ in _PQBITS_ARMS],
+        "int", _PQBITS_SHORTLISTS,
+    ).select(
+        "pq_bits",
+        "shortlist",
+        (F.col("pq_bits") * PQ_M / 8).cast("int").alias("code_bytes"),
+        "adc_rows",
+        "hits",
+        "truth_n",
+        "recall",
     )
 
 
@@ -2539,7 +2523,6 @@ def _opq_rotation_duck(m: int, sub: int, k: int, iters: int) -> str:
     CTEs). Mirrors the Spark plan exactly; the rotation itself is the
     committed literal matrix (scripts/gen_opq_rotation.py)."""
     dim = m * sub
-    sls = ", ".join(str(s) for s in _OPQ_SHORTLISTS)
     head = f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
@@ -2586,52 +2569,13 @@ def _opq_rotation_duck(m: int, sub: int, k: int, iters: int) -> str:
       UNION ALL
       SELECT 'opq' AS rot, p.probe_id, c.cand_id,
              round({_duck_l2("p.rp", "c.dq")}, 6) AS adc_dist
-      FROM probe_cells_r p JOIN coded_opq c USING (cell)),
-    sls AS (SELECT unnest([{sls}]) AS shortlist),
-    adc_ranked AS MATERIALIZED (
-      SELECT rot, probe_id, cand_id,
-             row_number() OVER (
-               PARTITION BY rot, probe_id
-               ORDER BY adc_dist ASC, cand_id ASC) AS rn_adc
-      FROM scored),
-    short AS (
-      SELECT r.rot, b.shortlist, r.probe_id, r.cand_id
-      FROM sls b JOIN adc_ranked r ON r.rn_adc <= b.shortlist),
-    top3 AS (
-      SELECT rot, shortlist, probe_id, cand_id FROM (
-        SELECT s.rot, s.shortlist, s.probe_id, s.cand_id,
-               row_number() OVER (
-                 PARTITION BY s.rot, s.shortlist, s.probe_id
-                 ORDER BY round({_duck_cos("pv.ed", "cv.ed")}, 6) DESC,
-                          s.cand_id ASC) AS rn
-        FROM short s JOIN eh pv ON pv.vec_id = s.probe_id
-                     JOIN eh cv ON cv.vec_id = s.cand_id) t WHERE rn <= 3),
-    truth AS MATERIALIZED (
-      SELECT probe_id, cand_id FROM (
-        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-               row_number() OVER (
-                 PARTITION BY p.vec_id
-                 ORDER BY round({_duck_cos("p.ed", "c.ed")}, 6) DESC,
-                          c.vec_id ASC) AS rn
-        FROM eh p JOIN eh c ON p.vec_id < 20 AND c.vec_id >= 20
-      ) t WHERE rn <= 3),
-    hits AS (
-      SELECT rot, shortlist, CAST(count(*) AS BIGINT) AS hits
-      FROM top3 JOIN truth USING (probe_id, cand_id) GROUP BY 1, 2),
-    adc AS (
-      SELECT rot, CAST(count(*) AS BIGINT) AS adc_rows
-      FROM scored GROUP BY 1),
-    tn AS (SELECT CAST(count(*) AS BIGINT) AS truth_n FROM truth)
-    SELECT g.rot, CAST(g.shortlist AS INTEGER) AS shortlist,
-           ar.adc_rows,
-           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, tn.truth_n,
-           round(CAST(coalesce(h.hits, 0) AS DOUBLE) / tn.truth_n, 4)
-             AS recall
-    FROM (SELECT b.rot, s.shortlist
-          FROM (SELECT unnest(['identity', 'opq']) AS rot) b, sls s) g
-    LEFT JOIN hits h USING (rot, shortlist)
-    JOIN adc ar USING (rot), tn
-    """
+      FROM probe_cells_r p JOIN coded_opq c USING (cell))"""
+        + _arm_recall_tail_duck(
+            "rot",
+            "SELECT unnest(['identity', 'opq']) AS rot",
+            _OPQ_SHORTLISTS,
+            "g.rot, CAST(g.shortlist AS INTEGER) AS shortlist",
+        )
     )
 
 
@@ -2691,78 +2635,7 @@ def ann_opq_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.createDataFrame([], grid_schema)
         b = scored.drop("rnc").withColumn("rot", F.lit(rot))
         arms = b if arms is None else arms.unionByName(b)
-    arms = arms.localCheckpoint(eager=False)
-
-    probes = with_e.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("probe_id"), F.col("ed").alias("pe")
-    )
-    cands = with_e.where(F.col("vec_id") >= 20).select(
-        F.col("vec_id").alias("cand_id"), F.col("ed").alias("cve")
-    )
-    wt = W.partitionBy("probe_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id").asc()
-    )
-    truth = (
-        cands.join(F.broadcast(probes))
-        .select(
-            "probe_id",
-            "cand_id",
-            F.round(cosine(F.col("pe"), F.col("cve")), 6).alias("cos_sim"),
-        )
-        .withColumn("rn", F.row_number().over(wt))
-        .where(F.col("rn") <= 3)
-        .select("probe_id", "cand_id")
-        .localCheckpoint()
-    )
-
-    wa = W.partitionBy("rot", "probe_id").orderBy(
-        F.col("adc_dist").asc(), F.col("cand_id").asc()
-    )
-    ranked = arms.withColumn("rn_adc", F.row_number().over(wa))
-    short = None
-    for sl in _OPQ_SHORTLISTS:
-        s = ranked.where(F.col("rn_adc") <= sl).withColumn(
-            "shortlist", F.lit(sl)
-        )
-        short = s if short is None else short.unionByName(s)
-
-    wr = W.partitionBy("rot", "shortlist", "probe_id").orderBy(
-        F.col("cos").desc(), F.col("cand_id").asc()
-    )
-    top3 = (
-        short.join(F.broadcast(probes), "probe_id")
-        .join(cands, "cand_id")
-        .select(
-            "rot",
-            "shortlist",
-            "probe_id",
-            "cand_id",
-            F.round(cosine(F.col("pe"), F.col("cve")), 6).alias("cos"),
-        )
-        .withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= 3)
-    )
-    hits = top3.join(truth, ["probe_id", "cand_id"]).groupBy(
-        "rot", "shortlist"
-    ).agg(F.count("*").alias("hits"))
-    adc = arms.groupBy("rot").agg(F.count("*").alias("adc_rows"))
-    grid = spark.createDataFrame(
-        [(r, s) for r in ("identity", "opq") for s in _OPQ_SHORTLISTS],
-        "rot string, shortlist int",
-    )
-    tn = truth.agg(F.count("*").alias("truth_n"))
-    return (
-        grid.join(hits, ["rot", "shortlist"], "left")
-        .join(F.broadcast(adc), "rot")
-        .crossJoin(F.broadcast(tn))
-        .select(
-            "rot",
-            "shortlist",
-            "adc_rows",
-            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
-            "truth_n",
-            F.round(
-                F.coalesce(F.col("hits"), F.lit(0)) / F.col("truth_n"), 4
-            ).alias("recall"),
-        )
+    return _arm_adc_recall_grid(
+        spark, with_e, arms, "rot", ["identity", "opq"], "string",
+        _OPQ_SHORTLISTS,
     )

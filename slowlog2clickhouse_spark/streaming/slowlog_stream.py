@@ -455,7 +455,7 @@ def run_pctl_merge_stream(
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if fail_at_epoch is not None and epoch_id >= fail_at_epoch:
             raise RuntimeError(f"injected crash before epoch {epoch_id}")
-        merge_pctl_partial(spark, base, batch_df, epoch_id)
+        merge_pctl_partial(spark, base, batch_df, epoch_id, retain=retain)
 
     q = (
         ev.writeStream.foreachBatch(merge_batch)

@@ -601,11 +601,13 @@ def test_pctl_merge_state_gc_bounds_parts(spark, tmp_path):
     )
 
     base = str(tmp_path / "pctl_gc")
-    run_pctl_merge_stream(spark, base, n_segments=4, retain=2)
+    run_pctl_merge_stream(spark, base, n_segments=4, retain=3)
     vs = committed_state_versions(base)
-    # four epochs ran; only the retain window survives on disk
+    # four epochs ran; EXACTLY the retain window survives on disk —
+    # the exact count also pins that retain is forwarded through the
+    # foreachBatch closure (the default of 2 would leave 2 parts)
     assert vs[-1] >= 3, vs
-    assert len(vs) <= 2, vs
+    assert len(vs) == 3, vs
     # nothing but the retained parts is left (no torn/stray dirs)
     stray = [d for d in os.listdir(base) if d.startswith("state_v")]
     assert sorted(stray) == [f"state_v{v}" for v in vs]
