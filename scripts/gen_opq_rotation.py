@@ -122,13 +122,13 @@ def main() -> int:
     mat, spectrum = derive_rotation()
     text = render(mat, spectrum)
     if "--check" in sys.argv:
-        committed = open(OUT).read()
+        committed = open(OUT, encoding="utf-8").read()
         if committed != text:
             print("OPQ rotation DRIFT: committed constant != re-derived")
             return 1
         print("OPQ rotation check: committed constant matches re-derivation")
         return 0
-    with open(OUT, "w") as f:
+    with open(OUT, "w", encoding="utf-8") as f:
         f.write(text)
     print(f"wrote {OUT}: 64x64 rotation, spectrum head {spectrum[:4]}")
     return 0

@@ -442,12 +442,16 @@ def test_routed_fingerprint_is_state_machine_exact(spark, sf_dir):
     assert n_diverge > 0  # the corpus still exercises the routed path
 
 
-def test_routed_udf_receives_only_flagged_rows(spark):
-    """ADVICE r10 (medium): the when()/otherwise() form pays the Arrow
-    tax on EVERY row because Spark extracts Python UDFs out of
-    conditional expressions. routed_fingerprint's split+union form must
-    send the UDF exactly the flagged slice — pinned here with an
-    accumulator bumped once per row the UDF actually sees."""
+def test_routed_fn_runs_only_on_flagged_rows(spark):
+    """The masked single-pass form's confinement contract (r14;
+    supersedes the r10 split+union pin): every row crosses the Arrow
+    boundary, but clean rows cross as NULLs (validity bits, no string
+    payload) and the per-row state machine ``fn`` runs EXACTLY on the
+    flagged slice — pinned with an accumulator bumped once per ``fn``
+    invocation. (The r10 hazard this guards against is unchanged: a
+    when()/otherwise() VALUE expression would run the UDF's fn on
+    every row because Spark extracts Python UDFs out of
+    conditionals.)"""
     from slowlog2clickhouse_spark.functions.fingerprint import (
         any_construct_flag,
         fingerprint_py,

@@ -449,7 +449,7 @@ def test_opq_rotation_pinned_to_corpus(spark):
     gen = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(gen)
     mat, spectrum = gen.derive_rotation()
-    assert gen.render(mat, spectrum) == open(gen.OUT).read()
+    assert gen.render(mat, spectrum) == open(gen.OUT, encoding="utf-8").read()
 
 
 def test_opq_rotation_lifts_4bit_recall(spark, sf_dir):
