@@ -1665,6 +1665,29 @@ def _ivfpq_head_ctes(dim: int) -> str:
       WHERE rnc = 1)"""
 
 
+def _probe_cells_cte(dim: int, nprobe, with_rnc: bool = False) -> str:
+    """The probe-residual CTE shared by all four IVF-PQ oracles
+    (r14 third review: the fourth hand-copy landed with the OPQ op —
+    same drift class _ivfpq_head_ctes closed for the candidate side).
+    Probe panel = vec_id < 20; one row per (probe, probed cell) up to
+    ``nprobe`` by unrounded-cosine rank, rp = the probe's residual in
+    that cell. ``with_rnc`` keeps the cell rank in the output (the
+    nprobe sweep filters arms on it)."""
+    rnc_col = " rnc," if with_rnc else ""
+    return f""",
+    probe_cells AS MATERIALIZED (
+      SELECT probe_id, cell,{rnc_col}
+             list_transform(range(1, {dim} + 1), i -> pe[i] - cent[i]) AS rp
+      FROM (
+        SELECT e2.vec_id AS probe_id, e2.ed AS pe, c.cent_id AS cell, c.cent,
+               row_number() OVER (
+                 PARTITION BY e2.vec_id
+                 ORDER BY {_duck_cos("e2.ed", "c.cent")} DESC, c.cent_id ASC
+               ) AS rnc
+        FROM eh e2 JOIN cents c ON e2.vec_id < 20) t
+      WHERE rnc <= {nprobe})"""
+
+
 def _ivf_pq_duck(m: int, sub: int, k: int, iters: int, nprobe: int) -> str:
     """vec_knn_ivf_pq oracle: IVF coarse cells (md5-ranked centroids,
     unrounded-cosine argmax — the _ivf_duck contract) + residual PQ
@@ -1679,18 +1702,9 @@ def _ivf_pq_duck(m: int, sub: int, k: int, iters: int, nprobe: int) -> str:
         + f""",
     coded AS MATERIALIZED (
       SELECT cand_res.vec_id AS cand_id, cand_res.cell, {dq} AS dq
-      FROM cand_res {joins}),
-    probe_cells AS MATERIALIZED (
-      SELECT probe_id, cell,
-             list_transform(range(1, {dim} + 1), i -> pe[i] - cent[i]) AS rp
-      FROM (
-        SELECT e2.vec_id AS probe_id, e2.ed AS pe, c.cent_id AS cell, c.cent,
-               row_number() OVER (
-                 PARTITION BY e2.vec_id
-                 ORDER BY {_duck_cos("e2.ed", "c.cent")} DESC, c.cent_id ASC
-               ) AS rnc
-        FROM eh e2 JOIN cents c ON e2.vec_id < 20) t
-      WHERE rnc <= {nprobe}),
+      FROM cand_res {joins})"""
+        + _probe_cells_cte(dim, nprobe)
+        + f""",
     shortlist AS MATERIALIZED (
       SELECT probe_id, cand_id, adc_dist FROM (
         SELECT p.probe_id, c.cand_id,
@@ -2070,18 +2084,9 @@ def _ivfpq_sweep_duck(m: int, sub: int, k: int, iters: int) -> str:
         + f""",
     coded AS MATERIALIZED (
       SELECT cand_res.vec_id AS cand_id, cand_res.cell, {dq} AS dq
-      FROM cand_res {joins}),
-    probe_cells AS MATERIALIZED (
-      SELECT probe_id, cell, rnc,
-             list_transform(range(1, {dim} + 1), i -> pe[i] - cent[i]) AS rp
-      FROM (
-        SELECT e2.vec_id AS probe_id, e2.ed AS pe, c.cent_id AS cell, c.cent,
-               row_number() OVER (
-                 PARTITION BY e2.vec_id
-                 ORDER BY {_duck_cos("e2.ed", "c.cent")} DESC, c.cent_id ASC
-               ) AS rnc
-        FROM eh e2 JOIN cents c ON e2.vec_id < 20) t
-      WHERE rnc <= {max_np}),
+      FROM cand_res {joins})"""
+        + _probe_cells_cte(dim, max_np, with_rnc=True)
+        + f""",
     scored AS MATERIALIZED (
       SELECT p.probe_id, c.cand_id, p.rnc,
              round({_duck_l2("p.rp", "c.dq")}, 6) AS adc_dist
@@ -2362,18 +2367,8 @@ def _pq_bits_clustered_duck(m: int, sub: int, iters: int) -> str:
         head
         + chains
         + "".join(coded)
+        + _probe_cells_cte(dim, _PQBITS_NPROBE)
         + f""",
-    probe_cells AS MATERIALIZED (
-      SELECT probe_id, cell,
-             list_transform(range(1, {dim} + 1), i -> pe[i] - cent[i]) AS rp
-      FROM (
-        SELECT e2.vec_id AS probe_id, e2.ed AS pe, c.cent_id AS cell, c.cent,
-               row_number() OVER (
-                 PARTITION BY e2.vec_id
-                 ORDER BY {_duck_cos("e2.ed", "c.cent")} DESC, c.cent_id ASC
-               ) AS rnc
-        FROM eh e2 JOIN cents c ON e2.vec_id < 20) t
-      WHERE rnc <= {_PQBITS_NPROBE}),
     scored AS MATERIALIZED (
       SELECT {_PQBITS_ARMS[0][0]} AS pq_bits, p.probe_id, c.cand_id,
              round({_duck_l2("p.rp", "c.dq")}, 6) AS adc_dist
@@ -2547,18 +2542,8 @@ def _opq_rotation_duck(m: int, sub: int, k: int, iters: int) -> str:
         head
         + chains
         + "".join(coded)
+        + _probe_cells_cte(dim, _PQBITS_NPROBE)
         + f""",
-    probe_cells AS MATERIALIZED (
-      SELECT probe_id, cell,
-             list_transform(range(1, {dim} + 1), i -> pe[i] - cent[i]) AS rp
-      FROM (
-        SELECT e2.vec_id AS probe_id, e2.ed AS pe, c.cent_id AS cell, c.cent,
-               row_number() OVER (
-                 PARTITION BY e2.vec_id
-                 ORDER BY {_duck_cos("e2.ed", "c.cent")} DESC, c.cent_id ASC
-               ) AS rnc
-        FROM eh e2 JOIN cents c ON e2.vec_id < 20) t
-      WHERE rnc <= {_PQBITS_NPROBE}),
     probe_cells_r AS MATERIALIZED (
       SELECT probe_id, cell, {_opq_rot_list_sql("rp", dim)} AS rp
       FROM probe_cells),

@@ -152,23 +152,38 @@ def _read_verified_tail(
 
     Both stats come from ``os.fstat`` on the OPENED handle, not the
     path — a path-level stat-then-open would let a rotation between
-    the two calls authenticate one file and read another (TOCTOU).
+    the two calls authenticate one file and read another (TOCTOU) —
+    and the identity prefix is re-read AFTER the body read (r14 third
+    review, same closure as :func:`_verified_range`): an in-place
+    rewrite of the sibling's inode between the head hash and the body
+    read (``cp new old.1`` over an existing .1 — logrotate
+    copytruncate with rotate=1 produces exactly this) would otherwise
+    hand back new-incarnation bytes under the old stamp. The residual
+    is a replacement byte-identical over the first ``head_n`` bytes,
+    or an ino-only authentication of a stampless (head_n=0) entry —
+    both pre-existing blind spots of the stamp itself.
 
     Returns b"" when the file is missing, unreadable, or fails both
     identity legs."""
     try:
         with open(path, "rb") as fh:
             st = os.fstat(fh.fileno())
+            prefix = fh.read(min(head_n, st.st_size)) if head_n else b""
             ok = bool(ino) and st.st_ino == ino
             if not ok and head_n and head:
                 ok = (
-                    st.st_size >= head_n
-                    and hashlib.md5(fh.read(head_n)).hexdigest() == head
+                    len(prefix) >= head_n
+                    and hashlib.md5(prefix).hexdigest() == head
                 )
             if not ok:
                 return b""
             fh.seek(pos)
-            return fh.read() if limit is None else fh.read(limit)
+            buf = fh.read() if limit is None else fh.read(limit)
+            if prefix:
+                fh.seek(0)
+                if fh.read(len(prefix)) != prefix:
+                    return b""
+            return buf
     except OSError:
         return b""
 
@@ -1043,7 +1058,7 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
 
     def read(self, partition: InputPartition):
         v = partition.value
-        sib_buf, sib_base, live_buf, live_base, same = _read_planned_range(v)
+        sib_buf, sib_base, live_buf, live_base, _same = _read_planned_range(v)
         # the emitted incarnation stamp carries BOTH legs of the
         # planner's identity check — head hash AND inode (r14 second
         # review: a rename rotation under an identical >=64-byte
