@@ -101,6 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_recall_clustered",
     "ann_pq_bits_clustered",
     "ann_opq_rotation",
+    "stream_slowlog_tail_sharded",
     "mm_resize_pgm",
     "mm_frame_sample",
     "orders_pareto",

@@ -656,3 +656,99 @@ def stream_slowlog_tail_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("num_queries"),
         F.round(F.sum("query_time"), 6).alias("qt_sum"),
     )
+
+
+@op(
+    "stream_slowlog_tail_sharded",
+    # oracle = the same batch class aggregation over the golden IR as
+    # the other tail ops: the SHARDED fleet (two independent streams
+    # over disjoint hash-slices of the same log directory) must
+    # re-assemble the corpus exactly — no file unclaimed, none claimed
+    # twice, no loss or tear inside either shard
+    oracle=f"""
+    SELECT digest, count(*) AS num_queries,
+           round(sum(query_time), 6) AS qt_sum
+    FROM {_GOLD}
+    WHERE NOT admin AND query IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def stream_slowlog_tail_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fleet-width SCALE-OUT shape on the driver-checked record
+    (r13 VERDICT #7): past a few thousand tailed files the binding
+    cost is the offset dict Spark rewrites into the checkpoint log
+    every micro-batch, and the remedy is N INDEPENDENT tail streams
+    over ``.option("shard", "i/n")`` hash-slices of the fleet. This op
+    runs that topology end to end — the fixture split into four
+    "hosts'" logs, TWO sharded streams (0/2 and 1/2), each with its
+    OWN checkpoint and memory sink, drained to completion — then
+    classes the union. A hash match against the golden IR proves the
+    md5(rotation-base) partition is a disjoint cover in the running
+    engine (a double-claimed file would double num_queries; an
+    unclaimed one would lose its digests), not just in the unit test.
+
+    Scale: each stream is the stream_slowlog_tail_multi deployment
+    with 1/n of the offsets, checkpoint churn, and poll cost;
+    restarts are independent per shard. Per-shard exactly-once is the
+    multi reader's own pinned property; what this op adds to the
+    record is the COVER."""
+    import re
+
+    from slowlog2clickhouse_spark.functions.fingerprint import (
+        digest_col,
+        routed_fingerprint,
+    )
+    from slowlog2clickhouse_spark.operators.slowlog_ops import FIXTURE_LOG, _TMP
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import register
+
+    register(spark)
+    base = f"{_TMP}/slowlog_tail_shard_{_os.getpid()}_{next(_counter)}"
+    _os.makedirs(f"{base}/logs", exist_ok=True)
+    txt = open(FIXTURE_LOG).read()
+    starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
+    cuts = [starts[(len(starts) * i) // 4] for i in range(1, 4)]
+    bounds = [0] + cuts + [len(txt)]
+    sentinel = (
+        "\n# Time: 2030-01-01T00:00:00.000000Z\n"
+        "# Query_time: 0.000001  Lock_time: 0.000000 "
+        "Rows_sent: 0  Rows_examined: 0\n"
+    )
+    for i in range(4):
+        with open(f"{base}/logs/host_{i}.log", "w") as f:
+            f.write(txt[bounds[i] : bounds[i + 1]] + sentinel)
+
+    n_shards = 2
+    names = []
+    queries = []
+    for i in range(n_shards):
+        name = f"shard{i}_{_os.path.basename(base)}"
+        names.append(name)
+        q = (
+            spark.readStream.format("slowlog_tail_multi")
+            .option("path", f"{base}/logs")
+            .option("shard", f"{i}/{n_shards}")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{base}/ckpt{i}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        queries.append(q)
+    try:
+        for q in queries:
+            q.awaitTermination()
+    finally:
+        for q in queries:
+            q.stop()
+
+    union = None
+    for name in names:
+        t = spark.table(name)
+        union = t if union is None else union.unionByName(t)
+    ev = union.where(~F.col("admin") & F.col("query").isNotNull())
+    ev = routed_fingerprint(ev, "query", "fingerprint")
+    return ev.groupBy(digest_col(F.col("fingerprint")).alias("digest")).agg(
+        F.count("*").alias("num_queries"),
+        F.round(F.sum("query_time"), 6).alias("qt_sum"),
+    )

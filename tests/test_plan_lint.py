@@ -39,6 +39,7 @@ EAGER = {
     "stream_dedup_minhash",
     "stream_rate_source",
     "stream_classes_pctl_merge",  # builder drains the rotation stream + merges state parts
+    "stream_slowlog_tail_sharded",  # builder drains two sharded streams eagerly
     "stream_progress_metrics",
     "stream_journey_state",
     "scan_orc",
