@@ -503,3 +503,49 @@ def test_spark_flags_equal_python_mirror_on_corpus(spark):
         want = construct_flags_py(r["query"])
         got = {k: r[f"f_{k}"] for k in want}
         assert got == want, (r["stmt_id"], r["query"])
+
+
+def test_routed_equals_state_machine_on_adversarial_batch(spark):
+    """End-to-end pin of the MASKED routing's full Spark path — mask
+    expression, Arrow null transfer, pandas None-skip, coalesce
+    fallthrough — on one deterministic adversarial batch (~600 rows):
+    every wild lexical atom the pure-Python property fuzz uses, woven
+    pairwise (comment×quote, torn×escaped, …), plus multibyte rows
+    (CJK/emoji/Cyrillic/combining marks in bare/quoted/commented
+    positions) and NULLs. For every row, routed output must equal
+    fingerprint_py exactly; NULL in, NULL out. This is the Spark twin
+    of test_router_unflagged_implies_chain_exact + the corpus pin —
+    those certify the ROUTING DECISION, this certifies the PLUMBING
+    the r14 masked form introduced."""
+    from slowlog2clickhouse_spark.functions.fingerprint import (
+        fingerprint_py,
+        routed_fingerprint,
+    )
+
+    atoms = [
+        "-- don't", "# it's", "/* can't */", "'it''s'", r"'a\'b'",
+        "/* a\nb */", "'oops", '"dangling', "'x'", "--", "#",
+        ",", "=", "(", ")", "SELECT", "FROM", "WHERE", "IN (1,2)",
+        "VALUES (1,'a')", "/**/", "/*", "*/", "/*!40001 x*/", "0xFF",
+        "1e5", "0.", ".5", "1.2.3", "1.e5", "0_", "12_5", "/**\n*/",
+        "表3", "社員 = '山田'", "🚀 = 7", "-- комментарий",
+        "'héllo'", "x́y", "N'literal'", "tbl_2020_01",
+    ]
+    rows = [(i, a) for i, a in enumerate(atoms)]
+    n = len(atoms)
+    for i, a in enumerate(atoms):
+        for j, b in enumerate(atoms):
+            if (i + j) % 3 == 0:  # deterministic 1/3 of the grid
+                rows.append((n + i * len(atoms) + j, f"SELECT {a} {b}"))
+    rows.append((10_000, None))
+    rows.append((10_001, ""))
+
+    df = spark.createDataFrame(rows, "stmt_id int, query string")
+    got = {
+        r["stmt_id"]: r["fp"]
+        for r in routed_fingerprint(df, "query", "fp").collect()
+    }
+    assert len(got) == len(rows)  # masked form: no row lost or duped
+    for sid, q in rows:
+        want = fingerprint_py(q) if q is not None else None
+        assert got[sid] == want, (sid, repr(q), got[sid], want)
