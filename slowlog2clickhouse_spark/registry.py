@@ -102,6 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_pq_bits_clustered",
     "ann_opq_rotation",
     "stream_slowlog_tail_sharded",
+    "vec_ivf_append",
     "mm_resize_pgm",
     "mm_frame_sample",
     "orders_pareto",

@@ -70,6 +70,7 @@ ALLOW_NESTED_LOOP = {
     "ann_recall_clustered",  # same truth-pass shape on the planted corpus
     "mm_feature_knn",  # broadcast probe panel (brute-force baseline shape)
     "vec_knn_ivf",  # broadcast 16-row centroid table
+    "vec_ivf_append",  # broadcast 16-row FROZEN centroid table (append pass)
     "vec_knn_ivf_pq",  # broadcast 16-row centroid table + probe panel
     "text_tfidf",  # broadcast 1-row corpus-size factor
     "agg_hll_daily_merge",  # broadcast 1-row exact-total factor

@@ -466,3 +466,23 @@ def test_opq_rotation_lifts_4bit_recall(spark, sf_dir):
     assert opq["recall"] > 0.85
     # and it helps at the tight shortlist too (0.33 -> 0.45 measured)
     assert rows[("opq", 16)]["recall"] > rows[("identity", 16)]["recall"]
+
+
+def test_ivf_append_day1_rows_are_searchable(spark, sf_dir):
+    """vec_ivf_append's headline claim: vectors APPENDED after the
+    cells froze (epoch=day1) surface in search results — the append is
+    live, not write-only — and every probe still gets a full top-3
+    ranked by exact cosine with the documented tiebreak."""
+    rows = OPS["vec_ivf_append"].fn(spark, sf_dir).collect()
+    assert len(rows) == 60  # 20 probes x top-3
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert len(by_probe) == 20
+    epochs = {r["epoch"] for r in rows}
+    assert epochs == {"day0", "day1"}  # both generations rank
+    for p, rs in by_probe.items():
+        rns = sorted(r["rn"] for r in rs)
+        assert rns == [1, 2, 3], (p, rns)
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rn"])]
+        assert sims == sorted(sims, reverse=True), (p, sims)
