@@ -2725,48 +2725,62 @@ def vec_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def nearest(side: DataFrame, id_col: str, n_cells: int) -> DataFrame:
-        wn = W.partitionBy(id_col).orderBy(
-            F.col("cos_c").desc(), F.col("cent_id").asc()
-        )
-        return (
-            side.join(F.broadcast(cents))
-            .select(
-                id_col,
-                "ed",
-                "cent_id",
-                cosine(F.col("ed"), F.col("cent")).alias("cos_c"),
-            )
-            .withColumn("rnc", F.row_number().over(wn))
-            .where(F.col("rnc") <= n_cells)
-        )
-
-    cands = with_e.where(F.col("vec_id") >= 20).withColumn(
-        "epoch",
-        F.when(F.col("vec_id") % 2 == 0, F.lit("day0")).otherwise(
-            F.lit("day1")
-        ),
+    # the append step: ONE broadcast argmax pass per candidate —
+    # map-side partial max_by keeps the shuffle at |candidates| rows
+    # even though the broadcast fans out xK (the same discipline as
+    # _vec_knn_ivf_impl; a row_number window here would shuffle the
+    # full xK fan-out, contradicting this op's own scale contract —
+    # r14 fourth-review find). Day-0 rows are re-derived because a
+    # registered op is stateless; in the deployment only the day-1
+    # slice runs this pass. epoch is pure parity of cand_id, derived
+    # inline — no join back onto the store.
+    cands = with_e.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"), "ed"
     )
-    # the append step: ONE argmax pass per candidate (day-0 rows are
-    # re-derived here because a registered op is stateless; in the
-    # deployment only the day-1 slice runs it)
+    cand_scored = cands.join(F.broadcast(cents)).select(
+        "cand_id",
+        "ed",
+        "cent_id",
+        cosine(F.col("ed"), F.col("cent")).alias("cos_c"),
+    )
     cand_cells = (
-        nearest(cands.select("vec_id", "ed"), "vec_id", 1)
-        .select(
-            F.col("vec_id").alias("cand_id"),
-            F.col("ed").alias("ce"),
-            F.col("cent_id").alias("cell"),
+        cand_scored.groupBy("cand_id")
+        .agg(
+            F.expr(
+                "max_by(named_struct('cell', cent_id, 'ce', ed),"
+                " named_struct('c', cos_c, 'i', -cent_id))"
+            ).alias("m")
         )
-        .join(
-            cands.select(F.col("vec_id").alias("cand_id"), "epoch"),
+        .select(
             "cand_id",
+            F.col("m.cell").alias("cell"),
+            F.col("m.ce").alias("ce"),
+        )
+        .withColumn(
+            "epoch",
+            F.when(F.col("cand_id") % 2 == 0, F.lit("day0")).otherwise(
+                F.lit("day1")
+            ),
         )
     )
-    probes = with_e.where(F.col("vec_id") < 20)
-    probe_cells = nearest(probes.select("vec_id", "ed"), "vec_id", IVF_NPROBE).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("ed").alias("pe"),
-        F.col("cent_id").alias("cell"),
+
+    probes = with_e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), "ed"
+    )
+    wp = W.partitionBy("probe_id").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").asc()
+    )
+    probe_cells = (
+        probes.join(F.broadcast(cents))
+        .select(
+            "probe_id",
+            "ed",
+            "cent_id",
+            cosine(F.col("ed"), F.col("cent")).alias("cos_c"),
+        )
+        .withColumn("rnc", F.row_number().over(wp))
+        .where(F.col("rnc") <= IVF_NPROBE)
+        .select("probe_id", F.col("ed").alias("pe"), F.col("cent_id").alias("cell"))
     )
 
     wr = W.partitionBy("probe_id").orderBy(

@@ -28,6 +28,28 @@ from slowlog2clickhouse_spark.sources.slowlog import (
 
 _counter = itertools.count()
 
+# header-only sentinel: appending it flushes a file's last real record
+# out of torn-tail hold-back (it itself carries no statement and is
+# filtered by the `query IS NOT NULL` class predicate); shared by every
+# tail op so the hold-back boundary and this literal can never drift
+# apart (r14 fourth-review find)
+_SENTINEL = (
+    "\n# Time: 2030-01-01T00:00:00.000000Z\n"
+    "# Query_time: 0.000001  Lock_time: 0.000000 "
+    "Rows_sent: 0  Rows_examined: 0\n"
+)
+
+
+def _fixture_cuts(txt: str, n: int) -> list:
+    """Byte offsets splitting the fixture at record boundaries into n
+    contiguous segments (the rotation/fleet split every tail op uses)."""
+    import re
+
+    starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
+    cuts = [starts[(len(starts) * i) // n] for i in range(1, n)]
+    return [0] + cuts + [len(txt)]
+
+
 # golden IR path recomputed here (importing operators.slowlog_ops at
 # module scope would re-enter the operators package mid-registration)
 _GOLD = "read_parquet('{}')".format(
@@ -413,8 +435,6 @@ def run_pctl_merge_stream(
     switch; rerunning without it resumes from the checkpoint.
     ``retain`` bounds the committed state parts kept on disk (see
     merge_pctl_partial's GC)."""
-    import re
-
     from slowlog2clickhouse_spark.functions.fingerprint import (
         digest_col,
         routed_fingerprint,
@@ -428,12 +448,7 @@ def run_pctl_merge_stream(
     if not _os.path.isdir(src):
         _os.makedirs(src, exist_ok=True)
         txt = open(FIXTURE_LOG).read()
-        starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
-        cuts = [
-            starts[(len(starts) * i) // n_segments]
-            for i in range(1, n_segments)
-        ]
-        bounds = [0] + cuts + [len(txt)]
+        bounds = _fixture_cuts(txt, n_segments)
         for i in range(n_segments):
             with open(f"{src}/rot{i}.log", "w") as f:
                 f.write(txt[bounds[i] : bounds[i + 1]])
@@ -498,8 +513,6 @@ def stream_slowlog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     and carries no statement), drain again — then classes the tailed
     events. A hash match against the golden IR proves no event was
     lost, duplicated, or torn across the grow boundary."""
-    import re
-
     from slowlog2clickhouse_spark.functions.fingerprint import (
         digest_col,
         routed_fingerprint,
@@ -512,8 +525,7 @@ def stream_slowlog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     _os.makedirs(base, exist_ok=True)
     src = f"{base}/slow.log"
     txt = open(FIXTURE_LOG).read()
-    starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
-    mid = starts[len(starts) // 2]
+    mid = _fixture_cuts(txt, 2)[1]
     with open(src, "w") as f:
         f.write(txt[:mid])
 
@@ -532,11 +544,7 @@ def stream_slowlog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         with open(src, "a") as f:
             f.write(txt[mid:])
-            f.write(
-                "\n# Time: 2030-01-01T00:00:00.000000Z\n"
-                "# Query_time: 0.000001  Lock_time: 0.000000 "
-                "Rows_sent: 0  Rows_examined: 0\n"
-            )
+            f.write(_SENTINEL)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -599,8 +607,6 @@ def stream_slowlog_tail_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection itself (see MULTI_EVENT_SCHEMA), so idempotent sinks
     have a structural key — unlike the single-file tail whose
     record_no is a never-resetting ordinal."""
-    import re
-
     from slowlog2clickhouse_spark.functions.fingerprint import (
         digest_col,
         routed_fingerprint,
@@ -612,21 +618,16 @@ def stream_slowlog_tail_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"{_TMP}/slowlog_tail_multi_{_os.getpid()}_{next(_counter)}"
     _os.makedirs(f"{base}/logs", exist_ok=True)
     txt = open(FIXTURE_LOG).read()
-    starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
-    mid = starts[len(starts) // 2]
+    _, q1, mid, q3, _ = _fixture_cuts(txt, 4)
     a, b = txt[:mid], txt[mid:]
-    a_mid = starts[len(starts) // 4]
-    b_mid = starts[3 * len(starts) // 4] - mid
+    a_mid = q1
+    b_mid = q3 - mid
     with open(f"{base}/logs/host_a.log", "w") as f:
         f.write(a[:a_mid])
     with open(f"{base}/logs/host_b.log", "w") as f:
         f.write(b[:b_mid])
 
-    sentinel = (
-        "\n# Time: 2030-01-01T00:00:00.000000Z\n"
-        "# Query_time: 0.000001  Lock_time: 0.000000 "
-        "Rows_sent: 0  Rows_examined: 0\n"
-    )
+    sentinel = _SENTINEL
     name = f"fleet_{_os.path.basename(base)}"
     q = (
         spark.readStream.format("slowlog_tail_multi")
@@ -692,8 +693,6 @@ def stream_slowlog_tail_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     restarts are independent per shard. Per-shard exactly-once is the
     multi reader's own pinned property; what this op adds to the
     record is the COVER."""
-    import re
-
     from slowlog2clickhouse_spark.functions.fingerprint import (
         digest_col,
         routed_fingerprint,
@@ -705,14 +704,8 @@ def stream_slowlog_tail_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"{_TMP}/slowlog_tail_shard_{_os.getpid()}_{next(_counter)}"
     _os.makedirs(f"{base}/logs", exist_ok=True)
     txt = open(FIXTURE_LOG).read()
-    starts = [m.start() for m in re.finditer(r"(?m)^# Time: ", txt)]
-    cuts = [starts[(len(starts) * i) // 4] for i in range(1, 4)]
-    bounds = [0] + cuts + [len(txt)]
-    sentinel = (
-        "\n# Time: 2030-01-01T00:00:00.000000Z\n"
-        "# Query_time: 0.000001  Lock_time: 0.000000 "
-        "Rows_sent: 0  Rows_examined: 0\n"
-    )
+    bounds = _fixture_cuts(txt, 4)
+    sentinel = _SENTINEL
     for i in range(4):
         with open(f"{base}/logs/host_{i}.log", "w") as f:
             f.write(txt[bounds[i] : bounds[i + 1]] + sentinel)

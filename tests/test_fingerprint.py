@@ -541,11 +541,10 @@ def test_routed_equals_state_machine_on_adversarial_batch(spark):
     rows.append((10_001, ""))
 
     df = spark.createDataFrame(rows, "stmt_id int, query string")
-    got = {
-        r["stmt_id"]: r["fp"]
-        for r in routed_fingerprint(df, "query", "fp").collect()
-    }
-    assert len(got) == len(rows)  # masked form: no row lost or duped
+    collected = routed_fingerprint(df, "query", "fp").collect()
+    assert len(collected) == len(rows)  # no row duped (pre-dict count)
+    got = {r["stmt_id"]: r["fp"] for r in collected}
+    assert len(got) == len(rows)  # no row lost
     for sid, q in rows:
         want = fingerprint_py(q) if q is not None else None
         assert got[sid] == want, (sid, repr(q), got[sid], want)
