@@ -9,7 +9,10 @@ Topologies compared, same N timestamp-shifted fixture copies:
     and drained concurrently (the production shape: separate jobs).
 
 Reported per topology: drain wall (availableNow, one batch per
-stream), events drained, per-stream offset JSON bytes (the payload
+stream; a discarded warm-up drain runs first so both measured
+topologies see a warm JVM and page cache), events drained (verified:
+unsharded count == sum of shard counts — a silently unclaimed or
+double-claimed slice fails loudly), per-stream offset JSON bytes (the payload
 Spark rewrites into the checkpoint offset AND commit logs every
 micro-batch), and the on-disk checkpoint bytes after the drain. The
 headline number is bytes-per-trigger of checkpoint churn: sharding
@@ -55,6 +58,7 @@ def main() -> None:
         SlowlogMultiTailStreamReader,
         register,
     )
+    from slowlog2clickhouse_spark.streaming.slowlog_stream import _SENTINEL
 
     spark = (
         SparkSession.builder.master(
@@ -74,17 +78,12 @@ def main() -> None:
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(logs)
     txt = open(FIXTURE_LOG).read()
-    sentinel = (
-        "\n# Time: 2030-01-01T00:00:00.000000Z\n"
-        "# Query_time: 0.000001  Lock_time: 0.000000 "
-        "Rows_sent: 0  Rows_examined: 0\n"
-    )
     for i in range(n_files):
         with open(os.path.join(logs, f"host_{i:04d}.log"), "w") as f:
             f.write(
                 re.sub(r"# Time: 20(\d\d)-", f"# Time: 21{i % 90:02d}-", txt)
             )
-            f.write(sentinel)
+            f.write(_SENTINEL)
 
     def drain(shard: str | None, tag: str) -> dict:
         out = os.path.join(base, f"out_{tag}")
@@ -98,6 +97,7 @@ def main() -> None:
 
         def sink(batch_df, epoch_id):
             batch_df.groupBy().count().write.mode("overwrite").parquet(out)
+
 
         q = (
             events.writeStream.outputMode("append")
@@ -116,6 +116,16 @@ def main() -> None:
         r = SlowlogMultiTailStreamReader(opts)
         return len(json.dumps(r.latestOffset()))
 
+    def count_of(out: str) -> int:
+        return spark.read.parquet(out).collect()[0][0]
+
+    # discarded warm-up: both MEASURED topologies then run against a
+    # warm JVM, warm streaming machinery, and a hot page cache — the
+    # first streaming query of a session otherwise pays one-time costs
+    # that land entirely on whichever topology runs first (r14 review)
+    w = drain(None, "warmup")
+    w["q"].awaitTermination()
+
     # unsharded drain
     t0 = time.time()
     d = drain(None, "full")
@@ -123,6 +133,7 @@ def main() -> None:
     full_wall = time.time() - t0
     full_ckpt = _du(d["ckpt"])
     full_off = offset_bytes(None)
+    full_n = count_of(d["out"])
 
     # sharded drains, started together (concurrent streams)
     t0 = time.time()
@@ -132,6 +143,8 @@ def main() -> None:
     shard_wall = time.time() - t0
     shard_ckpts = [_du(d2["ckpt"]) for d2 in ds]
     shard_offs = [offset_bytes(f"{i}/{n_shards}") for i in range(n_shards)]
+    shard_ns = [count_of(d2["out"]) for d2 in ds]
+    assert sum(shard_ns) == full_n, (shard_ns, full_n)  # disjoint cover
 
     print(
         json.dumps(
@@ -140,11 +153,13 @@ def main() -> None:
                 "n_shards": n_shards,
                 "unsharded": {
                     "drain_s": round(full_wall, 1),
+                    "events": full_n,
                     "offset_json_bytes": full_off,
                     "ckpt_bytes_after_drain": full_ckpt,
                 },
                 "sharded": {
                     "drain_s_concurrent": round(shard_wall, 1),
+                    "events_per_stream": shard_ns,
                     "offset_json_bytes_per_stream": shard_offs,
                     "ckpt_bytes_per_stream": shard_ckpts,
                 },

@@ -627,7 +627,6 @@ def stream_slowlog_tail_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(f"{base}/logs/host_b.log", "w") as f:
         f.write(b[:b_mid])
 
-    sentinel = _SENTINEL
     name = f"fleet_{_os.path.basename(base)}"
     q = (
         spark.readStream.format("slowlog_tail_multi")
@@ -642,9 +641,9 @@ def stream_slowlog_tail_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q.processAllAvailable()
         with open(f"{base}/logs/host_a.log", "a") as f:
-            f.write(a[a_mid:] + sentinel)
+            f.write(a[a_mid:] + _SENTINEL)
         with open(f"{base}/logs/host_b.log", "a") as f:
-            f.write(b[b_mid:] + sentinel)
+            f.write(b[b_mid:] + _SENTINEL)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -705,10 +704,9 @@ def stream_slowlog_tail_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     _os.makedirs(f"{base}/logs", exist_ok=True)
     txt = open(FIXTURE_LOG).read()
     bounds = _fixture_cuts(txt, 4)
-    sentinel = _SENTINEL
     for i in range(4):
         with open(f"{base}/logs/host_{i}.log", "w") as f:
-            f.write(txt[bounds[i] : bounds[i + 1]] + sentinel)
+            f.write(txt[bounds[i] : bounds[i + 1]] + _SENTINEL)
 
     n_shards = 2
     names = []
