@@ -46,10 +46,44 @@ OUT = os.path.join(
 )
 
 
-def derive_rotation():
-    """(matrix, spectrum): rows of `matrix` are the snake-allocated,
-    sign-canonicalized eigen-directions, rounded to 6 dp;
+def opq_p_from_residuals(R, m: int, sub: int):
+    """The OPQ-P construction, shared by the frozen clustered-corpus
+    derivation below and scripts/opq_uniform_probe.py (r14 VERDICT #5
+    — SAME construction on the uniform corpus, so the two arms differ
+    only in the residuals they saw). (matrix, spectrum): rows of
+    `matrix` are the snake-allocated, sign-canonicalized
+    eigen-directions, rounded to 6 dp;
     rotated[i] = sum_j matrix[i][j] * residual[j]."""
+    import numpy as np
+
+    w, V = np.linalg.eigh(np.cov(R.T))
+    order = np.argsort(w)[::-1]
+    w, V = w[order], V[:, order]
+    # canonical sign: largest-|component| of each eigenvector positive
+    for c in range(V.shape[1]):
+        k = int(np.abs(V[:, c]).argmax())
+        if V[k, c] < 0:
+            V[:, c] = -V[:, c]
+    # snake-deal the eigen-directions (descending variance) into the
+    # m subspaces: direction 0 -> subspace 0, ... direction m-1 ->
+    # subspace m-1, direction m -> subspace m-1 again, and so on —
+    # each subspace ends up with a balanced share of the spectrum
+    groups: list[list[int]] = [[] for _ in range(m)]
+    d, fwd = 0, True
+    for _ in range(sub):
+        for g in range(m) if fwd else range(m - 1, -1, -1):
+            groups[g].append(d)
+            d += 1
+        fwd = not fwd
+    perm = [i for g in groups for i in g]
+    # rotated[i] = x . V[:, perm[i]]  =>  matrix[i][j] = V[j, perm[i]]
+    mat = [[round(float(V[j, p]), 6) for j in range(V.shape[0])] for p in perm]
+    return mat, [round(float(x), 6) for x in w]
+
+
+def derive_rotation():
+    """(matrix, spectrum) for the FROZEN committed constant: OPQ-P over
+    the planted-cluster corpus's IVF residuals."""
     import numpy as np
 
     from slowlog2clickhouse_spark.operators.vector import (
@@ -73,30 +107,7 @@ def derive_rotation():
         [r["ed"] for r in cand_res.orderBy("vec_id").select("ed").collect()],
         dtype=np.float64,
     )
-    w, V = np.linalg.eigh(np.cov(R.T))
-    order = np.argsort(w)[::-1]
-    w, V = w[order], V[:, order]
-    # canonical sign: largest-|component| of each eigenvector positive
-    for c in range(V.shape[1]):
-        k = int(np.abs(V[:, c]).argmax())
-        if V[k, c] < 0:
-            V[:, c] = -V[:, c]
-    # snake-deal the eigen-directions (descending variance) into the
-    # m subspaces: direction 0 -> subspace 0, ... direction m-1 ->
-    # subspace m-1, direction m -> subspace m-1 again, and so on —
-    # each subspace ends up with a balanced share of the spectrum
-    m, sub = PQ_M, PQ_SUB
-    groups: list[list[int]] = [[] for _ in range(m)]
-    d, fwd = 0, True
-    for _ in range(sub):
-        for g in range(m) if fwd else range(m - 1, -1, -1):
-            groups[g].append(d)
-            d += 1
-        fwd = not fwd
-    perm = [i for g in groups for i in g]
-    # rotated[i] = x . V[:, perm[i]]  =>  matrix[i][j] = V[j, perm[i]]
-    mat = [[round(float(V[j, p]), 6) for j in range(V.shape[0])] for p in perm]
-    return mat, [round(float(x), 6) for x in w]
+    return opq_p_from_residuals(R, PQ_M, PQ_SUB)
 
 
 def render(mat, spectrum) -> str:

@@ -2460,22 +2460,27 @@ def ann_pq_bits_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OPQ_SHORTLISTS = _PQBITS_SHORTLISTS  # same evaluation grid as the bits sweep
 
 
-def _opq_rotate(df: DataFrame, col: str) -> DataFrame:
-    """Apply the FROZEN OPQ rotation to a vector column, fold-exact.
+def _opq_rotate(df: DataFrame, col: str, mat=None) -> DataFrame:
+    """Apply an OPQ rotation to a vector column, fold-exact.
 
-    rotated[i] = sum_j OPQ_ROT[i][j] * x[j], accumulated as an explicit
+    rotated[i] = sum_j mat[i][j] * x[j], accumulated as an explicit
     sequential fold over j (ascending) — numpy's matmul/einsum reorder
     the adds (blocked dot products), which would diverge from the
     DuckDB oracle's left-to-right `m1*x1 + m2*x2 + ...` chains in the
     last ulps and could flip a downstream 9-dp HALF_UP model rounding
     (the same discipline as _nearest_sq / _pq_train_local). Schema is
     preserved, so a rotated cand_res / probe_cells drops into
-    _ivfpq_adc_scored unchanged."""
+    _ivfpq_adc_scored unchanged. ``mat`` defaults to the FROZEN
+    committed rotation (the planted-cluster OPQ_ROT the oracle
+    mirrors); scripts/opq_uniform_probe.py passes its own re-derived
+    matrix to run the same arm on the uniform corpus."""
     import numpy as np
 
-    from slowlog2clickhouse_spark.operators._opq_rotation import OPQ_ROT
+    if mat is None:
+        from slowlog2clickhouse_spark.operators._opq_rotation import OPQ_ROT
 
-    MT = np.asarray(OPQ_ROT, dtype=np.float64).T  # MT[j, i] = ROT[i][j]
+        mat = OPQ_ROT
+    MT = np.asarray(mat, dtype=np.float64).T  # MT[j, i] = ROT[i][j]
 
     def rot(batches):
         for pdf in batches:

@@ -728,6 +728,20 @@ class SlowlogTailStreamReader(SimpleDataSourceStreamReader):
 # EVENT_SCHEMA + provenance: which mysqld's log a row came from — the
 # fleet aggregation key PMM-style deployments group by.
 #
+# BREAKING SCHEMA CHANGE (r14, flagged by r14 ADVICE): the
+# ``incarnation`` column was ADDED to this schema in r14. Any consumer
+# of the ``slowlog_tail_multi`` source that predates it — a
+# fixed-schema sink DDL, or a restarted query whose downstream
+# selected the old column list positionally — must be updated: Spark
+# re-resolves the source schema on restart, so a strict sink will fail
+# loudly and a ``SELECT *``-shaped positional consumer would silently
+# shift. Migration: add the column to sink DDL (nullable STRING), or
+# project the old column list explicitly (``df.select(*old_cols)``)
+# to keep the previous shape. The column is deliberately NOT gated
+# behind an option: it is the structural idempotency key (r13 VERDICT
+# #5) and the re-sharding contract's dedup leg depends on every
+# deployment having it.
+#
 # record_no caveat (differs from the single-file tail): here it is the
 # record's BYTE OFFSET within its file INCARNATION, and it RESETS to 0
 # when the file rotates — (source_file, record_no) is NOT unique across
@@ -860,6 +874,31 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
         # independently, and can run in its own job; the md5 is on the
         # BASENAME so a file keeps its shard across directory moves and
         # the assignment is stable fleet-wide with no coordination.
+        #
+        # RE-SHARDING CONTRACT (r14 VERDICT #6 / ADVICE): the shard
+        # spec is part of the checkpoint's identity. Changing 'i/n'
+        # across a restart re-partitions files into streams whose
+        # checkpoints do not carry the other shards' committed
+        # offsets, so the supported migration is FRESH CHECKPOINTS
+        # for all n' streams:
+        #   * startAt=latest -> clean cutover from "now" (records
+        #     emitted before the cutover under the old spec are not
+        #     re-read; records during the stop window are skipped);
+        #   * startAt=earliest -> full re-ingest; downstream dedups on
+        #     (source_file, incarnation, record_no), which is stable
+        #     across the re-shard because all three legs derive from
+        #     file bytes, never from the shard spec.
+        # Restarting on a RETAINED old-spec checkpoint is safe but
+        # duplicates, never loses: the last committed batch replays
+        # byte-identically under the old spec (the planning loop in
+        # partitions() is deliberately NOT shard-filtered), files that
+        # moved OUT of this shard stop being polled (their stale
+        # entries are filtered from the carry ledger, not carried as
+        # dead weight), and files that moved IN have no offset entry
+        # here so they re-ingest from byte 0 — the same idempotency
+        # key dedups the overlap. There is no loss mode: every file is
+        # owned by exactly one new shard, and ingest-from-0 covers any
+        # bytes the old owner had already emitted.
         self.shard: tuple[int, int] | None = None
         sh = options.get("shard")
         if sh is not None:
@@ -1016,8 +1055,15 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
         # re-adding a start-only entry on every batch would resurrect
         # one that just aged out of the end offset, extending expiry
         # forever (r12 ADVICE).
+        # re-shard hygiene (r14 ADVICE): after a shard-spec change a
+        # restored checkpoint's offsets still carry the OLD spec's file
+        # set; entries outside this shard can never plan a range here
+        # again, so re-priming them would park frozen dead weight in
+        # the carry ledger for missLimit polls. Filter the ledger —
+        # NOT the planning loop below, which must replay the committed
+        # batch byte-identically whatever spec wrote it.
         for p, e in ef.items():
-            if p not in self._known:
+            if p not in self._known and self._in_shard(p):
                 self._known[p] = {k: x for k, x in e.items() if k != "miss"}
         if self._cold:
             # FIRST partitions() of this process: if the restart raced
@@ -1043,7 +1089,7 @@ class SlowlogMultiTailStreamReader(DataSourceStreamReader):
             # — offsets must stay the only inputs.
             self._cold = False
             for p, e in sf.items():
-                if p not in self._known:
+                if p not in self._known and self._in_shard(p):
                     self._known[p] = dict(
                         {k: x for k, x in e.items() if k != "miss"}, miss=1
                     )

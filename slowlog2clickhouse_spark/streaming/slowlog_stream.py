@@ -398,7 +398,23 @@ def merge_pctl_partial(
     successor's sweep bounds the leak at one extra part). The torn-
     write recovery path always reads the NEWEST committed version
     below the epoch, which is by construction inside the retained
-    window."""
+    window.
+
+    LOCAL-FS ASSUMPTION (r14 ADVICE): the GC walks with os.listdir and
+    deletes with shutil.rmtree — like committed_state_versions' listing
+    (see its caveat above), this only works when ``base`` is a local
+    (or locally-mounted) filesystem. On HDFS/S3 the rmtree is a silent
+    no-op (ignore_errors=True) and parts would accumulate unbounded
+    again. A DFS deployment must route the sweep through the Hadoop
+    FileSystem API instead, e.g.::
+
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            spark._jsc.hadoopConfiguration())
+        fs.delete(jvm.org.apache.hadoop.fs.Path(part_dir), True)
+
+    (same idempotence argument — delete only below the retained
+    window, only after the new part's _SUCCESS exists)."""
     dst = f"{base}/state_v{epoch_id}"
     if _os.path.exists(_os.path.join(dst, "_SUCCESS")):
         return

@@ -1287,6 +1287,112 @@ def test_multi_tail_shard_option_partitions_fleet(spark, tmp_path):
         SlowlogMultiTailStreamReader({"path": str(logs), "shard": "x"})
 
 
+def test_multi_tail_reshard_contract(spark, tmp_path):
+    """r14 VERDICT #6 + ADVICE: what happens when .option("shard",
+    "i/n") CHANGES across a restart. Pins the documented contract
+    (datasource shard-option comment block):
+
+      (a) the last committed old-spec batch replays byte-identically
+          under the new spec — partitions(start, end) plans every file
+          in the offsets, deliberately NOT shard-filtered;
+      (b) out-of-shard entries restored from the old checkpoint are
+          NOT re-primed into the carry ledger — the next latestOffset
+          emits only this shard's slice (no frozen dead weight riding
+          the offset dict for missLimit polls);
+      (c) a file that moved INTO this shard has no offset entry here,
+          so it re-ingests from byte 0 — duplicates, never loss — and
+          dedup on (source_file, incarnation, record_no) restores
+          exactly-once vs the full-fleet golden;
+      (d) fresh-checkpoint migration: the new n'=4 shards still cover
+          the fleet disjointly and their union equals the unsharded
+          read."""
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        _FIELDS,
+        SlowlogMultiTailStreamReader,
+    )
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    width = 12
+    for i in range(width):
+        with open(logs / f"host_{i:02d}.log", "w") as f:
+            f.write(_mk_rec(i) + _TERM)
+
+    # era 1: two shards at n=2 drain the fleet from earliest
+    old = [
+        SlowlogMultiTailStreamReader({"path": str(logs), "shard": f"{i}/2"})
+        for i in range(2)
+    ]
+    era1_by_shard = []
+    era1_ends = []
+    for r in old:
+        rows, end = _multi_plan(r, r.initialOffset())
+        era1_by_shard.append(rows)
+        era1_ends.append(end)
+    era1_rows = era1_by_shard[0] + era1_by_shard[1]
+
+    # fleet grows after the old processes stop
+    for i in range(width):
+        with open(logs / f"host_{i:02d}.log", "a") as f:
+            f.write(_mk_rec(100 + i) + _TERM)
+
+    # era 2: restart at n=4. Streams 0 and 1 RETAIN their old-spec
+    # checkpoints (start offsets = era-1 end offsets); 2 and 3 are
+    # fresh (startAt=earliest so the contract's dedup leg is visible).
+    new = [
+        SlowlogMultiTailStreamReader({"path": str(logs), "shard": f"{i}/4"})
+        for i in range(4)
+    ]
+
+    # (a) replay of the committed old-spec batch is byte-identical
+    # under the new spec — including rows from files the new spec no
+    # longer owns (planning is not shard-filtered)
+    replay = [
+        t
+        for p in new[0].partitions({"files": {}}, era1_ends[0])
+        for t in new[0].read(p)
+    ]
+    assert sorted(map(repr, replay)) == sorted(map(repr, era1_by_shard[0]))
+    assert any(not new[0]._in_shard(t[-2]) for t in replay), (
+        "test fixture too weak: no file moved out of shard 0 at 2->4"
+    )
+
+    # (b) after the replay primes the ledger, the next poll's offsets
+    # carry ONLY in-shard files — no out-of-shard dead weight
+    for i in (0, 1):
+        # simulate Spark's restart sequence: partitions(start, end)
+        # with the retained checkpoint, then a fresh poll
+        new[i].partitions({"files": {}}, era1_ends[i])
+        off = new[i].latestOffset()
+        assert all(new[i]._in_shard(p) for p in off["files"]), (
+            "out-of-shard entries leaked into the post-reshard offsets"
+        )
+        assert all(new[i]._in_shard(p) for p in new[i]._known)
+
+    # (c)+(d) run one batch on every new shard: retained checkpoints
+    # for 0/1 (their era-1 end offsets), fresh for 2/3
+    era2_rows: list = []
+    era2_offs = []
+    for i, r2 in enumerate(new):
+        start = era1_ends[i] if i < 2 else r2.initialOffset()
+        rows, off = _multi_plan(r2, start)
+        era2_rows += rows
+        era2_offs.append(off)
+    # disjoint cover at n=4
+    assert sum(len(o["files"]) for o in era2_offs) == width
+    # the union of both eras, deduped on the structural idempotency
+    # key, equals the unsharded full read — duplicates, never loss
+    full = SlowlogMultiTailStreamReader({"path": str(logs)})
+    golden, _ = _multi_plan(full, full.initialOffset())
+    rno_i = _FIELDS.index("record_no")
+    key = lambda t: (t[-2], t[-1], t[rno_i])  # noqa: E731
+    seen = {key(t): t for t in era1_rows + era2_rows}
+    assert sorted(map(repr, seen.values())) == sorted(map(repr, golden))
+    # and duplicates genuinely occurred (moved-in files re-ingested
+    # from byte 0) — the dedup leg is load-bearing, not vacuous
+    assert len(era1_rows + era2_rows) > len(golden)
+
+
 def test_multi_tail_incarnation_disambiguates_record_no(spark, tmp_path):
     """r13 VERDICT #5: the (source_file, record_no) hazard is now
     STRUCTURAL — every fleet-tail row carries the ``incarnation`` head
