@@ -346,22 +346,53 @@ def stream_classes_pctl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_quantiles(spark.read.parquet(f"{base}/state_v{vs[-1]}"))
 
 
+def _state_fs(base: str):
+    """(FileSystem, jvm) for ``base`` via the active session's Hadoop
+    conf — scheme-aware, so ``file:``, ``hdfs:`` and ``s3a:`` state
+    dirs all route through the same API (r14 ADVICE: the previous
+    os.listdir/shutil.rmtree listing+GC silently no-op'd on a DFS).
+    (None, None) when no session is active (pure-local fallback)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None, None
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(base)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
 def committed_state_versions(base: str) -> list[int]:
     """Sorted epoch versions whose state part FULLY committed.
 
     The _SUCCESS marker (written last by Spark's parquet commit
     protocol) distinguishes a committed part from a torn write left by
-    a crash mid-epoch. Local listdir here; on a DFS the same listing
-    goes through the FileSystem API — the pattern (sink-derived state
-    pointer, no driver memory) is what carries to 100 TB."""
+    a crash mid-epoch. The listing goes through the Hadoop FileSystem
+    API (resolved from ``base``'s scheme against the active session's
+    conf), so the pattern — sink-derived state pointer, no driver
+    memory — carries to a DFS deployment unchanged; the os.listdir
+    fallback only serves session-less callers."""
     import re as _re
 
-    if not _os.path.isdir(base):
+    fs, jvm = _state_fs(base)
+    if fs is None:
+        if not _os.path.isdir(base):
+            return []
+        out = []
+        for d in _os.listdir(base):
+            m = _re.fullmatch(r"state_v(\d+)", d)
+            if m and _os.path.exists(_os.path.join(base, d, "_SUCCESS")):
+                out.append(int(m.group(1)))
+        return sorted(out)
+    base_p = jvm.org.apache.hadoop.fs.Path(base)
+    if not fs.exists(base_p):
         return []
     out = []
-    for d in _os.listdir(base):
-        m = _re.fullmatch(r"state_v(\d+)", d)
-        if m and _os.path.exists(_os.path.join(base, d, "_SUCCESS")):
+    for st in fs.listStatus(base_p):
+        m = _re.fullmatch(r"state_v(\d+)", st.getPath().getName())
+        if m and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -400,21 +431,14 @@ def merge_pctl_partial(
     below the epoch, which is by construction inside the retained
     window.
 
-    LOCAL-FS ASSUMPTION (r14 ADVICE): the GC walks with os.listdir and
-    deletes with shutil.rmtree — like committed_state_versions' listing
-    (see its caveat above), this only works when ``base`` is a local
-    (or locally-mounted) filesystem. On HDFS/S3 the rmtree is a silent
-    no-op (ignore_errors=True) and parts would accumulate unbounded
-    again. A DFS deployment must route the sweep through the Hadoop
-    FileSystem API instead, e.g.::
-
-        jvm = spark._jvm
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-            spark._jsc.hadoopConfiguration())
-        fs.delete(jvm.org.apache.hadoop.fs.Path(part_dir), True)
-
-    (same idempotence argument — delete only below the retained
-    window, only after the new part's _SUCCESS exists)."""
+    DFS-portable (r14 ADVICE, closed structurally in r15): both the
+    listing (committed_state_versions) and the deletion here route
+    through the Hadoop FileSystem API resolved from ``base``'s scheme,
+    so a ``hdfs://`` / ``s3a://`` state dir is swept exactly like a
+    local one — the earlier os.listdir/shutil.rmtree form silently
+    never deleted off-local and parts would have accumulated unbounded.
+    Same idempotence argument either way: delete only below the
+    retained window, only after the new part's _SUCCESS exists."""
     dst = f"{base}/state_v{epoch_id}"
     if _os.path.exists(_os.path.join(dst, "_SUCCESS")):
         return
@@ -430,11 +454,20 @@ def merge_pctl_partial(
         )
     part.write.mode("overwrite").parquet(dst)
     if retain and retain > 0:
-        import shutil as _shutil
-
         live = committed_state_versions(base)
-        for v in live[: max(0, len(live) - retain)]:
-            _shutil.rmtree(f"{base}/state_v{v}", ignore_errors=True)
+        doomed = live[: max(0, len(live) - retain)]
+        if doomed:
+            fs, jvm = _state_fs(base)
+            for v in doomed:
+                p = f"{base}/state_v{v}"
+                if fs is None:
+                    import shutil as _shutil
+
+                    _shutil.rmtree(p, ignore_errors=True)
+                else:
+                    # recursive delete; False (already gone — a racing
+                    # retry's sweep won) is fine, same as ignore_errors
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
 
 
 def run_pctl_merge_stream(
