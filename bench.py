@@ -381,6 +381,25 @@ def main() -> None:
     # live on the verbose first line for humans reading the log. A hard
     # assert pins the length; if the exception map ever balloons past
     # the budget, it is dropped before the gate evidence is.
+    print(final_line(results, variance, loads, gate_total, load0, sf_val))
+
+
+FINAL_LINE_BUDGET = 1800  # < the driver's 2000-char tail capture
+
+
+def final_line(
+    results: dict,
+    variance: dict,
+    loads: dict,
+    gate_total: float,
+    load0: float,
+    sf_val,
+) -> str:
+    """Build the driver-parsed final line under the length budget.
+    Split out of main() so tests/test_bench_contract.py can pin the
+    contract (parseable, <= budget, control triples present) without
+    spinning Spark — the r14 overflow shipped because nothing asserted
+    the line's size before the driver truncated it."""
     ctl_variance = {
         k: v
         for k, v in variance.items()
@@ -403,14 +422,15 @@ def main() -> None:
         },
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1800:  # degrade gracefully: hot-load map first
+    if len(line) > FINAL_LINE_BUDGET:  # degrade: hot-load map first
         compact.pop("loadavg_hot")
         line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) <= 1800, (
-        f"final bench line {len(line)} chars > 1800 — would overflow the "
-        "driver's 2000-char tail capture (VERDICT r14 #2); trim keys"
+    assert len(line) <= FINAL_LINE_BUDGET, (
+        f"final bench line {len(line)} chars > {FINAL_LINE_BUDGET} — would "
+        "overflow the driver's 2000-char tail capture (VERDICT r14 #2); "
+        "trim keys"
     )
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

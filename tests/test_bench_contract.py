@@ -1,0 +1,69 @@
+"""Pin bench.py's driver-facing output contract (VERDICT r14 #2).
+
+The external driver captures only the LAST 2000 CHARS of bench.py's
+stdout and json-parses the final line; r14's final line outgrew that
+window and BENCH_r14.json shipped `parsed: null` with the gate
+evidence lost to a front-truncated string. These tests exercise
+bench.final_line with a FULL-SIZED synthetic result set (every gate,
+the Python-boundary control, and all EXTRA_OPS headliners, worst-case
+float widths) so the budget holds for the real row count without
+spinning Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402
+
+
+def _full_payload(hot_every: int | None = None):
+    """Synthetic results at the real bench's cardinality with
+    worst-case widths (4-dp medians up to 9999s, loadavg up to 99.9)."""
+    names = (
+        list(bench.BASELINE_QUERIES) + [bench.PY_CONTROL] + list(bench.EXTRA_OPS)
+    )
+    results, variance, loads = {}, {}, {}
+    for i, n in enumerate(names):
+        med = 9999.1234 - i  # max plausible width
+        results[n] = med
+        variance[n] = [med - 0.5001, med, med + 11.5001]
+        loads[n] = 99.9 if hot_every and i % hot_every == 0 else 1.99
+    return results, variance, loads
+
+
+def test_final_line_fits_budget_and_parses():
+    results, variance, loads = _full_payload()
+    line = bench.final_line(results, variance, loads, 9999.1234, 0.55, 0.1)
+    assert len(line) <= bench.FINAL_LINE_BUDGET
+    d = json.loads(line)
+    # the drift clause's needs, machine-readable from the line alone
+    assert d["gate_total_s"] == 9999.1234
+    assert set(d["queries"]) == set(results)
+    assert set(d["variance_ctl"]) == set(bench.BASELINE_QUERIES) | {
+        bench.PY_CONTROL
+    }
+    assert all(len(v) == 3 for v in d["variance_ctl"].values())
+    assert d["loadavg_max"] == 99.9 or d["loadavg_max"] == 1.99
+
+
+def test_final_line_degrades_hot_loads_before_gate_evidence():
+    # every row hot -> the exceptions map is the ballast; if the line
+    # overflows, loadavg_hot is dropped and the control triples survive
+    results, variance, loads = _full_payload(hot_every=1)
+    line = bench.final_line(results, variance, loads, 1.0, 0.1, 0.1)
+    assert len(line) <= bench.FINAL_LINE_BUDGET
+    d = json.loads(line)
+    assert set(d["variance_ctl"]) == set(bench.BASELINE_QUERIES) | {
+        bench.PY_CONTROL
+    }
+
+
+def test_py_control_excluded_from_gate_queries():
+    # the control calibrates, it doesn't race: never summed as a gate
+    assert bench.PY_CONTROL not in bench.BASELINE_QUERIES
+    assert bench.PY_CONTROL not in bench.EXTRA_OPS
