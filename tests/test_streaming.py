@@ -1393,6 +1393,95 @@ def test_multi_tail_reshard_contract(spark, tmp_path):
     assert len(era1_rows + era2_rows) > len(golden)
 
 
+def test_multi_tail_reshard_real_checkpoints(spark, tmp_path):
+    """The re-sharding contract through REAL Spark streaming restore
+    (the sibling test drives the planner by hand; this one lets
+    Spark's own commit/offset logs do it). Era 1: two streams at n=2
+    drain the fleet to parquet sinks with real checkpoints. The fleet
+    grows. Era 2: restart at n=4 — streams 0,1 RETAIN their old-spec
+    checkpoints+sinks (the 'changed the option in place' migration),
+    streams 2,3 start fresh from earliest. Fixture names are chosen so
+    every n=4 shard owns 3 files: each retained stream keeps 3 of its
+    6 era-1 files (still-owned tailing leg) and loses 3 to a fresh
+    shard (re-ingest leg). Pinned: the union of all four sinks,
+    deduped on (source_file, incarnation, record_no), equals the
+    unsharded golden — duplicates occurred (fresh shards re-read
+    era-1 bytes) but nothing was lost, and the retained streams
+    resumed from their committed offsets (their sinks carry each
+    still-owned file's era-2 record exactly once)."""
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        _FIELDS,
+        SlowlogMultiTailStreamReader,
+        register,
+    )
+
+    register(spark)
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    # 3 files per n=4 shard (6/6 at n=2) — verified md5 assignment
+    names = [
+        "node_000.log", "node_001.log", "node_002.log", "node_003.log",
+        "node_004.log", "node_005.log", "node_006.log", "node_007.log",
+        "node_010.log", "node_013.log", "node_014.log", "node_025.log",
+    ]
+    for i, nm in enumerate(names):
+        with open(logs / nm, "w") as f:
+            f.write(_mk_rec(i) + _TERM)
+
+    def run_stream(shard: str, tag: str) -> None:
+        q = (
+            spark.readStream.format("slowlog_tail_multi")
+            .option("path", str(logs))
+            .option("shard", shard)
+            .load()
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / f"out{tag}"))
+            .option("checkpointLocation", str(tmp_path / f"ck{tag}"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    for i in range(2):  # era 1 at n=2
+        run_stream(f"{i}/2", str(i))
+    for i, nm in enumerate(names):  # the fleet grows between eras
+        with open(logs / nm, "a") as f:
+            f.write(_mk_rec(100 + i) + _TERM)
+    for i in range(2):  # era 2: retained checkpoints, new spec
+        run_stream(f"{i}/4", str(i))
+    for i in (2, 3):  # era 2: the new shards, fresh from earliest
+        run_stream(f"{i}/4", str(i))
+
+    union = spark.read.parquet(*(str(tmp_path / f"out{i}") for i in range(4)))
+    key = ["source_file", "incarnation", "record_no"]
+    got = {
+        (r["source_file"], r["incarnation"], r["record_no"], r["query"])
+        for r in union.dropDuplicates(key).collect()
+    }
+    # golden: the unsharded fleet read over both eras' full content
+    full = SlowlogMultiTailStreamReader({"path": str(logs)})
+    rows, _ = _multi_plan(full, full.initialOffset())
+    rno_i, q_i = _FIELDS.index("record_no"), _FIELDS.index("query")
+    want = {(t[-2], t[-1], t[rno_i], t[q_i]) for t in rows}
+    assert got == want
+    # duplicates genuinely occurred: fresh shards re-read era-1 bytes
+    assert union.count() > len(want)
+    # the retained streams resumed (not re-ingested): each still-owned
+    # file's era-2 record appears EXACTLY once in its own sink
+    for i in range(2):
+        own = spark.read.parquet(str(tmp_path / f"out{i}"))
+        r2 = own.where(F.col("query").rlike("^SELECT 1[0-1][0-9]$"))
+        per_file = {
+            r["source_file"]: r["n"]
+            for r in r2.groupBy("source_file").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        assert per_file and all(n == 1 for n in per_file.values()), per_file
+
+
 def test_multi_tail_incarnation_disambiguates_record_no(spark, tmp_path):
     """r13 VERDICT #5: the (source_file, record_no) hazard is now
     STRUCTURAL — every fleet-tail row carries the ``incarnation`` head
