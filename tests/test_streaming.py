@@ -1287,6 +1287,17 @@ def test_multi_tail_shard_option_partitions_fleet(spark, tmp_path):
         SlowlogMultiTailStreamReader({"path": str(logs), "shard": "x"})
 
 
+# fleet fixture for the two re-shard tests: md5(basename) assigns
+# exactly 3 files to every n=4 shard (and 6/6 at n=2), so each
+# retained stream keeps half its files across a 2->4 migration and
+# loses the other half to a fresh shard — both contract legs live
+_RESHARD_FLEET = [
+    "node_000.log", "node_001.log", "node_002.log", "node_003.log",
+    "node_004.log", "node_005.log", "node_006.log", "node_007.log",
+    "node_010.log", "node_013.log", "node_014.log", "node_025.log",
+]
+
+
 def test_multi_tail_reshard_contract(spark, tmp_path):
     """r14 VERDICT #6 + ADVICE: what happens when .option("shard",
     "i/n") CHANGES across a restart. Pins the documented contract
@@ -1313,9 +1324,14 @@ def test_multi_tail_reshard_contract(spark, tmp_path):
 
     logs = tmp_path / "logs"
     os.makedirs(logs)
-    width = 12
-    for i in range(width):
-        with open(logs / f"host_{i:02d}.log", "w") as f:
+    # curated names: md5 assigns exactly 3 files to every n=4 shard
+    # (6/6 at n=2) — with a naive host_%02d fixture the whole fleet
+    # lands in shards 2 and 3 at n=4 and the retained-shard legs below
+    # pass vacuously on empty offset sets
+    names = _RESHARD_FLEET
+    width = len(names)
+    for i, nm in enumerate(names):
+        with open(logs / nm, "w") as f:
             f.write(_mk_rec(i) + _TERM)
 
     # era 1: two shards at n=2 drain the fleet from earliest
@@ -1332,8 +1348,8 @@ def test_multi_tail_reshard_contract(spark, tmp_path):
     era1_rows = era1_by_shard[0] + era1_by_shard[1]
 
     # fleet grows after the old processes stop
-    for i in range(width):
-        with open(logs / f"host_{i:02d}.log", "a") as f:
+    for i, nm in enumerate(names):
+        with open(logs / nm, "a") as f:
             f.write(_mk_rec(100 + i) + _TERM)
 
     # era 2: restart at n=4. Streams 0 and 1 RETAIN their old-spec
@@ -1364,6 +1380,7 @@ def test_multi_tail_reshard_contract(spark, tmp_path):
         # with the retained checkpoint, then a fresh poll
         new[i].partitions({"files": {}}, era1_ends[i])
         off = new[i].latestOffset()
+        assert off["files"], "retained shard unexpectedly owns no files"
         assert all(new[i]._in_shard(p) for p in off["files"]), (
             "out-of-shard entries leaked into the post-reshard offsets"
         )
@@ -1418,12 +1435,7 @@ def test_multi_tail_reshard_real_checkpoints(spark, tmp_path):
     register(spark)
     logs = tmp_path / "logs"
     os.makedirs(logs)
-    # 3 files per n=4 shard (6/6 at n=2) — verified md5 assignment
-    names = [
-        "node_000.log", "node_001.log", "node_002.log", "node_003.log",
-        "node_004.log", "node_005.log", "node_006.log", "node_007.log",
-        "node_010.log", "node_013.log", "node_014.log", "node_025.log",
-    ]
+    names = _RESHARD_FLEET  # 3 files per n=4 shard (see above)
     for i, nm in enumerate(names):
         with open(logs / nm, "w") as f:
             f.write(_mk_rec(i) + _TERM)
