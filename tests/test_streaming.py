@@ -1410,6 +1410,70 @@ def test_multi_tail_reshard_contract(spark, tmp_path):
     assert len(era1_rows + era2_rows) > len(golden)
 
 
+def test_multi_tail_reshard_any_width(spark, tmp_path):
+    """The reshard no-loss invariant generalized beyond 2->4: for any
+    (n_old -> n_new) migration — shrink, grow, non-divisor, from/to
+    unsharded — the union of era-1 (old spec, from earliest) and era-2
+    (new spec; every stream restarts on era-1's END offsets as its
+    retained checkpoint when the old width had a stream of that index,
+    else fresh) deduped on (source_file, incarnation, record_no)
+    equals the unsharded golden. Non-divisor widths are the hard case:
+    files move between shards in BOTH directions at once."""
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        _FIELDS,
+        SlowlogMultiTailStreamReader,
+    )
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    for i, nm in enumerate(_RESHARD_FLEET):
+        with open(logs / nm, "w") as f:
+            f.write(_mk_rec(i) + _TERM)
+
+    def mk(i: int, n: int):
+        opts = {"path": str(logs)}
+        if n > 1:
+            opts["shard"] = f"{i}/{n}"
+        return SlowlogMultiTailStreamReader(opts)
+
+    rno_i = _FIELDS.index("record_no")
+
+    def key(t):
+        return (t[-2], t[-1], t[rno_i])
+
+    grown = False
+    for n_old, n_new in ((2, 3), (3, 2), (4, 6), (1, 4), (4, 1)):
+        # era 1 at n_old
+        era1_rows, era1_ends = [], []
+        for i in range(n_old):
+            rows, end = _multi_plan(mk(i, n_old), mk(i, n_old).initialOffset())
+            era1_rows += rows
+            era1_ends.append(end)
+        if not grown:  # grow once so era-2 has genuinely new bytes
+            for i, nm in enumerate(_RESHARD_FLEET):
+                with open(logs / nm, "a") as f:
+                    f.write(_mk_rec(200 + i) + _TERM)
+            grown = True
+        # era 2 at n_new: stream i retains checkpoint i if it existed
+        era2_rows, covered = [], 0
+        for i in range(n_new):
+            r2 = mk(i, n_new)
+            start = era1_ends[i] if i < n_old else r2.initialOffset()
+            rows, off = _multi_plan(r2, start)
+            era2_rows += rows
+            covered += len(off["files"])
+        assert covered == len(_RESHARD_FLEET), (n_old, n_new, covered)
+        golden, _ = _multi_plan(mk(0, 1), mk(0, 1).initialOffset())
+        seen = {key(t): t for t in era1_rows + era2_rows}
+        assert sorted(map(repr, seen.values())) == sorted(
+            map(repr, golden)
+        ), f"reshard {n_old}->{n_new} lost or corrupted rows"
+        # duplicates genuinely occur in every migration here (moved or
+        # fresh shards re-read bytes an old shard already emitted) —
+        # the dedup leg above is load-bearing, not vacuous
+        assert len(era1_rows) + len(era2_rows) > len(golden), (n_old, n_new)
+
+
 def test_multi_tail_reshard_real_checkpoints(spark, tmp_path):
     """The re-sharding contract through REAL Spark streaming restore
     (the sibling test drives the planner by hand; this one lets
