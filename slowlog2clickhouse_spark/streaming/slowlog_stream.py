@@ -740,7 +740,17 @@ def stream_slowlog_tail_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     with 1/n of the offsets, checkpoint churn, and poll cost;
     restarts are independent per shard. Per-shard exactly-once is the
     multi reader's own pinned property; what this op adds to the
-    record is the COVER."""
+    record is the COVER.
+
+    RE-SHARDING: n is part of each checkpoint's identity — changing
+    'i/n' across a restart is supported but duplicates, never loses
+    (the new owner re-ingests from byte 0; dedup downstream on
+    (source_file, incarnation, record_no)). Full contract + migration
+    options: the shard-option block in
+    sources/slowlog_datasource.py (SlowlogMultiTailStreamReader
+    __init__), pinned by tests/test_streaming.py
+    test_multi_tail_reshard_{contract,real_checkpoints,any_width}
+    (r14 VERDICT #6)."""
     from slowlog2clickhouse_spark.functions.fingerprint import (
         digest_col,
         routed_fingerprint,
