@@ -440,7 +440,16 @@ def merge_pctl_partial(
     Same idempotence argument either way: delete only below the
     retained window, only after the new part's _SUCCESS exists."""
     dst = f"{base}/state_v{epoch_id}"
-    if _os.path.exists(_os.path.join(dst, "_SUCCESS")):
+    fs, jvm = _state_fs(base)
+    committed = (
+        _os.path.exists(_os.path.join(dst, "_SUCCESS"))
+        if fs is None
+        # same fs handle as the listing/GC: an os.path check would
+        # silently return False for a scheme-qualified base (file:,
+        # hdfs:) and a retried committed epoch would redo its merge
+        else fs.exists(jvm.org.apache.hadoop.fs.Path(f"{dst}/_SUCCESS"))
+    )
+    if committed:
         return
     part = batch_df.groupBy("digest", "bucket").agg(
         F.count("*").cast("long").alias("n")
@@ -457,7 +466,6 @@ def merge_pctl_partial(
         live = committed_state_versions(base)
         doomed = live[: max(0, len(live) - retain)]
         if doomed:
-            fs, jvm = _state_fs(base)
             for v in doomed:
                 p = f"{base}/state_v{v}"
                 if fs is None:

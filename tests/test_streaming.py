@@ -689,6 +689,51 @@ def test_pctl_merge_retry_idempotent(spark, tmp_path):
     assert redone == truth
 
 
+def test_pctl_merge_scheme_qualified_base(spark, tmp_path):
+    """DFS-portability pin for the pctl state dir (r14 ADVICE, closed
+    structurally in r15): the whole state lifecycle — listing,
+    committed-epoch skip, retain-GC — runs against a SCHEME-QUALIFIED
+    base (``file:/...``), the URI shape an hdfs:// or s3a:// deployment
+    passes. The pre-r15 os.path/os.listdir/shutil form failed every leg
+    on such a base: the listing found nothing (every epoch recomputed
+    from scratch), the committed-epoch check missed (retries re-merged),
+    and the GC deleted nothing (parts accumulated unbounded)."""
+    from slowlog2clickhouse_spark.streaming.slowlog_stream import (
+        committed_state_versions,
+        merge_pctl_partial,
+    )
+
+    local = tmp_path / "pctl_scheme"
+    base = "file:" + str(local)
+    sch = "digest string, bucket int"
+    b0 = spark.createDataFrame([("d1", 3), ("d1", 3), ("d2", 7)], sch)
+    b1 = spark.createDataFrame([("d1", 3)], sch)
+
+    merge_pctl_partial(spark, base, b0, 0, retain=2)
+    assert committed_state_versions(base) == [0]
+    merge_pctl_partial(spark, base, b1, 1, retain=2)
+    merge_pctl_partial(spark, base, b1, 2, retain=2)
+    # the retain-2 GC genuinely deleted v0 through the fs handle —
+    # check BOTH through the API and on the raw local directory
+    assert committed_state_versions(base) == [1, 2]
+    assert not (local / "state_v0").exists()
+    want = {("d1", 3): 4, ("d2", 7): 1}  # b0 + b1 + b1, addition-merged
+    got = {
+        (r["digest"], r["bucket"]): r["n"]
+        for r in spark.read.parquet(f"{base}/state_v2").collect()
+    }
+    assert got == want
+    # committed-epoch retry via the fs.exists branch: replaying epoch 2
+    # with a DIFFERENT batch must be a no-op (if the skip missed, the
+    # merge would recompute v2 as v1 + b0 = {d1:5, d2:2})
+    merge_pctl_partial(spark, base, b0, 2, retain=2)
+    got2 = {
+        (r["digest"], r["bucket"]): r["n"]
+        for r in spark.read.parquet(f"{base}/state_v2").collect()
+    }
+    assert got2 == want
+
+
 def test_slowlog_tail_restart_no_loss_no_dup(spark, tmp_path):
     """The growing-file tail reader's exactly-once contract: kill the
     query between grows, restart against the same checkpoint — the
