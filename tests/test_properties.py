@@ -522,3 +522,132 @@ def test_single_tail_exactly_once_under_random_rotation(tmp_path_factory, ops):
 
     want = sorted(f"SELECT {n}" for n in written)
     assert sorted(emitted) == want, (ops, sorted(emitted), want)
+
+
+# ---------------------------------------------------------------------------
+# Fleet-tail NO-LOSS under random schedules that also RESHARD (r15): the
+# exactness fuzz above holds the shard spec fixed; this one interleaves
+# width changes (1 <-> 2 <-> 3 streams) with appends, both rotation
+# kinds, and polls, under the documented stop-then-migrate contract
+# (every stream drains before the spec changes; retained-where-possible
+# checkpoints after). The invariant is deliberately weaker than
+# exactly-once — re-sharding DUPLICATES by design (moved-in files
+# re-ingest from byte 0) — but the no-loss half survives ANY schedule:
+# the deduped union equals exactly the set of written records.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # which file
+            st.sampled_from(
+                ["append", "copytruncate", "rename", "poll", "reshard"]
+            ),
+            st.integers(1, 3),  # records per append / new shard width
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=int(_os.environ.get("SPARK_GRAFT_FUZZ_TAIL", "150")),
+    deadline=None,
+)
+def test_multi_tail_reshard_never_loses_under_random_schedules(
+    tmp_path_factory, ops
+):
+    import os
+    import shutil
+
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogMultiTailStreamReader,
+    )
+
+    base = tmp_path_factory.mktemp("reshard_fuzz")
+    logs = os.path.join(str(base), "logs")
+    os.makedirs(logs)
+    paths = [os.path.join(logs, f"h{i}.log") for i in range(3)]
+    for p in paths:
+        open(p, "w").close()
+
+    def mk_fleet(n: int) -> list:
+        opts = {"path": os.path.join(logs, "*.log")}
+        if n == 1:
+            return [SlowlogMultiTailStreamReader(dict(opts))]
+        return [
+            SlowlogMultiTailStreamReader(dict(opts, shard=f"{i}/{n}"))
+            for i in range(n)
+        ]
+
+    readers = mk_fleet(1)
+    offs = [r.initialOffset() for r in readers]
+    written: list[int] = []
+    emitted: list[str] = []
+    nxt = 0
+    rotated_since_poll = [False] * len(paths)
+
+    def poll_all():
+        for i, r in enumerate(readers):
+            end = r.latestOffset()
+            rows = [t for p_ in r.partitions(offs[i], end) for t in r.read(p_)]
+            emitted.extend(
+                q
+                for t in rows
+                for q in t
+                if isinstance(q, str) and q.startswith("SELECT")
+            )
+            offs[i] = end
+        for j in range(len(paths)):
+            rotated_since_poll[j] = False
+
+    def owner_off(p: str) -> dict:
+        i = next(j for j, r in enumerate(readers) if r._in_shard(p))
+        return offs[i].get("files", {}).get(p) or {}
+
+    for which, kind, k in ops:
+        p = paths[which]
+        if kind == "append":
+            with open(p, "a") as f:
+                for _ in range(k):
+                    f.write(_tail_rec(nxt))
+                    written.append(nxt)
+                    nxt += 1
+        elif kind in ("copytruncate", "rename"):
+            if rotated_since_poll[which]:
+                poll_all()
+            if not int(owner_off(p).get("head_n", 0)):
+                poll_all()  # rotation needs an observed incarnation
+                if not int(owner_off(p).get("head_n", 0)):
+                    continue  # still empty: rotating is a no-op anyway
+            if kind == "copytruncate":
+                shutil.copyfile(p, p + ".1")
+                open(p, "w").close()
+            else:
+                os.replace(p, p + ".1")
+                open(p, "w").close()
+            rotated_since_poll[which] = True
+        elif kind == "reshard":
+            # stop-then-migrate: every stream drains its last batch
+            # (commit log complete), THEN the spec changes; stream i
+            # keeps its checkpoint when the new width still has an
+            # i-th stream, extra streams start fresh from earliest
+            poll_all()
+            new_readers = mk_fleet(k)
+            offs[:] = [
+                offs[i] if i < len(readers) else r.initialOffset()
+                for i, r in enumerate(new_readers)
+            ]
+            readers = new_readers
+        else:
+            poll_all()
+
+    for p in paths:
+        with open(p, "a") as f:
+            f.write(_TAIL_TERM)
+    poll_all()
+    poll_all()
+
+    want = sorted(f"SELECT {n}" for n in written)
+    got = sorted(set(emitted))
+    assert got == want, (ops, got, want)
