@@ -67,3 +67,24 @@ def test_py_control_excluded_from_gate_queries():
     # the control calibrates, it doesn't race: never summed as a gate
     assert bench.PY_CONTROL not in bench.BASELINE_QUERIES
     assert bench.PY_CONTROL not in bench.EXTRA_OPS
+
+
+def test_control_queries_are_frozen():
+    """The machine-drift clause's entire validity rests on the control
+    rows being VERBATIM-unchanged across rounds (BASELINE.md §protocol:
+    'they have had zero code change since r1'). Pin the 8 gate SQL
+    strings and the Python-boundary control's builder source by hash —
+    if you deliberately change either, update the hash here AND
+    re-baseline the affected reference medians in BASELINE.md/SCALING.md
+    (a silent edit would turn every future drift verdict into noise)."""
+    import hashlib
+    import inspect
+
+    gate_hash = hashlib.md5(
+        json.dumps(bench.BASELINE_QUERIES, sort_keys=True).encode()
+    ).hexdigest()
+    assert gate_hash == "1526198f13174445c62cf1e7a2f579aa"
+    ctl_hash = hashlib.md5(
+        inspect.getsource(bench._py_control_build).encode()
+    ).hexdigest()
+    assert ctl_hash == "c847dfffa85127433d940ce6b32e6d10"
