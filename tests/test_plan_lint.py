@@ -340,3 +340,18 @@ def test_driver_collects_are_pinned():
     assert not gone, (
         f"stale allowlist entries (site removed or renamed): {sorted(gone)}"
     )
+
+
+def test_lint_allowlists_reference_live_ops():
+    """Stale allowlist entries are silent lint holes: an op renamed or
+    removed would leave its EAGER / nested-loop / global-window grant
+    dangling, and a future op reusing the name would inherit an
+    unreviewed exemption. Every grant must reference a live op."""
+    live = set(OPS)
+    for name, s in (
+        ("EAGER", EAGER),
+        ("ALLOW_NESTED_LOOP", ALLOW_NESTED_LOOP),
+        ("ALLOW_GLOBAL_WINDOW", ALLOW_GLOBAL_WINDOW),
+    ):
+        stale = s - live
+        assert not stale, f"{name} grants for unknown ops: {sorted(stale)}"
