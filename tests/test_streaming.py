@@ -2513,3 +2513,37 @@ def test_stamp_cached_accepts_append_race_rejects_rotation(tmp_path, monkeypatch
     st2 = ds._stamp_file_cached(p, cache2, 64)
     monkeypatch.setattr(ds, "_stamp_file", real_stamp)
     assert st2 is None  # torn stamp rejected: transient miss, retry next poll
+
+
+def test_multi_tail_offset_entry_size_bounded(spark, tmp_path):
+    """Fleet-width canary: the multi-tail's binding cost at scale IS
+    the per-file offset entry (~142 B measured, x fleet width, x every
+    micro-batch into the checkpoint offset+commit logs — SCALING.md
+    r13/r14). A field quietly added to the entry would multiply
+    checkpoint churn for every deployment; pin the serialized size and
+    the exact key set so growth is a deliberate, reviewed decision."""
+    import json
+
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogMultiTailStreamReader,
+    )
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    # realistic path length + a large-offset file so digits are honest
+    p = logs / "mysql-slow-production-host-0001.log"
+    with open(p, "w") as f:
+        for i in range(200):
+            f.write(_mk_rec(i))
+        f.write(_TERM)
+    r = SlowlogMultiTailStreamReader({"path": str(logs)})
+    off = r.latestOffset()
+    (path, entry), = off["files"].items()
+    assert set(entry) == {"pos", "head", "head_n", "ino"}, entry
+    per_entry = len(json.dumps({path: entry}, separators=(",", ":")))
+    assert per_entry <= 200, (
+        f"per-file offset entry grew to {per_entry} B — at 5k files and "
+        "a 5 s trigger every 10 B here is ~0.9 GB/day of checkpoint "
+        "churn per stream; shrink it or re-justify the ceiling in "
+        "SCALING.md and the shard-option comment"
+    )
