@@ -62,8 +62,14 @@ def udf_fingerprint_py(spark: SparkSession, sf_dir: str) -> DataFrame:
     grammar the regex chain can't (escaped quotes, nested constructs).
     Oracle = the golden IR's committed fingerprint_py/digest_py
     columns (scripts/gen_slowlog_golden.py)."""
-    fp_udf = F.udf(fingerprint_py, "string")
-    dg_udf = F.udf(digest_py, "string")
+    # lambda shims: fingerprint_py's plain `str -> str` hints trip
+    # pyspark's pandas-UDF eval-type inference into a UserWarning on
+    # every plan build ("Cannot infer the eval type from type hints");
+    # a hint-less callable skips the inference. Still the row-at-a-time
+    # SQL_BATCHED UDF this op exists to cover (BatchEvalPython in the
+    # plan — pinned by the plan lint's API-surface allowlist).
+    fp_udf = F.udf(lambda q: fingerprint_py(q), "string")
+    dg_udf = F.udf(lambda s: digest_py(s), "string")
     ev = parse_slowlog(spark, FIXTURE_LOG).where(F.col("query").isNotNull())
     fps = ev.select(fp_udf("query").alias("fingerprint"))
     return fps.groupBy("fingerprint").agg(F.count("*").alias("n")).select(
