@@ -47,8 +47,11 @@ def golden_events_df(spark, fixture_log: str):
     from slowlog2clickhouse_spark.functions.fingerprint import digest_py, fingerprint_py
     from slowlog2clickhouse_spark.sources.slowlog import parse_slowlog, with_fingerprint
 
-    fp_udf = F.udf(fingerprint_py, "string")
-    dg_udf = F.udf(digest_py, "string")
+    # lambda shims: the typed callables trip pyspark's pandas eval-type
+    # inference into a UserWarning per plan build (same fix as
+    # operators/udfs.py udf_fingerprint_py)
+    fp_udf = F.udf(lambda q: fingerprint_py(q), "string")
+    dg_udf = F.udf(lambda s: digest_py(s), "string")
     ev = with_fingerprint(parse_slowlog(spark, fixture_log))
     return ev.drop("record_no").withColumns(
         {
