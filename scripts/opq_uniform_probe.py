@@ -86,17 +86,29 @@ def main() -> int:
         dtype=np.float64,
     )
     mat_u, spec_u = opq_p_from_residuals(R, PQ_M, PQ_SUB)
-    iso_u = spec_u[0] / spec_u[len(spec_u) // 2]
-    iso_c = OPQ_SPECTRUM[0] / OPQ_SPECTRUM[len(OPQ_SPECTRUM) // 2]
+
+    def _top_over_median(spec) -> float:
+        # degenerate/low-rank residuals (tiny or constant corpus) can
+        # zero the median eigenvalue; report inf rather than crash so
+        # the spectrum summary still prints (ADVICE r15 #5)
+        med = spec[len(spec) // 2]
+        return spec[0] / med if med else float("inf")
+
+    iso_u = _top_over_median(spec_u)
+    iso_c = _top_over_median(OPQ_SPECTRUM)
     print(
         json.dumps(
             {
                 "probe": "opq_uniform_spectrum",
                 "n_residuals": int(R.shape[0]),
                 "uniform_top4": spec_u[:4],
-                "uniform_top_over_median": round(iso_u, 3),
+                "uniform_top_over_median": (
+                    round(iso_u, 3) if np.isfinite(iso_u) else "inf"
+                ),
                 "clustered_top4": list(OPQ_SPECTRUM[:4]),
-                "clustered_top_over_median": round(iso_c, 3),
+                "clustered_top_over_median": (
+                    round(iso_c, 3) if np.isfinite(iso_c) else "inf"
+                ),
             }
         )
     )

@@ -53,7 +53,10 @@ def test_final_line_fits_budget_and_parses():
 
 def test_final_line_degrades_hot_loads_before_gate_evidence():
     # every row hot -> the exceptions map is the ballast; if the line
-    # overflows, loadavg_hot is dropped and the control triples survive
+    # overflows, the COOLEST NON-CONTROL hot entries are shed first
+    # (ADVICE r15 #2 — a wholesale drop lost every load stamp on
+    # exactly the contended runs where they matter); the control
+    # triples and the control rows' load stamps survive
     results, variance, loads = _full_payload(hot_every=1)
     line = bench.final_line(results, variance, loads, 1.0, 0.1, 0.1)
     assert len(line) <= bench.FINAL_LINE_BUDGET
@@ -61,6 +64,16 @@ def test_final_line_degrades_hot_loads_before_gate_evidence():
     assert set(d["variance_ctl"]) == set(bench.BASELINE_QUERIES) | {
         bench.PY_CONTROL
     }
+    ctl = set(bench.BASELINE_QUERIES) | {bench.PY_CONTROL}
+    kept = set(d["loadavg_hot"])
+    # shedding happened (full map can't fit) but didn't go to zero,
+    # and every surviving non-control entry implies ALL control rows
+    # survived (controls shed last)
+    assert kept, "degrade must truncate, not drop, the hot-load map"
+    assert len(kept) < len(loads)
+    if kept - ctl:
+        assert ctl <= kept
+    assert d["loadavg_max"] == 99.9
 
 
 def test_py_control_excluded_from_gate_queries():

@@ -2547,3 +2547,163 @@ def test_multi_tail_offset_entry_size_bounded(spark, tmp_path):
         "churn per stream; shrink it or re-justify the ceiling in "
         "SCALING.md and the shard-option comment"
     )
+
+
+def test_state_fs_degrades_without_jvm_gateway(monkeypatch, tmp_path):
+    """ADVICE r15 #3: under Spark Connect, getActiveSession() returns a
+    session WITHOUT a _jvm/_jsc gateway — _state_fs must degrade to the
+    (None, None) local-path branch (same as session-less callers), not
+    raise AttributeError. Pin it with a gateway-less stand-in, and pin
+    that committed_state_versions then serves the os.path fallback."""
+    import pyspark.sql
+
+    from slowlog2clickhouse_spark.streaming.slowlog_stream import (
+        _state_fs,
+        committed_state_versions,
+    )
+
+    class _Connectish:  # no _jvm, no _jsc — the Connect surface shape
+        pass
+
+    monkeypatch.setattr(
+        pyspark.sql.SparkSession,
+        "getActiveSession",
+        classmethod(lambda cls: _Connectish()),
+    )
+    assert _state_fs(str(tmp_path)) == (None, None)
+
+    part = tmp_path / "state_v3"
+    part.mkdir()
+    (part / "_SUCCESS").touch()
+    (tmp_path / "state_v4").mkdir()  # torn write: no _SUCCESS
+    assert committed_state_versions(str(tmp_path)) == [3]
+
+
+def test_fleet_union_dedup_restores_exactly_once(spark, tmp_path):
+    """VERDICT r15 #4: the reshard contract's exactly-once recipe,
+    promoted to fleet_union_dedup — the LIBRARY call, fed the same
+    2->4 migration fixture as test_multi_tail_reshard_contract, must
+    reproduce the unsharded golden through real DataFrames."""
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        MULTI_EVENT_SCHEMA,
+        SlowlogMultiTailStreamReader,
+    )
+    from slowlog2clickhouse_spark.streaming.slowlog_stream import (
+        FLEET_DEDUP_KEY,
+        fleet_union_dedup,
+    )
+
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    for i, nm in enumerate(_RESHARD_FLEET):
+        with open(logs / nm, "w") as f:
+            f.write(_mk_rec(i) + _TERM)
+
+    # era 1: n=2 drains the fleet; era 2: restart at n=4 after growth,
+    # shards 0/1 retain their checkpoints, 2/3 start fresh (byte-0
+    # re-ingest of moved-in files -> duplicates)
+    old = [
+        SlowlogMultiTailStreamReader({"path": str(logs), "shard": f"{i}/2"})
+        for i in range(2)
+    ]
+    era1_rows, era1_ends = [], []
+    for r in old:
+        rows, end = _multi_plan(r, r.initialOffset())
+        era1_rows += rows
+        era1_ends.append(end)
+    for i, nm in enumerate(_RESHARD_FLEET):
+        with open(logs / nm, "a") as f:
+            f.write(_mk_rec(100 + i) + _TERM)
+    era2_rows = []
+    for i in range(4):
+        r2 = SlowlogMultiTailStreamReader(
+            {"path": str(logs), "shard": f"{i}/4"}
+        )
+        start = era1_ends[i] if i < 2 else r2.initialOffset()
+        rows, _ = _multi_plan(r2, start)
+        era2_rows += rows
+
+    full = SlowlogMultiTailStreamReader({"path": str(logs)})
+    golden, _ = _multi_plan(full, full.initialOffset())
+    assert len(era1_rows + era2_rows) > len(golden), (
+        "fixture too weak: the migration produced no duplicates, the "
+        "dedup leg would pass vacuously"
+    )
+
+    df1 = spark.createDataFrame(era1_rows, MULTI_EVENT_SCHEMA)
+    df2 = spark.createDataFrame(era2_rows, MULTI_EVENT_SCHEMA)
+    got = fleet_union_dedup(df1, df2)
+    key = [*FLEET_DEDUP_KEY]
+    assert sorted(map(repr, got.select(*key).collect())) == sorted(
+        map(repr, spark.createDataFrame(golden, MULTI_EVENT_SCHEMA)
+            .select(*key).collect())
+    )
+    assert got.count() == len(golden)
+
+
+def test_fleet_union_dedup_validates_inputs(spark):
+    """No streams, or a pre-r14 capture without the incarnation
+    column, must fail loudly — a silent pass-through would quietly
+    double-count across a migration."""
+    import pytest
+
+    from slowlog2clickhouse_spark.streaming.slowlog_stream import (
+        fleet_union_dedup,
+    )
+
+    with pytest.raises(ValueError, match="at least one"):
+        fleet_union_dedup()
+    pre_r14 = spark.createDataFrame(
+        [("a.log", 0)], "source_file string, record_no long"
+    )
+    with pytest.raises(ValueError, match="incarnation"):
+        fleet_union_dedup(pre_r14)
+
+
+def test_fleet_union_dedup_streaming_with_watermark(spark, tmp_path):
+    """The one-query streaming shape: two sharded sources unioned and
+    deduped inside a single query via dropDuplicatesWithinWatermark
+    (bounded state), drained with availableNow — row multiset equals
+    the unsharded golden classes' input."""
+    from slowlog2clickhouse_spark.sources.slowlog_datasource import (
+        SlowlogMultiTailStreamReader,
+        register,
+    )
+    from slowlog2clickhouse_spark.streaming.slowlog_stream import (
+        fleet_union_dedup,
+    )
+
+    register(spark)
+    logs = tmp_path / "logs"
+    os.makedirs(logs)
+    for i, nm in enumerate(_RESHARD_FLEET):
+        with open(logs / nm, "w") as f:
+            f.write(_mk_rec(i) + _TERM)
+
+    shards = [
+        spark.readStream.format("slowlog_tail_multi")
+        .option("path", str(logs))
+        .option("shard", f"{i}/2")
+        .load()
+        for i in range(2)
+    ]
+    dedup = fleet_union_dedup(*shards, watermark=("ts", "10 minutes"))
+    assert dedup.isStreaming
+    name = f"fleet_union_{os.getpid()}"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    got = spark.table(name)
+    full = SlowlogMultiTailStreamReader({"path": str(logs)})
+    golden, _ = _multi_plan(full, full.initialOffset())
+    assert got.count() == len(golden)
+    # disjoint cover -> no row was deduped away; the key is unique
+    assert got.select("source_file", "incarnation", "record_no").distinct().count() == len(golden)
