@@ -159,7 +159,7 @@ def _fit_exponent(ns: list[int], ts: list[float]) -> float:
     mx, my = sum(lx) / len(lx), sum(ly) / len(ly)
     num = sum((a - mx) * (b - my) for a, b in zip(lx, ly))
     den = sum((a - mx) ** 2 for a in lx)
-    return num / den
+    return num / den if den else float("nan")  # <2 scale points: no fit
 
 
 def _tail_drain(spark, n_records: int, tmp: str) -> None:
@@ -270,8 +270,10 @@ def main() -> None:
             flush=True,
         )
 
-    # streaming tail: bytes axis at fixed 4-file width
-    tail_ns = [1000, 3000, 10000]
+    # streaming tail: bytes axis at fixed 4-file width (the 30k point
+    # exists to surface the linear parse term past the ~2.5s fixed
+    # availableNow scheduling floor the first three points sit on)
+    tail_ns = [1000, 3000, 10000, 30000]
     tail_meds = []
     for nr in tail_ns:
         med = _measure(lambda: _tail_drain(spark, nr, "/tmp"), runs)

@@ -101,3 +101,21 @@ def test_control_queries_are_frozen():
         inspect.getsource(bench._py_control_build).encode()
     ).hexdigest()
     assert ctl_hash == "c847dfffa85127433d940ce6b32e6d10"
+
+
+def test_append_local_record_durable_and_nonfatal(monkeypatch, tmp_path):
+    """VERDICT r15 #5: every bench run's compact line must land in the
+    committed BENCH_LOCAL.jsonl (both SF records survive the driver's
+    2000-char tail), and a read-only checkout must not fail the bench."""
+    fake = tmp_path / "bench.py"
+    monkeypatch.setattr(bench, "__file__", str(fake))
+    bench.append_local_record('{"a":1}')
+    bench.append_local_record('{"b":2}')
+    lines = (tmp_path / "BENCH_LOCAL.jsonl").read_text().splitlines()
+    assert [json.loads(x) for x in lines] == [{"a": 1}, {"b": 2}]
+    # unwritable dir -> swallowed, not raised
+    ro = tmp_path / "ro"
+    ro.mkdir()
+    ro.chmod(0o555)
+    monkeypatch.setattr(bench, "__file__", str(ro / "bench.py"))
+    bench.append_local_record('{"c":3}')  # must not raise
