@@ -6,7 +6,16 @@ entry(), then runs every queries()[name] at sf0.01 and compares with
 oracle_sql()[name] via DuckDB: row count + sorted schema +
 order-insensitive canonical value multiset.
 
-Usage: python scripts/driver_sim.py [sf_dir] [op ...]
+Usage: python scripts/driver_sim.py [--master URL] [sf_dir] [op ...]
+
+--master accepts any Spark master URL. The load-bearing non-default is
+``local-cluster[W,C,MB]`` (e.g. ``local-cluster[2,8,4096]``): unlike
+local[N]'s single JVM, it spawns W REAL worker JVMs with C cores and
+MB MiB each, so shuffles serialize over the block-transfer service,
+broadcasts actually ship to remote executors, and Python workers fork
+per-executor — the closest in-sandbox stand-in for the 1000-executor
+deployment the docstrings design for. Requires SPARK_HOME (set
+automatically here from the pyspark install dir).
 """
 
 from __future__ import annotations
@@ -31,16 +40,40 @@ def main() -> int:
     # state leaks (a conf set by op A that op B silently depends on)
     reverse = "--reverse" in args
     args = [a for a in args if a != "--reverse"]
+    master = "local[32]"
+    if "--master" in args:
+        i = args.index("--master")
+        master = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
+    if master.startswith("local-cluster"):
+        # Worker JVMs are launched via $SPARK_HOME/sbin machinery; the
+        # pip install ships it but doesn't export the env var.
+        import pyspark
+
+        os.environ.setdefault(
+            "SPARK_HOME", os.path.dirname(os.path.abspath(pyspark.__file__))
+        )
+
     # vanilla session, exactly what an external driver would build
     spark = (
-        SparkSession.builder.master("local[32]")
+        SparkSession.builder.master(master)
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    if master.startswith("local-cluster"):
+        # Remote executors don't inherit the driver's sys.path, so UDF
+        # closures that unpickle by module reference need the package
+        # shipped — the same --py-files step a real spark-submit
+        # deployment performs. local[N] never exercises this; that the
+        # suite is green here proves the package is py-files-shippable
+        # (no closure depends on driver-local filesystem state).
+        from slowlog2clickhouse_spark.session import ship_package
+
+        ship_package(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
     print("== t1 smoke: entry(spark) ==")

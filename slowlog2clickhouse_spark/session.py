@@ -74,3 +74,46 @@ def ensure_compat(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark
+
+
+def package_zip(dest_dir: str | None = None) -> str:
+    """Zip this package's .py sources for --py-files-style shipping.
+
+    On a real cluster, executor Python workers unpickle UDF closures by
+    module reference, so the package must reach every executor's
+    ``sys.path`` — spark-submit does this with ``--py-files pkg.zip``.
+    This builds the equivalent zip (sources only; no tests, no
+    bytecode) so a session created WITHOUT spark-submit (notebooks,
+    long-running drivers) can ship it via :func:`ship_package`.
+
+    Returns the zip path. ``local[N]`` never needs this (executors
+    share the driver's ``sys.path``); ``local-cluster`` and standalone/
+    YARN/K8s masters do.
+    """
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    dest_dir = dest_dir or tempfile.mkdtemp(prefix="s2c_pyfiles_")
+    zpath = os.path.join(dest_dir, "slowlog2clickhouse_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    return zpath
+
+
+def ship_package(spark: SparkSession) -> str:
+    """``addPyFile`` this package to an existing session's executors.
+
+    Idempotent per session (Spark ignores a re-added identical name).
+    Call once after session creation when the master has remote
+    executors; see ``scripts/driver_sim.py --master local-cluster[...]``
+    for the verified multi-executor run that exercises this path.
+    """
+    zpath = package_zip()
+    spark.sparkContext.addPyFile(zpath)
+    return zpath
