@@ -126,6 +126,13 @@ def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: a real JDBC read partitions on a numeric column
     (partitionColumn/lowerBound/upperBound → one query per executor);
     the single-partition read here matches the 25-row table.
+
+    Topology note: EMBEDDED Derby is single-JVM (dual-boot file lock),
+    so this fixture only runs on local[N]; under local-cluster+ the
+    executor's boot fails while the driver holds the db — a fixture
+    limit, not an engine one (prod reads a network endpoint, where
+    driver and executors open independent connections). See SCALING.md
+    r16 §local-cluster.
     """
     db = os.path.join(tempfile.mkdtemp(prefix="scan_jdbc_"), "db")
     url = f"jdbc:derby:{db};create=true"

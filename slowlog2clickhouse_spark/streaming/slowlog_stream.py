@@ -195,7 +195,14 @@ def stream_slowlog_to_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch JDBC batched INSERT — executed here against the
     embedded Derby on Spark's classpath (production swaps the URL and
     driver for ClickHouse; sinks/jdbc.py generates that DDL). Returns
-    the JDBC read-back so the driver row-checks actual sunk rows."""
+    the JDBC read-back so the driver row-checks actual sunk rows.
+
+    Topology note: EMBEDDED Derby is single-JVM (dual-boot file lock),
+    so this fixture only runs on local[N]; on local-cluster+ the
+    executor INSERT fails to boot the driver-held db — a fixture limit,
+    not an engine one (a network ClickHouse endpoint accepts
+    independent driver/executor connections). SCALING.md r16
+    §local-cluster."""
     import os
     import shutil
 
