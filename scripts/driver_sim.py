@@ -64,13 +64,15 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    if master.startswith("local-cluster"):
+    if not master.startswith("local["):
         # Remote executors don't inherit the driver's sys.path, so UDF
         # closures that unpickle by module reference need the package
         # shipped — the same --py-files step a real spark-submit
         # deployment performs. local[N] never exercises this; that the
         # suite is green here proves the package is py-files-shippable
         # (no closure depends on driver-local filesystem state).
+        # Applies to every multi-JVM master: local-cluster, spark://,
+        # yarn, k8s://.
         from slowlog2clickhouse_spark.session import ship_package
 
         ship_package(spark)
