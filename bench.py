@@ -455,6 +455,11 @@ def final_line(
                 break
             compact["loadavg_hot"].pop(k)
             line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > FINAL_LINE_BUDGET and not compact["loadavg_hot"]:
+            # everything shed: drop the now-empty key too (the pre-r16
+            # behavior), worth ~16 chars right at the budget edge
+            compact.pop("loadavg_hot")
+            line = json.dumps(compact, separators=(",", ":"))
     assert len(line) <= FINAL_LINE_BUDGET, (
         f"final bench line {len(line)} chars > {FINAL_LINE_BUDGET} — would "
         "overflow the driver's 2000-char tail capture (VERDICT r14 #2); "

@@ -43,6 +43,9 @@ def main() -> int:
     master = "local[32]"
     if "--master" in args:
         i = args.index("--master")
+        if i + 1 >= len(args):
+            print("usage: driver_sim.py [--master URL] [sf_dir] [op ...]")
+            return 2
         master = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"

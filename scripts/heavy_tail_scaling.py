@@ -19,7 +19,7 @@ Distribution matching (probed from /root/testdata/sf0.1, seed fixed):
 - events: users scale WITH rows so the per-user chain stays ~66 hops
   (the testdata invariant graph_components_star documents); ts uniform
   over 30 days, event_id ordered by ts.
-- slow-log fleet: 4 host files × {1k, 3k, 10k} records of synthetic
+- slow-log fleet: 4 host files × {1k, 3k, 10k, 30k} records of synthetic
   records through the REAL slowlog_tail_multi datasource, availableNow
   drain to a memory sink (the stream_slowlog_tail_multi shape).
 
@@ -204,9 +204,7 @@ def _tail_drain(spark, n_records: int, tmp: str) -> None:
     finally:
         q.stop()
     assert spark.table(name).count() >= 4 * n_records - 4
-    spark.catalog.dropTempView(name) if name in [
-        t.name for t in spark.catalog.listTables()
-    ] else None
+    spark.catalog.dropTempView(name)  # returns False if absent
     shutil.rmtree(base, ignore_errors=True)
 
 
@@ -285,7 +283,7 @@ def main() -> None:
     print(
         "| stream_slowlog_tail_multi(drain) | records (4 files) | "
         + " | ".join(f"{t:.2f}" for t in tail_meds)
-        + " | (x-axis 4k/12k/40k records) |",
+        + " | (x-axis 4k/12k/40k/120k records) |",
         flush=True,
     )
 

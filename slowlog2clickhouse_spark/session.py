@@ -106,14 +106,27 @@ def package_zip(dest_dir: str | None = None) -> str:
     return zpath
 
 
+_SHIPPED: dict[str, str] = {}
+
+
 def ship_package(spark: SparkSession) -> str:
     """``addPyFile`` this package to an existing session's executors.
 
-    Idempotent per session (Spark ignores a re-added identical name).
+    Idempotent per application: the zip is built once and its path
+    cached per applicationId, so a second call is a true no-op. (A
+    naive re-zip per call would both leak a temp dir each time and —
+    if a source file changed on disk mid-session — register a
+    same-named file with different contents, which Spark rejects at
+    executor fetch time. Contents are therefore frozen at first call;
+    restart the session to ship updated sources.)
+
     Call once after session creation when the master has remote
     executors; see ``scripts/driver_sim.py --master local-cluster[...]``
     for the verified multi-executor run that exercises this path.
     """
-    zpath = package_zip()
-    spark.sparkContext.addPyFile(zpath)
-    return zpath
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _SHIPPED:
+        zpath = package_zip()
+        spark.sparkContext.addPyFile(zpath)
+        _SHIPPED[app_id] = zpath
+    return _SHIPPED[app_id]

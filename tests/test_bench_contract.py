@@ -113,9 +113,16 @@ def test_append_local_record_durable_and_nonfatal(monkeypatch, tmp_path):
     bench.append_local_record('{"b":2}')
     lines = (tmp_path / "BENCH_LOCAL.jsonl").read_text().splitlines()
     assert [json.loads(x) for x in lines] == [{"a": 1}, {"b": 2}]
-    # unwritable dir -> swallowed, not raised
+    # unwritable dir -> swallowed, not raised. chmod alone is vacuous
+    # when the suite runs as root (root ignores 0o555), so ALSO point
+    # __file__ into a nonexistent dir: open(..., "a") then raises
+    # FileNotFoundError (an OSError), exercising the swallow for real.
     ro = tmp_path / "ro"
     ro.mkdir()
     ro.chmod(0o555)
     monkeypatch.setattr(bench, "__file__", str(ro / "bench.py"))
     bench.append_local_record('{"c":3}')  # must not raise
+    monkeypatch.setattr(
+        bench, "__file__", str(tmp_path / "no_such_dir" / "bench.py")
+    )
+    bench.append_local_record('{"d":4}')  # must not raise

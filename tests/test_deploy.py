@@ -77,3 +77,14 @@ def test_local_cluster_parity_subset():
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "2 pass / 0 fail" in proc.stdout
+
+
+def test_ship_package_idempotent_per_app(spark):
+    from slowlog2clickhouse_spark.session import ship_package
+
+    p1 = ship_package(spark)
+    p2 = ship_package(spark)
+    # cached per applicationId: same zip path, addPyFile called once —
+    # a re-zip would trip Spark's same-name-different-contents check
+    assert p1 == p2
+    assert os.path.exists(p1)
