@@ -261,8 +261,34 @@ def wait_for_idle(max_load: float = 1.0, timeout_s: float = 600.0) -> float:
     return load
 
 
+def cpu_steal_snapshot() -> list[int] | None:
+    """/proc/stat first line, fields user..guest — for computing the
+    hypervisor CPU-steal share across the bench run. r16 found a night
+    where steal was 50% of non-idle time during a controlled spin while
+    the guest showed zero other processes; recording steal per run
+    turns that from forensic archaeology into a stamp on the line."""
+    try:
+        return list(map(int, open("/proc/stat").readline().split()[1:10]))
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def cpu_steal_pct(a: list[int] | None, b: list[int] | None) -> float | None:
+    """Steal as % of NON-IDLE cpu time between two snapshots — the
+    share of the cycles this guest actually contended for that the
+    hypervisor withheld. None on non-Linux or counter weirdness."""
+    if a is None or b is None:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    busy = sum(d) - d[3]  # total minus idle
+    if busy <= 0:
+        return None
+    return round(100.0 * d[7] / busy, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    steal0 = cpu_steal_snapshot()
     load0 = wait_for_idle()
     spark = get_session(app_name="bench")
     register_views(spark, sf_dir)
@@ -383,7 +409,10 @@ def main() -> None:
     # assert pins the length; if the exception map ever balloons past
     # the budget, its coolest non-control entries are shed first so the
     # gate/control load stamps survive contended runs (ADVICE r15 #2).
-    line = final_line(results, variance, loads, gate_total, load0, sf_val)
+    steal = cpu_steal_pct(steal0, cpu_steal_snapshot())
+    line = final_line(
+        results, variance, loads, gate_total, load0, sf_val, steal
+    )
     print(line)
     append_local_record(line)
 
@@ -412,6 +441,7 @@ def final_line(
     gate_total: float,
     load0: float,
     sf_val,
+    steal_pct: float | None = None,
 ) -> str:
     """Build the driver-parsed final line under the length budget.
     Split out of main() so tests/test_bench_contract.py can pin the
@@ -433,6 +463,10 @@ def final_line(
         "loadavg_start": round(load0, 2),
         "loadavg_max": max(loads.values()) if loads else 0.0,
         "loadavg_hot": hot_loads,
+        # hypervisor CPU-steal share of non-idle time across the whole
+        # run (r16): >a few % means the host withheld cycles and
+        # out-of-band rows are environment by measurement
+        "steal_pct": steal_pct,
         "sf": sf_val,
         "queries": {k: round(v, 3) for k, v in results.items()},
         "variance_ctl": {

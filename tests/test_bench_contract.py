@@ -38,7 +38,7 @@ def _full_payload(hot_every: int | None = None):
 
 def test_final_line_fits_budget_and_parses():
     results, variance, loads = _full_payload()
-    line = bench.final_line(results, variance, loads, 9999.1234, 0.55, 0.1)
+    line = bench.final_line(results, variance, loads, 9999.1234, 0.55, 0.1, steal_pct=99.9)
     assert len(line) <= bench.FINAL_LINE_BUDGET
     d = json.loads(line)
     # the drift clause's needs, machine-readable from the line alone
