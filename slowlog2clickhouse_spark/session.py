@@ -51,6 +51,17 @@ def get_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if not master.startswith("local["):
+        # Multi-JVM master (local-cluster, spark://, yarn, k8s://):
+        # executors need the package on their sys.path or every UDF
+        # closure dies at unpickle (SCALING.md r16 §local-cluster).
+        # Auto-ship unless a spark-submit --py-files already carries
+        # the package (a second same-named zip with different bytes
+        # would fail executor fetch).
+        if "slowlog2clickhouse_spark" not in (
+            spark.conf.get("spark.submit.pyFiles", "") or ""
+        ):
+            ship_package(spark)
     return spark
 
 
