@@ -79,6 +79,38 @@ def test_local_cluster_parity_subset():
     assert "2 pass / 0 fail" in proc.stdout
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_LOCAL_CLUSTER") != "1",
+    reason="opt-in: SPARK_GRAFT_LOCAL_CLUSTER=1 (starts 2 worker JVMs, ~60 s)",
+)
+def test_get_session_autoships_on_multi_jvm_master():
+    """get_session(master=cluster) must ship the package itself — a
+    notebook user gets ModuleNotFoundError on every UDF otherwise."""
+    snippet = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import os, pyspark\n"
+        "os.environ.setdefault('SPARK_HOME',"
+        " os.path.dirname(os.path.abspath(pyspark.__file__)))\n"
+        "from slowlog2clickhouse_spark.session import get_session\n"
+        "spark = get_session(master='local-cluster[2,4,2048]')\n"
+        "import __spark_entry__ as e\n"
+        "df = e.queries()['pandas_udf_fingerprint'](spark,"
+        " '/root/testdata/sf0.001')\n"
+        "assert df.count() > 0\n"
+        "print('AUTOSHIP-OK')\n"
+        "spark.stop()\n" % REPO
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", snippet],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "AUTOSHIP-OK" in proc.stdout
+
+
 def test_ship_package_idempotent_per_app(spark):
     from slowlog2clickhouse_spark.session import ship_package
 
