@@ -214,51 +214,58 @@ def _with_shingle_hashes(docs: DataFrame) -> DataFrame:
     return with_th.select("doc_id", xm.alias("xm"))
 
 
-def _family_min_merge(acc, x):
-    """One shingle folded into the 16 running family minima."""
-    a_mul = F.lit(_MH_A_MUL).cast("long")
-    b_base, b_step = F.lit(_MH_B_BASE).cast("long"), F.lit(_MH_B_STEP).cast("long")
-    return F.transform(
-        acc,
-        lambda a, i: F.least(
-            a, (((a_mul * (i + 1)) % _MH_P) * x + (b_base + b_step * i) % _MH_P) % _MH_P
-        ),
-    )
+def _family_min_cols(xm_col: str = "xm") -> list[F.Column]:
+    """The 16 family minima as INDEPENDENT ``array_min(transform(...))``
+    columns over the shingle array — min over x of (A_i·x + B_i) mod P
+    with the A_i/B_i affine coefficients pre-reduced mod P in Python
+    (identical values: the old merge computed the same residues per
+    step).
+
+    r16 (guide §1.2 "per-task work"): this replaces a single
+    ``aggregate`` whose merge lambda rebuilt the full 16-element
+    accumulator ARRAY per shingle (one array allocation per shingle per
+    row, all interpreted). 16 flat passes do the same arithmetic with
+    no per-step allocation — measured 1.60 → 1.19 s for the band-key
+    stage at sf0.1 (OPTIMIZATION_r16.md). Same shape as the DuckDB
+    oracle's ``list_transform(range(0,16), i -> list_min(...))``, so
+    the cross-engine identity argument is now symmetric too."""
+    def _fam(a, b):
+        # factory, not a default-arg lambda: pyspark reads HOF lambda
+        # arity from the full Python signature (same trap as _tag below)
+        return lambda x: (F.lit(a).cast("long") * x + F.lit(b)) % _MH_P
+
+    mins = []
+    for i in range(N_HASHES):
+        a_i = (_MH_A_MUL * (i + 1)) % _MH_P
+        b_i = (_MH_B_BASE + _MH_B_STEP * i) % _MH_P
+        mins.append(F.array_min(F.transform(F.col(xm_col), _fam(a_i, b_i))))
+    return mins
 
 
-def _mins_init() -> F.Column:
-    # built lazily: constructing Columns needs an active SparkContext,
-    # and this module must stay importable before any session exists
-    return F.array_repeat(F.lit(_MH_P).cast("long"), N_HASHES)
+def _band_fold(mins: list[F.Column], band: int) -> F.Column:
+    """base-31 fold of one band's BAND_SIZE family minima — scalar
+    arithmetic, no HOF (the values match the old finish-lambda fold)."""
+    s = F.lit(0).cast("long")
+    for r in range(BAND_SIZE):
+        s = s * 31 + mins[band * BAND_SIZE + r]
+    return s
 
 
 def minhash_signature_array(docs: DataFrame) -> DataFrame:
-    """doc_id → 16-element minhash signature array. Shuffle-free: one
-    `aggregate` whose input is the xm COLUMN (HOF inputs evaluate once
-    per row) and whose merge updates all 16 family minima per
-    shingle."""
+    """doc_id → 16-element minhash signature array. Shuffle-free: the
+    16 family minima are flat ``array_min(transform(xm, ...))`` passes
+    (see _family_min_cols) assembled with one ``F.array``."""
     xm = _with_shingle_hashes(docs)
-    ms = F.aggregate(F.col("xm"), _mins_init(), _family_min_merge)
-    return xm.select("doc_id", ms.alias("ms"))
+    return xm.select("doc_id", F.array(*_family_min_cols()).alias("ms"))
 
 
 def minhash_band_keys(docs: DataFrame) -> DataFrame:
-    """doc_id → 4 LSH band keys, mins → bands folded inside the same
-    single-pass aggregate (finish lambda — the accumulator is a bound
-    variable, so nothing re-evaluates)."""
+    """doc_id → 4 LSH band keys: family minima via _family_min_cols,
+    bands folded with plain scalar arithmetic (no HOF accumulator)."""
     xm = _with_shingle_hashes(docs)
-    bands = F.aggregate(
-        F.col("xm"),
-        _mins_init(),
-        _family_min_merge,
-        lambda acc: F.transform(
-            F.sequence(F.lit(0), F.lit(N_HASHES // BAND_SIZE - 1)),
-            lambda b: F.aggregate(
-                F.slice(acc, b * BAND_SIZE + 1, BAND_SIZE),
-                F.lit(0).cast("long"),
-                lambda s, m: s * 31 + m,
-            ),
-        ),
+    mins = _family_min_cols()
+    bands = F.array(
+        *[_band_fold(mins, b) for b in range(N_HASHES // BAND_SIZE)]
     )
     return xm.select("doc_id", bands.alias("band_sigs"))
 
@@ -381,9 +388,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # ONE posexplode instead of a 4-way union: the (shuffle-free)
     # signature expressions are evaluated once per row, not once per
-    # band — and both sides of the self-join become identical subplans,
-    # so the band-key Exchange is computed once and reused (ReuseExchange).
-    # posexplode_OUTER, deliberately: plain posexplode triggers
+    # band. posexplode_OUTER, deliberately: plain posexplode triggers
     # InferFiltersFromGenerate, whose size(..)>0 filter re-inlines the
     # whole signature expression below the Generate and re-evaluates it
     # interpreted per row (measured 30×); band_sigs is always exactly 4
@@ -391,23 +396,51 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = minhash_band_keys(d).select(
         "doc_id", F.posexplode_outer("band_sigs").alias("band", "band_sig")
     ).repartition("band", "band_sig")
-    # ^ explicit shuffle on the band key: without it AQE broadcasts one
-    # side of the self-join and the signature map runs TWICE; with it
-    # both sides canonicalize to the same Exchange → computed once
     banded = cap_band_buckets(banded, ("band", "band_sig"))
-    a = banded.alias("a")
-    b2 = banded.alias("b")
-    cand = (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # r16 (guide §2.4): candidate pairs are generated MAP-SIDE from the
+    # grouped band buckets instead of a band-key self-join. The old
+    # a×b self-join was planned as a BroadcastHashJoin whose build side
+    # re-evaluated the whole signature chain (2 parquet scans + 2
+    # Exchanges in the plan); here the signature map runs ONCE, the
+    # groupBy rides the repartition's Exchange (same keys — no new
+    # shuffle), and the intra-bucket pair fan-out is a pure expression.
+    # The cap window stays UPSTREAM so a degenerate hot bucket is
+    # dropped (spillable window buffer) before collect_list ever
+    # buffers it. Singleton buckets (the vast majority) die at the
+    # n >= 2 filter instead of riding through a join. Identical result
+    # set: pairs (a < b) sharing a (band, band_sig) bucket, distinct.
+    return _bucket_pairs(banded, ("band", "band_sig"))
+
+
+def _bucket_pairs(banded: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """Distinct intra-bucket doc_id pairs (doc_a < doc_b) from a banded
+    table, via groupBy-collect_list + expression-level pair fan-out —
+    the shared candidate generator for dedup_minhash and the band
+    sweep. Caller must have capped bucket sizes (cap_band_buckets), so
+    the per-group array is bounded by MAX_BAND_BUCKET."""
+    grp = banded.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    n = F.size("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ds"), i + 1, n - i),
+                lambda d2: F.struct(
+                    F.element_at(F.col("ds"), i).alias("doc_a"),
+                    d2.alias("doc_b"),
+                ),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    extra = [k for k in keys if k == "bands"]
+    return (
+        grp.where(n >= 2)
+        .select(*extra, F.explode(pair_arr).alias("p"))
+        .select(*extra, F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    return cand
 
 
 # ---------------------------------------------------------------------------
@@ -1358,7 +1391,7 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = xm.select(
         "doc_id",
         F.array_distinct("xm").alias("s"),
-        F.aggregate(F.col("xm"), _mins_init(), _family_min_merge).alias("ms"),
+        F.array(*_family_min_cols()).alias("ms"),
     ).localCheckpoint(eager=False)
     a = base.select(
         F.col("doc_id").alias("doc_a"),
@@ -1749,7 +1782,7 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = xm.select(
         "doc_id",
         F.array_distinct("xm").alias("s"),
-        F.aggregate(F.col("xm"), _mins_init(), _family_min_merge).alias("ms"),
+        F.array(*_family_min_cols()).alias("ms"),
     ).localCheckpoint(eager=False)
 
     def _arm_sigs(rows_per_band: int, n_bands: int) -> F.Column:
@@ -1786,23 +1819,11 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("x.bands"), F.col("x.band"), F.col("x.band_sig")
     ).repartition("bands", "band", "band_sig")
     banded = cap_band_buckets(banded, ("bands", "band", "band_sig"))
-    a = banded.alias("a")
-    b2 = banded.alias("b")
-    cand_all = (
-        a.join(
-            b2,
-            (F.col("a.bands") == F.col("b.bands"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.bands").alias("bands"),
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    # r16: same map-side bucket-pair generation as dedup_minhash (one
+    # signature evaluation, no self-join, groupBy rides the
+    # repartition's Exchange); the arm id stays part of the group key
+    # so per-arm results are unchanged.
+    cand_all = _bucket_pairs(banded, ("bands", "band", "band_sig"))
 
     a_s = base.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     b_s = base.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
