@@ -251,6 +251,21 @@ def _band_fold(mins: list[F.Column], band: int) -> F.Column:
     return s
 
 
+def _band_sigs_from_ms(ms_col: str = "ms") -> F.Column:
+    """The 4 LSH band keys recomputed from a MATERIALIZED signature
+    array column — the same base-31 folds as _band_fold, via element_at,
+    so a caller that already holds ``ms`` (dedup_minhash_accuracy's
+    checkpointed base) derives identical band keys without re-running
+    the md5 + shingle chain (r16, guide §2.4)."""
+    def fold(b):
+        s = F.lit(0).cast("long")
+        for r in range(BAND_SIZE):
+            s = s * 31 + F.element_at(F.col(ms_col), b * BAND_SIZE + r + 1)
+        return s
+
+    return F.array(*[fold(b) for b in range(N_HASHES // BAND_SIZE)])
+
+
 def minhash_signature_array(docs: DataFrame) -> DataFrame:
     """doc_id → 16-element minhash signature array. Shuffle-free: the
     16 family minima are flat ``array_min(transform(xm, ...))`` passes
@@ -412,12 +427,48 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucket_pairs(banded, ("band", "band_sig"))
 
 
-def _bucket_pairs(banded: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+def _bucket_pairs(
+    banded: DataFrame, keys: tuple[str, ...], payload: str | None = None
+) -> DataFrame:
     """Distinct intra-bucket doc_id pairs (doc_a < doc_b) from a banded
     table, via groupBy-collect_list + expression-level pair fan-out —
     the shared candidate generator for dedup_minhash and the band
     sweep. Caller must have capped bucket sizes (cap_band_buckets), so
-    the per-group array is bounded by MAX_BAND_BUCKET."""
+    the per-group array is bounded by MAX_BAND_BUCKET.
+
+    With ``payload`` (r16, dedup_simhash), each side also carries that
+    column through the fan-out as ``<payload>_a`` / ``<payload>_b`` —
+    collect_list gathers (doc_id, payload) structs whose lexicographic
+    sort_array still orders by doc_id (unique within a bucket), so the
+    emitted pair set is identical to the doc-only form."""
+    if payload is not None:
+        grp = banded.groupBy(*keys).agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", payload))
+            ).alias("ds")
+        )
+        n = F.size("ds")
+        pair_arr = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.slice(F.col("ds"), i + 1, n - i),
+                    lambda d2: F.struct(
+                        F.element_at(F.col("ds"), i).alias("a"), d2.alias("b")
+                    ),
+                ),
+            )
+        )
+        return (
+            grp.where(n >= 2)
+            .select(F.explode(pair_arr).alias("p"))
+            .select(
+                F.col("p.a.doc_id").alias("doc_a"),
+                F.col("p.b.doc_id").alias("doc_b"),
+                F.col(f"p.a.{payload}").alias(f"{payload}_a"),
+                F.col(f"p.b.{payload}").alias(f"{payload}_b"),
+            )
+        )
     grp = banded.groupBy(*keys).agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
@@ -597,20 +648,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition("band", "band_val")
     # ^ shared Exchange — see dedup_minhash; signature map runs once
     banded = cap_band_buckets(banded, ("band", "band_val"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # r16 (guide §2.4, the dedup_minhash treatment): intra-bucket pairs
+    # map-side from the grouped band buckets — the old band-key
+    # self-join re-evaluated the whole simhash signature chain on its
+    # broadcast build side (2 scans, 2 Exchanges); here the signature
+    # map runs once, the groupBy rides the repartition's Exchange, and
+    # each pair carries both signatures so the hamming radius filter
+    # stays a single codegen'd bit_count(xor). Identical result set.
+    pairs = _bucket_pairs(banded, ("band", "band_val"), payload="simhash")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        pairs.select(
+            "doc_a",
+            "doc_b",
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
@@ -875,22 +926,20 @@ def _star_loop(conf, e, parts, max_iters, return_rounds, _alt_grp):
                 .where(F.col("u") != F.col("v"))
             )
             rounds += 1
-        # converged edges are (child, component-min) stars; roots
-        # label selves. e may carry duplicate rows (no per-round
-        # distinct) — the groupBy-min and distinct here absorb them.
-        # Materialized inside the pinned scope so the 3-stage label
-        # projection also skips the per-stage AQE replan.
-        labels = (
-            e.groupBy("u").agg(F.min("v").alias("cluster_id"))
-            .select(F.col("u").alias("doc_id"), "cluster_id")
-            .unionByName(
-                e.select(
-                    F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")
-                ).distinct()
-            )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        # r16 (guide §2.4): labels come straight off the CONVERGED
+        # neighborhood groupBy — the certificate just proved `grp` is a
+        # star forest rooted at each component's minimum, so per node u:
+        # a root's neighbors are all larger (label = u) and a leaf's
+        # single neighbor IS its root (label = min(nbrs)); both are
+        # least(u, array_min(nbrs)). grp is already materialized (the
+        # cert collect ran over its localCheckpoint) and groupBy makes u
+        # unique, so this is ONE map stage over cached blocks — replacing
+        # the former groupBy-min ∪ distinct ∪ distinct label projection
+        # (3 shuffles over e) that recomputed the same star roots.
+        labels = grp.select(
+            F.col("u").alias("doc_id"),
+            F.least(F.col("u"), F.array_min("nbrs")).alias("cluster_id"),
+        ).localCheckpoint(eager=True)
     finally:
         conf.set("spark.sql.adaptive.enabled", old_aqe)
         conf.set("spark.sql.shuffle.partitions", old_parts)
@@ -1382,17 +1431,28 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is doc_id-keyed against that compact table. At 100 TB this is
     the estimator-calibration job you run on a SAMPLE partition before
     a full dedup sweep."""
-    cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     d = load_table(spark, sf_dir, "documents")
     xm = _with_shingle_hashes(d)
-    # lazy checkpoint: base feeds BOTH pair-join sides — without it
-    # each side re-runs the md5 + shingle + signature chain (the
-    # shared-subtree discipline of c490559)
+    # lazy checkpoint: base feeds BOTH pair-join sides AND (r16) the
+    # candidate generation — without it each consumer re-runs the md5 +
+    # shingle + signature chain (the shared-subtree discipline of
+    # c490559)
     base = xm.select(
         "doc_id",
         F.array_distinct("xm").alias("s"),
         F.array(*_family_min_cols()).alias("ms"),
     ).localCheckpoint(eager=False)
+    # r16 (guide §2.4): candidates from the SAME materialized base —
+    # band keys re-folded from the ms column (identical values to
+    # minhash_band_keys), then the dedup_minhash bucket-pair path; the
+    # old `dedup_minhash(...)` call re-ran the whole signature chain a
+    # second time just to produce the pair list.
+    banded = base.select(
+        "doc_id",
+        F.posexplode_outer(_band_sigs_from_ms("ms")).alias("band", "band_sig"),
+    ).repartition("band", "band_sig")
+    banded = cap_band_buckets(banded, ("band", "band_sig"))
+    cand = _bucket_pairs(banded, ("band", "band_sig"))
     a = base.select(
         F.col("doc_id").alias("doc_a"),
         F.col("s").alias("sa"),
@@ -1496,20 +1556,10 @@ def dedup_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode_outer(band_vals).alias("band", "band_val")
     ).repartition("band", "band_val")
     banded = cap_band_buckets(banded, ("band", "band_val"))
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    # r16: map-side intra-bucket pairs (the dedup_minhash treatment) —
+    # drops the band-key self-join and its second Exchange; identical
+    # distinct pair set
+    cand = _bucket_pairs(banded, ("band", "band_val"))
     a = base.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("sha"),

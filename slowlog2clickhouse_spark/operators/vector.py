@@ -234,15 +234,25 @@ def vec_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _vec_knn_ivf_impl(
-    spark: SparkSession, sf_dir: str, nprobe: int, e: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int,
+    e: DataFrame | None = None,
+    parsed: DataFrame | None = None,
 ) -> DataFrame:
-    if e is None:
-        e = load_table(spark, sf_dir, "embeddings")
-    emb = _emb_double()
     hk = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
-    with_e = e.select("vec_id", emb.alias("ed"), hk.alias("hk"))
+    if parsed is not None:
+        # r16 (guide §2.4/§6): caller already holds the parsed
+        # (vec_id, ed) corpus — ann_recall_eval's checkpointed base —
+        # so ride it instead of a second parquet scan + cast pass; hk
+        # derives from vec_id alone, identical values either way
+        with_e = parsed.select("vec_id", "ed", hk.alias("hk"))
+    else:
+        if e is None:
+            e = load_table(spark, sf_dir, "embeddings")
+        with_e = e.select("vec_id", _emb_double().alias("ed"), hk.alias("hk"))
 
     cents = (
         with_e.orderBy("hk", "vec_id")
@@ -871,9 +881,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lsh_knn_from_bucketed(b5, N_PLANES_DEFAULT, multiprobe=True)
         .select(F.lit("lsh").alias("method"), "probe_id", "cand_id")
         .unionByName(
-            vec_knn_ivf(spark, sf_dir).select(
-                F.lit("ivf").alias("method"), "probe_id", "cand_id"
-            )
+            # r16: the IVF arm rides the same checkpointed base as the
+            # LSH arms (it used to re-scan + re-parse embeddings — the
+            # docstring's "one scan" claim now covers all four arms)
+            _vec_knn_ivf_impl(
+                spark, sf_dir, IVF_NPROBE, parsed=base.select("vec_id", "ed")
+            ).select(F.lit("ivf").alias("method"), "probe_id", "cand_id")
         )
         .unionByName(
             _lsh_knn_from_bucketed(b8, N_PLANES, multiprobe=True).select(

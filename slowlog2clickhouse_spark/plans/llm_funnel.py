@@ -123,15 +123,20 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode_outer("band_sigs").alias("band", "band_sig")
     ).repartition("band", "band_sig")
     banded = cap_band_buckets(banded, ("band", "band_sig"))
-    a, b = banded.alias("a"), banded.alias("b")
+    # r16 (guide §2.4, the dedup_minhash treatment): "has a smaller
+    # doc_id in some shared band bucket" is exactly "is a non-minimum
+    # member of some bucket" — derived map-side from the grouped
+    # buckets (groupBy rides the repartition's Exchange) instead of the
+    # old band-key self-join whose broadcast build side re-evaluated
+    # the whole signature chain. Identical drop set.
+    grp = banded.groupBy("band", "band_sig").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
     near_drop = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grp.where(F.size("ds") >= 2)
+        .select(
+            F.explode(F.slice("ds", 2, F.size("ds") - 1)).alias("doc_id")
         )
-        .select(F.col("b.doc_id").alias("doc_id"))
         .distinct()
     )
     near = exact.join(near_drop, "doc_id", "left_anti")

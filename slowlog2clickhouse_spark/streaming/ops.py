@@ -612,7 +612,12 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .trigger(processingTime="1 second")
+        # drain cadence, not deployment cadence (guide §1.2): the
+        # generator needs >= 2 batches and the op polls until the fixed
+        # prefix has arrived — a 1 s trigger + 0.5 s poll sleep was ~2 s
+        # of pure scheduler wait for ~0.1 s of compute. 20 ms cadence
+        # fires the same deterministic batches back-to-back.
+        .trigger(processingTime="20 milliseconds")
         .start()
     )
     deadline = time.time() + 30
@@ -620,7 +625,7 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         got = spark.sql(f"SELECT sum(n) AS s FROM {name}").collect()[0]["s"]
         if got and got >= 2000:
             break
-        time.sleep(0.5)
+        time.sleep(0.05)
     q.stop()
     return spark.table(name)
 

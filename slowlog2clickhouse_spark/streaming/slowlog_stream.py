@@ -28,6 +28,22 @@ from slowlog2clickhouse_spark.sources.slowlog import (
 
 _counter = itertools.count()
 
+# Trigger cadence for the DRAIN-shaped tail ops below (guide §1.2/§2.6:
+# scheduler dead time, not computation). These ops deterministically
+# write → drain → grow → drain inside one call, and with a
+# ProcessingTimeTrigger each processAllAvailable() pays up to one full
+# trigger interval of pure sleep AFTER its last data batch before the
+# empty tick that signals no-new-data (plus one interval per offset
+# increment the poll discovers late). The old 500 ms / 1 s cadences cost
+# ~1-2 s of wall-clock sleep per op at zero compute. A live deployment
+# tails at human cadence (the docstrings' 1 s+ guidance stands —
+# override via SPARK_GRAFT_TAIL_TRIGGER_MS); the in-process drain dance
+# wants the poll as cheap as it is: latestOffset() is one os.stat per
+# unchanged file.
+TAIL_DRAIN_TRIGGER = "{} milliseconds".format(
+    int(_os.environ.get("SPARK_GRAFT_TAIL_TRIGGER_MS", "20"))
+)
+
 # header-only sentinel: appending it flushes a file's last real record
 # out of torn-tail hold-back (it itself carries no statement and is
 # filtered by the `query IS NOT NULL` class predicate); shared by every
@@ -614,7 +630,7 @@ def stream_slowlog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(name)
         .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(processingTime="1 second")
+        .trigger(processingTime=TAIL_DRAIN_TRIGGER)
         .start()
     )
     try:
@@ -712,7 +728,7 @@ def stream_slowlog_tail_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(name)
         .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(processingTime="500 milliseconds")
+        .trigger(processingTime=TAIL_DRAIN_TRIGGER)
         .start()
     )
     try:
