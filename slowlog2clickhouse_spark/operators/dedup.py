@@ -1248,7 +1248,12 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     d = load_table(spark, sf_dir, "documents")
-    tk = d.select("doc_id", F.array_distinct(_tokens_col()).alias("toks"))
+    # r16: lazy checkpoint — tk feeds BOTH pair-join sides; without it
+    # each side re-runs the scan + tokenize + array_distinct pass (the
+    # shared-subtree discipline dedup_minhash_accuracy already applies)
+    tk = d.select(
+        "doc_id", F.array_distinct(_tokens_col()).alias("toks")
+    ).localCheckpoint(eager=False)
     ta = tk.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     tb = tk.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     common = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("long")

@@ -871,37 +871,98 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("probe_id", "cand_id")
     )
-    b5 = base.select(
-        "vec_id",
-        "ed",
-        F.col("b8").bitwiseAND(F.lit((1 << N_PLANES_DEFAULT) - 1)).alias("bucket"),
-    )
-    b8 = base.select("vec_id", "ed", F.col("b8").alias("bucket"))
-    tagged = (
-        _lsh_knn_from_bucketed(b5, N_PLANES_DEFAULT, multiprobe=True)
-        .select(F.lit("lsh").alias("method"), "probe_id", "cand_id")
-        .unionByName(
-            # r16: the IVF arm rides the same checkpointed base as the
-            # LSH arms (it used to re-scan + re-parse embeddings — the
-            # docstring's "one scan" claim now covers all four arms)
-            _vec_knn_ivf_impl(
-                spark, sf_dir, IVF_NPROBE, parsed=base.select("vec_id", "ed")
-            ).select(F.lit("ivf").alias("method"), "probe_id", "cand_id")
-        )
-        .unionByName(
-            _lsh_knn_from_bucketed(b8, N_PLANES, multiprobe=True).select(
-                F.lit("lsh_mp").alias("method"), "probe_id", "cand_id"
+    # r16 (guide §2.4/§3): the three LSH arms fold into ONE broadcast
+    # equi-join. Per arm the join key is (arm, bucket): the corpus side
+    # carries both bucket widths map-side (the 5-plane bucket is the
+    # low-5-bit mask of b8 — 2 rows per candidate instead of the old 3
+    # join probes), the 20-probe panel fans out its multi-probe query
+    # keys with an `own` flag, and the cautionary single-probe arm is
+    # DERIVED from the 8-plane multiprobe scores (its candidate set is
+    # exactly the own-bucket subset), so its join + cosine pass
+    # disappears. Both rank branches shuffle the identical `scored`
+    # subtree by the same keys — ReuseExchange evaluates it once. Arm
+    # outputs (candidate sets, tie-breaks, method labels) are
+    # bit-identical to the former per-arm _lsh_knn_from_bucketed calls.
+    mask5 = F.lit((1 << N_PLANES_DEFAULT) - 1)
+    cands_arms = base.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("ed").alias("ce"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lsh").alias("arm"),
+                    F.col("b8").bitwiseAND(mask5).alias("cb"),
+                ),
+                F.struct(F.lit("lsh_mp").alias("arm"), F.col("b8").alias("cb")),
             )
+        ).alias("ab"),
+    ).select("cand_id", "ce", F.col("ab.arm").alias("arm"), F.col("ab.cb").alias("cb"))
+
+    def _probe_fan(arm: str, bucket_col: F.Column, n_planes: int):
+        return F.array(
+            F.struct(
+                F.lit(arm).alias("arm"),
+                bucket_col.alias("qb"),
+                F.lit(True).alias("own"),
+            ),
+            *[
+                F.struct(
+                    F.lit(arm).alias("arm"),
+                    bucket_col.bitwiseXOR(F.lit(1 << p)).alias("qb"),
+                    F.lit(False).alias("own"),
+                )
+                for p in range(n_planes)
+            ],
         )
-        .unionByName(
-            # cautionary arm: the old r5 default (8 planes, own bucket
-            # only) — kept measured so the recall cliff of over-fine
-            # sign-bit bucketing stays visible in the evaluation
-            _lsh_knn_from_bucketed(b8, N_PLANES, multiprobe=False).select(
-                F.lit("lsh_8p_single").alias("method"), "probe_id", "cand_id"
+
+    probe_fan = base.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("ed").alias("pe"),
+        F.explode(
+            F.concat(
+                _probe_fan("lsh", F.col("b8").bitwiseAND(mask5), N_PLANES_DEFAULT),
+                _probe_fan("lsh_mp", F.col("b8"), N_PLANES),
             )
-        )
+        ).alias("q"),
+    ).select(
+        "probe_id",
+        "pe",
+        F.col("q.arm").alias("arm"),
+        F.col("q.qb").alias("qb"),
+        F.col("q.own").alias("own"),
     )
+    scored_lsh = cands_arms.join(
+        F.broadcast(probe_fan),
+        (cands_arms["arm"] == probe_fan["arm"]) & (F.col("qb") == F.col("cb")),
+    ).select(
+        cands_arms["arm"].alias("arm"),
+        "probe_id",
+        "cand_id",
+        "own",
+        F.round(cosine(F.col("pe"), F.col("ce")), 6).alias("cos_sim"),
+    )
+    wa = W.partitionBy("arm", "probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    mp_and_5 = (
+        scored_lsh.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= 3)
+        .select(F.col("arm").alias("method"), "probe_id", "cand_id")
+    )
+    single8 = (
+        scored_lsh.where(F.col("own") & (F.col("arm") == "lsh_mp"))
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= 3)
+        .select(F.lit("lsh_8p_single").alias("method"), "probe_id", "cand_id")
+    )
+    tagged = mp_and_5.unionByName(
+        # r16: the IVF arm rides the same checkpointed base as the
+        # LSH arms (it used to re-scan + re-parse embeddings — the
+        # docstring's "one scan" claim now covers all four arms)
+        _vec_knn_ivf_impl(
+            spark, sf_dir, IVF_NPROBE, parsed=base.select("vec_id", "ed")
+        ).select(F.lit("ivf").alias("method"), "probe_id", "cand_id")
+    ).unionByName(single8)
     hits = tagged.join(truth, ["probe_id", "cand_id"]).groupBy("method").agg(
         F.count("*").alias("hits")
     )
