@@ -26,7 +26,15 @@ accumulate cache pressure that skews late reps (VERDICT r8 #8).
 Round-over-round acceptance band: see BASELINE.md §protocol — ±10%
 vs the better of the two previous rounds, rows with per-query
 loadavg > 2.0 are not comparable evidence (the same threshold the
-final line's "loadavg_hot" exception map captures).
+final line's "loadavg_hot" exception map captures). Since r17 the
+bench also snapshots hypervisor CPU steal PER QUERY and self-retries
+(bounded, 2 attempts) any query whose reps ran under steal > 5% of
+non-idle time, keeping the lower-steal attempt — selection is by the
+health stamp, never by the time, so one contaminated window can't
+poison the round's only ground-truth artifact (VERDICT r16 #1: the
+r16 cross-round bench ran at steal 24.7% and scored 22 phantom
+regressions on untouched code). Queries still hot after retry are
+stamped in "steal_hot"; retry count in "steal_retries".
 
 Since r15 the bench also runs gate #9, `q_py_fingerprint_ctl` — a
 fixed-cost Python-boundary control (pandas-UDF fingerprint over 2M
@@ -217,7 +225,15 @@ def time_df(spark, build, runs: int = 3) -> list[float]:
     return times
 
 
-def guarded_time_df(spark, build, runs: int, loads: dict, name: str) -> list[float]:
+def guarded_time_df(
+    spark,
+    build,
+    runs: int,
+    loads: dict,
+    name: str,
+    steals: dict | None = None,
+    retried: list | None = None,
+) -> list[float]:
     """time_df with the PER-QUERY noise protocol (VERDICT r12 #4: nine
     headliners 'regressed' 24-56% with zero code change — the bench-
     start load guard can't see load arriving MID-bench over a ~25-row
@@ -233,10 +249,45 @@ def guarded_time_df(spark, build, runs: int, loads: dict, name: str) -> list[flo
     decaying runnable threads cannot skew a 32-thread measurement.
     External contention that actually skews results shows loadavg well
     above 2 and still trips the guard; the stamp interpretation lives
-    in BASELINE.md (<=2 self-decay, comparable; >~3 suspect)."""
+    in BASELINE.md (<=2 self-decay, comparable; >~3 suspect).
+
+    r17 (VERDICT r16 #1): hypervisor CPU steal is ALSO snapshotted per
+    query, and a query whose reps ran under steal > STEAL_RETRY_PCT of
+    non-idle time is re-run once (bounded — STEAL_RETRY_MAX attempts
+    total) after a short backoff. The attempt with the LOWER steal
+    share is kept — selection is by the measurement-health stamp, never
+    by the resulting time, so a retry can only trade a contaminated
+    window for a cleaner one. r16's only cross-round bench ran under
+    24.7% steal and scored 22 phantom regressions on untouched code;
+    one contaminated window must not poison the round's ground truth."""
     wait_for_idle(max_load=2.0, timeout_s=90.0)
     loads[name] = round(os.getloadavg()[0], 2)
-    return time_df(spark, build, runs=runs)
+    best_ts: list[float] | None = None
+    best_steal: float | None = None
+    for attempt in range(STEAL_RETRY_MAX):
+        s0 = cpu_steal_snapshot()
+        ts = time_df(spark, build, runs=runs)
+        st = cpu_steal_pct(s0, cpu_steal_snapshot())
+        if best_ts is None or (st or 0.0) < (best_steal or 0.0):
+            best_ts, best_steal = ts, st
+        if st is None or st <= STEAL_RETRY_PCT:
+            break
+        if attempt + 1 < STEAL_RETRY_MAX:
+            if retried is not None:
+                retried.append(name)
+            time.sleep(5)  # let the hypervisor burst pass
+            wait_for_idle(max_load=2.0, timeout_s=60.0)
+    if steals is not None and best_steal is not None:
+        steals[name] = best_steal
+    return best_ts
+
+
+# Per-query steal-retry protocol (VERDICT r16 #1): a query window with
+# steal above this share of non-idle time is environment-contaminated
+# by measurement (BASELINE.md drift playbook: lines with steal >~5% are
+# adjudicated environment) and earns one bounded re-run.
+STEAL_RETRY_PCT = 5.0
+STEAL_RETRY_MAX = 2  # attempts per query, total
 
 
 def wait_for_idle(max_load: float = 1.0, timeout_s: float = 600.0) -> float:
@@ -305,8 +356,12 @@ def main() -> None:
     results: dict[str, float] = {}
     variance: dict[str, list[float]] = {}
     loads: dict[str, float] = {}
+    steals: dict[str, float] = {}
+    retried: list[str] = []
     for name, sql in BASELINE_QUERIES.items():
-        ts = guarded_time_df(spark, lambda: spark.sql(sql), 5, loads, name)
+        ts = guarded_time_df(
+            spark, lambda: spark.sql(sql), 5, loads, name, steals, retried
+        )
         results[name] = round(statistics.median(ts), 4)
         variance[name] = [
             round(min(ts), 4),
@@ -317,7 +372,8 @@ def main() -> None:
     # gate #9: the Python-boundary control (5 reps like the gates; NOT
     # summed into gate_total — it calibrates drift, it isn't baseline SQL)
     ts = guarded_time_df(
-        spark, lambda: _py_control_build(spark), 5, loads, PY_CONTROL
+        spark, lambda: _py_control_build(spark), 5, loads, PY_CONTROL,
+        steals, retried,
     )
     results[PY_CONTROL] = round(statistics.median(ts), 4)
     variance[PY_CONTROL] = [round(min(ts), 4), results[PY_CONTROL], round(max(ts), 4)]
@@ -368,7 +424,9 @@ def main() -> None:
         ].fn(spark, sf_dir),
     }
     for name in EXTRA_OPS:
-        ts = guarded_time_df(spark, extra_builders[name], 3, loads, name)
+        ts = guarded_time_df(
+            spark, extra_builders[name], 3, loads, name, steals, retried
+        )
         results[name] = round(statistics.median(ts), 4)
         variance[name] = [
             round(min(ts), 4),
@@ -391,6 +449,8 @@ def main() -> None:
                 "variance": variance,
                 "loadavg_start": round(load0, 2),
                 "loadavg_per_query": loads,
+                "steal_per_query": steals,
+                "steal_retried": retried,
                 "sf": sf_val,
             }
         )
@@ -411,7 +471,8 @@ def main() -> None:
     # gate/control load stamps survive contended runs (ADVICE r15 #2).
     steal = cpu_steal_pct(steal0, cpu_steal_snapshot())
     line = final_line(
-        results, variance, loads, gate_total, load0, sf_val, steal
+        results, variance, loads, gate_total, load0, sf_val, steal,
+        steals=steals, n_retried=len(retried),
     )
     print(line)
     append_local_record(line)
@@ -442,6 +503,8 @@ def final_line(
     load0: float,
     sf_val,
     steal_pct: float | None = None,
+    steals: dict | None = None,
+    n_retried: int = 0,
 ) -> str:
     """Build the driver-parsed final line under the length budget.
     Split out of main() so tests/test_bench_contract.py can pin the
@@ -454,6 +517,12 @@ def final_line(
         if k in BASELINE_QUERIES or k == PY_CONTROL
     }
     hot_loads = {k: v for k, v in loads.items() if v > 2.0}
+    # r17: per-query steal, exceptions-only — queries whose KEPT attempt
+    # still ran above the retry threshold (the full map is on the
+    # verbose line). steal_retries counts bounded re-runs taken.
+    hot_steal = {
+        k: v for k, v in (steals or {}).items() if v > STEAL_RETRY_PCT
+    }
     compact = {
         "metric": "baseline8_warm_median_total",
         "value": gate_total,
@@ -467,6 +536,8 @@ def final_line(
         # run (r16): >a few % means the host withheld cycles and
         # out-of-band rows are environment by measurement
         "steal_pct": steal_pct,
+        "steal_hot": hot_steal,
+        "steal_retries": n_retried,
         "sf": sf_val,
         "queries": {k: round(v, 3) for k, v in results.items()},
         "variance_ctl": {
@@ -483,16 +554,23 @@ def final_line(
     # always survives, so "how contended" is never lost.
     if len(line) > FINAL_LINE_BUDGET:
         is_ctl = lambda k: k in BASELINE_QUERIES or k == PY_CONTROL  # noqa: E731
-        shed_order = sorted(hot_loads, key=lambda k: (is_ctl(k), hot_loads[k]))
-        for k in shed_order:
-            if len(line) <= FINAL_LINE_BUDGET:
-                break
-            compact["loadavg_hot"].pop(k)
-            line = json.dumps(compact, separators=(",", ":"))
+        # shed hot-load entries first (they are re-derivable from the
+        # verbose line), then hot-steal entries — coolest non-control
+        # first in both maps; run-level steal_pct always survives
+        for key, hot in (("loadavg_hot", hot_loads), ("steal_hot", hot_steal)):
+            shed_order = sorted(hot, key=lambda k: (is_ctl(k), hot[k]))
+            for k in shed_order:
+                if len(line) <= FINAL_LINE_BUDGET:
+                    break
+                compact[key].pop(k)
+                line = json.dumps(compact, separators=(",", ":"))
         if len(line) > FINAL_LINE_BUDGET and not compact["loadavg_hot"]:
             # everything shed: drop the now-empty key too (the pre-r16
             # behavior), worth ~16 chars right at the budget edge
             compact.pop("loadavg_hot")
+            line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > FINAL_LINE_BUDGET and not compact.get("steal_hot"):
+            compact.pop("steal_hot", None)
             line = json.dumps(compact, separators=(",", ":"))
     assert len(line) <= FINAL_LINE_BUDGET, (
         f"final bench line {len(line)} chars > {FINAL_LINE_BUDGET} — would "

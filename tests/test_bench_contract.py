@@ -76,6 +76,77 @@ def test_final_line_degrades_hot_loads_before_gate_evidence():
     assert d["loadavg_max"] == 99.9
 
 
+def test_final_line_fits_budget_with_full_steal_map():
+    """r17: every query hot on BOTH maps (loadavg + steal) — the line
+    must still fit by shedding coolest non-control entries, and the
+    run-level steal_pct must always survive."""
+    results, variance, loads = _full_payload(hot_every=1)
+    steals = {n: 99.9 for n in results}
+    line = bench.final_line(
+        results, variance, loads, 1.0, 0.1, 0.1, steal_pct=99.9,
+        steals=steals, n_retried=len(steals),
+    )
+    assert len(line) <= bench.FINAL_LINE_BUDGET
+    d = json.loads(line)
+    assert d["steal_pct"] == 99.9
+    assert d["steal_retries"] == len(steals)
+    assert set(d["variance_ctl"]) == set(bench.BASELINE_QUERIES) | {
+        bench.PY_CONTROL
+    }
+
+
+def test_steal_retry_keeps_lower_steal_attempt(monkeypatch):
+    """The bounded per-query retry (VERDICT r16 #1) must (a) re-run a
+    query whose window exceeded STEAL_RETRY_PCT, (b) keep the attempt
+    with the LOWER steal stamp — never selecting on the time itself —
+    and (c) stop at STEAL_RETRY_MAX attempts."""
+    calls = {"n": 0}
+    # attempt 1: contaminated (30% steal), slow; attempt 2: clean, fast
+    timings = [[9.0, 9.0, 9.0], [1.0, 1.0, 1.0]]
+    steal_windows = [30.0, 2.0]
+
+    def fake_time_df(spark, build, runs=3):
+        i = calls["n"]
+        calls["n"] += 1
+        return timings[i]
+
+    snaps = iter([0, 1, 2, 3])
+    monkeypatch.setattr(bench, "time_df", fake_time_df)
+    monkeypatch.setattr(bench, "cpu_steal_snapshot", lambda: next(snaps))
+    monkeypatch.setattr(
+        bench,
+        "cpu_steal_pct",
+        lambda a, b: steal_windows[a // 2],
+    )
+    monkeypatch.setattr(bench, "wait_for_idle", lambda **kw: 0.0)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    loads, steals, retried = {}, {}, []
+    ts = bench.guarded_time_df(
+        None, None, 3, loads, "q_x", steals, retried
+    )
+    assert calls["n"] == bench.STEAL_RETRY_MAX == 2
+    assert ts == [1.0, 1.0, 1.0]
+    assert steals["q_x"] == 2.0
+    assert retried == ["q_x"]
+
+
+def test_steal_retry_skipped_when_clean(monkeypatch):
+    calls = {"n": 0}
+
+    def fake_time_df(spark, build, runs=3):
+        calls["n"] += 1
+        return [1.0]
+
+    monkeypatch.setattr(bench, "time_df", fake_time_df)
+    monkeypatch.setattr(bench, "cpu_steal_snapshot", lambda: 0)
+    monkeypatch.setattr(bench, "cpu_steal_pct", lambda a, b: 1.5)
+    monkeypatch.setattr(bench, "wait_for_idle", lambda **kw: 0.0)
+    loads, steals, retried = {}, {}, []
+    ts = bench.guarded_time_df(None, None, 1, loads, "q_y", steals, retried)
+    assert calls["n"] == 1 and ts == [1.0]
+    assert steals["q_y"] == 1.5 and retried == []
+
+
 def test_py_control_excluded_from_gate_queries():
     # the control calibrates, it doesn't race: never summed as a gate
     assert bench.PY_CONTROL not in bench.BASELINE_QUERIES
