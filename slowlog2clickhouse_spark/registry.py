@@ -414,6 +414,32 @@ _STALE_RESCORE: frozenset[str] = frozenset(
     {"fn_hash64", "agg_approx_count_distinct", "agg_percentile_approx"}
 )
 
+# Generalization of _STALE_RESCORE for optimization rounds (VERDICT
+# r16 #4/#7): an op whose PLAN-SHAPE was rewritten in round N is only
+# driver-verified by a score from round >= N — earlier scores prove
+# the old code. Map: op id -> first round whose score counts. The r16
+# rewrites (_bucket_pairs map-side LSH pairs, _star_loop converged-
+# groupBy labels, ann arm folding, drain triggers, shared tokenize/
+# signature passes) left 12 of 14 changed ops outside the r16 driver
+# window; listing them here sorts them into the next window so the
+# plan-level claims get driver-side parity proof. Ops touched again in
+# r17 (top-k aggregate ranks, certificate observe, AvailableNow drains)
+# carry 17.
+_REWRITE_RESCORE: dict[str, int] = {
+    "dedup_minhash": 16,
+    "dedup_minhash_verified": 16,
+    "dedup_minhash_accuracy": 16,
+    "dedup_simhash": 16,
+    "dedup_simhash_accuracy": 16,
+    "llm_curation_funnel": 16,
+    "ann_recall_eval": 17,
+    "graph_components_star": 17,
+    "dedup_cluster": 17,
+    "dedup_keep_best": 17,
+    "stream_slowlog_tail": 17,
+    "stream_slowlog_tail_multi": 17,
+}
+
 
 def latest_scored(root: str | None = None) -> dict[str, int]:
     """op id -> latest round number with a CORRECTNESS_r*.json row.
@@ -465,6 +491,12 @@ def latest_scored(root: str | None = None) -> dict[str, int]:
         # their partial oracles landed in round 6 — any score from an
         # earlier round never exercised the oracle and doesn't count
         if out.get(k, 0) < 6:
+            out.pop(k, None)
+    for k, first_valid in _REWRITE_RESCORE.items():
+        # scores older than the op's last plan-shape rewrite verified
+        # the OLD implementation — treat as unscored so the rotation
+        # re-samples the op under its current plan (VERDICT r16 #7)
+        if out.get(k, 0) < first_valid:
             out.pop(k, None)
     return out
 
