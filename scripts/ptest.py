@@ -48,6 +48,10 @@ def main() -> int:
     t0 = time.time()
     for i in range(n):
         env = dict(os.environ)
+        # ptest IS the full-suite runner: include the `slow`-marked
+        # probes the default driver-budget run deselects (conftest.py,
+        # VERDICT r16 #6); override with SPARK_GRAFT_FULL_TESTS=0
+        env.setdefault("SPARK_GRAFT_FULL_TESTS", "1")
         env["SPARK_GRAFT_TEST_SHARD"] = f"{i}/{n}"
         env["SPARK_GRAFT_CPUS"] = str(per_shard)
         env["SPARK_GRAFT_TMP"] = f"/tmp/slowlog2clickhouse_spark/shard_{i}"

@@ -3,6 +3,8 @@ binary shape as a thin parser over the tested plan functions."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -21,6 +23,7 @@ def test_cli_print_ddl(spark, capsys):
     assert "ORDER BY (digest, period_start)" in out
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_cli_ingest_parquet_equals_library(spark, tmp_path):
     out = str(tmp_path / "classes")
     rc = main(["ingest", "--log", FIXTURE_LOG, "--out", out])
@@ -45,6 +48,7 @@ def test_cli_ingest_requires_a_sink(capsys):
     assert "need --out" in capsys.readouterr().err
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_cli_digest_report(spark, capsys):
     rc = main(["digest", "--log", FIXTURE_LOG, "--top", "3"])
     out = capsys.readouterr().out
@@ -177,6 +181,7 @@ def test_cli_ingest_routed_fingerprint_no_warning_and_exact(spark, tmp_path):
     assert agg(routed) == agg(full)
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_cli_tail_drains_live_file_to_batch_equivalent(spark, tmp_path):
     """`tail` over a GROWING single file: drain, grow, drain again —
     the final parquet snapshot equals the batch classes over the same
@@ -247,6 +252,7 @@ def test_cli_drain_refuses_append_sink_dir(tmp_path):
         _complete_snapshot_writer(None, out, str(tmp_path / "ckpt"))
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_cli_tail_fleet_directory_drains_to_batch_equivalent(spark, tmp_path):
     """`tail --log <dir>` must select the partitioned fleet reader and
     drain classes equal to the batch pipeline over both files' union

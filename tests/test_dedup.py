@@ -3,6 +3,8 @@ determinism, and the no-cross-join plan contract (SURVEY.md §2 I)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from slowlog2clickhouse_spark.io import load_table
@@ -17,6 +19,7 @@ from slowlog2clickhouse_spark.registry import all_ops
 OPS = all_ops()
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_simhash_banding_finds_all_guaranteed_pairs(spark, sf_dir):
     """Pigeonhole contract: every pair at hamming ≤ 3 (= ≤3 flipped
     bits across 4×16-bit bands → at least one band identical) MUST be
@@ -225,6 +228,7 @@ def test_band_bucket_cap_drops_hot_bucket_keeps_cold(spark):
     assert capped.count() == 2
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_capped_minhash_still_finds_pairs_via_other_bands(spark):
     """Members of a dropped bucket still pair through their OTHER
     bands — the overflow routing the cap relies on."""
@@ -481,6 +485,7 @@ class TestStarConnectedComponents:
             connected_components(self._chain_edges(spark, 400), max_iters=5)
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_incremental_cluster_equals_full_recompute(spark, sf_dir):
     """dedup_cluster_incremental (state-stars + new-batch edges) must
     produce byte-identical labels to the full recompute — the property

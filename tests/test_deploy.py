@@ -25,6 +25,11 @@ import zipfile
 
 import pytest
 
+# r17 (VERDICT r16 #6): the local-cluster deploy probes spawn worker
+# JVMs (~30 s+ each) — full-suite only (scripts/ptest.py); the default
+# driver-budget run deselects them (tests/conftest.py slow handling)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -120,6 +120,7 @@ class TestFixtureCorpus:
         ]
         assert all(r["ts"] is not None for r in rows)
 
+    @pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
     def test_mysql51_compact_format(self, spark):
         ev = parse_slowlog(spark, os.path.join(FIXTURE_DIR, "slowlog_51.log"))
         rows = {r["query"]: r for r in ev.collect()}

@@ -3,6 +3,8 @@ stateful counter (SURVEY.md §5.2 item 5)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from slowlog2clickhouse_spark.io import load_table
@@ -13,6 +15,7 @@ from slowlog2clickhouse_spark.registry import all_ops
 OPS = all_ops()
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_stream_slowlog_classes_equals_batch_pipeline(spark, sf_dir):
     streamed = OPS["stream_slowlog_classes"].fn(spark, sf_dir)
     batch = ingest_slowlog(spark, FIXTURE_LOG)

@@ -6,6 +6,8 @@ fall on this equivalence)."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 import pyspark.sql.functions as F
@@ -106,6 +108,7 @@ def test_stitched_order_skewed_single_value(spark):
     ]
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_ntile_from_rn_matches_builtin(spark):
     for n in (1, 2, 3, 4, 5, 7, 8, 100, 101, 102, 103):
         for k in (2, 4, 7):

@@ -5,6 +5,8 @@ hand-built timeline."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from slowlog2clickhouse_spark.io import load_table
@@ -72,6 +74,7 @@ def test_file_source_batch_equivalence(spark, sf_dir):
     assert _rows(streamed, cols) == _rows(batch, cols)
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_late_data_semantics(spark, sf_dir):
     """Append-mode windowed agg: batch-2 row older than the advanced
     watermark is dropped; the kept windows reflect only on-time + the
@@ -255,6 +258,7 @@ def test_stream_journey_state_equals_batch_journey(spark, sf_dir):
     assert got.select("api").distinct().count() == 1
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_stream_journey_state_soak_multi_batch(spark, sf_dir, tmp_path):
     """Soak (VERDICT r8 #5): drive the SAME stateful journey transform
     across >=3 triggered micro-batches (maxFilesPerTrigger=1 over a
@@ -361,6 +365,7 @@ def test_stream_journey_state_soak_multi_batch(spark, sf_dir, tmp_path):
     assert multi > 0
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_stream_dedup_minhash_soak_multi_batch(spark, sf_dir, tmp_path):
     """Soak: the admission aggregate's state must carry across >=3
     micro-batches (maxFilesPerTrigger=1 over a 3-file arriving split)
@@ -586,6 +591,7 @@ def test_pctl_merge_restart_equals_batch(spark, tmp_path):
     assert got == _pctl_batch_truth(spark)
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_pctl_merge_state_gc_bounds_parts(spark, tmp_path):
     """r13 VERDICT #6: a long-running pctl-merge tail must not
     accumulate one state part per micro-batch. Drained over FOUR
@@ -2189,6 +2195,7 @@ def test_tail_routed_streamed_classes_equal_batch_on_adversarial_corpus(
     assert {d for d, _, _ in chain} != {d for d, _, _ in streamed}
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_stream_classes_routed_inside_microbatch_equals_routed_batch(
     spark, tmp_path
 ):

@@ -3,6 +3,8 @@ scale-shape plan pins (SURVEY.md §2 I)."""
 
 from __future__ import annotations
 
+import pytest
+
 import contextlib
 import io
 
@@ -213,6 +215,7 @@ def test_dim_stats_health_profile_invariants(spark, sf_dir):
         assert abs(r["std"] - math.sqrt(var)) < 1e-4
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_pq_quantize_fidelity_and_codes(spark, sf_dir):
     """vec_quantize_pq: codes cover the full 4-bit range, fidelity
     matches the measured floor for near-uniform embeddings (PQ's worst
@@ -239,6 +242,7 @@ def test_pq_quantize_fidelity_and_codes(spark, sf_dir):
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, again.collect()))
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_pq_adc_recall_and_determinism(spark, sf_dir):
     """vec_knn_pq_adc: exactly top-5 per probe, recall vs the exact
     baseline above the measured floor for the worst-case near-uniform
@@ -267,6 +271,7 @@ def test_pq_adc_recall_and_determinism(spark, sf_dir):
     assert adc == again
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_ivf_pq_recall_and_rerank(spark, sf_dir):
     """vec_knn_ivf_pq: exactly top-3 per probe; the exact re-rank
     stage lifts recall well above ADC-only (measured 0.42-0.50 vs
@@ -317,6 +322,7 @@ def test_ivf_pq_recall_and_rerank(spark, sf_dir):
     assert mine == again
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_ivfpq_sweep_frontier_invariants(spark, sf_dir):
     """The IVF-PQ knob curve (VERDICT r9 #4): 12 grid rows; adc_rows
     (the scale-dominant cost) strictly grows with nprobe and is
@@ -344,6 +350,7 @@ def test_ivfpq_sweep_frontier_invariants(spark, sf_dir):
         assert 0.0 <= r["recall"] <= 1.0 and r["hits"] <= r["truth_n"]
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_pq_bits_clustered_buys_back_the_ceiling(spark, sf_dir):
     """r12 VERDICT #5 done-criterion: on the planted-cluster corpus
     with cells wide open (nprobe=8), the 8-bit codebook (256
@@ -367,6 +374,7 @@ def test_pq_bits_clustered_buys_back_the_ceiling(spark, sf_dir):
     assert by[(4, 64)]["recall"] < 0.90  # and 4-bit really was capped
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_pq_train_local_equals_distributed(spark, sf_dir):
     """The driver-side numpy trainer (large-k path) must reproduce the
     distributed Lloyd chain EXACTLY — same init, argmin tiebreak,
@@ -452,6 +460,7 @@ def test_opq_rotation_pinned_to_corpus(spark):
     assert gen.render(mat, spectrum) == open(gen.OUT, encoding="utf-8").read()
 
 
+@pytest.mark.slow  # r17 driver-budget deselection (VERDICT r16 #6); in the full suite via scripts/ptest.py
 def test_opq_rotation_lifts_4bit_recall(spark, sf_dir):
     """The op's headline claim: at UNCHANGED adc_rows and 4-bit code
     budget, the rotated arm's recall@3 beats identity at shortlist 64
