@@ -109,12 +109,22 @@ LAZY_OPS = sorted(set(OPS) - EAGER)
 
 
 @pytest.fixture(scope="module")
-def plans(spark, sf_dir):
+def built(spark, sf_dir):
+    """One build per lazy op, shared by every lint in this module —
+    r17: test_no_unbounded_global_window used to REBUILD all ~300 ops
+    for its optimized-plan walk, doubling this module's cost (the r17
+    duration audit clocked the file at 490 s; building each op's plan
+    once roughly halves it)."""
+    return {name: OPS[name].fn(spark, sf_dir) for name in LAZY_OPS}
+
+
+@pytest.fixture(scope="module")
+def plans(built):
     out = {}
-    for name in LAZY_OPS:
+    for name, df in built.items():
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            OPS[name].fn(spark, sf_dir).explain("formatted")
+            df.explain("formatted")
         out[name] = buf.getvalue()
     return out
 
@@ -219,23 +229,81 @@ def _unbounded_global_windows(df) -> int:
     return n
 
 
-def test_no_unbounded_global_window(spark, sf_dir):
+def test_no_unbounded_global_window(built):
     """A global window over an unbounded-cardinality domain is the
     one-task scale-killer VERDICT r5 flagged (events_rfm/orders_pareto/
     dq_sequence_gaps, since rewritten). Any new op must either rank
     over a Limit (ranked_topk), stitch with bounded bucket offsets
     (stitched_order), or justify a bounded aggregate input above."""
     bad = {}
-    for name in LAZY_OPS:
+    for name, df in built.items():
         if name in ALLOW_GLOBAL_WINDOW:
             continue
-        n = _unbounded_global_windows(OPS[name].fn(spark, sf_dir))
+        n = _unbounded_global_windows(df)
         if n:
             bad[name] = n
     assert not bad, (
         f"unbounded global window (single-partition WindowExec) in: {bad} — "
         "use ranked_topk/stitched_order or justify in ALLOW_GLOBAL_WINDOW"
     )
+
+
+# ---------------------------------------------------------------------------
+# r17 (VERDICT r16 #2): pin the r16/r17 optimization plan shapes so the
+# shuffle/scan/broadcast wins can't silently regress. Counts are of the
+# formatted-plan node list (the same greps the r16 audit ran against
+# plans/r16/*_after.txt).
+# ---------------------------------------------------------------------------
+
+
+def _n_nodes(plan: str, node: str) -> int:
+    import re
+
+    return len(re.findall(rf"\(\d+\) {node}\b", plan))
+
+
+def test_dedup_minhash_plan_shape_pinned(plans):
+    """r16 change #1: ONE parquet scan (the band groupBy rides the band
+    repartition Exchange; map-side _bucket_pairs replaced the band-key
+    self-join), and no broadcast hash join of a re-evaluated signature
+    chain."""
+    p = plans["dedup_minhash"]
+    assert _n_nodes(p, "Scan parquet") == 1, "dedup_minhash must scan once"
+    assert "BroadcastHashJoin" not in p, (
+        "band self-join is back — _bucket_pairs fan-out regressed"
+    )
+
+
+def test_dedup_minhash_verified_plan_shape_pinned(plans):
+    """r16 change #8: tokenize once — both pair-join sides read the one
+    lazily-checkpointed token table, so exactly one parquet scan."""
+    assert _n_nodes(plans["dedup_minhash_verified"], "Scan parquet") == 1
+
+
+def test_dedup_simhash_plan_shape_pinned(plans):
+    """r16 change #6: the banded corpus must not be BROADCAST (the old
+    shape re-evaluated the 60-bit signature chain on the build side and
+    cannot hold at 100 TB) — one scan, no broadcast exchange."""
+    p = plans["dedup_simhash"]
+    assert _n_nodes(p, "Scan parquet") == 1
+    assert "BroadcastExchange" not in p
+
+
+def test_ann_recall_eval_plan_shape_pinned(plans):
+    """r16 changes #4/#7: every arm (truth, 3 LSH arms, IVF) rides the
+    ONE materialized checkpoint base — zero parquet scans in the final
+    plan — and the LSH arms share a single broadcast equi-join."""
+    p = plans["ann_recall_eval"]
+    assert _n_nodes(p, "Scan parquet") == 0, (
+        "an arm re-scans embeddings instead of riding the checkpoint"
+    )
+
+
+def test_llm_curation_funnel_exchange_budget(plans):
+    """r16 change #5: the near-drop set is computed map-side from the
+    grouped band buckets (20 -> 16 Exchanges). Budget, not equality:
+    fewer is progress, more is a regression."""
+    assert _n_nodes(plans["llm_curation_funnel"], "Exchange") <= 16
 
 
 def test_parquet_scans_prune_columns(plans):
@@ -263,7 +331,6 @@ DRIVER_COLLECT_ALLOWLIST = {
     "slowlog2clickhouse_spark/__main__.py::_warn_unroutable_constructs",  # CLI: bounded sample of unroutable statements
     "slowlog2clickhouse_spark/__main__.py::cmd_curate",  # CLI table output (console deliverable)
     "slowlog2clickhouse_spark/__main__.py::cmd_digest",  # CLI table output (console deliverable)
-    "slowlog2clickhouse_spark/operators/dedup.py::_star_loop",  # 1-row convergence counter per star round
     "slowlog2clickhouse_spark/operators/dedup.py::dedup_cluster_incremental",  # 1-row equality-check hash (state == recompute)
     "slowlog2clickhouse_spark/operators/multimodal.py::scan_binary_files",  # fixture writer: 50 synthetic blobs
     "slowlog2clickhouse_spark/operators/multimodal.py::write_pgm_corpus",  # fixture writer: bounded PGM corpus
