@@ -857,9 +857,29 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = base.where(F.col("vec_id") >= 20).select(
         F.col("vec_id").alias("cand_id"), F.col("ed").alias("ce")
     )
-    w = W.partitionBy("probe_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id").asc()
-    )
+    # r17 (guide §2.4/§5, VERDICT r16 #5): top-3 per group via a sorted-
+    # list aggregate instead of a row_number window — the groupBy rides
+    # the same Exchange the window needed but drops the full partition
+    # sort (the window sorted EVERY candidate per group to keep 3).
+    # Ordering equivalence with the old `cos_sim DESC, cand_id ASC`
+    # window: struct(-cos_sim, cand_id) sorted ascending — double
+    # negation exactly reverses the comparator (incl. -0.0/0.0, which
+    # negation swaps), and cand_id asc is the identical tie-break.
+    def _t3(cond=None):
+        s = F.struct(
+            (-F.col("cos_sim")).alias("nc"), F.col("cand_id").alias("cand_id")
+        )
+        # collect_list drops NULLs, so when(cond, s) collects the
+        # cond-subset in the SAME aggregate pass — no second scan of
+        # the scored rows for the single-probe arm below
+        return F.slice(
+            F.sort_array(
+                F.collect_list(s if cond is None else F.when(cond, s))
+            ),
+            1,
+            3,
+        )
+
     truth = (
         cands.join(F.broadcast(probes))
         .select(
@@ -867,9 +887,9 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_id",
             F.round(cosine(F.col("pe"), F.col("ce")), 6).alias("cos_sim"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
-        .select("probe_id", "cand_id")
+        .groupBy("probe_id")
+        .agg(_t3().alias("top"))
+        .select("probe_id", F.explode("top.cand_id").alias("cand_id"))
     )
     # r16 (guide §2.4/§3): the three LSH arms fold into ONE broadcast
     # equi-join. Per arm the join key is (arm, bucket): the corpus side
@@ -879,10 +899,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keys with an `own` flag, and the cautionary single-probe arm is
     # DERIVED from the 8-plane multiprobe scores (its candidate set is
     # exactly the own-bucket subset), so its join + cosine pass
-    # disappears. Both rank branches shuffle the identical `scored`
-    # subtree by the same keys — ReuseExchange evaluates it once. Arm
-    # outputs (candidate sets, tie-breaks, method labels) are
-    # bit-identical to the former per-arm _lsh_knn_from_bucketed calls.
+    # disappears (since r17 both rank branches are ONE aggregate pass
+    # over `scored` — see lsh_tops below). Arm outputs (candidate sets,
+    # tie-breaks, method labels) are bit-identical to the former
+    # per-arm _lsh_knn_from_bucketed calls.
     mask5 = F.lit((1 << N_PLANES_DEFAULT) - 1)
     cands_arms = base.where(F.col("vec_id") >= 20).select(
         F.col("vec_id").alias("cand_id"),
@@ -941,19 +961,26 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "own",
         F.round(cosine(F.col("pe"), F.col("ce")), 6).alias("cos_sim"),
     )
-    wa = W.partitionBy("arm", "probe_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    # r17: BOTH rank branches fold into ONE aggregate pass — the old
+    # shape shuffled the identical `scored` subtree once (ReuseExchange)
+    # but still paid two full window sorts over it; collecting the
+    # all-rows top-3 and the own-bucket top-3 side by side keeps the
+    # single Exchange and drops both sorts. `own & arm='lsh_mp'` rows
+    # feed `top_own` via the NULL-dropping when() — exactly the old
+    # single-probe filter, same groups, same tie-breaks.
+    lsh_tops = scored_lsh.groupBy("arm", "probe_id").agg(
+        _t3().alias("top"),
+        _t3(F.col("own") & (F.col("arm") == "lsh_mp")).alias("top_own"),
     )
-    mp_and_5 = (
-        scored_lsh.withColumn("rn", F.row_number().over(wa))
-        .where(F.col("rn") <= 3)
-        .select(F.col("arm").alias("method"), "probe_id", "cand_id")
+    mp_and_5 = lsh_tops.select(
+        F.col("arm").alias("method"),
+        "probe_id",
+        F.explode("top.cand_id").alias("cand_id"),
     )
-    single8 = (
-        scored_lsh.where(F.col("own") & (F.col("arm") == "lsh_mp"))
-        .withColumn("rn", F.row_number().over(wa))
-        .where(F.col("rn") <= 3)
-        .select(F.lit("lsh_8p_single").alias("method"), "probe_id", "cand_id")
+    single8 = lsh_tops.where(F.col("arm") == "lsh_mp").select(
+        F.lit("lsh_8p_single").alias("method"),
+        "probe_id",
+        F.explode("top_own.cand_id").alias("cand_id"),
     )
     tagged = mp_and_5.unionByName(
         # r16: the IVF arm rides the same checkpointed base as the
