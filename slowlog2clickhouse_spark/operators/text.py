@@ -235,16 +235,26 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", "[a-z0-9 ]", "")) * 1.0 / F.length("text")
     )
     kept = d.where((punct_ratio < 0.2) & (hits >= 1))
+    # r17 (guide §2.4): the survivor row IS min_by(row, doc_id) within
+    # each content-hash group, so stage 2 needs ONE aggregate instead
+    # of the old min-doc_id groupBy + broadcast semi-join back onto a
+    # SECOND scan of kept (plan: 2 parquet scans + BroadcastExchange ->
+    # 1 scan, no broadcast; the min_by partial-aggregates map-side).
+    # Equivalent because doc_id is the documents primary key: the rows
+    # whose doc_id equals their group's min are exactly the min_by
+    # picks, same lang/text values into the stage-3 report.
     survivors = kept.groupBy(
         F.md5(F.lower(F.trim("text"))).alias("content_hash")
-    ).agg(F.min("doc_id").alias("doc_id"))
+    ).agg(F.min_by(F.struct("lang", "text"), F.col("doc_id")).alias("s"))
     bpe = F.aggregate(
         F.transform(_tokens(), lambda t: F.ceil(F.length(t) / 4.0).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     return (
-        kept.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        survivors.select(
+            F.col("s.lang").alias("lang"), F.col("s.text").alias("text")
+        )
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),

@@ -299,6 +299,15 @@ def test_ann_recall_eval_plan_shape_pinned(plans):
     )
 
 
+def test_corpus_curation_plan_shape_pinned(plans):
+    """r17: the exact-dedup survivor selection is a single min_by
+    aggregate — one parquet scan, no broadcast semi-join back onto a
+    second scan of the filtered corpus."""
+    p = plans["corpus_curation"]
+    assert _n_nodes(p, "Scan parquet") == 1
+    assert "BroadcastHashJoin" not in p
+
+
 def test_llm_curation_funnel_exchange_budget(plans):
     """r16 change #5: the near-drop set is computed map-side from the
     grouped band buckets (20 -> 16 Exchanges). Budget, not equality:
